@@ -1,0 +1,84 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.dom.Extractor
+
+/** ScalaCheck properties (SURVEY §5.2.3). The generator mirrors the corpus
+  * rules: no trailing '&', no EOF inside a tag (both are reference
+  * non-termination bugs, budget-guarded and excluded from byte-compare).
+  */
+class PropertySpec extends AnyFunSuite {
+  /** Deterministic sample stream (seed fixed; no scalatestplus in the
+    * offline cache, so we drive Gen directly). */
+  private def forAll[A](gen: Gen[A], n: Int = 300)(body: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+
+  private val tagFreeText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '.', ',', '!', '?', '\n', '\t'),
+      1 -> Gen.oneOf[String]("é", "ß", "中", new String(Character.toChars(0x1f600)))
+    ).map(_.toString)).map(_.mkString)
+
+  private val htmlish: Gen[String] = {
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val attr = for { n <- word; v <- word } yield s""" $n="$v""""
+    val piece: Gen[String] = Gen.frequency(
+      6 -> tagFreeText,
+      2 -> (for { t <- Gen.oneOf("p", "div", "span", "li", "em"); a <- attr } yield s"<$t$a>"),
+      2 -> Gen.oneOf("p", "div", "span", "li", "em").map(t => s"</$t>"),
+      1 -> Gen.oneOf("&amp;", "&lt;", "&notin;", "&#x41;", "&#65;", "&xyz;"),
+      1 -> Gen.oneOf("<!-- c -->", "<!DOCTYPE html>", "<!------>", "<![CDATA[x]]>")
+    )
+    Gen.listOf(piece).map(_.mkString)
+  }
+
+  test("tokenizer terminates within the step budget on generator inputs") {
+    forAll(htmlish) { html =>
+      val s = new CollectingSink
+      new RefTokenizer(RefTokenizer.codepoints(html), s).run() // throws on budget breach
+      assert(s.toks.nonEmpty) // at least an EOF token
+    }
+  }
+
+  test("tag-free input round-trips as character tokens exactly") {
+    forAll(tagFreeText) { t =>
+      val clean = t.replace("&", "").replace("<", "")
+      assert(RefTokenizer.tokenize(clean).charText == clean)
+    }
+  }
+
+  test("determinism: two runs produce identical token vectors") {
+    forAll(htmlish) { html =>
+      assert(RefTokenizer.tokenize(html).toks == RefTokenizer.tokenize(html).toks)
+    }
+  }
+
+  test("extract mode terminates and spans tile the text") {
+    forAll(htmlish) { html =>
+      val r = Extractor.extractString(html)
+      assert(!r.truncated)
+      val rebuilt = r.spans.map(s => r.text.substring(s.start, s.end)).mkString
+      assert(rebuilt == r.text)
+      assert(r.mainText.length <= r.text.length)
+    }
+  }
+
+  test("extract main text is a subsequence of full text (block concat order)") {
+    forAll(htmlish) { html =>
+      val r = Extractor.extractString(html)
+      val kept = r.spans.filter(_.kept).map(s => r.text.substring(s.start, s.end)).mkString
+      assert(kept == r.mainText)
+    }
+  }
+}
