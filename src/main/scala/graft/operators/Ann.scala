@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embeddings table (vec_id, embedding FLOAT[64],
+  * label). Two paths:
+  *
+  *   - `bruteForceTopK`: exact cosine top-k via broadcast(query-set) ⋈ corpus.
+  *     The dot product is a codegen'd `aggregate(zip_with(...))` — no UDF, no
+  *     python, stays inside whole-stage codegen. Scales as |Q|·|corpus|: right
+  *     whenever the query set broadcasts (the common "probe a few thousand
+  *     against everything" shape; corpus side streams, never collects).
+  *
+  *   - `lshTopK`: random-hyperplane LSH — 16-bit sign bucket per vector,
+  *     candidates = same-bucket pairs, exact cosine re-rank inside buckets.
+  *     The scale path: shuffle keys are 16-bit buckets, each bucket ~n/65536;
+  *     multi-probe (flip one bit) keeps recall up.
+  *
+  * Float determinism: embeddings are cast to DOUBLE before any arithmetic and
+  * folded left-to-right, matching DuckDB's list_cosine_similarity on
+  * DOUBLE[] for the oracle; ranking output carries only integers.
+  */
+object Ann {
+
+  /** (vec_id, emb DOUBLE[], norm) projection. */
+  private def prep(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .withColumn("norm", sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0d), (a, x) => a + x)))
+
+  /** Exact top-k neighbors (cosine) for `vec_id < nQueries`, output
+    * (vec_id, rank, nbr_id) — integer-only for bit-stable comparison.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    val e = prep(embeddings)
+    val q = e.where(col("vec_id") < nQueries)
+      .withColumnsRenamed(Map("vec_id" -> "qid", "emb" -> "qemb", "norm" -> "qnorm"))
+    val dot = aggregate(zip_with(col("qemb"), col("emb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+    val sims = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr_id"), (dot / (col("qnorm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nbr_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nbr_id"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Fixed random hyperplanes (deterministic seed) → sign-bit bucket. Bucket
+    * count (2^bits) should track corpus size — 8 bits suits the sandbox SFs;
+    * at 10^9+ vectors you raise bits so buckets stay ~thousands of vectors.
+    */
+  def bucketed(embeddings: DataFrame, bits: Int = 8): DataFrame = {
+    val rng = new graft.spark.Mix(0xbeefL)
+    val dim = 64
+    val planes = Array.fill(bits, dim)((rng.next() >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+    val e = prep(embeddings)
+    val bucket = (0 until bits).map { b =>
+      val dot = (0 until dim).map(i => element_at(col("emb"), i + 1) * lit(planes(b)(i))).reduce(_ + _)
+      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k: exact cosine re-rank within LSH buckets. Output shape
+    * matches bruteForceTopK (rank may differ where recall < 1 — that is the
+    * approximation trade; verified in tests by recall ≥ threshold, not
+    * equality).
+    */
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10, bits: Int = 8): DataFrame = {
+    val e = bucketed(embeddings, bits)
+    // multi-probe: each query also probes every bucket at hamming distance 1
+    // (standard recall boost that keeps the shuffle keyed on small buckets)
+    val q0 = e.where(col("vec_id") < nQueries)
+      .withColumnsRenamed(Map("vec_id" -> "qid", "emb" -> "qemb", "norm" -> "qnorm"))
+    val q = q0.select(col("qid"), col("qemb"), col("qnorm"),
+      explode(array((0 to bits).map { i =>
+        if (i == 0) col("bucket") else expr(s"cast(bucket as int) ^ ${1 << (i - 1)}").cast("bigint")
+      }: _*)).as("qbucket")).distinct()
+    val dot = aggregate(zip_with(col("qemb"), col("emb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+    val sims = q.join(e, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr_id"), (dot / (col("qnorm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nbr_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nbr_id"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ `thr`
+    * among same-bucket candidates (the near-dup-by-embedding dedup operator).
+    */
+  def cosineNearDups(embeddings: DataFrame, thr: Double = 0.95): DataFrame = {
+    // plant deterministic duplicate vectors (vec_id + 1,000,000) so small SFs
+    // exercise the candidate → verify path (mirrors Dedup.withPlantedDups)
+    val planted = embeddings.select(col("vec_id"), col("embedding"))
+      .unionAll(embeddings.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val e = bucketed(planted)
+    val a = e.withColumnsRenamed(Map("vec_id" -> "id_a", "emb" -> "emb_a", "norm" -> "norm_a"))
+    val b = e.withColumnsRenamed(Map("vec_id" -> "id_b", "emb" -> "emb_b", "norm" -> "norm_b"))
+    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0d), (a2, x) => a2 + x)
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (dot / (col("norm_a") * col("norm_b"))).as("cos"))
+      .where(col("cos") >= thr)
+      .orderBy("id_a", "id_b")
+  }
+}

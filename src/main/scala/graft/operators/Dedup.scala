@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document-deduplication operators for the training-data pipeline tier:
+  * exact (hash groupBy), MinHash+LSH, SimHash, n-gram Jaccard. All are pure
+  * Dataset/DataFrame plans — every aggregation is partial-aggregatable
+  * (map-side combine), every join keyed, no driver-side loops — so the same
+  * plan runs at 10^12-doc scale with only partition-count changes.
+  *
+  * Near-dup operators plant deterministic mutated copies (doc_id + 1,000,000,
+  * last words dropped) so small scale factors still exercise the
+  * candidate-generation → verification path end-to-end.
+  */
+object Dedup {
+
+  /** Stable 64-bit hash for shingles/words: splitmix64 over
+    * MurmurHash3.stringHash (both fully deterministic across JVMs).
+    */
+  def hash64(s: String): Long = {
+    var z = scala.util.hashing.MurmurHash3.stringHash(s).toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** docs + planted near-duplicates (deterministic). */
+  def withPlantedDups(docs: DataFrame, every: Int = 10, dropWords: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mutated = docs.select($"doc_id", $"text").where($"doc_id" % every === 0)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = text.split(' ')
+        (id + 1000000L, ws.take(math.max(ws.length - dropWords, 1)).mkString(" "))
+      }
+      .toDF("doc_id", "text")
+    docs.select($"doc_id", $"text").unionAll(mutated)
+  }
+
+  /** Exact dedup: group identical texts by md5, keep the smallest doc_id.
+    * One shuffle on the 16-byte digest (never the full text); at 100 TB the
+    * md5 projection prunes the scan to (doc_id, text) and the aggregate is
+    * partially computed map-side.
+    */
+  def exact(docsWithDups: DataFrame): DataFrame =
+    docsWithDups
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
+  def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(' ')
+        if (ws.length < w) Iterator((id, hash64(text)))
+        else ws.sliding(w).map(g => (id, hash64(g.mkString(" "))))
+      }
+      .toDF("doc_id", "sh")
+      .distinct()
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over the
+    * shingle hashes, computed as k partial-aggregatable `min` columns in ONE
+    * groupBy — a single shuffle keyed by doc_id regardless of k.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1
+    val rng = new graft.spark.Mix(0x5eed)
+    val coeffs = Array.fill(k)((math.abs(rng.next()) % (p - 1) + 1, math.abs(rng.next()) % p))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("sh") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: r rows per band; band key = hash of the band's signature
+    * slice. Returns (doc_id, band, key) — candidate pairs share (band, key).
+    */
+  def lshBands(sig: DataFrame, k: Int = 32, r: Int = 4): DataFrame = {
+    val bands = (0 until k / r).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("key"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Candidate pairs from LSH buckets. Buckets larger than `maxBucket` are
+    * dropped (logged via the cap column upstream at real scale) — the
+    * standard guard against a degenerate bucket producing O(n²) pairs.
+    */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val spark = bands.sparkSession
+    import spark.implicits._
+    bands.groupBy("band", "key").agg(collect_set("doc_id").as("ids"))
+      .where(size($"ids") > 1 && size($"ids") <= maxBucket)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a as id_a, b as id_b)))), p -> p.id_a < p.id_b)"
+      )).as("p"))
+      .select($"p.id_a", $"p.id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle sets:
+    * two keyed joins + one aggregate, all shuffle-partitioned on doc_id —
+    * never recomputes shingles per pair.
+    */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sh.toDF("id_a", "sh"), "id_a")
+      .join(sh.toDF("id_b", "sh"), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline over (doc_id, text). */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val withDups = withPlantedDups(docs)
+    val sh = shingles(withDups).cache()
+    val pairs = candidatePairs(lshBands(minhashSignatures(sh)))
+    verifyJaccard(pairs, sh)
+      .where(col("jaccard") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash: 64-bit signature = sign of per-bit weighted sums of word
+    * hashes; near-dups = pairs within `maxHamming`, blocked on 4×16-bit
+    * sub-keys (a pair within hamming ≤ 3 of 64 shares at least one of 4
+    * exact 16-bit blocks only probabilistically — with ≤ 3 flipped bits at
+    * least one block is untouched by pigeonhole, so blocking is exact for
+    * maxHamming ≤ 3).
+    */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = withPlantedDups(docs).select($"doc_id", $"text").as[(Long, String)]
+      .map { case (id, text) =>
+        val acc = new Array[Int](64)
+        text.split(' ').foreach { w =>
+          val h = hash64(w)
+          var i = 0
+          while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+        (id, sig)
+      }.toDF("doc_id", "sig")
+    val blocked = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.blk"), col("bk.key"))
+    blocked.toDF("id_a", "sig_a", "blk", "key")
+      .join(blocked.toDF("id_b", "sig_b", "blk", "key"), Seq("blk", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Word-set Jaccard between consecutive doc_ids — the SQL-expressible
+    * n-gram-Jaccard variant whose oracle runs verbatim in DuckDB (outputs are
+    * ints plus one single-division double, so hashes are bit-stable).
+    */
+  def adjacentJaccard(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select($"doc_id", explode(split($"text", " ")).as("w")).distinct()
+    val counts = words.groupBy("doc_id").agg(count(lit(1)).as("nw"))
+    val inter = words.toDF("id_a", "w")
+      .join(words.toDF("id_b", "w").withColumn("id_a", col("id_b") - 1), Seq("id_a", "w"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id_a", "n_a"), "id_a")
+      .join(counts.toDF("id_b", "n_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("uni"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: token counting, quality scoring, language ID,
+  * document fingerprinting, multimodal-column plumbing.
+  *
+  * The SQL-expressible ones are built from ONE shared ANSI-SQL expression
+  * string evaluated by Spark's selectExpr AND shipped verbatim as the DuckDB
+  * oracle — the engines must agree bit-for-bit, which integer-only
+  * arithmetic (plus single divisions) guarantees.
+  */
+object TextOps {
+
+  /** Portable whitespace token count (single-space-separated corpus). */
+  val tokensExpr = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+  /** Portable marker-word counter: occurrences of ` w ` in ` text ` — the
+    * length/replace trick, identical left-to-right non-overlap semantics in
+    * Spark and DuckDB.
+    */
+  def markerExpr(w: String): String =
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+
+  /** Quality-score projection: token count, char/token ratio, marker-word
+    * ("stopword") ratio. Pure SQL → also the oracle.
+    */
+  val qualitySelect: Seq[String] = Seq(
+    "doc_id",
+    "CAST(length(text) AS BIGINT) AS n_chars_m",
+    s"$tokensExpr AS n_tokens",
+    s"CAST(length(text) AS DOUBLE) / $tokensExpr AS chars_per_token",
+    s"CAST(${markerExpr("the")} + ${markerExpr("a")} AS DOUBLE) / $tokensExpr AS stopword_ratio"
+  )
+
+  /** Language-ID by marker-word argmax (deterministic tie order en→de→es→fr).
+    * The scoring table is a pluggable Map; this trivial one is chosen so the
+    * exact same CASE expression runs as the DuckDB oracle.
+    */
+  val langIdSelect: Seq[String] = {
+    val en = markerExpr("the")
+    val de = markerExpr("der")
+    val es = markerExpr("el")
+    val fr = markerExpr("le")
+    Seq(
+      "doc_id",
+      s"CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en' " +
+        s"WHEN $de >= $es AND $de >= $fr THEN 'de' " +
+        s"WHEN $es >= $fr THEN 'es' ELSE 'fr' END AS pred_lang"
+    )
+  }
+
+  /** Document fingerprint: minimum Karp-Rabin rolling hash over all 16-char
+    * windows (winnowing-style robust fingerprint; stable under suffix edits).
+    * Kernel-side Scala (not SQL-expressible) — rows-only verification.
+    */
+  def fingerprint(docs: DataFrame, window: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)].map { case (id, text) =>
+      val B = 1000000007L
+      var h = 0L
+      var pow = 1L
+      var i = 0
+      val n = text.length
+      if (n < window) {
+        i = 0; while (i < n) { h = h * B + text.charAt(i); i += 1 }
+        (id, h)
+      } else {
+        var minH = Long.MaxValue
+        i = 0
+        while (i < window) { h = h * B + text.charAt(i); pow = pow * B; i += 1 }
+        minH = math.min(minH, h)
+        while (i < n) {
+          h = h * B + text.charAt(i) - pow * text.charAt(i - window)
+          if (h < minH) minH = h
+          i += 1
+        }
+        (id, minH)
+      }
+    }.toDF("doc_id", "fingerprint").orderBy("doc_id")
+  }
+
+  /** Multimodal-column plumbing: treat a binary payload column as an opaque
+    * blob with typed metadata. The decode step is a clearly-marked
+    * deterministic STUB (image/audio codecs are not in this container —
+    * builder prompt); everything Spark-side is real: binary column, typed
+    * output schema, partition-preserving narrow map, batch-friendly kernel.
+    * The fake "decode" derives (width, height, n_frames) from byte lengths so
+    * the oracle is `octet_length`-expressible in DuckDB.
+    */
+  def multimodalMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val payload: Array[Byte] = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // STUB decode: a real build would hand `payload` to an image/audio
+          // codec here; shapes are derived deterministically from length.
+          val nBytes = payload.length.toLong
+          (id, nBytes, nBytes % 640L, nBytes % 480L, nBytes / 64L)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "fake_frames")
+  }
+}

@@ -1,0 +1,149 @@
+package graft.spark
+
+import graft.core._
+import graft.dom._
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.CollectionAccumulator
+
+/** One extracted page (the engine's output row — SURVEY.md §1.2). */
+final case class Extracted(
+    url: String,
+    lang: String,
+    main_text: String,
+    full_text: String,
+    n_spans: Int,
+    n_tokens: Long,
+    n_tags: Long,
+    n_errors: Int,
+    truncated: Boolean,
+    bytes_in: Long
+)
+
+/** Per-partition lineage/metrics row (north star: "per-partition lineage rows
+  * (partition id, input file, row range, tokenizer-state histogram,
+  * bytes/sec) appended to a metrics table").
+  */
+final case class LineageRow(
+    run_id: String,
+    chunk: Int,
+    partition_id: Int,
+    docs: Long,
+    bytes: Long,
+    millis: Long,
+    bytes_per_sec: Double,
+    state_histogram: Map[String, Long]
+)
+
+/** The extraction pipeline: scan → skew-isolating repartition →
+  * mapPartitions(tokenizer+DOM kernel) → extracted rows ‖ lineage rows.
+  *
+  * Scale design (the 100 TB / 10^12-doc story, tested at local[32]):
+  *   - The kernel is a single typed mapPartitions: O(bytes) per page, zero
+  *     driver involvement, no collect anywhere.
+  *   - Size-skew isolation: pages above `bigBytes` are routed to their own
+  *     partition set so a handful of megabyte pages can never straggle a
+  *     partition of normal pages (explicit salting by xxhash64(url) within
+  *     each class). This mirrors salted repartitioning at cluster scale.
+  *   - Lineage rows ride a CollectionAccumulator (one tiny row per partition,
+  *     O(partitions) driver memory, not O(rows)) and are appended to a
+  *     parquet metrics table after each chunk commit.
+  *   - Resume: work is committed in `chunks` (hash-sliced by url); a chunk
+  *     whose lineage rows exist for this run_id is skipped on restart —
+  *     snapshot-checkpoint semantics per the north rule.
+  */
+object ExtractJob {
+
+  /** Kernel over one page — exactly the single-node oracle (`Extractor`), so
+    * Spark(k partitions) ≡ oracle by construction (tested in SparkJobSpec).
+    */
+  def extractRow(p: PageRow): Extracted = {
+    val r = Extractor.extract(p.html)
+    Extracted(p.url, p.lang, r.mainText, r.text, r.spans.length, r.nTokens,
+      r.nTags, r.nErrors, r.truncated, p.html.length.toLong)
+  }
+
+  /** Threshold above which a page is considered pathological (size skew). */
+  val bigBytes = 262144
+
+  /** Salted, size-isolated repartition + mapPartitions kernel. */
+  def extract(
+      pages: Dataset[PageRow],
+      runId: String,
+      numPartitions: Int,
+      lineage: CollectionAccumulator[LineageRow] = null,
+      chunk: Int = 0
+  ): Dataset[Extracted] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val bigParts = math.max(numPartitions / 8, 1)
+    val normParts = math.max(numPartitions - bigParts, 1)
+    // partition id: big pages into [0, bigParts), normal into [bigParts, n)
+    val part = when(length($"html") >= bigBytes, pmod(xxhash64($"url"), lit(bigParts)))
+      .otherwise(lit(bigParts) + pmod(xxhash64($"url"), lit(normParts)))
+    pages
+      .repartition(numPartitions, part)
+      .as[PageRow]
+      .mapPartitions { it =>
+        val t0 = System.currentTimeMillis()
+        var docs = 0L
+        var bytes = 0L
+        val hist = new Array[Long](82)
+        new Iterator[Extracted] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && lineage != null && docs > 0) {
+              val ms = math.max(System.currentTimeMillis() - t0, 1L)
+              val hm = Map.newBuilder[String, Long]
+              var i = 0
+              while (i < hist.length) { if (hist(i) > 0) hm += St.names(i) -> hist(i); i += 1 }
+              lineage.add(LineageRow(runId, chunk, TaskContext.getPartitionId(),
+                docs, bytes, ms, bytes * 1000.0 / ms, hm.result()))
+              docs = 0 // emit once
+            }
+            h
+          }
+          def next(): Extracted = {
+            val p = it.next()
+            val r = Extractor.extract(p.html)
+            docs += 1
+            bytes += p.html.length
+            var i = 0
+            while (i < hist.length) { hist(i) += r.stateHits(i); i += 1 }
+            Extracted(p.url, p.lang, r.mainText, r.text, r.spans.length,
+              r.nTokens, r.nTags, r.nErrors, r.truncated, p.html.length.toLong)
+          }
+        }
+      }
+  }
+
+  /** Chunked, resumable run: each chunk writes its extracted rows, then its
+    * lineage rows — the lineage append is the commit marker. On restart,
+    * chunks whose lineage exists for `runId` are skipped; a chunk that died
+    * mid-write is re-done (overwrite of its own subdir — idempotent).
+    */
+  def runChunked(
+      pages: Dataset[PageRow],
+      outDir: String,
+      runId: String,
+      chunks: Int,
+      partitionsPerChunk: Int
+  ): Unit = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val lineageDir = s"$outDir/lineage"
+    val done: Set[Int] =
+      try spark.read.parquet(lineageDir).where($"run_id" === runId)
+        .select("chunk").distinct().as[Int].collect().toSet
+      catch { case _: Exception => Set.empty }
+    for (c <- 0 until chunks if !done.contains(c)) {
+      val acc = spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$c")
+      val slice = pages.where(pmod(xxhash64($"url"), lit(chunks)) === c)
+      extract(slice, runId, partitionsPerChunk, acc, c)
+        .write.mode("overwrite").parquet(s"$outDir/data/chunk=$c")
+      val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
+      spark.createDataset(rows).write.mode("append").parquet(lineageDir)
+    }
+  }
+}

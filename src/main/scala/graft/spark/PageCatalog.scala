@@ -1,0 +1,66 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import java.nio.file.{Files, Paths, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-semantics table emulation over parquet: immutable snapshots, each
+  * committed by an atomic manifest swap. No Iceberg runtime jar ships in this
+  * sandbox (/opt/spark/jars has none — SURVEY.md §2.3), so the catalog is a
+  * trait; `iceberg-spark-runtime` drops in behind the same calls via config
+  * when available.
+  *
+  * Layout:  <root>/data/snap-<id>/part-*.parquet
+  *          <root>/_manifests/v<N>.json   (file list of the CURRENT snapshot)
+  *          <root>/_manifests/CURRENT     (atomic pointer, rename-swapped)
+  *
+  * Readers resolve CURRENT → manifest → file list; a writer prepares a full
+  * new snapshot directory, writes v<N+1>.json, then renames a temp pointer
+  * onto CURRENT (atomic on POSIX) — readers never observe a partial commit.
+  */
+trait PageCatalog {
+  def read(spark: SparkSession, table: String): DataFrame
+  def commit(df: DataFrame, table: String): Long
+  def currentSnapshot(table: String): Option[Long]
+}
+
+final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
+
+  private def manifestDir(table: String): Path = Paths.get(root, table, "_manifests")
+
+  override def currentSnapshot(table: String): Option[Long] = {
+    val cur = manifestDir(table).resolve("CURRENT")
+    if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None
+  }
+
+  private def manifestFiles(table: String, snap: Long): Seq[String] = {
+    val m = manifestDir(table).resolve(s"v$snap.json")
+    // one absolute parquet path per line inside a trivial JSON array
+    val s = Files.readString(m)
+    s.split('\n').map(_.trim.stripPrefix("[").stripSuffix("]").stripPrefix("\"").stripSuffix(",").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    spark.read.parquet(manifestFiles(table, snap): _*)
+  }
+
+  override def commit(df: DataFrame, table: String): Long = {
+    val snap = currentSnapshot(table).getOrElse(0L) + 1L
+    val dataDir = Paths.get(root, table, "data", s"snap-$snap")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val files = Files.list(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.toString).toSeq.sorted
+    Files.createDirectories(manifestDir(table))
+    val manifest = files.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]")
+    Files.writeString(manifestDir(table).resolve(s"v$snap.json"), manifest)
+    val tmp = manifestDir(table).resolve(s".CURRENT.tmp$snap")
+    Files.writeString(tmp, snap.toString)
+    Files.move(tmp, manifestDir(table).resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+}

@@ -1,0 +1,130 @@
+package graft.spark
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One Common-Crawl-style page row — the input-table shape mandated by
+  * BASELINE.json `input_hint`: (url:string, warc_ts:timestamp, html:binary,
+  * text:string, lang:string).
+  */
+final case class PageRow(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** Deterministic splitmix64 PRNG — seeded per (doc_id, variant) so page
+  * synthesis is reproducible on any executor, any partitioning, any run
+  * (never Math.random / wall clock).
+  */
+final class Mix(seed0: Long) {
+  private var s: Long = seed0
+  def next(): Long = {
+    s += 0x9e3779b97f4a7c15L
+    var z = s
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  /** uniform in [0, n) */
+  def nextInt(n: Int): Int = {
+    val x = next() & Long.MaxValue
+    (x % n).toInt
+  }
+}
+
+/** Synthesizes the Common-Crawl-style pages table from the driver-provided
+  * `documents.parquet` payloads — deterministic from (doc_id, variant), fully
+  * distributed (generation happens inside the executors' map, never a driver
+  * loop; at 10^12 docs this is a narrow map over the document scan).
+  *
+  * Contract that makes extraction DuckDB-verifiable: the ONLY character data
+  * outside boilerplate-stripped subtrees (head/script/style/nav/footer, plus
+  * comments/doctype) is the document's `text`, placed in a single `<p>` with
+  * zero added whitespace. So `Extractor.extract(html).mainText == text`
+  * byte-for-byte, and the oracle is a plain SELECT over documents.
+  *
+  * Boilerplate varies per page: nav/footer link farms, nested div wrappers
+  * (occasionally 200 deep — the "deeply nested" skew case of the north star),
+  * attribute blobs (occasionally 64 KiB — the "megabyte attribute blob" skew
+  * case), unquoted attributes, comments. None of it touches the content
+  * contract above.
+  */
+object Pages {
+
+  /** HTML for one page. Never emits `&` (reference quirk Q14 non-termination
+    * and the char-ref quirk family are exercised by unit fixtures, not the
+    * corpus — SURVEY.md §5.3) and never emits whitespace between tags outside
+    * stripped subtrees.
+    */
+  def render(docId: Long, variant: Int, text: String, lang: String, source: String): String = {
+    val rng = new Mix(docId * 1000003L + variant * 7919L + 42L)
+    val sb = new java.lang.StringBuilder(text.length + 2048)
+    sb.append("<!DOCTYPE html><html lang=\"").append(lang).append("\"><head>")
+    sb.append("<meta charset=\"utf-8\"><title>Doc ").append(docId).append(" - ").append(source).append("</title>")
+    sb.append("<style>body{margin:0;font-family:serif}.w{padding:0}</style>")
+    sb.append("<script type=\"text/javascript\">var n=1;if(n<2){n=n+1;}</script>")
+    sb.append("</head><body>")
+    // nav link farm (blacklisted subtree — stripped whole)
+    sb.append("<nav id=\"top\"><ul>")
+    val nLinks = 3 + rng.nextInt(8)
+    var i = 0
+    while (i < nLinks) {
+      sb.append("<li><a href=\"/cat/").append(rng.nextInt(100))
+        .append("\">Section ").append(i).append(" link text</a></li>")
+      i += 1
+    }
+    sb.append("</ul></nav>")
+    // occasional megabyte-class attribute blob (size skew; value never reaches text)
+    val blob = rng.nextInt(41) == 0
+    if (blob) {
+      sb.append("<div data-blob=\"")
+      val n = 4096 + rng.nextInt(61440)
+      var j = 0
+      while (j < n) { sb.append(('a' + (j % 26)).toChar); j += 1 }
+      sb.append("\">")
+    }
+    // nested div wrappers (occasionally pathological depth — recursion-depth skew)
+    val depth = if (rng.nextInt(29) == 0) 200 else rng.nextInt(9)
+    i = 0
+    while (i < depth) { sb.append("<div class=\"w\">"); i += 1 }
+    // the content contract: text verbatim in one <p>, unquoted attr exercised
+    sb.append("<article><p class=main id=\"p").append(docId).append("\">")
+    sb.append(text)
+    sb.append("</p></article>")
+    i = 0
+    while (i < depth) { sb.append("</div>"); i += 1 }
+    if (blob) sb.append("</div>")
+    sb.append("<!-- generated variant ").append(variant).append(" seed ").append(docId).append(" -->")
+    sb.append("<footer><div class=\"foot\">")
+    val nFoot = 2 + rng.nextInt(4)
+    i = 0
+    while (i < nFoot) {
+      sb.append("<a href=\"/legal/").append(i).append("\">Legal ").append(i).append("</a>")
+      i += 1
+    }
+    sb.append("</div></footer></body></html>")
+    sb.toString
+  }
+
+  def urlOf(docId: Long, variant: Int, lang: String, source: String): String =
+    s"https://example.com/$lang/$source/doc$docId/v$variant"
+
+  /** The pages Dataset: one row per (document, variant). `variants` > 1 scales
+    * the corpus for benchmarking (url differs per variant; text payload is the
+    * doc's). Narrow transformation — no shuffle.
+    */
+  def synthesize(spark: SparkSession, sfDir: String, variants: Int = 1): Dataset[PageRow] = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)]
+    docs.flatMap { case (docId, text, lang, source) =>
+      (0 until variants).iterator.map { v =>
+        val html = render(docId, v, text, lang, source).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(urlOf(docId, v, lang, source), new java.sql.Timestamp(1609459200000L + docId * 1000L + v), html, text, lang)
+      }
+    }
+  }
+}
