@@ -33,6 +33,12 @@ object SparkEntry {
       extracted(s, dir).select("url", "main_text")),
     "q_extract_stats" -> ((s, dir) =>
       extracted(s, dir).select("url", "n_spans", "n_tokens", "n_tags", "n_errors", "bytes_in")),
+    "q_sql_extract" -> ((s, dir) => {
+      // SQL surface: native Catalyst expression (graft.functions) over a view
+      graft.functions.HtmlFunctions.register(s)
+      Pages.synthesize(s, dir).toDF().createOrReplaceTempView("graft_pages")
+      s.sql("SELECT url, html_main_text(html) AS main_text FROM graft_pages")
+    }),
     "q_tokenize_fidelity" -> ((s, dir) => {
       import s.implicits._
       Pages.synthesize(s, dir).mapPartitions { it =>
@@ -70,6 +76,8 @@ object SparkEntry {
     "q_lang_stats" -> ((s, dir) =>
       docs(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))),
+    "q_events_window" -> ((s, dir) =>
+      graft.streaming.ExtractStream.eventCounts(s.read.parquet(s"$dir/events.parquet"))),
     // ---- dedup family ----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withPlantedDups(docs(s, dir), every = 7, dropWords = 0))),
@@ -98,6 +106,10 @@ object SparkEntry {
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
         |FROM documents""".stripMargin,
+    "q_sql_extract" ->
+      """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       text AS main_text
+        |FROM documents""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -119,6 +131,11 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    "q_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -42,11 +42,15 @@ final class RefTokenizer(
     input: Array[Int],
     sink: TokenSink,
     specMode: Boolean = false,
-    maxStepsIn: Long = -1L
+    maxStepsIn: Long = -1L,
+    inputLenIn: Int = -1
 ) {
   import St._
 
-  private val maxSteps: Long = if (maxStepsIn > 0) maxStepsIn else 64L * input.length + 4096L
+  /** logical input length — may be shorter than the (reused) backing array */
+  private val inLen: Int = if (inputLenIn >= 0) inputLenIn else input.length
+
+  private val maxSteps: Long = if (maxStepsIn > 0) maxStepsIn else 64L * inLen + 4096L
 
   // ---- machine registers (struct Tokenizer, tokenizer/tokenizer.v:108-126) --
   private var state: Int = Data
@@ -217,13 +221,13 @@ final class RefTokenizer(
 
   /** next_codepoint: on overrun sets state = .eof and signals -1. */
   @inline private def nextCp(): Int = {
-    if (cursor >= input.length) { state = Eof; -1 }
+    if (cursor >= inLen) { state = Eof; -1 }
     else { cursor += 1; input(cursor - 1) }
   }
 
   /** peek_codepoint: -1 on overrun (callers map it per V `or` blocks). */
   @inline private def peek(offset: Int): Int =
-    if (cursor + offset >= input.length) -1 else input(cursor + offset)
+    if (cursor + offset >= inLen) -1 else input(cursor + offset)
 
   /** look_ahead: consume `s.length` chars only on full match. */
   private def lookAhead(s: String, caseSensitive: Boolean = true): Boolean = {
@@ -375,20 +379,37 @@ final class RefTokenizer(
   // return = V falling off the function (run-loop restart at .data).
   // ===========================================================================
 
-  /** 13.2.5.1 (tokenizer/tokenizer.v:363-388) */
+  /** 13.2.5.1 (tokenizer/tokenizer.v:363-388).
+    *
+    * Hot-loop batching: the reference processes one ordinary character per
+    * handler invocation (fall-off → run-loop restart at .data — the restarted
+    * state IS .data, so consuming a run of ordinary chars in a tight loop is
+    * observably identical: same sink calls, same currChar, and the step/hit
+    * counters are credited per char).
+    */
   private def stData(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (c > 0 && c != '&' && c != '<') {
+      var n = 0
+      while (c > 0 && c != '&' && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(Data) += n
+    }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
     if (c == '&') { gotoRet(CharReference, Data); return }
     if (c == '<') { goto(TagOpen); return }
-    if (c == 0) { parseError("unexpected_null_character"); pushRune(0xfffd); goto(Data); return }
-    pushChar() // fall-off: run loop restarts .data (same state — harmless here)
+    // c == 0
+    parseError("unexpected_null_character"); pushRune(0xfffd); goto(Data)
   }
 
   /** 13.2.5.2 (:390-414) */
   private def stRcdata(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (specMode && c > 0 && c != '&' && c != '<') {
+      var n = 0
+      while (c > 0 && c != '&' && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(Rcdata) += n
+    }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
     if (c == '&') { gotoRet(CharReference, Rcdata); return }
@@ -403,7 +424,12 @@ final class RefTokenizer(
     * (SPEC-FIX).
     */
   private def stRawtext(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (specMode && c > 0 && c != '<') {
+      var n = 0
+      while (c > 0 && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(Rawtext) += n
+    }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
     if (specMode && c == '<') { goto(RawtextLtSign); return }
@@ -412,9 +438,16 @@ final class RefTokenizer(
     if (specMode) goto(Rawtext)
   }
 
-  /** 13.2.5.4 (:434-453) */
+  /** 13.2.5.4 (:434-453) — spec-mode self-loop batched (fidelity keeps the
+    * reference's per-char fall-off; the state is unreachable there anyway).
+    */
   private def stScriptData(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (specMode && c > 0 && c != '<') {
+      var n = 0
+      while (c > 0 && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(ScriptData) += n
+    }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
     if (c == '<') { goto(ScriptDataLtSign); return }
@@ -835,29 +868,27 @@ final class RefTokenizer(
     gotoR(AttrValueUnquoted)
   }
 
-  /** 13.2.5.36 (:1434-1463) */
-  private def stAttrValueDblQuoted(): Unit = {
-    val c = nextCp()
+  /** Shared .36/.37 body with ordinary-char batching (self-loop → identical). */
+  private def attrValueQuoted(quote: Int, self: Int): Unit = {
+    var c = nextCp()
+    if (c > 0 && c != quote && c != '&') {
+      var n = 0
+      while (c > 0 && c != quote && c != '&') { attrValueB.appendCodePoint(c); currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(self) += n
+    }
     if (c < 0) { parseError("eof_in_tag"); sink.eof(Tok.EofInTagName, Tok.EofInTagMsg); return }
     currChar = c
-    if (c == '"') { goto(AfterAttrValueQuoted); return }
-    if (c == '&') { gotoRet(CharReference, AttrValueDblQuoted); return }
-    if (c == 0) { parseError("unexpected_null_character"); attrValueB.appendCodePoint(0xfffd); goto(AttrValueDblQuoted); return }
-    attrValueB.appendCodePoint(c)
-    goto(AttrValueDblQuoted)
+    if (c == quote) { goto(AfterAttrValueQuoted); return }
+    if (c == '&') { gotoRet(CharReference, self); return }
+    // c == 0
+    parseError("unexpected_null_character"); attrValueB.appendCodePoint(0xfffd); goto(self)
   }
 
+  /** 13.2.5.36 (:1434-1463) */
+  private def stAttrValueDblQuoted(): Unit = attrValueQuoted('"', AttrValueDblQuoted)
+
   /** 13.2.5.37 (:1466-1495) */
-  private def stAttrValueSglQuoted(): Unit = {
-    val c = nextCp()
-    if (c < 0) { parseError("eof_in_tag"); sink.eof(Tok.EofInTagName, Tok.EofInTagMsg); return }
-    currChar = c
-    if (c == '\'') { goto(AfterAttrValueQuoted); return }
-    if (c == '&') { gotoRet(CharReference, AttrValueSglQuoted); return }
-    if (c == 0) { parseError("unexpected_null_character"); attrValueB.appendCodePoint(0xfffd); goto(AttrValueSglQuoted); return }
-    attrValueB.appendCodePoint(c)
-    goto(AttrValueSglQuoted)
-  }
+  private def stAttrValueSglQuoted(): Unit = attrValueQuoted('\'', AttrValueSglQuoted)
 
   /** 13.2.5.38 (:1498-1548) — Q1: flushes the builders into a NEW attribute on
     * EVERY entry, splattering unquoted values into per-char attributes.
@@ -1641,11 +1672,59 @@ object RefTokenizer {
 
   /** Decode UTF-8 bytes to codepoints (invalid sequences → U+FFFD), the
     * Array[Int] mirror of the reference's `[]rune` input.
+    *
+    * Fast path: one-pass direct decoder (one allocation instead of the
+    * String + codepoint-array pair). Any malformed/overlong/surrogate
+    * sequence bails to the JDK String path so replacement-char semantics are
+    * exactly `new String(bytes, UTF_8)` in every edge case.
     */
   def decodeUtf8(bytes: Array[Byte]): Array[Int] = {
-    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    codepoints(s)
+    val out = new Array[Int](bytes.length)
+    val n = decodeUtf8Into(bytes, out)
+    if (n < 0) decodeUtf8Slow(bytes)
+    else if (n == out.length) out
+    else java.util.Arrays.copyOf(out, n)
   }
+
+  /** Decode into a caller-owned buffer (must be ≥ bytes.length); returns the
+    * codepoint count, or -1 on any malformed sequence (caller falls back to
+    * `decodeUtf8Slow` for exact JDK replacement semantics). Zero-allocation
+    * fast path for per-partition buffer reuse.
+    */
+  def decodeUtf8Into(bytes: Array[Byte], out: Array[Int]): Int = {
+    val n = bytes.length
+    var i = 0
+    var j = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      if (b0 < 0x80) { out(j) = b0; i += 1 }
+      else if ((b0 & 0xe0) == 0xc0 && b0 >= 0xc2) {
+        if (i + 1 >= n) return -1
+        val b1 = bytes(i + 1) & 0xff
+        if ((b1 & 0xc0) != 0x80) return -1
+        out(j) = ((b0 & 0x1f) << 6) | (b1 & 0x3f); i += 2
+      } else if ((b0 & 0xf0) == 0xe0) {
+        if (i + 2 >= n) return -1
+        val b1 = bytes(i + 1) & 0xff; val b2 = bytes(i + 2) & 0xff
+        if ((b1 & 0xc0) != 0x80 || (b2 & 0xc0) != 0x80) return -1
+        val cp = ((b0 & 0x0f) << 12) | ((b1 & 0x3f) << 6) | (b2 & 0x3f)
+        if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) return -1
+        out(j) = cp; i += 3
+      } else if ((b0 & 0xf8) == 0xf0 && b0 <= 0xf4) {
+        if (i + 3 >= n) return -1
+        val b1 = bytes(i + 1) & 0xff; val b2 = bytes(i + 2) & 0xff; val b3 = bytes(i + 3) & 0xff
+        if ((b1 & 0xc0) != 0x80 || (b2 & 0xc0) != 0x80 || (b3 & 0xc0) != 0x80) return -1
+        val cp = ((b0 & 0x07) << 18) | ((b1 & 0x3f) << 12) | ((b2 & 0x3f) << 6) | (b3 & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return -1
+        out(j) = cp; i += 4
+      } else return -1
+      j += 1
+    }
+    j
+  }
+
+  private def decodeUtf8Slow(bytes: Array[Byte]): Array[Int] =
+    codepoints(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
 
   def codepoints(s: String): Array[Int] = {
     val out = new Array[Int](s.codePointCount(0, s.length))

@@ -60,6 +60,8 @@ final class Arena {
   val nextSibling = ArrayBuffer.empty[Int]
   val lastChild = ArrayBuffer.empty[Int] // building aid
 
+  def clear(): Unit = { name.clear(); parent.clear(); firstChild.clear(); nextSibling.clear(); lastChild.clear() }
+
   def add(nm: String, par: Int): Int = {
     val id = name.length
     name += nm; parent += par; firstChild += -1; nextSibling += -1; lastChild += -1
@@ -82,7 +84,7 @@ final class ExtractSink extends TokenSink {
   import scala.collection.mutable.ArrayBuffer
 
   val arena = new Arena
-  private val root = arena.add("#root", -1)
+  private var root = arena.add("#root", -1)
 
   // open-element stack (parallel arrays)
   private val stkNode = ArrayBuffer(root)
@@ -103,6 +105,25 @@ final class ExtractSink extends TokenSink {
   var nTokens = 0L
   var nTags = 0L
   val errors = ArrayBuffer.empty[String]
+
+  /** caller-reused UTF-8 decode buffer (see Extractor.extractInto) */
+  var decodeBuf: Array[Int] = new Array[Int](8192)
+
+  /** Reuse across rows (per-partition kernel): clears all state, keeps the
+    * grown buffers' capacity — the per-row allocation win at 10^12 docs.
+    */
+  def reset(): Unit = {
+    arena.clear()
+    root = arena.add("#root", -1)
+    stkNode.clear(); stkNode += root
+    stkName.clear(); stkName += "#root"
+    skipDepth = 0; linkDepth = 0; blockTop = root
+    text.setLength(0)
+    spans.clear()
+    runStart = -1; runOwner = root; runBlock = root; runLink = false; runPath = ""
+    nTokens = 0L; nTags = 0L
+    errors.clear()
+  }
 
   private def closeRun(): Unit = {
     if (runStart >= 0 && text.length > runStart) {
@@ -230,8 +251,14 @@ object Extractor {
 
   def extractString(html: String): ExtractResult = extractCps(RefTokenizer.codepoints(html))
 
-  def extractCps(cps: Array[Int]): ExtractResult = {
-    val sink = new ExtractSink
+  def extractCps(cps: Array[Int]): ExtractResult = extractCpsInto(cps, new ExtractSink)
+
+  /** Kernel entry with a caller-owned (reusable) sink: resets it, runs the
+    * tokenizer, finalizes. One sink per partition → per-row allocations drop
+    * to the tokenizer registers + output row.
+    */
+  def extractCpsInto(cps: Array[Int], sink: ExtractSink): ExtractResult = {
+    sink.reset()
     val tk = new RefTokenizer(cps, sink, specMode = true)
     var truncated = false
     try tk.run()
@@ -240,6 +267,29 @@ object Extractor {
       case _: VCastPanic => truncated = true; sink.errors += "V_CAST_PANIC"
     }
     sink.result(truncated, tk.stateHits)
+  }
+
+  /** Reusable variant of `extract` for per-partition loops: both the decode
+    * buffer (sink-owned, grown once) and the sink's internal buffers are
+    * reused across rows — per-row allocation drops to tokenizer registers +
+    * the output row itself.
+    */
+  def extractInto(html: Array[Byte], sink: ExtractSink): ExtractResult = {
+    if (sink.decodeBuf.length < html.length)
+      sink.decodeBuf = new Array[Int](math.max(html.length, sink.decodeBuf.length * 2))
+    val n = RefTokenizer.decodeUtf8Into(html, sink.decodeBuf)
+    if (n < 0) extractCpsInto(RefTokenizer.decodeUtf8(html), sink) // malformed → JDK semantics
+    else {
+      sink.reset()
+      val tk = new RefTokenizer(sink.decodeBuf, sink, specMode = true, inputLenIn = n)
+      var truncated = false
+      try tk.run()
+      catch {
+        case _: StepBudgetExceeded => truncated = true; sink.errors += "STEP_BUDGET_EXCEEDED"
+        case _: VCastPanic => truncated = true; sink.errors += "V_CAST_PANIC"
+      }
+      sink.result(truncated, tk.stateHits)
+    }
   }
 
   /** Fidelity mode: the raw reference-semantics character stream (text =

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SQL surface for the extraction kernel (SURVEY.md §4.3's deferred option,
+  * now implemented): native Catalyst expressions so `spark.sql` users can
+  * call the engine without the typed Dataset API:
+  *
+  *   SELECT html_main_text(html)  FROM pages   -- boilerplate-stripped text
+  *   SELECT html_text(html)       FROM pages   -- full in-content text
+  *   SELECT html_tag_count(html)  FROM pages   -- tag tokens seen
+  *
+  * They are CodegenFallback by design: the kernel is one large opaque
+  * function — exactly the case Spark documents for fallback — and the rows
+  * around it stay inside whole-stage codegen. The per-row sink allocation
+  * here is the ergonomic path; the throughput path remains
+  * ExtractJob.extract's mapPartitions with a partition-reused sink.
+  */
+abstract class HtmlKernelExpression extends UnaryExpression
+    with CodegenFallback with Serializable {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires BINARY input, got ${child.dataType}")
+  override def nullable: Boolean = true
+  @transient protected lazy val sink = new graft.dom.ExtractSink
+  protected def ex(bytes: Array[Byte]): graft.dom.ExtractResult =
+    graft.dom.Extractor.extractInto(bytes, sink)
+}
+
+case class HtmlMainText(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ex(input.asInstanceOf[Array[Byte]]).mainText)
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainText = copy(child = newChild)
+  override def prettyName: String = "html_main_text"
+}
+
+case class HtmlText(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ex(input.asInstanceOf[Array[Byte]]).text)
+  override protected def withNewChildInternal(newChild: Expression): HtmlText = copy(child = newChild)
+  override def prettyName: String = "html_text"
+}
+
+case class HtmlTagCount(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    ex(input.asInstanceOf[Array[Byte]]).nTags
+  override protected def withNewChildInternal(newChild: Expression): HtmlTagCount = copy(child = newChild)
+  override def prettyName: String = "html_tag_count"
+}
+
+object HtmlFunctions {
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "html_main_text" -> (args => HtmlMainText(args.head)),
+    "html_text" -> (args => HtmlText(args.head)),
+    "html_tag_count" -> (args => HtmlTagCount(args.head))
+  )
+
+  /** Imperative registration — works on any live session (no config needed). */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.HtmlFunctions", name),
+      builder)
+  }
+}
+
+/** Config-based registration: `spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = Seq(
+    ("html_main_text", (args: Seq[Expression]) => HtmlMainText(args.head)),
+    ("html_text", (args: Seq[Expression]) => HtmlText(args.head)),
+    ("html_tag_count", (args: Seq[Expression]) => HtmlTagCount(args.head))
+  ).foreach { case (name, builder) =>
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions.HtmlFunctions", name), builder))
+  }
+}

@@ -67,13 +67,29 @@ object ExtractJob {
   /** Threshold above which a page is considered pathological (size skew). */
   val bigBytes = 262144
 
-  /** Salted, size-isolated repartition + mapPartitions kernel. */
+  /** Extraction kernel over the pages Dataset.
+    *
+    * Default path (`salted = false`) is a NARROW map: extraction is per-row,
+    * so no shuffle of the html corpus is ever justified — parallelism comes
+    * from input splits (`spark.sql.files.maxPartitionBytes` at a real table;
+    * the pre-partitioned synthesis here), and this is what makes the job
+    * scale linearly with executors. Per-row cost outliers are bounded by the
+    * tokenizer step budget, so a pathological page costs O(64·bytes) at
+    * worst, not unbounded time.
+    *
+    * `salted = true` adds the explicit size-isolating salted repartition
+    * (big pages ≥ bigBytes get their own partition set, both classes spread
+    * by xxhash64(url)) — for inputs whose splits are pathologically skewed
+    * (e.g. a few files full of megabyte pages). It costs a full shuffle of
+    * the corpus; at 100 TB you only pay that when split-level skew is real.
+    */
   def extract(
       pages: Dataset[PageRow],
       runId: String,
       numPartitions: Int,
       lineage: CollectionAccumulator[LineageRow] = null,
-      chunk: Int = 0
+      chunk: Int = 0,
+      salted: Boolean = false
   ): Dataset[Extracted] = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -82,14 +98,14 @@ object ExtractJob {
     // partition id: big pages into [0, bigParts), normal into [bigParts, n)
     val part = when(length($"html") >= bigBytes, pmod(xxhash64($"url"), lit(bigParts)))
       .otherwise(lit(bigParts) + pmod(xxhash64($"url"), lit(normParts)))
-    pages
-      .repartition(numPartitions, part)
-      .as[PageRow]
+    val routed = if (salted) pages.repartition(numPartitions, part).as[PageRow] else pages
+    routed
       .mapPartitions { it =>
         val t0 = System.currentTimeMillis()
         var docs = 0L
         var bytes = 0L
         val hist = new Array[Long](82)
+        val sink = new graft.dom.ExtractSink // reused across the partition's rows
         new Iterator[Extracted] {
           def hasNext: Boolean = {
             val h = it.hasNext
@@ -106,7 +122,7 @@ object ExtractJob {
           }
           def next(): Extracted = {
             val p = it.next()
-            val r = Extractor.extract(p.html)
+            val r = Extractor.extractInto(p.html, sink)
             docs += 1
             bytes += p.html.length
             var i = 0

@@ -115,10 +115,15 @@ object Pages {
     * the corpus for benchmarking (url differs per variant; text payload is the
     * doc's). Narrow transformation — no shuffle.
     */
-  def synthesize(spark: SparkSession, sfDir: String, variants: Int = 1): Dataset[PageRow] = {
+  def synthesize(spark: SparkSession, sfDir: String, variants: Int = 1, numPartitions: Int = 0): Dataset[PageRow] = {
     import spark.implicits._
+    // Shuffle the SMALL side: repartitioning the compact documents table costs
+    // ~nothing and gives the downstream narrow synthesis+extraction map full
+    // parallelism — never shuffle the rendered html corpus itself.
+    val parts = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism * 4
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang", "source")
+      .repartition(parts)
       .as[(Long, String, String, String)]
     docs.flatMap { case (docId, text, lang, source) =>
       (0 until variants).iterator.map { v =>

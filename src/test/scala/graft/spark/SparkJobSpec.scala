@@ -1,0 +1,157 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end Spark-pipeline checks against the driver testdata at sf0.001:
+  * byte-identity per url, partition invariance, chunked resume, snapshot
+  * catalog, and the dedup/ANN operators' planted-pair recall.
+  */
+class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graftspec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("extraction round-trip: main_text byte-identical to documents.text per url") {
+    val ext = ExtractJob.extract(Pages.synthesize(spark, sfDir), "t", 5)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') as url", "text")
+    val joined = ext.toDF().join(docs, "url")
+    assert(joined.count() === 500)
+    assert(joined.where(col("main_text") =!= col("text")).count() === 0)
+    assert(ext.toDF().where(col("truncated")).count() === 0)
+    assert(ext.toDF().where(col("n_errors") > 0).count() === 0)
+  }
+
+  test("partition invariance: Spark(1 partition) == Spark(7 partitions)") {
+    val pages = Pages.synthesize(spark, sfDir)
+    def rows(n: Int) = ExtractJob.extract(pages, "t", n).toDF()
+      .select("url", "main_text", "full_text", "n_tokens", "n_tags")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(rows(1).toSeq === rows(7).toSeq)
+  }
+
+  test("chunked resume recomputes only the lost chunk") {
+    val out = tmp()
+    val pages = Pages.synthesize(spark, sfDir)
+    ExtractJob.runChunked(pages, out, "r1", chunks = 3, partitionsPerChunk = 4)
+    val total = spark.read.parquet(s"$out/data").count()
+    assert(total === 500)
+    val lin1 = spark.read.parquet(s"$out/lineage").collect()
+    // crash-sim: chunk 1 loses its data AND its lineage marker
+    val keep = spark.read.parquet(s"$out/lineage").where(col("chunk") =!= 1).cache()
+    keep.count()
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getAbsolutePath))
+      f.delete()
+    }
+    rmrf(s"$out/lineage")
+    keep.write.parquet(s"$out/lineage")
+    rmrf(s"$out/data/chunk=1")
+    assert(spark.read.parquet(s"$out/data").count() < 500)
+    ExtractJob.runChunked(pages, out, "r1", chunks = 3, partitionsPerChunk = 4)
+    assert(spark.read.parquet(s"$out/data").count() === 500)
+    val lin2 = spark.read.parquet(s"$out/lineage")
+    // lineage bytes total unchanged vs the first complete run
+    assert(lin2.agg(sum("bytes")).collect()(0).getLong(0) ===
+      lin1.map(_.getAs[Long]("bytes")).sum)
+    // second resume is a no-op: no new lineage rows
+    val n2 = lin2.count()
+    ExtractJob.runChunked(pages, out, "r1", chunks = 3, partitionsPerChunk = 4)
+    assert(spark.read.parquet(s"$out/lineage").count() === n2)
+  }
+
+  test("snapshot catalog: atomic commit, latest-snapshot reads") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark
+    import ss.implicits._
+    assert(cat.currentSnapshot("t").isEmpty)
+    val s1 = cat.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    assert(s1 === 1 && cat.read(spark, "t").count() === 2)
+    val s2 = cat.commit(Seq((9, "z")).toDF("id", "v"), "t")
+    assert(s2 === 2 && cat.read(spark, "t").count() === 1)
+    assert(cat.currentSnapshot("t").contains(2L))
+  }
+
+  test("lineage rows cover every non-empty partition with positive throughput") {
+    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("lin-test")
+    ExtractJob.extract(Pages.synthesize(spark, sfDir), "t", 6, acc).toDF().count()
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala
+    assert(rows.nonEmpty && rows.map(_.docs).sum === 500)
+    assert(rows.forall(r => r.bytes_per_sec > 0 && r.state_histogram.nonEmpty))
+  }
+
+  test("SQL surface: html_main_text / html_text / html_tag_count expressions") {
+    graft.functions.HtmlFunctions.register(spark)
+    Pages.synthesize(spark, sfDir).toDF().createOrReplaceTempView("pages_v")
+    val out = spark.sql(
+      """SELECT p.url, html_main_text(p.html) AS m, html_text(p.html) AS f, html_tag_count(p.html) AS t
+        |FROM pages_v p""".stripMargin)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') as url", "text")
+    val j = out.join(docs, "url")
+    assert(j.count() === 500)
+    assert(j.where(col("m") =!= col("text")).count() === 0)
+    assert(j.where(col("t") <= 0).count() === 0)
+    assert(j.where(length(col("f")) < length(col("m"))).count() === 0)
+  }
+
+  test("minhash LSH finds planted near-dups with high recall") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.operators.Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0L until 500L by 10).map(id => (id, id + 1000000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("simhash finds planted near-dups") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.operators.Dedup.simhash(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0L until 500L by 10).map(id => (id, id + 1000000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("LSH ANN recall against brute-force ground truth") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.operators.Ann.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val approx = graft.operators.Ann.lshTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall > 0.05, s"recall=$recall") // multiprobe-1 on tiny corpus: weak but nonzero
+  }
+
+  test("embedding near-dup pairs include every planted duplicate vector") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = graft.operators.Ann.cosineNearDups(emb).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0L until 500L by 10).map(id => (id, id + 1000000L)).toSet
+    assert(planted.subsetOf(pairs))
+  }
+}
