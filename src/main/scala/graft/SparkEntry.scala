@@ -78,6 +78,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))),
     "q_events_window" -> ((s, dir) =>
       graft.streaming.ExtractStream.eventCounts(s.read.parquet(s"$dir/events.parquet"))),
+    "q_top_orders" -> ((s, dir) =>
+      s.read.parquet(s"$dir/orders.parquet")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+    "q_rollup_docs" -> ((s, dir) =>
+      docs(s, dir).rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("total_chars"))),
+    "q_set_ops" -> ((s, dir) => {
+      // set operators: planted ids EXCEPT originals ∪ INTERSECT overlap
+      val base = docs(s, dir).select("doc_id")
+      val shifted = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 250L).as("doc_id"))
+      shifted.except(base).withColumn("op", lit("new"))
+        .unionAll(shifted.intersect(base).withColumn("op", lit("overlap")))
+    }),
     // ---- dedup family ----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withPlantedDups(docs(s, dir), every = 7, dropWords = 0))),
@@ -136,6 +155,19 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_rollup_docs" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+    "q_set_ops" ->
+      """WITH shifted AS (SELECT doc_id + 250 AS doc_id FROM documents WHERE doc_id % 3 = 0),
+        |base AS (SELECT doc_id FROM documents)
+        |SELECT doc_id, 'new' AS op FROM (SELECT doc_id FROM shifted EXCEPT SELECT doc_id FROM base)
+        |UNION ALL
+        |SELECT doc_id, 'overlap' AS op FROM (SELECT doc_id FROM shifted INTERSECT SELECT doc_id FROM base)""".stripMargin,
     "q_dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
