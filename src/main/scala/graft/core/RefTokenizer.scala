@@ -390,9 +390,11 @@ final class RefTokenizer(
   private def stData(): Unit = {
     var c = nextCp()
     if (c > 0 && c != '&' && c != '<') {
-      var n = 0
-      while (c > 0 && c != '&' && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
-      steps += n; stateHits(Data) += n
+      val start = cursor - 1
+      while (c > 0 && c != '&' && c != '<') { currChar = c; c = nextCp() }
+      val end = if (c < 0) cursor else cursor - 1
+      sink.chars(input, start, end)
+      steps += end - start; stateHits(Data) += end - start
     }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
@@ -406,9 +408,11 @@ final class RefTokenizer(
   private def stRcdata(): Unit = {
     var c = nextCp()
     if (specMode && c > 0 && c != '&' && c != '<') {
-      var n = 0
-      while (c > 0 && c != '&' && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
-      steps += n; stateHits(Rcdata) += n
+      val start = cursor - 1
+      while (c > 0 && c != '&' && c != '<') { currChar = c; c = nextCp() }
+      val end = if (c < 0) cursor else cursor - 1
+      sink.chars(input, start, end)
+      steps += end - start; stateHits(Rcdata) += end - start
     }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
@@ -426,9 +430,11 @@ final class RefTokenizer(
   private def stRawtext(): Unit = {
     var c = nextCp()
     if (specMode && c > 0 && c != '<') {
-      var n = 0
-      while (c > 0 && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
-      steps += n; stateHits(Rawtext) += n
+      val start = cursor - 1
+      while (c > 0 && c != '<') { currChar = c; c = nextCp() }
+      val end = if (c < 0) cursor else cursor - 1
+      sink.chars(input, start, end)
+      steps += end - start; stateHits(Rawtext) += end - start
     }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
@@ -444,9 +450,11 @@ final class RefTokenizer(
   private def stScriptData(): Unit = {
     var c = nextCp()
     if (specMode && c > 0 && c != '<') {
-      var n = 0
-      while (c > 0 && c != '<') { sink.char(c); currChar = c; n += 1; c = nextCp() }
-      steps += n; stateHits(ScriptData) += n
+      val start = cursor - 1
+      while (c > 0 && c != '<') { currChar = c; c = nextCp() }
+      val end = if (c < 0) cursor else cursor - 1
+      sink.chars(input, start, end)
+      steps += end - start; stateHits(ScriptData) += end - start
     }
     if (c < 0) { sink.eof(Tok.EofGenericName, Tok.EofGenericMsg); return }
     currChar = c
@@ -502,9 +510,23 @@ final class RefTokenizer(
     gotoR(BogusComment)
   }
 
-  /** 13.2.5.8 (:543-585) — the ONLY open_tags push site (:564-567, Q3). */
+  /** 13.2.5.8 (:543-585) — the ONLY open_tags push site (:564-567, Q3).
+    * Ordinary name chars batched (each per-char iteration of the reference
+    * appends + writes back; one accumulated write-back is observably
+    * identical — nothing reads curr_token between those iterations).
+    */
   private def stTagName(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (c > 0 && c != '/' && c != '>' && !isWs(c)) {
+      val sb = new java.lang.StringBuilder(8)
+      var n = 0
+      while (c > 0 && c != '/' && c != '>' && !isWs(c)) {
+        sb.appendCodePoint(toLower(c)); currChar = c; n += 1; c = nextCp()
+      }
+      steps += n; stateHits(TagName) += n
+      val t = asTag
+      currToken = t.copy(name = t.name + sb)
+    }
     if (c < 0) { parseError("eof_in_tag"); sink.eof(Tok.EofInTagName, Tok.EofInTagMsg); return }
     currChar = c
     if (isWs(c)) { goto(BeforeAttrName); return }
@@ -516,13 +538,9 @@ final class RefTokenizer(
       goto(dataTarget(t))
       return
     }
-    if (c == 0) {
-      parseError("unexpected_null_character")
-      val t = asTag; currToken = t.copy(name = t.name + "�")
-      goto(TagName); return
-    }
-    val t = asTag
-    currToken = t.copy(name = t.name + toLower(c).toChar)
+    // c == 0
+    parseError("unexpected_null_character")
+    val t = asTag; currToken = t.copy(name = t.name + "�")
     goto(TagName)
   }
 
@@ -569,7 +587,7 @@ final class RefTokenizer(
     }
     if (isAlpha(c)) {
       val t = asTag
-      currToken = t.copy(name = t.name + toLower(c).toChar)
+      currToken = t.copy(name = t.name + toLower(c).toChar) // alpha-only: ASCII by construction
       bldr.add(c)
       if (!alphaFallsOff) goto(selfSt) // else: plain return → run restarts .data (Q15b)
       return
@@ -810,9 +828,14 @@ final class RefTokenizer(
     gotoR(ScriptDataDoubleEscaped)
   }
 
-  /** 13.2.5.32 (:1305-1331) */
+  /** 13.2.5.32 (:1305-1331) — whitespace run batched (pure skip). */
   private def stBeforeAttrName(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (c >= 0 && isWs(c)) {
+      var n = 0
+      while (c >= 0 && isWs(c)) { currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(BeforeAttrName) += n
+    }
     if (c < 0) { gotoR(AfterAttrName); return }
     currChar = c
     if (isWs(c)) { goto(BeforeAttrName); return }
@@ -828,17 +851,26 @@ final class RefTokenizer(
     gotoR(AttrName)
   }
 
-  /** 13.2.5.33 (:1334-1363) */
+  /** 13.2.5.33 (:1334-1363) — ordinary chars batched (pure builder appends;
+    * the quote/lt parse errors keep their per-char emission order).
+    */
   private def stAttrName(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (c > 0 && c != '/' && c != '>' && c != '=' && !isWs(c)) {
+      var n = 0
+      while (c > 0 && c != '/' && c != '>' && c != '=' && !isWs(c)) {
+        if (c == '"' || c == '\'' || c == '<') parseError("unexpected_char_in_attr_name")
+        attrNameB.appendCodePoint(toLower(c))
+        currChar = c; n += 1; c = nextCp()
+      }
+      steps += n; stateHits(AttrName) += n
+    }
     if (c < 0) { gotoR(AfterAttrName); return } // EOF+reconsume → non-terminating cycle; budget-guarded
     currChar = c
     if (isWs(c) || c == '/' || c == '>') { gotoR(AfterAttrName); return }
     if (c == '=') { goto(BeforeAttrValue); return }
-    if (c == 0) { parseError("unexpected_null_character"); attrNameB.appendCodePoint(0xfffd); goto(AttrName); return }
-    if (c == '"' || c == '\'' || c == '<') parseError("unexpected_char_in_attr_name")
-    attrNameB.appendCodePoint(toLower(c))
-    goto(AttrName)
+    // c == 0
+    parseError("unexpected_null_character"); attrNameB.appendCodePoint(0xfffd); goto(AttrName)
   }
 
   /** 13.2.5.34 (:1366-1399) — `>` emits WITHOUT an open_tags push (Q3) and
@@ -1009,7 +1041,16 @@ final class RefTokenizer(
     * (SPEC-FIX) so comments are actually elided.
     */
   private def stComment(): Unit = {
-    val c = nextCp()
+    var c = nextCp()
+    if (specMode && c > 0 && c != '<' && c != '-') {
+      // spec-mode self-loop batched; one accumulated write-back
+      val buf = new IntBuf
+      var n = 0
+      while (c > 0 && c != '<' && c != '-') { buf.add(c); currChar = c; n += 1; c = nextCp() }
+      steps += n; stateHits(Comment) += n
+      val t = asComment
+      currToken = t.copy(data = t.data ++ buf.take())
+    }
     if (c < 0) { parseError("eof_in_comment"); pushCur(); sink.eof(Tok.EofInCommentName, Tok.EofInCommentMsg); return }
     currChar = c
     if (c == '<') {

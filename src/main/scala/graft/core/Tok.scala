@@ -68,6 +68,14 @@ object Tok {
   */
 trait TokenSink {
   def char(cp: Int): Unit
+  /** Bulk character-run delivery from the tokenizer's batched loops —
+    * semantically identical to `char` per element; sinks override for a
+    * monomorphic tight loop.
+    */
+  def chars(src: Array[Int], from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) { char(src(i)); i += 1 }
+  }
   def tag(isStart: Boolean, name: String, selfClosing: Boolean, attrs: Vector[(String, String)]): Unit
   def comment(data: String): Unit
   def doctype(name: String, publicId: String, systemId: String, forceQuirks: Boolean): Unit

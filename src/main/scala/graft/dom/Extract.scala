@@ -53,18 +53,31 @@ object ExtractConfig {
   * extracted text buffer instead.
   */
 final class Arena {
-  import scala.collection.mutable.ArrayBuffer
-  val name = ArrayBuffer.empty[String] // "" for text nodes
-  val parent = ArrayBuffer.empty[Int]
-  val firstChild = ArrayBuffer.empty[Int]
-  val nextSibling = ArrayBuffer.empty[Int]
-  val lastChild = ArrayBuffer.empty[Int] // building aid
+  // flat primitive arrays (no boxing on the per-tag hot path), grown 2×
+  private var cap = 64
+  var name: Array[String] = new Array[String](cap) // null for text nodes
+  var parent: Array[Int] = new Array[Int](cap)
+  var firstChild: Array[Int] = new Array[Int](cap)
+  var nextSibling: Array[Int] = new Array[Int](cap)
+  var lastChild: Array[Int] = new Array[Int](cap)
+  private var n = 0
 
-  def clear(): Unit = { name.clear(); parent.clear(); firstChild.clear(); nextSibling.clear(); lastChild.clear() }
+  def clear(): Unit = { java.util.Arrays.fill(name.asInstanceOf[Array[AnyRef]], 0, n, null); n = 0 }
+
+  private def grow(): Unit = {
+    cap *= 2
+    name = java.util.Arrays.copyOf(name, cap)
+    parent = java.util.Arrays.copyOf(parent, cap)
+    firstChild = java.util.Arrays.copyOf(firstChild, cap)
+    nextSibling = java.util.Arrays.copyOf(nextSibling, cap)
+    lastChild = java.util.Arrays.copyOf(lastChild, cap)
+  }
 
   def add(nm: String, par: Int): Int = {
-    val id = name.length
-    name += nm; parent += par; firstChild += -1; nextSibling += -1; lastChild += -1
+    if (n == cap) grow()
+    val id = n
+    name(id) = nm; parent(id) = par; firstChild(id) = -1; nextSibling(id) = -1; lastChild(id) = -1
+    n += 1
     if (par >= 0) {
       if (firstChild(par) < 0) firstChild(par) = id
       else nextSibling(lastChild(par)) = id
@@ -72,7 +85,7 @@ final class Arena {
     }
     id
   }
-  def size: Int = name.length
+  def size: Int = n
 }
 
 /** Streams extract-mode tokenizer events into the arena + text buffer and
@@ -143,17 +156,31 @@ final class ExtractSink extends TokenSink {
     sb.toString
   }
 
+  private def startRunIfNeeded(): Unit = {
+    if (runStart < 0) {
+      runStart = text.length
+      runOwner = stkNode(stkNode.length - 1)
+      runBlock = blockTop
+      runLink = linkDepth > 0
+      runPath = pathOf()
+    }
+  }
+
   override def char(cp: Int): Unit = {
     nTokens += 1
     if (skipDepth == 0) {
-      if (runStart < 0) {
-        runStart = text.length
-        runOwner = stkNode(stkNode.length - 1)
-        runBlock = blockTop
-        runLink = linkDepth > 0
-        runPath = pathOf()
-      }
+      startRunIfNeeded()
       text.appendCodePoint(cp)
+    }
+  }
+
+  override def chars(src: Array[Int], from: Int, until: Int): Unit = {
+    if (until <= from) return
+    nTokens += until - from
+    if (skipDepth == 0) {
+      startRunIfNeeded()
+      var i = from
+      while (i < until) { text.appendCodePoint(src(i)); i += 1 }
     }
   }
 
@@ -230,13 +257,17 @@ final class ExtractSink extends TokenSink {
       val l = linkLen.getOrElse(b, 0)
       t >= minBlockTextLen && l.toDouble <= maxLinkDensity * t
     }
-    val main = new java.lang.StringBuilder
+    // append straight from the text builder (no second full-copy); when every
+    // span is kept (the common page), mainText IS full — skip the copy.
+    val allKept = spans.forall(s => keepBlock(s.block))
+    val main = new java.lang.StringBuilder(if (allKept) 0 else full.length)
     val finalSpans = spans.map { s =>
       val kept = keepBlock(s.block)
-      if (kept) main.append(full, s.start, s.end)
+      if (kept && !allKept) main.append(text, s.start, s.end)
       s.copy(kept = kept)
     }
-    ExtractResult(full, main.toString, finalSpans.toVector, nTokens, nTags,
+    val mainStr = if (allKept) full else main.toString
+    ExtractResult(full, mainStr, finalSpans.toVector, nTokens, nTags,
       errors.length, errors.toVector, truncated, stateHits)
   }
 }
