@@ -76,6 +76,11 @@ trait TokenSink {
     var i = from
     while (i < until) { char(src(i)); i += 1 }
   }
+  /** ASCII-byte-mode twin of `chars` (src values guaranteed 0x00-0x7f). */
+  def charsAscii(src: Array[Byte], from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) { char(src(i).toInt); i += 1 }
+  }
   def tag(isStart: Boolean, name: String, selfClosing: Boolean, attrs: Vector[(String, String)]): Unit
   def comment(data: String): Unit
   def doctype(name: String, publicId: String, systemId: String, forceQuirks: Boolean): Unit

@@ -184,6 +184,16 @@ final class ExtractSink extends TokenSink {
     }
   }
 
+  override def charsAscii(src: Array[Byte], from: Int, until: Int): Unit = {
+    if (until <= from) return
+    nTokens += until - from
+    if (skipDepth == 0) {
+      startRunIfNeeded()
+      var i = from
+      while (i < until) { text.append(src(i).toChar); i += 1 }
+    }
+  }
+
   private def recomputeBlockTop(): Unit = {
     var i = stkName.length - 1
     while (i > 0 && !blocks.contains(stkName(i))) i -= 1
@@ -306,21 +316,33 @@ object Extractor {
     * the output row itself.
     */
   def extractInto(html: Array[Byte], sink: ExtractSink): ExtractResult = {
-    if (sink.decodeBuf.length < html.length)
-      sink.decodeBuf = new Array[Int](math.max(html.length, sink.decodeBuf.length * 2))
-    val n = RefTokenizer.decodeUtf8Into(html, sink.decodeBuf)
-    if (n < 0) extractCpsInto(RefTokenizer.decodeUtf8(html), sink) // malformed → JDK semantics
-    else {
+    // pure-ASCII page (the dominant web case): bytes ARE codepoints — skip
+    // the 4× Int expansion entirely and run the kernel in byte mode
+    var i = 0
+    while (i < html.length && html(i) >= 0) i += 1
+    if (i == html.length) {
       sink.reset()
-      val tk = new RefTokenizer(sink.decodeBuf, sink, specMode = true, inputLenIn = n)
-      var truncated = false
-      try tk.run()
-      catch {
-        case _: StepBudgetExceeded => truncated = true; sink.errors += "STEP_BUDGET_EXCEEDED"
-        case _: VCastPanic => truncated = true; sink.errors += "V_CAST_PANIC"
+      runGuarded(new RefTokenizer(null, sink, specMode = true, binput = html), sink)
+    } else {
+      if (sink.decodeBuf.length < html.length)
+        sink.decodeBuf = new Array[Int](math.max(html.length, sink.decodeBuf.length * 2))
+      val n = RefTokenizer.decodeUtf8Into(html, sink.decodeBuf)
+      if (n < 0) extractCpsInto(RefTokenizer.decodeUtf8(html), sink) // malformed → JDK semantics
+      else {
+        sink.reset()
+        runGuarded(new RefTokenizer(sink.decodeBuf, sink, specMode = true, inputLenIn = n), sink)
       }
-      sink.result(truncated, tk.stateHits)
     }
+  }
+
+  private def runGuarded(tk: RefTokenizer, sink: ExtractSink): ExtractResult = {
+    var truncated = false
+    try tk.run()
+    catch {
+      case _: StepBudgetExceeded => truncated = true; sink.errors += "STEP_BUDGET_EXCEEDED"
+      case _: VCastPanic => truncated = true; sink.errors += "V_CAST_PANIC"
+    }
+    sink.result(truncated, tk.stateHits)
   }
 
   /** Fidelity mode: the raw reference-semantics character stream (text =
