@@ -29,7 +29,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val variants = sys.env.getOrElse("SPARK_GRAFT_VARIANTS", "20").toInt
+    val variants = sys.env.getOrElse("SPARK_GRAFT_VARIANTS", "100").toInt
     val spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -66,7 +66,7 @@ object Bench {
 object Scale {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val variants = sys.env.getOrElse("SPARK_GRAFT_VARIANTS", "20").toInt
+    val variants = sys.env.getOrElse("SPARK_GRAFT_VARIANTS", "100").toInt
 
     def measure(cpus: Int): (Long, Double, Double) = {
       val spark = Bench.mkSession(cpus.toString)
