@@ -33,6 +33,22 @@ object SparkEntry {
       extracted(s, dir).select("url", "main_text")),
     "q_extract_stats" -> ((s, dir) =>
       extracted(s, dir).select("url", "n_spans", "n_tokens", "n_tags", "n_errors", "bytes_in")),
+    "q_warc_roundtrip" -> ((s, dir) => {
+      // source-format path: pages → WARC archive files → re-ingest → extract
+      val warcDir = s"${System.getProperty("java.io.tmpdir")}/graft_warc_${dir.hashCode.toHexString}"
+      graft.sources.Warc.write(Pages.synthesize(s, dir), warcDir)
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(graft.sources.Warc.read(s, warcDir), "warc", n)
+        .toDF().select("url", "main_text")
+    }),
+    "q_pipeline_quality" -> ((s, dir) =>
+      // composition: extraction kernel → token/char features → per-lang agg
+      extracted(s, dir).toDF()
+        .selectExpr("lang",
+          "CAST(length(main_text) AS BIGINT) AS nc",
+          "CAST(length(main_text) - length(replace(main_text, ' ', '')) + 1 AS BIGINT) AS nt")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("sum_chars"), sum("nt").as("sum_tokens"))),
     "q_sql_extract" -> ((s, dir) => {
       // SQL surface: native Catalyst expression (graft.functions) over a view
       graft.functions.HtmlFunctions.register(s)
@@ -125,6 +141,15 @@ object SparkEntry {
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
         |FROM documents""".stripMargin,
+    "q_warc_roundtrip" ->
+      """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       text AS main_text
+        |FROM documents""".stripMargin,
+    "q_pipeline_quality" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
     "q_sql_extract" ->
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
