@@ -148,18 +148,40 @@ object ExtractJob {
   ): Unit = {
     val spark = pages.sparkSession
     import spark.implicits._
+    runChunkedFrom(spark,
+      c => pages.where(pmod(xxhash64($"url"), lit(chunks)) === c),
+      outDir, runId, chunks, partitionsPerChunk)
+  }
+
+  /** Chunk-provider variant: `chunkOf(c)` yields chunk c's pages. Use a
+    * provider that PRUNES at the source (e.g. a pages table partitioned by
+    * `chunk = pmod(xxhash64(url), chunks)` read with a partition filter) —
+    * the plain-Dataset overload above must rescan the whole input per chunk,
+    * which is only acceptable when the scan itself is cheap.
+    */
+  def runChunkedFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      chunkOf: Int => Dataset[PageRow],
+      outDir: String,
+      runId: String,
+      chunks: Int,
+      partitionsPerChunk: Int
+  ): Unit = {
+    import spark.implicits._
     val lineageDir = s"$outDir/lineage"
     val done: Set[Int] =
       try spark.read.parquet(lineageDir).where($"run_id" === runId)
         .select("chunk").distinct().as[Int].collect().toSet
       catch { case _: Exception => Set.empty }
     for (c <- 0 until chunks if !done.contains(c)) {
+      val t0 = System.currentTimeMillis()
       val acc = spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$c")
-      val slice = pages.where(pmod(xxhash64($"url"), lit(chunks)) === c)
-      extract(slice, runId, partitionsPerChunk, acc, c)
+      extract(chunkOf(c), runId, partitionsPerChunk, acc, c)
         .write.mode("overwrite").parquet(s"$outDir/data/chunk=$c")
+      val tW = System.currentTimeMillis()
       val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
       spark.createDataset(rows).write.mode("append").parquet(lineageDir)
+      println(s"CHUNK $c done extract+write_ms=${tW - t0} lineage_ms=${System.currentTimeMillis() - tW} docs=${rows.map(_.docs).sum}")
     }
   }
 }

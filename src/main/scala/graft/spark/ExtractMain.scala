@@ -30,16 +30,42 @@ object ExtractMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.currentTimeMillis()
-    val pages = Pages.synthesize(spark, sfDir, variants)
-    ExtractJob.runChunked(pages, outDir, runId, chunks, parts)
-    val data = spark.read.parquet(s"$outDir/data")
-    val docs = data.count()
+    // Materialize the pages table ONCE, hash-partitioned by chunk, so each
+    // resume chunk reads only its own partition directory (partition
+    // pruning) instead of rescanning/re-synthesizing the whole corpus.
+    import org.apache.spark.sql.functions._
+    val pagesDir = s"$outDir/pages"
+    if (!new java.io.File(s"$pagesDir/_SUCCESS").exists()) {
+      Pages.synthesize(spark, sfDir, variants).toDF()
+        .withColumn("chunk", pmod(xxhash64(col("url")), lit(chunks)))
+        .write.mode("overwrite").partitionBy("chunk").parquet(pagesDir)
+    }
+    val t1 = System.currentTimeMillis()
+    import spark.implicits._
+    def chunkOf(c: Int) = spark.read.parquet(pagesDir)
+      .where(col("chunk") === c)
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[PageRow]
+    ExtractJob.runChunkedFrom(spark, chunkOf, outDir, runId, chunks, parts)
+    // Iceberg-style metadata-only commit: manifest over the chunk files in
+    // place; docs/bytes come from the lineage table — no full re-read.
     val cat = new ParquetSnapshotCatalog(outDir)
-    val snap = cat.commit(data, "extracted")
-    val lineage = spark.read.parquet(s"$outDir/lineage")
-    val bytes = lineage.selectExpr("sum(bytes)").collect()(0).getLong(0)
+    val dataFiles = {
+      val base = java.nio.file.Paths.get(s"$outDir/data")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      java.nio.file.Files.walk(base).forEach { p =>
+        if (p.toString.endsWith(".parquet")) out += p.toAbsolutePath.toString
+      }
+      out.toSeq
+    }
+    val snap = cat.commitFiles(dataFiles, "extracted")
+    val lineage = spark.read.parquet(s"$outDir/lineage").where(col("run_id") === runId)
+    val stats = lineage.selectExpr("sum(docs)", "sum(bytes)").collect()(0)
+    val docs = stats.getLong(0)
+    val bytes = stats.getLong(1)
     val ms = System.currentTimeMillis() - t0
-    println(f"EXTRACT_MAIN done runId=$runId snapshot=$snap docs=$docs bytes=$bytes wall_ms=$ms docs_per_sec=${docs * 1000.0 / ms}%.1f mb_per_sec=${bytes / 1048576.0 * 1000.0 / ms}%.2f")
+    val extractMs = System.currentTimeMillis() - t1
+    println(f"EXTRACT_MAIN done runId=$runId snapshot=$snap docs=$docs bytes=$bytes wall_ms=$ms synth_ms=${t1 - t0} extract_ms=$extractMs docs_per_sec=${docs * 1000.0 / extractMs}%.1f mb_per_sec=${bytes / 1048576.0 * 1000.0 / extractMs}%.2f")
     spark.stop()
   }
 }

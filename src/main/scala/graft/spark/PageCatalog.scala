@@ -54,6 +54,21 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val files = Files.list(dataDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(_.toAbsolutePath.toString).toSeq.sorted
+    writeManifest(table, snap, files)
+    snap
+  }
+
+  /** Metadata-only commit: a new snapshot whose manifest references data
+    * files already on storage (e.g. the chunk outputs of a resumable run) —
+    * the Iceberg-style O(files) commit, no data copy.
+    */
+  def commitFiles(files: Seq[String], table: String): Long = {
+    val snap = currentSnapshot(table).getOrElse(0L) + 1L
+    writeManifest(table, snap, files.sorted)
+    snap
+  }
+
+  private def writeManifest(table: String, snap: Long, files: Seq[String]): Unit = {
     Files.createDirectories(manifestDir(table))
     val manifest = files.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]")
     Files.writeString(manifestDir(table).resolve(s"v$snap.json"), manifest)
@@ -61,6 +76,5 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     Files.writeString(tmp, snap.toString)
     Files.move(tmp, manifestDir(table).resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    snap
   }
 }
