@@ -38,4 +38,37 @@ object CharRef {
 
   @inline def contains(name: String): Boolean = table.containsKey(name)
   @inline def lookup(name: String): Array[Int] = table.get(name)
+
+  // ---- incremental trie over the key alphabet (ASCII letters/digits/';') --
+  // `isTerminal(node after walking s)` ≡ `contains(s)`, so the tokenizer's
+  // per-consumed-char membership probe (the shortest-prefix quirk Q6) needs
+  // no String allocation. Edges indexed by raw ASCII code (< 128).
+  val (trieEdges: Array[Array[Int]], trieTerminal: Array[Boolean]) = {
+    val edges = scala.collection.mutable.ArrayBuffer[Array[Int]](Array.fill(128)(-1))
+    val term = scala.collection.mutable.ArrayBuffer[Boolean](false)
+    table.keySet.forEach { k =>
+      var node = 0
+      var i = 0
+      while (i < k.length) {
+        val c = k.charAt(i).toInt
+        var next = edges(node)(c)
+        if (next < 0) {
+          next = edges.length
+          edges += Array.fill(128)(-1)
+          term += false
+          edges(node)(c) = next
+        }
+        node = next
+        i += 1
+      }
+      term(node) = true
+    }
+    (edges.toArray, term.toArray)
+  }
+
+  /** Walk one char; -1 = fell off the trie (sticky via the caller). */
+  @inline def trieStep(node: Int, c: Int): Int =
+    if (node < 0 || c < 0 || c >= 128) -1 else trieEdges(node)(c)
+
+  @inline def trieTerminalAt(node: Int): Boolean = node >= 0 && trieTerminal(node)
 }

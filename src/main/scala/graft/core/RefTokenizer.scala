@@ -1565,21 +1565,26 @@ final class RefTokenizer(
     */
   private def stNamedCharReference(): Unit = {
     val ref = new java.lang.StringBuilder
+    // incremental trie walk: trieTerminalAt(node) ≡ contains(ref) without a
+    // per-char String allocation (semantics — incl. shortest-prefix Q6 —
+    // identical; the reference's own probe is an O(2,231) keys() scan,
+    // tokenizer/tokenizer.v:2715)
+    var node = 0
     var break = false
     while (!break) {
       val c = nextCp()
       if (c < 0) break = true
       else {
         currChar = c
-        if (c == ';') { ref.append(';'); bldr.add(';'); break = true }
-        else if (CharRef.contains(ref.toString)) { cursor -= 1; break = true }
+        if (c == ';') { ref.append(';'); bldr.add(';'); node = CharRef.trieStep(node, ';'); break = true }
+        else if (CharRef.trieTerminalAt(node)) { cursor -= 1; break = true }
         else if (!isAlnum(c)) { cursor -= 1; break = true }
-        else { ref.append(c.toChar); bldr.add(c) }
+        else { ref.append(c.toChar); bldr.add(c); node = CharRef.trieStep(node, c) }
       }
     }
     val refS = ref.toString
     val last: Int = if (refS.nonEmpty) refS.charAt(refS.length - 1) else 0
-    if (CharRef.contains(refS)) {
+    if (CharRef.trieTerminalAt(node)) {
       if (returnTop == 0) {
         parseError("warning_no_return_state_in_named_ref")
         flushCodepoints()
