@@ -33,6 +33,17 @@ object SparkEntry {
       extracted(s, dir).select("url", "main_text")),
     "q_extract_stats" -> ((s, dir) =>
       extracted(s, dir).select("url", "n_spans", "n_tokens", "n_tags", "n_errors", "bytes_in")),
+    "q_extract_spans" -> ((s, dir) =>
+      // the north star's span-offsets output: offsets/paths/kept flags ride
+      // the Extracted row; the oracle checks count, boundary offsets, and
+      // kept-length == content length per url
+      extracted(s, dir).toDF().selectExpr(
+        "url",
+        "CAST(size(spans) AS INT) AS n_spans",
+        "CAST(spans[0].start AS INT) AS first_start",
+        "CAST(element_at(spans, -1).end AS INT) AS last_end",
+        "CAST(aggregate(filter(spans, x -> x.kept), 0, (a, x) -> a + (x.end - x.start)) AS INT) AS kept_len",
+        "CAST(size(errors) AS INT) AS n_errs")),
     "q_warc_roundtrip" -> ((s, dir) => {
       // source-format path: pages → WARC archive files → re-ingest → extract
       val warcDir = s"${System.getProperty("java.io.tmpdir")}/graft_warc_${dir.hashCode.toHexString}"
@@ -144,6 +155,13 @@ object SparkEntry {
     "q_warc_roundtrip" ->
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
+        |FROM documents""".stripMargin,
+    "q_extract_spans" ->
+      """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       CAST(1 AS INTEGER) AS n_spans, CAST(0 AS INTEGER) AS first_start,
+        |       CAST(length(text) AS INTEGER) AS last_end,
+        |       CAST(length(text) AS INTEGER) AS kept_len,
+        |       CAST(0 AS INTEGER) AS n_errs
         |FROM documents""".stripMargin,
     "q_pipeline_quality" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

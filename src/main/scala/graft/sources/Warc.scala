@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.PageRow
 import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
 
 /** Minimal WARC/1.0 source + sink — Common Crawl's native container format,
   * so the engine can ingest real crawl archives without a conversion step.
@@ -49,7 +50,16 @@ object Warc {
     * would hand us).
     */
   def write(pages: Dataset[PageRow], dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    // Clear stale part files first: a previous run with MORE partitions would
+    // leave higher-numbered part-NNNNN.warc files that read() re-ingests,
+    // silently duplicating pages.
+    scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".warc"))
+        .foreach(java.nio.file.Files.delete)
+    }
     pages.foreachPartition { (it: Iterator[PageRow]) =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = java.nio.file.Paths.get(dir, f"part-$pid%05d.warc")

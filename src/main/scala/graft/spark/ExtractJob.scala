@@ -7,12 +7,18 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 
-/** One extracted page (the engine's output row — SURVEY.md §1.2). */
+/** One extracted page (the engine's output row — SURVEY.md §1.2). `spans`
+  * carries the north star's span offsets (UTF-16 offsets into `full_text`,
+  * DOM path, block anchor, kept flag) and `errors` the reference's
+  * parse-error codes — both computed by the kernel, surfaced whole.
+  */
 final case class Extracted(
     url: String,
     lang: String,
     main_text: String,
     full_text: String,
+    spans: Seq[graft.dom.Span],
+    errors: Seq[String],
     n_spans: Int,
     n_tokens: Long,
     n_tags: Long,
@@ -60,8 +66,9 @@ object ExtractJob {
     */
   def extractRow(p: PageRow): Extracted = {
     val r = Extractor.extract(p.html)
-    Extracted(p.url, p.lang, r.mainText, r.text, r.spans.length, r.nTokens,
-      r.nTags, r.nErrors, r.truncated, p.html.length.toLong)
+    Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
+      r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
+      p.html.length.toLong)
   }
 
   /** Threshold above which a page is considered pathological (size skew). */
@@ -95,7 +102,12 @@ object ExtractJob {
     import spark.implicits._
     val bigParts = math.max(numPartitions / 8, 1)
     val normParts = math.max(numPartitions - bigParts, 1)
-    // partition id: big pages into [0, bigParts), normal into [bigParts, n)
+    // Size-class spreading is BEST-EFFORT: repartition applies HashPartitioning
+    // to this expression, so the two classes can still hash-collide into the
+    // same physical partition. Big pages concentrate into ~bigParts distinct
+    // expression values (vs normParts for normal pages), which spreads each
+    // class; hard physical isolation would need an RDD identity Partitioner
+    // and is not worth leaving the Dataset API for.
     val part = when(length($"html") >= bigBytes, pmod(xxhash64($"url"), lit(bigParts)))
       .otherwise(lit(bigParts) + pmod(xxhash64($"url"), lit(normParts)))
     val routed = if (salted) pages.repartition(numPartitions, part).as[PageRow] else pages
@@ -127,8 +139,9 @@ object ExtractJob {
             bytes += p.html.length
             var i = 0
             while (i < hist.length) { hist(i) += r.stateHits(i); i += 1 }
-            Extracted(p.url, p.lang, r.mainText, r.text, r.spans.length,
-              r.nTokens, r.nTags, r.nErrors, r.truncated, p.html.length.toLong)
+            Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
+              r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
+              p.html.length.toLong)
           }
         }
       }
@@ -179,7 +192,11 @@ object ExtractJob {
       extract(chunkOf(c), runId, partitionsPerChunk, acc, c)
         .write.mode("overwrite").parquet(s"$outDir/data/chunk=$c")
       val tW = System.currentTimeMillis()
+      // Accumulator updates inside transformations are at-least-once (task
+      // retries / speculation duplicate them); keep one row per
+      // (run_id, chunk, partition_id) so lineage metrics stay exact.
       val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala.toSeq
+        .groupBy(r => (r.run_id, r.chunk, r.partition_id)).map(_._2.head).toSeq
       spark.createDataset(rows).write.mode("append").parquet(lineageDir)
       println(s"CHUNK $c done extract+write_ms=${tW - t0} lineage_ms=${System.currentTimeMillis() - tW} docs=${rows.map(_.docs).sum}")
     }

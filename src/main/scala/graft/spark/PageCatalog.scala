@@ -51,9 +51,11 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snap = currentSnapshot(table).getOrElse(0L) + 1L
     val dataDir = Paths.get(root, table, "data", s"snap-$snap")
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val files = Files.list(dataDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath.toString).toSeq.sorted
+    val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+    }
     writeManifest(table, snap, files)
     snap
   }

@@ -47,8 +47,9 @@ object ExtractStream {
       val sink = new graft.dom.ExtractSink
       it.map { p =>
         val r = graft.dom.Extractor.extractInto(p.html, sink)
-        Extracted(p.url, p.lang, r.mainText, r.text, r.spans.length, r.nTokens,
-          r.nTags, r.nErrors, r.truncated, p.html.length.toLong)
+        Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
+          r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
+          p.html.length.toLong)
       }
     }
   }
