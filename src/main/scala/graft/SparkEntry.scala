@@ -31,8 +31,14 @@ object SparkEntry {
     // ---- extraction core -------------------------------------------------
     "q_extract_roundtrip" -> ((s, dir) =>
       extracted(s, dir).select("url", "main_text")),
-    "q_extract_stats" -> ((s, dir) =>
-      extracted(s, dir).select("url", "n_spans", "n_tokens", "n_tags", "n_errors", "bytes_in")),
+    "q_extract_stats" -> ((s, dir) => {
+      // token/tag/byte accounting over the deterministic plain-skeleton
+      // corpus (closed-form oracle; the rng-rich corpus feeds the
+      // roundtrip/span queries)
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizePlain(s, dir), "stats", n)
+        .select("url", "n_spans", "n_tokens", "n_tags", "n_errors", "bytes_in")
+    }),
     "q_extract_spans" -> ((s, dir) =>
       // the north star's span-offsets output: offsets/paths/kept flags ride
       // the Extracted row; the oracle checks count, boundary offsets, and
@@ -67,11 +73,16 @@ object SparkEntry {
       s.sql("SELECT url, html_main_text(html) AS main_text FROM graft_pages")
     }),
     "q_tokenize_fidelity" -> ((s, dir) => {
+      // reference-semantics (no tree feedback) char-token count over the
+      // plain corpus: title text tokenizes in the data state, so
+      // fidelity_len = 1 + digits(doc_id) + length(text) — the oracle
       import s.implicits._
-      Pages.synthesize(s, dir).mapPartitions { it =>
+      Pages.synthesizePlain(s, dir).mapPartitions { it =>
+        val sink = new graft.core.FidelityCountSink
         it.map { p =>
-          val (txt, truncated) = Extractor.fidelityText(p.html)
-          (p.url, txt.length.toLong, truncated)
+          sink.reset()
+          val truncated = Extractor.fidelityInto(p.html, sink)
+          (p.url, sink.nChars, truncated)
         }
       }.toDF("url", "fidelity_len", "truncated")
     }),
@@ -156,6 +167,19 @@ object SparkEntry {
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
         |FROM documents""".stripMargin,
+    "q_extract_stats" ->
+      s"""SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       CAST(1 AS INTEGER) AS n_spans,
+        |       CAST(15 + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) AS n_tokens,
+        |       CAST(12 AS BIGINT) AS n_tags,
+        |       CAST(0 AS INTEGER) AS n_errors,
+        |       CAST(${graft.spark.Pages.plainOverhead} + length(CAST(doc_id AS VARCHAR)) + length(lang) + octet_length(encode(text)) AS BIGINT) AS bytes_in
+        |FROM documents""".stripMargin,
+    "q_tokenize_fidelity" ->
+      """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       CAST(1 + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) AS fidelity_len,
+        |       FALSE AS truncated
+        |FROM documents""".stripMargin,
     "q_extract_spans" ->
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       CAST(1 AS INTEGER) AS n_spans, CAST(0 AS INTEGER) AS first_start,
@@ -219,6 +243,34 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keeper_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM all_docs GROUP BY md5(text)""".stripMargin,
+    // Oracle = exhaustive enumeration of pairs with 3-word-shingle Jaccard
+    // >= 0.6 (shingle *strings*; Spark compares 64-bit shingle hashes —
+    // equal counts unless a 64-bit collision occurs). The LSH candidate
+    // stage (8 bands x 4 rows) catches a J>=0.95 planted pair with miss
+    // probability (1-J^4)^8 ~ 1e-6, and no organic pair sits near the
+    // threshold, so candidate-set != all-pairs cannot show up at test SFs.
+    "q_dedup_minhash" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split(text,' '), 1, greatest(len(string_split(text,' '))-2, 1)), ' ')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ws AS (SELECT doc_id, string_split(text,' ') AS w, len(string_split(text,' ')) AS n FROM all_docs),
+        |shx AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n < 3 THEN array_to_string(w, ' ')
+        |              ELSE array_to_string(list_slice(w, i, i+2), ' ') END AS sh
+        |  FROM (SELECT doc_id, w, n, unnest(generate_series(1, greatest(n-2, 1))) AS i FROM ws)),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM shx),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM sh GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter, na.nw + nb.nw - i.inter AS uni,
+        |       CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) AS jaccard
+        |FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+        |WHERE CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) >= 0.6""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |w AS (SELECT DISTINCT doc_id, w FROM wx),
@@ -229,6 +281,52 @@ object SparkEntry {
         |SELECT i.id_a, i.id_b, i.inter, na.nw + nb.nw - i.inter AS uni,
         |       CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) AS jaccard
         |FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b""".stripMargin,
+    // Oracle enumerates ALL pairs within hamming <= 3 of the 60-bit simhash;
+    // the Spark side's 4x15-bit blocking is EXACT for <=3 flipped bits
+    // (pigeonhole: one block is untouched), so the outputs must be equal —
+    // no probabilistic slack. Word hash = first 15 md5 hex digits, the
+    // modular form both engines compute identically.
+    "q_dedup_simhash" -> {
+      val hTerms = (1 to 15)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+        .mkString(" + ")
+      val sigTerms = (0 until 60)
+        .map(i => s"CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split(text,' '), 1, greatest(len(string_split(text,' '))-2, 1)), ' ')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM all_docs),
+        |hh AS (SELECT doc_id, $hTerms AS h FROM (SELECT doc_id, md5(w) AS m FROM wx)),
+        |sigs AS (SELECT doc_id, $sigTerms AS sig FROM hh GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+    },
+    // Planted duplicates are bit-identical vectors (cos == 1 up to one ulp,
+    // far from the 0.95 threshold; organic pairs sit far below it), so the
+    // bucketed candidate set and the oracle's exhaustive enumeration yield
+    // the same pair SET; the float cosine itself is deliberately not output.
+    "q_embed_near_dups" ->
+      """WITH all_vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95""".stripMargin,
+    "q_fingerprint" -> {
+      val terms = (0 until 16)
+        .map(j => s"ord(substr(text, i + $j, 1)) * ${graft.operators.TextOps.fpPow(15 - j)}")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST(min(($terms) % ${graft.operators.TextOps.fpMod}) AS BIGINT) AS fingerprint
+        |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i FROM documents)
+        |GROUP BY doc_id""".stripMargin
+    },
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id,

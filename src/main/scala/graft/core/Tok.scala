@@ -110,3 +110,24 @@ final class CollectingSink extends TokenSink {
     sb.toString
   }
 }
+
+/** Zero-allocation fidelity sink: counts character tokens in UTF-16 code
+  * units (== fidelityText.length) without materializing tokens — reused
+  * across a partition's rows in the q_tokenize_fidelity kernel.
+  */
+final class FidelityCountSink extends TokenSink {
+  var nChars = 0L
+  def reset(): Unit = nChars = 0L
+  def char(cp: Int): Unit = nChars += (if (cp >= 0x10000) 2 else 1)
+  override def chars(src: Array[Int], from: Int, until: Int): Unit = {
+    var i = from
+    while (i < until) { nChars += (if (src(i) >= 0x10000) 2 else 1); i += 1 }
+  }
+  override def charsAscii(src: Array[Byte], from: Int, until: Int): Unit =
+    nChars += until - from
+  def tag(isStart: Boolean, name: String, selfClosing: Boolean, attrs: Vector[(String, String)]): Unit = ()
+  def comment(data: String): Unit = ()
+  def doctype(name: String, publicId: String, systemId: String, forceQuirks: Boolean): Unit = ()
+  def eof(name: String, msg: String): Unit = ()
+  def parseError(code: String): Unit = ()
+}

@@ -360,4 +360,20 @@ object Extractor {
     }
     (sink.charText, truncated)
   }
+
+  /** Fidelity run into a caller-reused sink (no token materialization, byte
+    * mode for pure-ASCII pages). Returns the truncated flag.
+    */
+  def fidelityInto(html: Array[Byte], sink: TokenSink): Boolean = {
+    var i = 0
+    while (i < html.length && html(i) >= 0) i += 1
+    val tk =
+      if (i == html.length) new RefTokenizer(null, sink, specMode = false, binput = html)
+      else new RefTokenizer(RefTokenizer.decodeUtf8(html), sink, specMode = false)
+    try { tk.run(); false }
+    catch {
+      case _: StepBudgetExceeded => true
+      case _: VCastPanic => true
+    }
+  }
 }

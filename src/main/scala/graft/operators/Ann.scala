@@ -47,9 +47,20 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
-  /** Fixed random hyperplanes (deterministic seed) → sign-bit bucket. Bucket
-    * count (2^bits) should track corpus size — 8 bits suits the sandbox SFs;
-    * at 10^9+ vectors you raise bits so buckets stay ~thousands of vectors.
+  /** Bucket-count sizing: 2^bits buckets targeting ~`targetBucket` vectors
+    * per bucket, clamped to [4, 24] bits. Derived from the corpus count so
+    * the same call scales from the 500-vector sandbox (4 bits → 16 buckets,
+    * recall stays real) to 10^9+ vectors (24 bits → 16M buckets, shuffle
+    * keys stay small) without retuning.
+    */
+  def autoBits(n: Long, targetBucket: Int = 128): Int = {
+    val want = math.max(n / targetBucket, 1L)
+    math.min(24, math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(want - 1)))
+  }
+
+  /** Fixed random hyperplanes (deterministic seed) → sign-bit bucket. Use
+    * `autoBits(corpusCount)` for `bits` so bucket population tracks corpus
+    * size.
     */
   def bucketed(embeddings: DataFrame, bits: Int = 8): DataFrame = {
     val rng = new graft.spark.Mix(0xbeefL)
@@ -68,16 +79,21 @@ object Ann {
     * approximation trade; verified in tests by recall ≥ threshold, not
     * equality).
     */
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10, bits: Int = 8): DataFrame = {
-    val e = bucketed(embeddings, bits)
-    // multi-probe: each query also probes every bucket at hamming distance 1
-    // (standard recall boost that keeps the shuffle keyed on small buckets)
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10, bits: Int = 0): DataFrame = {
+    val nBits = if (bits > 0) bits else autoBits(embeddings.count())
+    val e = bucketed(embeddings, nBits)
+    // multi-probe to hamming distance 2: each query probes its own bucket,
+    // all single-bit flips, and all two-bit flips — 1 + b + b(b-1)/2 probe
+    // keys (211 at 20 bits), the standard recall/shuffle trade that keeps
+    // the join keyed on small buckets instead of widening them
+    val probes = Seq(col("bucket")) ++
+      (0 until nBits).map(i => expr(s"cast(bucket as bigint) ^ ${1L << i}")) ++
+      (for (i <- 0 until nBits; j <- i + 1 until nBits)
+        yield expr(s"cast(bucket as bigint) ^ ${(1L << i) | (1L << j)}"))
     val q0 = e.where(col("vec_id") < nQueries)
       .withColumnsRenamed(Map("vec_id" -> "qid", "emb" -> "qemb", "norm" -> "qnorm"))
     val q = q0.select(col("qid"), col("qemb"), col("qnorm"),
-      explode(array((0 to bits).map { i =>
-        if (i == 0) col("bucket") else expr(s"cast(bucket as int) ^ ${1 << (i - 1)}").cast("bigint")
-      }: _*)).as("qbucket")).distinct()
+      explode(array(probes: _*)).as("qbucket")).distinct()
     val dot = aggregate(zip_with(col("qemb"), col("emb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
     val sims = q.join(e, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr_id"), (dot / (col("qnorm") * col("norm"))).as("sim"))
@@ -90,20 +106,29 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ `thr`
     * among same-bucket candidates (the near-dup-by-embedding dedup operator).
+    * Output is the integer pair set only (the cosine is a float whose last
+    * ulp is engine-dependent; the pair SET is what downstream dedup keeps).
+    * Buckets above `maxBucket` are dropped before the self-join — the same
+    * degenerate-bucket O(n²) guard as Dedup.candidatePairs/simhash.
     */
-  def cosineNearDups(embeddings: DataFrame, thr: Double = 0.95): DataFrame = {
+  def cosineNearDups(embeddings: DataFrame, thr: Double = 0.95, maxBucket: Int = 4096): DataFrame = {
     // plant deterministic duplicate vectors (vec_id + 1,000,000) so small SFs
     // exercise the candidate → verify path (mirrors Dedup.withPlantedDups)
     val planted = embeddings.select(col("vec_id"), col("embedding"))
       .unionAll(embeddings.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    val e = bucketed(planted)
-    val a = e.withColumnsRenamed(Map("vec_id" -> "id_a", "emb" -> "emb_a", "norm" -> "norm_a"))
-    val b = e.withColumnsRenamed(Map("vec_id" -> "id_b", "emb" -> "emb_b", "norm" -> "norm_b"))
+    val e = bucketed(planted, autoBits(embeddings.count()))
+    val small = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket)
+      .select("bucket")
+    val c = e.join(small, Seq("bucket"))
+    val a = c.withColumnsRenamed(Map("vec_id" -> "id_a", "emb" -> "emb_a", "norm" -> "norm_a"))
+    val b = c.withColumnsRenamed(Map("vec_id" -> "id_b", "emb" -> "emb_b", "norm" -> "norm_b"))
     val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0d), (a2, x) => a2 + x)
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), (dot / (col("norm_a") * col("norm_b"))).as("cos"))
       .where(col("cos") >= thr)
+      .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 }

@@ -64,17 +64,16 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over the
-    * shingle hashes, computed as k partial-aggregatable `min` columns in ONE
-    * groupBy — a single shuffle keyed by doc_id regardless of k.
+  /** MinHash signatures: k hash "permutations" h_i(x) = xxhash64(i, x) over
+    * the shingle hashes, computed as k partial-aggregatable `min` columns in
+    * ONE groupBy — a single shuffle keyed by doc_id regardless of k.
+    * xxhash64 with the index as a leading column is a native codegen'd
+    * expression with no 64-bit overflow, so the plan is ANSI-mode-safe
+    * (the previous (a·x+b) mod p family relied on wrapping multiplication
+    * and threw under spark.sql.ansi.enabled=true, Spark 4's default).
     */
   def minhashSignatures(sh: DataFrame, k: Int = 32): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1
-    val rng = new graft.spark.Mix(0x5eed)
-    val coeffs = Array.fill(k)((math.abs(rng.next()) % (p - 1) + 1, math.abs(rng.next()) % p))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("sh") * lit(a) + lit(b), lit(p))).as(s"m$i")
-    }
+    val aggs = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"m$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -125,48 +124,83 @@ object Dedup {
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline over (doc_id, text). */
+  /** Full MinHash+LSH near-dup pipeline over (doc_id, text).
+    *
+    * `sh` is deliberately NOT cached: the shingle set is ~10× the corpus
+    * text, so at 100 TB caching it is a cluster-killer — recomputing the
+    * stateless flatMap+distinct for the verify branch is the scale-correct
+    * trade (at petabyte scale you'd checkpoint it to a temp table instead;
+    * both beat executor-memory caching).
+    */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val withDups = withPlantedDups(docs)
-    val sh = shingles(withDups).cache()
+    val sh = shingles(withDups)
     val pairs = candidatePairs(lshBands(minhashSignatures(sh)))
     verifyJaccard(pairs, sh)
       .where(col("jaccard") >= threshold)
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash: 64-bit signature = sign of per-bit weighted sums of word
-    * hashes; near-dups = pairs within `maxHamming`, blocked on 4×16-bit
-    * sub-keys (a pair within hamming ≤ 3 of 64 shares at least one of 4
-    * exact 16-bit blocks only probabilistically — with ≤ 3 flipped bits at
-    * least one block is untouched by pigeonhole, so blocking is exact for
-    * maxHamming ≤ 3).
+  /** 60-bit word hash = first 15 hex digits of md5(word). md5 exists in
+    * both Spark and DuckDB, and 60 bits never overflows a BIGINT in either
+    * engine — the hash the simhash oracle can recompute exactly.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def md5Hash60(md: java.security.MessageDigest, w: String): Long = {
+    md.reset()
+    val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 15) {
+      val nib = if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+      h = (h << 4) | nib
+      j += 1
+    }
+    h
+  }
+
+  /** SimHash: 60-bit signature = sign of per-bit weighted sums of md5-derived
+    * word hashes; near-dups = pairs within `maxHamming`, blocked on 4×15-bit
+    * sub-keys. With ≤ 3 flipped bits at least one of the 4 blocks is
+    * untouched (pigeonhole), so blocking is EXACT for maxHamming ≤ 3 — the
+    * DuckDB oracle enumerates all pairs and must match bit-for-bit.
+    * Buckets larger than `maxBucket` are dropped before the self-join (the
+    * degenerate-bucket O(n²) guard; a 15-bit key space with uniform hashes
+    * keeps real buckets ~n/32768, so the cap only fires on adversarial
+    * inputs like mass-identical signatures).
+    */
+  def simhash(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = withPlantedDups(docs).select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val acc = new Array[Int](64)
-        text.split(' ').foreach { w =>
-          val h = hash64(w)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val acc = new Array[Int](60)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(acc, 0)
+          text.split(' ').foreach { w =>
+            val h = md5Hash60(md, w)
+            var i = 0
+            while (i < 60) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+          }
+          var sig = 0L
           var i = 0
-          while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+          while (i < 60) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+          (id, sig)
         }
-        var sig = 0L
-        var i = 0
-        while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
-        (id, sig)
       }.toDF("doc_id", "sig")
     val blocked = sigs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("blk"), shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+        struct(lit(b).as("blk"), shiftright(col("sig"), b * 15).bitwiseAND(lit(0x7fffL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.blk"), col("bk.key"))
-    blocked.toDF("id_a", "sig_a", "blk", "key")
-      .join(blocked.toDF("id_b", "sig_b", "blk", "key"), Seq("blk", "key"))
+    val small = blocked.groupBy("blk", "key").agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket)
+      .select("blk", "key")
+    val capped = blocked.join(small, Seq("blk", "key"))
+    capped.toDF("blk", "key", "id_a", "sig_a")
+      .join(capped.toDF("blk", "key", "id_b", "sig_b"), Seq("blk", "key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("bit_count(sig_a ^ sig_b)").as("hamming"))
+        expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")

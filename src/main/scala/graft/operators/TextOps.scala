@@ -51,34 +51,51 @@ object TextOps {
     )
   }
 
-  /** Document fingerprint: minimum Karp-Rabin rolling hash over all 16-char
-    * windows (winnowing-style robust fingerprint; stable under suffix edits).
-    * Kernel-side Scala (not SQL-expressible) — rows-only verification.
+  /** Karp-Rabin parameters for `fingerprint` — modular (never overflowing)
+    * so the exact same arithmetic is DuckDB-expressible for the oracle.
     */
-  def fingerprint(docs: DataFrame, window: Int = 16): DataFrame = {
+  val fpBase = 131L
+  val fpMod = 1000003L
+  val fpWindow = 16
+
+  /** B^k mod M for k = 0..window-1 (fpPow(k)); fpPow(window-1) is the
+    * leading-char weight removed by the rolling step.
+    */
+  val fpPow: Array[Long] = {
+    val p = new Array[Long](fpWindow)
+    p(0) = 1L
+    var k = 1
+    while (k < fpWindow) { p(k) = p(k - 1) * fpBase % fpMod; k += 1 }
+    p
+  }
+
+  /** Document fingerprint: minimum Karp-Rabin rolling hash (mod fpMod) over
+    * all 16-char windows — winnowing-style robust fingerprint, stable under
+    * suffix edits. The rolling recurrence keeps every value in [0, fpMod):
+    *   h' = ((h - code(out)·B^15) · B + code(in)) mod M
+    * so the oracle can recompute each window hash as a plain 16-term modular
+    * sum. Docs shorter than the window hash their full text with the same
+    * weights (right-aligned).
+    */
+  def fingerprint(docs: DataFrame, window: Int = fpWindow): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val B = fpBase
+    val M = fpMod
+    val topPow = fpPow(window - 1)
     docs.select($"doc_id", $"text").as[(Long, String)].map { case (id, text) =>
-      val B = 1000000007L
-      var h = 0L
-      var pow = 1L
-      var i = 0
       val n = text.length
-      if (n < window) {
-        i = 0; while (i < n) { h = h * B + text.charAt(i); i += 1 }
-        (id, h)
-      } else {
-        var minH = Long.MaxValue
-        i = 0
-        while (i < window) { h = h * B + text.charAt(i); pow = pow * B; i += 1 }
-        minH = math.min(minH, h)
-        while (i < n) {
-          h = h * B + text.charAt(i) - pow * text.charAt(i - window)
-          if (h < minH) minH = h
-          i += 1
-        }
-        (id, minH)
+      var h = 0L
+      var i = 0
+      val lim = math.min(n, window)
+      while (i < lim) { h = (h * B + text.charAt(i)) % M; i += 1 }
+      var minH = h
+      while (i < n) {
+        h = Math.floorMod((h - text.charAt(i - window) * topPow) * B + text.charAt(i), M)
+        if (h < minH) minH = h
+        i += 1
       }
+      (id, minH)
     }.toDF("doc_id", "fingerprint").orderBy("doc_id")
   }
 

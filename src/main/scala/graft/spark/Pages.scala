@@ -111,6 +111,36 @@ object Pages {
   def urlOf(docId: Long, variant: Int, lang: String, source: String): String =
     s"https://example.com/$lang/$source/doc$docId/v$variant"
 
+  /** Fully deterministic minimal page — NO rng — so the kernel's token/tag/
+    * byte accounting has a closed form expressible as a DuckDB oracle:
+    *   n_tags    = 12
+    *   n_tokens  = 15 + digits(doc_id) + length(text)
+    *               (doctype + 12 tags + eof + title "D<id>" chars + text chars)
+    *   bytes_in  = plainOverhead + digits(doc_id) + length(lang) + utf8(text)
+    * Used by the q_extract_stats / q_tokenize_fidelity contract queries; the
+    * rng-rich `render` corpus stays the input for the roundtrip/span queries.
+    */
+  def renderPlain(docId: Long, text: String, lang: String): String =
+    s"""<!DOCTYPE html><html lang="$lang"><head><title>D$docId</title></head><body><article><p>$text</p></article></body></html>"""
+
+  /** Byte overhead of renderPlain beyond digits(doc_id)+len(lang)+utf8(text). */
+  val plainOverhead: Int =
+    renderPlain(7, "", "xx").getBytes(java.nio.charset.StandardCharsets.UTF_8).length - 1 - 2
+
+  /** The deterministic plain-page corpus (stats-oracle input). */
+  def synthesizePlain(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .repartition(parts)
+      .as[(Long, String, String, String)]
+      .map { case (docId, text, lang, source) =>
+        val html = renderPlain(docId, text, lang).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(urlOf(docId, 0, lang, source), new java.sql.Timestamp(1609459200000L + docId * 1000L), html, text, lang)
+      }
+  }
+
   /** The pages Dataset: one row per (document, variant). `variants` > 1 scales
     * the corpus for benchmarking (url differs per variant; text payload is the
     * doc's). Narrow transformation — no shuffle.

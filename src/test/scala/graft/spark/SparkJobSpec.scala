@@ -144,7 +144,42 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val approx = graft.operators.Ann.lshTopK(emb).collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
     val recall = exact.count(approx.contains).toDouble / exact.size
-    assert(recall > 0.05, s"recall=$recall") // multiprobe-1 on tiny corpus: weak but nonzero
+    // corpus-sized bucket count (autoBits) + multi-probe to hamming 2
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("simhash caps degenerate buckets: mass-identical docs complete with bounded pairs") {
+    val s = spark
+    import s.implicits._
+    // 1,000 identical docs = one signature = 4 hot buckets of 1,000 → an
+    // uncapped self-join would emit ~500k pairs; the cap drops the bucket
+    val hot = (0L until 1000L).map(i => (i, "the same exact sentence repeated verbatim every time"))
+    val docs = hot.toDF("doc_id", "text")
+    val out = graft.operators.Dedup.simhash(docs, maxBucket = 64)
+    assert(out.count() === 0L)
+  }
+
+  test("cosineNearDups caps degenerate buckets and still finds planted dups elsewhere") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val m = new graft.spark.Mix(seed)
+      Array.fill(64)((m.next() >>> 11).toFloat / (1L << 53).toFloat - 0.5f)
+    }
+    val hotVec = vec(1L)
+    // 600 identical vectors on odd ids (never planted; one hot bucket whose
+    // uncapped self-join would emit ~180k pairs) + 50 distinct vectors on
+    // ids % 10 == 0 (each gets a planted +1,000,000 twin)
+    val rows = (100001L until 101201L by 2).map(i => (i, hotVec)) ++
+      (0L until 50L).map(i => (i * 10, vec(100 + i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = graft.operators.Ann.cosineNearDups(emb, maxBucket = 128).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val planted = (0L until 50L).map(i => (i * 10, i * 10 + 1000000L))
+    // twins landing in the hot bucket are dropped with it; everything in the
+    // other ~15 buckets must survive — expect well over half
+    assert(planted.count(pairs.contains) >= 25, s"found=${planted.count(pairs.contains)}")
+    assert(pairs.size < 5000, s"degenerate bucket not capped: ${pairs.size} pairs")
   }
 
   test("embedding near-dup pairs include every planted duplicate vector") {
