@@ -1017,6 +1017,14 @@ final class RefTokenizer(
   private def stMarkupDeclarationOpen(): Unit = {
     if (lookAhead("--")) { currToken = CurComment(Vector.empty); goto(CommentStart); return }
     if (lookAhead("DOCTYPE", caseSensitive = false)) { goto(Doctype); return }
+    // SPEC-FIX (extract mode only): inside foreign content (svg/math) the
+    // tree builder admits real CDATA sections (§13.2.5.42 "if the adjusted
+    // current node is not in the HTML namespace"); the reference's branch is
+    // dead code behind `if false` (:1668), so fidelity keeps the bogus path.
+    if (specMode && sink.inForeignContent && lookAhead("[CDATA[")) {
+      goto(CdataSection)
+      return
+    }
     if (lookAhead("[CDATA[")) {
       parseError("cdata_in_html_content")
       currToken = CurComment("[CDATA[".toVector.map(_.toInt))

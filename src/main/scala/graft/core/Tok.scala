@@ -82,6 +82,13 @@ trait TokenSink {
     while (i < until) { char(src(i).toInt); i += 1 }
   }
   def tag(isStart: Boolean, name: String, selfClosing: Boolean, attrs: Vector[(String, String)]): Unit
+  /** Extract-mode tree feedback: true while the insertion point is inside
+    * foreign content (svg/math), where `<![CDATA[` opens a real CDATA
+    * section (WHATWG §13.2.5.42) instead of a bogus comment. Fidelity mode
+    * ignores this (the reference's CDATA branch is dead code, `if false` at
+    * tokenizer/tokenizer.v:1668).
+    */
+  def inForeignContent: Boolean = false
   def comment(data: String): Unit
   def doctype(name: String, publicId: String, systemId: String, forceQuirks: Boolean): Unit
   def eof(name: String, msg: String): Unit

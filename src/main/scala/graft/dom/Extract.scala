@@ -37,11 +37,44 @@ object ExtractConfig {
     "blockquote", "pre", "section", "article", "main", "body", "table",
     "ul", "ol", "tr", "dd", "dt", "figcaption", "summary"
   )
-  /** A start of any of these auto-closes an open <p> (minimal implied-end
-    * subset of WHATWG §13.2.6.4.7). */
+  /** A start of any of these auto-closes an open <p> (implied-end subset of
+    * WHATWG §13.2.6.4.7). */
   val closesP: Set[String] = Set(
     "p", "div", "ul", "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6",
     "table", "blockquote", "pre", "section", "article", "main", "dl"
+  )
+  /** Active-formatting elements (WHATWG §13.2.4.3): scope-bounded end-tag
+    * matching + reconstruction after implied closes. */
+  val formatting: Set[String] = Set(
+    "a", "b", "big", "code", "em", "font", "i", "nobr", "s", "small",
+    "strike", "strong", "tt", "u"
+  )
+  /** "In scope" boundaries (§13.2.4.2 default scope, html-namespace part):
+    * end tags never match an element beyond these. */
+  val scopeStops: Set[String] = Set(
+    "html", "table", "td", "th", "caption", "applet", "marquee", "object",
+    "template"
+  )
+  /** Elements that also push a marker onto the active-formatting list
+    * (reconstruction never crosses them). */
+  val fmtMarkerSet: Set[String] = Set(
+    "table", "td", "th", "caption", "applet", "marquee", "object", "template"
+  )
+  /** Insertion points whose character data / stray elements are
+    * foster-parented before the table (§13.2.6.4.9 "in table"). */
+  val fosterSet: Set[String] = Set("table", "tbody", "thead", "tfoot", "tr")
+  /** End-tag scopes for the table family and list items (§13.2.4.2). */
+  val tableEndStops: Set[String] = Set("html", "template")
+  val tablePartEndStops: Set[String] = Set("html", "table", "template")
+  val listEndStops: Set[String] = scopeStops ++ Set("ul", "ol", "dl")
+  /** Content that is legal directly in table context (never fostered). */
+  val tableParts: Set[String] = Set(
+    "table", "tbody", "thead", "tfoot", "tr", "td", "th", "caption",
+    "colgroup", "col", "script", "style", "template", "form"
+  )
+  /** Metadata content that belongs in an (implied) head before body opens. */
+  val headOnly: Set[String] = Set(
+    "title", "meta", "link", "base", "style", "script", "noscript", "template"
   )
   val minBlockTextLen = 8
   val maxLinkDensity = 0.5
@@ -105,6 +138,19 @@ final class ExtractSink extends TokenSink {
   private var skipDepth = 0 // >0 → inside blacklisted subtree
   private var linkDepth = 0
   private var blockTop = root // nearest open block node
+  private var foreignDepth = 0 // >0 → inside svg/math (CDATA is legal there)
+
+  // implied document structure (§13.2.6.4.1-4.6): arena ids, -1 = not yet
+  private var htmlIdx = -1
+  private var headIdx = -1
+  private var bodyIdx = -1
+
+  // active formatting elements (§13.2.4.3): name + currently-open flag;
+  // markers record list length at table/td/caption entry so reconstruction
+  // never crosses a cell boundary
+  private val activeFmt = ArrayBuffer.empty[String]
+  private val activeFmtOpen = ArrayBuffer.empty[Boolean]
+  private val fmtMarkers = ArrayBuffer.empty[Int]
 
   private val text = new java.lang.StringBuilder
   private val spans = ArrayBuffer.empty[Span]
@@ -130,13 +176,17 @@ final class ExtractSink extends TokenSink {
     root = arena.add("#root", -1)
     stkNode.clear(); stkNode += root
     stkName.clear(); stkName += "#root"
-    skipDepth = 0; linkDepth = 0; blockTop = root
+    skipDepth = 0; linkDepth = 0; blockTop = root; foreignDepth = 0
+    htmlIdx = -1; headIdx = -1; bodyIdx = -1
+    activeFmt.clear(); activeFmtOpen.clear(); fmtMarkers.clear()
     text.setLength(0)
     spans.clear()
     runStart = -1; runOwner = root; runBlock = root; runLink = false; runPath = ""
     nTokens = 0L; nTags = 0L
     errors.clear()
   }
+
+  override def inForeignContent: Boolean = foreignDepth > 0
 
   private def closeRun(): Unit = {
     if (runStart >= 0 && text.length > runStart) {
@@ -145,30 +195,64 @@ final class ExtractSink extends TokenSink {
     runStart = -1
   }
 
-  private def pathOf(): String = {
+  private def pathUpTo(topIdx: Int): String = {
     val sb = new java.lang.StringBuilder
     var i = 1
-    while (i < stkName.length) {
+    while (i <= topIdx) {
       sb.append('/').append(stkName(i))
       i += 1
     }
-    sb.append('#').append(stkNode(stkName.length - 1))
+    sb.append('#').append(stkNode(topIdx))
     sb.toString
+  }
+
+  private def blockUpTo(topIdx: Int): Int = {
+    var i = topIdx
+    while (i > 0 && !blocks.contains(stkName(i))) i -= 1
+    stkNode(i)
   }
 
   private def startRunIfNeeded(): Unit = {
     if (runStart < 0) {
+      val top = stkName.length - 1
+      // foster parenting (§13.2.6.4.9): character data while the insertion
+      // point is table/tbody/thead/tfoot/tr is inserted BEFORE the table —
+      // the run anchors to the table's stack parent, not the table
+      val anchor =
+        if (fosterSet.contains(stkName(top))) {
+          val ti = stkName.lastIndexOf("table")
+          if (ti > 0) ti - 1 else top
+        } else top
       runStart = text.length
-      runOwner = stkNode(stkNode.length - 1)
-      runBlock = blockTop
+      runOwner = stkNode(anchor)
+      runBlock = if (anchor == top) blockTop else blockUpTo(anchor)
       runLink = linkDepth > 0
-      runPath = pathOf()
+      runPath = pathUpTo(anchor)
     }
+  }
+
+  /** Before inserting character data: implied <body> (non-whitespace text
+    * before any body opens it; whitespace there is dropped per spec) and
+    * active-formatting reconstruction (§13.2.6.4.7 "in body": text after an
+    * implied formatting close re-opens the formatting elements).
+    */
+  private def preText(hasNonWs: Boolean): Boolean = {
+    if (bodyIdx < 0) {
+      if (!hasNonWs && runStart < 0) return false // pre-body whitespace: dropped
+      // non-ws text while the insertion point is the head itself implies
+      // </head> (§ "in head": anything else → pop head, reprocess); text
+      // nested in title/style/script stays where it is
+      if (stkName(stkName.length - 1) == "head" || skipDepth == 0) ensureBody()
+    }
+    if (skipDepth > 0) return false
+    if (runStart < 0 && !fosterSet.contains(stkName(stkName.length - 1)))
+      reconstructFmt()
+    true
   }
 
   override def char(cp: Int): Unit = {
     nTokens += 1
-    if (skipDepth == 0) {
+    if (preText(!isWsCp(cp))) {
       startRunIfNeeded()
       text.appendCodePoint(cp)
     }
@@ -177,7 +261,12 @@ final class ExtractSink extends TokenSink {
   override def chars(src: Array[Int], from: Int, until: Int): Unit = {
     if (until <= from) return
     nTokens += until - from
-    if (skipDepth == 0) {
+    var nonWs = false
+    if (bodyIdx < 0) {
+      var i = from
+      while (i < until && !nonWs) { nonWs = !isWsCp(src(i)); i += 1 }
+    } else nonWs = true
+    if (preText(nonWs)) {
       startRunIfNeeded()
       var i = from
       while (i < until) { text.appendCodePoint(src(i)); i += 1 }
@@ -187,17 +276,38 @@ final class ExtractSink extends TokenSink {
   override def charsAscii(src: Array[Byte], from: Int, until: Int): Unit = {
     if (until <= from) return
     nTokens += until - from
-    if (skipDepth == 0) {
+    var nonWs = false
+    if (bodyIdx < 0) {
+      var i = from
+      while (i < until && !nonWs) { nonWs = !isWsCp(src(i).toInt); i += 1 }
+    } else nonWs = true
+    if (preText(nonWs)) {
       startRunIfNeeded()
       var i = from
       while (i < until) { text.append(src(i).toChar); i += 1 }
     }
   }
 
+  private def isWsCp(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x0c
+
   private def recomputeBlockTop(): Unit = {
     var i = stkName.length - 1
     while (i > 0 && !blocks.contains(stkName(i))) i -= 1
     blockTop = stkNode(i)
+  }
+
+  /** Push an element onto the open stack (arena node already created). */
+  private def pushOpen(name: String, par: Int): Int = {
+    val id = arena.add(name, par)
+    stkNode += id
+    stkName += name
+    if (blacklist.contains(name)) skipDepth += 1
+    if (name == "a") linkDepth += 1
+    if (name == "svg" || name == "math") foreignDepth += 1
+    if (blocks.contains(name)) blockTop = id
+    if (fmtMarkerSet.contains(name)) fmtMarkers += activeFmt.length
+    id
   }
 
   private def popTo(idx: Int): Unit = {
@@ -207,6 +317,21 @@ final class ExtractSink extends TokenSink {
       val nm = stkName(i)
       if (blacklist.contains(nm)) skipDepth -= 1
       if (nm == "a") linkDepth -= 1
+      if (nm == "svg" || nm == "math") foreignDepth -= 1
+      if (fmtMarkerSet.contains(nm) && fmtMarkers.nonEmpty) {
+        // clear active formatting up to the marker (§ "clear ... to last marker")
+        val m = fmtMarkers.remove(fmtMarkers.length - 1)
+        activeFmt.dropRightInPlace(activeFmt.length - m)
+        activeFmtOpen.dropRightInPlace(activeFmtOpen.length - m)
+      } else if (formatting.contains(nm)) {
+        // implicitly closed formatting element → eligible for reconstruction
+        var j = activeFmt.length - 1
+        var done = false
+        while (j >= 0 && !done) {
+          if (activeFmt(j) == nm && activeFmtOpen(j)) { activeFmtOpen(j) = false; done = true }
+          j -= 1
+        }
+      }
       stkName.remove(i)
       stkNode.remove(i)
       i -= 1
@@ -214,33 +339,175 @@ final class ExtractSink extends TokenSink {
     recomputeBlockTop()
   }
 
+  /** Last stack index holding `name`, scanning down but never past a scope
+    * boundary (§13.2.4.2 "has an element in scope"); -1 when out of scope.
+    */
+  private def lastIndexWithin(name: String, stops: Set[String]): Int = {
+    var i = stkName.length - 1
+    while (i > 0) {
+      val nm = stkName(i)
+      if (nm == name) return i
+      if (stops.contains(nm)) return -1
+      i -= 1
+    }
+    -1
+  }
+
+  /** Re-open implicitly-closed active formatting elements at the current
+    * insertion point (§13.2.4.3 "reconstruct"), never crossing the last
+    * marker.
+    */
+  private def reconstructFmt(): Unit = {
+    if (activeFmt.isEmpty) return
+    val start = if (fmtMarkers.isEmpty) 0 else fmtMarkers(fmtMarkers.length - 1)
+    var i = start
+    while (i < activeFmt.length) {
+      if (!activeFmtOpen(i)) {
+        pushOpen(activeFmt(i), stkNode(stkNode.length - 1))
+        activeFmtOpen(i) = true
+      }
+      i += 1
+    }
+  }
+
+  private def removeLastFmtEntry(name: String): Unit = {
+    val start = if (fmtMarkers.isEmpty) 0 else fmtMarkers(fmtMarkers.length - 1)
+    var i = activeFmt.length - 1
+    while (i >= start) {
+      if (activeFmt(i) == name) {
+        activeFmt.remove(i)
+        activeFmtOpen.remove(i)
+        return
+      }
+      i -= 1
+    }
+  }
+
+  // ---- implied document structure (§13.2.6.4.1-4.6) -----------------------
+
+  private def ensureHtml(): Unit =
+    if (htmlIdx < 0) htmlIdx = pushOpen("html", root)
+
+  private def ensureHead(): Unit = {
+    ensureHtml()
+    if (headIdx < 0 && bodyIdx < 0) headIdx = pushOpen("head", stkNode(stkNode.length - 1))
+  }
+
+  private def ensureBody(): Unit = {
+    ensureHtml()
+    if (bodyIdx < 0) {
+      val h = stkName.lastIndexOf("head")
+      if (h > 0) popTo(h) // implied </head>
+      bodyIdx = pushOpen("body", htmlIdx)
+    }
+  }
+
   override def tag(isStart: Boolean, name: String, selfClosing: Boolean, attrs: Vector[(String, String)]): Unit = {
     nTokens += 1
     nTags += 1
     closeRun()
-    if (isStart) {
-      if (closesP.contains(name)) {
-        // minimal implied end: a new block closes an open <p>
-        val i = stkName.lastIndexOf("p")
-        if (i > 0) popTo(i)
-      }
-      if (name == "li") {
-        val i = stkName.lastIndexOf("li")
-        if (i > 0) popTo(i)
-      }
-      val par = stkNode(stkNode.length - 1)
-      val id = arena.add(name, par)
-      if (!selfClosing && !voids.contains(name)) {
-        stkNode += id
-        stkName += name
-        if (blacklist.contains(name)) skipDepth += 1
-        if (name == "a") linkDepth += 1
-        if (blocks.contains(name)) blockTop = id
-      }
+    if (isStart) startTag(name, selfClosing) else endTag(name)
+  }
+
+  private def startTag(name: String, selfClosing: Boolean): Unit = {
+    // document-structure elements: adopt the first, ignore repeats
+    if (name == "html") { if (htmlIdx < 0) htmlIdx = pushOpen("html", root); return }
+    if (name == "head") { ensureHtml(); if (headIdx < 0 && bodyIdx < 0) headIdx = pushOpen("head", stkNode(stkNode.length - 1)); return }
+    if (name == "body") { ensureBody(); return }
+    if (headOnly.contains(name)) {
+      // metadata content: into the (implied) head before body, in place after
+      if (bodyIdx < 0 && stkName.lastIndexOf("head") <= 0) ensureHead()
+      else ensureHtml()
     } else {
-      val i = stkName.lastIndexOf(name)
-      if (i > 0) popTo(i) // unmatched end tags ignored
+      if (bodyIdx < 0) ensureBody()
     }
+    // implied end tags (§13.2.6.4.7/4.9): a new block closes an open <p>;
+    // li/tr/td/sections close their predecessor within their scope
+    if (closesP.contains(name)) {
+      val i = lastIndexWithin("p", Set("body", "table", "td", "th", "caption"))
+      if (i > 0) popTo(i)
+    }
+    name match {
+      case "li" =>
+        val i = lastIndexWithin("li", Set("ul", "ol", "body", "table", "td", "th"))
+        if (i > 0) popTo(i)
+      case "dd" | "dt" =>
+        val i = math.max(
+          lastIndexWithin("dd", Set("dl", "body", "table", "td", "th")),
+          lastIndexWithin("dt", Set("dl", "body", "table", "td", "th")))
+        if (i > 0) popTo(i)
+      case "tr" =>
+        val i = lastIndexWithin("tr", Set("table", "html"))
+        if (i > 0) popTo(i)
+      case "td" | "th" =>
+        val i = math.max(
+          lastIndexWithin("td", Set("tr", "table", "html")),
+          lastIndexWithin("th", Set("tr", "table", "html")))
+        if (i > 0) popTo(i)
+      case "tbody" | "thead" | "tfoot" =>
+        val i = math.max(lastIndexWithin("tbody", Set("table", "html")),
+          math.max(lastIndexWithin("thead", Set("table", "html")),
+            lastIndexWithin("tfoot", Set("table", "html"))))
+        if (i > 0) popTo(i)
+      case "table" if fosterSet.contains(stkName(stkName.length - 1)) =>
+        // a table start inside a table closes the outer one (§ "in table")
+        val i = lastIndexWithin("table", Set("html"))
+        if (i > 0) popTo(i)
+      case _ => ()
+    }
+    // foster parenting for non-table content whose insertion point is
+    // table/section/row: the arena node hangs BEFORE the table (its stack
+    // parent) while staying on the open stack above it
+    val top = stkName.length - 1
+    val par =
+      if (fosterSet.contains(stkName(top)) && !tableParts.contains(name)) {
+        val ti = stkName.lastIndexOf("table")
+        if (ti > 0) arena.parent(stkNode(ti)) else stkNode(top)
+      } else stkNode(top)
+    if (!selfClosing && !voids.contains(name)) {
+      pushOpen(name, par)
+      if (formatting.contains(name)) { activeFmt += name; activeFmtOpen += true }
+    } else {
+      arena.add(name, par) // void/self-closing: arena node only
+    }
+  }
+
+  private def endTag(name: String): Unit = {
+    if (name == "body" || name == "html") return // trailing text re-enters body
+    if (formatting.contains(name)) {
+      val idx = lastIndexWithin(name, scopeStops)
+      if (idx <= 0) { removeLastFmtEntry(name); return }
+      var allFmtAbove = true
+      var j = idx + 1
+      while (j < stkName.length && allFmtAbove) {
+        allFmtAbove = formatting.contains(stkName(j)); j += 1
+      }
+      if (allFmtAbove) {
+        popTo(idx) // marks the ones above for reconstruction
+        removeLastFmtEntry(name)
+      } else {
+        // misnested across a non-formatting element (<b><div></b>): the
+        // element stays open until its ancestor closes (adoption-agency
+        // approximation); it just stops being reconstructable
+        removeLastFmtEntry(name)
+      }
+      return
+    }
+    val i = lastIndexWithin(name, endScopeStops(name))
+    if (i > 0) popTo(i) // out-of-scope / unmatched end tags ignored
+  }
+
+  /** Per-tag scope for end-tag matching (§13.2.4.2): table-family end tags
+    * use TABLE scope (html/template only — a cell must not mask its own
+    * table's end), list items add their list containers, everything else
+    * the default scope.
+    */
+  private def endScopeStops(name: String): Set[String] = name match {
+    case "table" => ExtractConfig.tableEndStops
+    case "tbody" | "thead" | "tfoot" | "tr" | "td" | "th" | "caption" =>
+      ExtractConfig.tablePartEndStops
+    case "li" | "dd" | "dt" => ExtractConfig.listEndStops
+    case _ => scopeStops
   }
 
   override def comment(data: String): Unit = { nTokens += 1; closeRun() } // elided

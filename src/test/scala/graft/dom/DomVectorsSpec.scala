@@ -1,0 +1,133 @@
+package graft.dom
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DOM vectors for the insertion-mode tree construction in ExtractSink:
+  * implied html/head/body, table foster parenting, implied row/cell ends,
+  * scope-bounded end tags, active-formatting reconstruction, and the
+  * foreign-content CDATA entry (spec mode). Each asserts the extracted text
+  * AND the span anchoring (path/block), which is where tree shape becomes
+  * observable to a user of the engine.
+  */
+class DomVectorsSpec extends AnyFunSuite {
+
+  private def ex(html: String): ExtractResult = Extractor.extractString(html)
+
+  test("implied html/head/body: bare fragment anchors under /html/body") {
+    val r = ex("hello<p>world</p>")
+    assert(r.text == "helloworld")
+    assert(r.spans.length == 2)
+    assert(r.spans(0).path.startsWith("/html/body#"))
+    assert(r.spans(1).path.startsWith("/html/body/p#"))
+  }
+
+  test("implied head: metadata before body lands in head (skipped), text opens body") {
+    val r = ex("<title>t</title>after")
+    assert(r.text == "after")
+    assert(r.spans.head.path.startsWith("/html/body#"))
+  }
+
+  test("whitespace between head and body is dropped, not body-opening") {
+    val r = ex("<head><title>x</title></head>\n  <body><p>content here</p></body>")
+    assert(r.text == "content here")
+    assert(r.spans.length == 1)
+  }
+
+  test("table foster parenting: stray text in table context is anchored before the table") {
+    val r = ex("<body><table>x<tr><td>y</td></tr></table></body>")
+    assert(r.text == "xy") // token order is preserved; anchoring differs
+    assert(r.spans.length == 2)
+    assert(r.spans(0).path.startsWith("/html/body#"), s"fostered path: ${r.spans(0).path}")
+    assert(r.spans(1).path.startsWith("/html/body/table/tr/td#"))
+  }
+
+  test("stray element in table context is foster-parented before the table") {
+    val r = ex("<table><div>fostered text</div><tr><td>cell</td></tr></table>")
+    assert(r.text == "fostered textcell")
+    val d = r.spans(0)
+    assert(d.path.endsWith("/div#" + d.path.split('#')(1)))
+    // the div's arena parent is the table's parent (body), not the table
+    assert(r.spans(1).path.contains("/td#"))
+  }
+
+  test("implied tr/td ends: a new row closes the open one") {
+    val r = ex("<table><tr><td>a<td>b<tr><td>c</table>tail")
+    assert(r.text == "abctail")
+    val paths = r.spans.map(_.path)
+    assert(paths(0).contains("/tr/td#") && paths(1).contains("/tr/td#") && paths(2).contains("/tr/td#"))
+    // tail lands back in body after </table>
+    assert(paths(3).startsWith("/html/body#"))
+  }
+
+  test("end tag never matches across a table-cell scope boundary") {
+    // the </div> inside the cell must not close the outer div
+    val r = ex("<div>a<table><tr><td>b</div>c</td></tr></table>d</div>")
+    assert(r.text == "abcd")
+    assert(r.spans(2).path.contains("/td#"), s"c stays in the cell: ${r.spans(2).path}")
+    assert(r.spans(3).path.contains("/div#"), s"d still inside outer div: ${r.spans(3).path}")
+  }
+
+  test("formatting reconstruction: <b> reopens in the next paragraph after implied </p>") {
+    val r = ex("<p><b>one</p><p>two</p>")
+    assert(r.text == "onetwo")
+    assert(r.spans(0).path.contains("/p/b#"))
+    assert(r.spans(1).path.contains("/p/b#"), s"b reconstructed: ${r.spans(1).path}")
+  }
+
+  test("misnested formatting <b><i>a</b>b</i>: i is reconstructed after b closes") {
+    val r = ex("<p><b><i>a</b>b</i>c</p>")
+    assert(r.text == "abc")
+    assert(r.spans(0).path.contains("/b/i#"))
+    assert(r.spans(1).path.contains("/p/i#") && !r.spans(1).path.contains("/b/"),
+      s"b closed, i reconstructed: ${r.spans(1).path}")
+    assert(!r.spans(2).path.contains("/i#"), s"i closed: ${r.spans(2).path}")
+  }
+
+  test("matched formatting end tag does not trigger reconstruction later") {
+    val r = ex("<p><b>x</b>y</p>")
+    assert(r.spans(0).path.contains("/b#"))
+    assert(!r.spans(1).path.contains("/b#"))
+  }
+
+  test("reconstruction never crosses a table marker, but resumes after the table") {
+    // <b> is implicitly closed by the table (via implied </p>); cell text
+    // must NOT reconstruct it across the marker, the tail after </table> must
+    val r = ex("<p><b>one</p><table><tr><td>plain</td></tr></table>tail")
+    assert(r.text == "oneplaintail")
+    assert(r.spans(0).path.contains("/b#"))
+    assert(!r.spans(1).path.contains("/b#") && !r.spans(1).path.contains("/b/"), s"no b inside cell: ${r.spans(1).path}")
+    assert(r.spans(2).path.contains("/b#"), s"b resurrected after table: ${r.spans(2).path}")
+  }
+
+  test("end tag inside a cell cannot close formatting opened outside the table") {
+    val r = ex("<p><b>x<table><tr><td></b>plain</td></tr></table>y</b>z</p>")
+    assert(r.text == "xplainyz")
+    assert(r.spans(1).path.contains("/td#"))
+    assert(r.spans(2).path.contains("/b#") || r.spans(2).path.contains("/b/"), s"outer b survived the cell's </b>: ${r.spans(2).path}")
+    assert(!r.spans(3).path.contains("/b#") && !r.spans(3).path.contains("/b/"), s"real </b> closed it: ${r.spans(3).path}")
+  }
+
+  test("link attribution follows reconstruction") {
+    val r = ex("<p><a href=\"/x\">one</p><p>two</p>")
+    assert(r.spans(0).link && r.spans(1).link, "reconstructed <a> keeps link attribution")
+  }
+
+  test("CDATA in foreign content (spec mode) is character data, not a bogus comment") {
+    val r = ex("<div><svg><![CDATA[x<y]]></svg>ok</div>")
+    assert(r.text == "ok") // svg subtree is blacklisted, but chars were emitted
+    assert(!r.errors.contains("cdata_in_html_content"))
+    assert(r.nTokens >= 3 + 1 + 4) // x,<,y chars + tags + ok
+  }
+
+  test("CDATA in HTML content stays a bogus comment (spec + reference agree)") {
+    val r = ex("<div><![CDATA[x]]>ok</div>")
+    assert(r.text == "ok")
+    assert(r.errors.contains("cdata_in_html_content"))
+  }
+
+  test("after-body text re-enters body") {
+    val r = ex("<body><p>a</p></body>tail</html>")
+    assert(r.text == "atail")
+    assert(r.spans(1).path.startsWith("/html/body#"))
+  }
+}
