@@ -27,19 +27,40 @@ final case class Extracted(
     bytes_in: Long
 )
 
+/** Global row ordinals covered by a partition: lo = partition_id << 33 plus
+  * the local index (the `monotonically_increasing_id` convention — unique
+  * and sortable across partitions without a pre-pass count).
+  */
+final case class RowRange(lo: Long, hi: Long)
+
 /** Per-partition lineage/metrics row (north star: "per-partition lineage rows
   * (partition id, input file, row range, tokenizer-state histogram,
-  * bytes/sec) appended to a metrics table").
+  * bytes/sec) appended to a metrics table"). `input_file` is the
+  * ';'-joined distinct source files the partition read (empty for synthetic
+  * inputs); `capped_rows` counts rows skipped by the per-task byte cap.
   */
 final case class LineageRow(
     run_id: String,
     chunk: Int,
     partition_id: Int,
+    input_file: String,
+    row_range: RowRange,
     docs: Long,
     bytes: Long,
     millis: Long,
     bytes_per_sec: Double,
+    capped_rows: Long,
     state_histogram: Map[String, Long]
+)
+
+/** PageRow + its source file (file-backed scans; see ExtractJob.extractFiles). */
+final case class PageRowF(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String,
+    input_file: String
 )
 
 /** The extraction pipeline: scan → skew-isolating repartition →
@@ -96,7 +117,8 @@ object ExtractJob {
       numPartitions: Int,
       lineage: CollectionAccumulator[LineageRow] = null,
       chunk: Int = 0,
-      salted: Boolean = false
+      salted: Boolean = false,
+      maxTaskBytes: Long = Long.MaxValue
   ): Dataset[Extracted] = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -111,40 +133,94 @@ object ExtractJob {
     val part = when(length($"html") >= bigBytes, pmod(xxhash64($"url"), lit(bigParts)))
       .otherwise(lit(bigParts) + pmod(xxhash64($"url"), lit(normParts)))
     val routed = if (salted) pages.repartition(numPartitions, part).as[PageRow] else pages
-    routed
-      .mapPartitions { it =>
-        val t0 = System.currentTimeMillis()
-        var docs = 0L
-        var bytes = 0L
-        val hist = new Array[Long](82)
-        val sink = new graft.dom.ExtractSink // reused across the partition's rows
-        new Iterator[Extracted] {
-          def hasNext: Boolean = {
-            val h = it.hasNext
-            if (!h && lineage != null && docs > 0) {
-              val ms = math.max(System.currentTimeMillis() - t0, 1L)
-              val hm = Map.newBuilder[String, Long]
-              var i = 0
-              while (i < hist.length) { if (hist(i) > 0) hm += St.names(i) -> hist(i); i += 1 }
-              lineage.add(LineageRow(runId, chunk, TaskContext.getPartitionId(),
-                docs, bytes, ms, bytes * 1000.0 / ms, hm.result()))
-              docs = 0 // emit once
-            }
-            h
-          }
-          def next(): Extracted = {
-            val p = it.next()
-            val r = Extractor.extractInto(p.html, sink)
-            docs += 1
-            bytes += p.html.length
-            var i = 0
-            while (i < hist.length) { hist(i) += r.stateHits(i); i += 1 }
-            Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
-              r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
-              p.html.length.toLong)
-          }
+    routed.mapPartitions(it =>
+      kernelIterator(it, () => "", runId, lineage, chunk, maxTaskBytes))
+  }
+
+  /** File-backed entry: same kernel, but each partition's lineage row records
+    * the distinct source files it read (`input_file_name()` captured at the
+    * scan, before any typed transform).
+    */
+  def extractFiles(
+      pages: org.apache.spark.sql.DataFrame,
+      runId: String,
+      lineage: CollectionAccumulator[LineageRow] = null,
+      chunk: Int = 0,
+      maxTaskBytes: Long = Long.MaxValue
+  ): Dataset[Extracted] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .withColumn("input_file", input_file_name())
+      .as[PageRowF]
+      .mapPartitions { it0 =>
+        val files = scala.collection.mutable.LinkedHashSet.empty[String]
+        val it = it0.map { f =>
+          if (f.input_file != null && f.input_file.nonEmpty) files += f.input_file
+          PageRow(f.url, f.warc_ts, f.html, f.text, f.lang)
+        }
+        kernelIterator(it, () => files.mkString(";"), runId, lineage, chunk, maxTaskBytes)
+      }
+  }
+
+  /** The per-partition kernel: one reused sink, per-row oracle extraction,
+    * O(1) lineage state, a single lineage row emitted after the last page.
+    * `maxTaskBytes` bounds scheduler-visible task work on pathological
+    * splits (north star "per-partition size caps"): once a task has pushed
+    * that many html bytes through the tokenizer, remaining rows are emitted
+    * as empty/truncated rows flagged TASK_BYTE_CAP and counted in lineage —
+    * explicit, lineage-visible loss instead of an unbounded straggler.
+    */
+  private def kernelIterator(
+      it: Iterator[PageRow],
+      inputFiles: () => String,
+      runId: String,
+      lineage: CollectionAccumulator[LineageRow],
+      chunk: Int,
+      maxTaskBytes: Long
+  ): Iterator[Extracted] = {
+    val t0 = System.currentTimeMillis()
+    var docs = 0L
+    var bytes = 0L
+    var capped = 0L
+    val hist = new Array[Long](82)
+    val sink = new graft.dom.ExtractSink // reused across the partition's rows
+    new Iterator[Extracted] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && lineage != null && docs > 0) {
+          val ms = math.max(System.currentTimeMillis() - t0, 1L)
+          val hm = Map.newBuilder[String, Long]
+          var i = 0
+          while (i < hist.length) { if (hist(i) > 0) hm += St.names(i) -> hist(i); i += 1 }
+          val pid = TaskContext.getPartitionId()
+          val lo = pid.toLong << 33
+          lineage.add(LineageRow(runId, chunk, pid, inputFiles(),
+            RowRange(lo, lo + docs - 1), docs, bytes, ms, bytes * 1000.0 / ms,
+            capped, hm.result()))
+          docs = 0 // emit once
+        }
+        h
+      }
+      def next(): Extracted = {
+        val p = it.next()
+        docs += 1
+        if (bytes >= maxTaskBytes) {
+          capped += 1
+          bytes += p.html.length
+          Extracted(p.url, p.lang, "", "", Nil, Seq("TASK_BYTE_CAP"),
+            0, 0L, 0L, 1, truncated = true, p.html.length.toLong)
+        } else {
+          val r = Extractor.extractInto(p.html, sink)
+          bytes += p.html.length
+          var i = 0
+          while (i < hist.length) { hist(i) += r.stateHits(i); i += 1 }
+          Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
+            r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
+            p.html.length.toLong)
         }
       }
+    }
   }
 
   /** Chunked, resumable run: each chunk writes its extracted rows, then its
@@ -162,7 +238,7 @@ object ExtractJob {
     val spark = pages.sparkSession
     import spark.implicits._
     runChunkedFrom(spark,
-      c => pages.where(pmod(xxhash64($"url"), lit(chunks)) === c),
+      c => pages.where(pmod(xxhash64($"url"), lit(chunks)) === c).toDF(),
       outDir, runId, chunks, partitionsPerChunk)
   }
 
@@ -174,11 +250,12 @@ object ExtractJob {
     */
   def runChunkedFrom(
       spark: org.apache.spark.sql.SparkSession,
-      chunkOf: Int => Dataset[PageRow],
+      chunkOf: Int => org.apache.spark.sql.DataFrame,
       outDir: String,
       runId: String,
       chunks: Int,
-      partitionsPerChunk: Int
+      partitionsPerChunk: Int,
+      maxTaskBytes: Long = Long.MaxValue
   ): Unit = {
     import spark.implicits._
     val lineageDir = s"$outDir/lineage"
@@ -189,7 +266,7 @@ object ExtractJob {
     for (c <- 0 until chunks if !done.contains(c)) {
       val t0 = System.currentTimeMillis()
       val acc = spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$c")
-      extract(chunkOf(c), runId, partitionsPerChunk, acc, c)
+      extractFiles(chunkOf(c), runId, acc, c, maxTaskBytes)
         .write.mode("overwrite").parquet(s"$outDir/data/chunk=$c")
       val tW = System.currentTimeMillis()
       // Accumulator updates inside transformations are at-least-once (task

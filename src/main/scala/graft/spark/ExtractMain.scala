@@ -41,20 +41,22 @@ object ExtractMain {
         .write.mode("overwrite").partitionBy("chunk").parquet(pagesDir)
     }
     val t1 = System.currentTimeMillis()
-    import spark.implicits._
     def chunkOf(c: Int) = spark.read.parquet(pagesDir)
       .where(col("chunk") === c)
       .select("url", "warc_ts", "html", "text", "lang")
-      .as[PageRow]
-    ExtractJob.runChunkedFrom(spark, chunkOf, outDir, runId, chunks, parts)
+    // optional per-task byte cap (north star "per-partition size caps")
+    val maxTaskBytes = sys.env.get("SPARK_GRAFT_MAX_TASK_BYTES").map(_.toLong).getOrElse(Long.MaxValue)
+    ExtractJob.runChunkedFrom(spark, chunkOf, outDir, runId, chunks, parts, maxTaskBytes)
     // Iceberg-style metadata-only commit: manifest over the chunk files in
     // place; docs/bytes come from the lineage table — no full re-read.
     val cat = new ParquetSnapshotCatalog(outDir)
     val dataFiles = {
       val base = java.nio.file.Paths.get(s"$outDir/data")
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      java.nio.file.Files.walk(base).forEach { p =>
-        if (p.toString.endsWith(".parquet")) out += p.toAbsolutePath.toString
+      scala.util.Using.resource(java.nio.file.Files.walk(base)) { s =>
+        s.forEach { p =>
+          if (p.toString.endsWith(".parquet")) out += p.toAbsolutePath.toString
+        }
       }
       out.toSeq
     }

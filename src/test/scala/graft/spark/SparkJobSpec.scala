@@ -119,6 +119,44 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.where(length(col("f")) < length(col("m"))).count() === 0)
   }
 
+  test("file-backed lineage records input files and row ranges") {
+    val dir = tmp()
+    Pages.synthesize(spark, sfDir).write.mode("overwrite").parquet(s"$dir/pages")
+    val acc = spark.sparkContext.collectionAccumulator[LineageRow]("lin-files")
+    ExtractJob.extractFiles(spark.read.parquet(s"$dir/pages"), "tf", acc).toDF().count()
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala
+    assert(rows.nonEmpty && rows.map(_.docs).sum === 500)
+    assert(rows.forall(_.input_file.contains("pages")), "every partition names its parquet source")
+    assert(rows.forall(r => r.row_range.hi - r.row_range.lo + 1 === r.docs))
+    // ranges are disjoint across partitions (monotonic-id convention)
+    val sorted = rows.toSeq.sortBy(_.row_range.lo)
+    assert(sorted.sliding(2).forall {
+      case Seq(a, b) => a.row_range.hi < b.row_range.lo
+      case _ => true
+    })
+  }
+
+  test("per-task byte cap bounds pathological splits with lineage-visible loss") {
+    val ss = spark
+    import ss.implicits._
+    // one split of 64 x 256 KiB pages; cap the task at ~4 MiB
+    val big = "x" * 262144
+    val pages = ss.createDataset((0 until 64).map(i =>
+      PageRow(s"https://big/$i", new java.sql.Timestamp(0L), s"<p>$big</p>".getBytes("UTF-8"), null, null)
+    )).repartition(1)
+    val acc = ss.sparkContext.collectionAccumulator[LineageRow]("lin-cap")
+    val out = ExtractJob.extract(pages, "cap", 1, acc, maxTaskBytes = 4L << 20).collect()
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(acc.value).asScala
+    assert(out.length === 64)
+    val capped = out.filter(_.errors.contains("TASK_BYTE_CAP"))
+    assert(capped.nonEmpty, "cap fired")
+    assert(capped.forall(e => e.main_text.isEmpty && e.truncated))
+    // extraction work actually done stays within cap + one page
+    val extractedBytes = out.filterNot(_.errors.contains("TASK_BYTE_CAP")).map(_.bytes_in).sum
+    assert(extractedBytes <= (4L << 20) + 300000L)
+    assert(rows.map(_.capped_rows).sum === capped.length.toLong)
+  }
+
   test("minhash LSH finds planted near-dups with high recall") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = graft.operators.Dedup.minhashLsh(docs).collect()
