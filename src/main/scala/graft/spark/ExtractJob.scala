@@ -118,7 +118,8 @@ object ExtractJob {
       lineage: CollectionAccumulator[LineageRow] = null,
       chunk: Int = 0,
       salted: Boolean = false,
-      maxTaskBytes: Long = Long.MaxValue
+      maxTaskBytes: Long = Long.MaxValue,
+      lean: Boolean = false
   ): Dataset[Extracted] = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -134,7 +135,7 @@ object ExtractJob {
       .otherwise(lit(bigParts) + pmod(xxhash64($"url"), lit(normParts)))
     val routed = if (salted) pages.repartition(numPartitions, part).as[PageRow] else pages
     routed.mapPartitions(it =>
-      kernelIterator(it, () => "", runId, lineage, chunk, maxTaskBytes))
+      kernelIterator(it, () => "", runId, lineage, chunk, maxTaskBytes, lean))
   }
 
   /** File-backed entry: same kernel, but each partition's lineage row records
@@ -146,7 +147,8 @@ object ExtractJob {
       runId: String,
       lineage: CollectionAccumulator[LineageRow] = null,
       chunk: Int = 0,
-      maxTaskBytes: Long = Long.MaxValue
+      maxTaskBytes: Long = Long.MaxValue,
+      lean: Boolean = false
   ): Dataset[Extracted] = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -159,7 +161,7 @@ object ExtractJob {
           if (f.input_file != null && f.input_file.nonEmpty) files += f.input_file
           PageRow(f.url, f.warc_ts, f.html, f.text, f.lang)
         }
-        kernelIterator(it, () => files.mkString(";"), runId, lineage, chunk, maxTaskBytes)
+        kernelIterator(it, () => files.mkString(";"), runId, lineage, chunk, maxTaskBytes, lean)
       }
   }
 
@@ -177,7 +179,8 @@ object ExtractJob {
       runId: String,
       lineage: CollectionAccumulator[LineageRow],
       chunk: Int,
-      maxTaskBytes: Long
+      maxTaskBytes: Long,
+      lean: Boolean
   ): Iterator[Extracted] = {
     val t0 = System.currentTimeMillis()
     var docs = 0L
@@ -215,9 +218,12 @@ object ExtractJob {
           bytes += p.html.length
           var i = 0
           while (i < hist.length) { hist(i) += r.stateHits(i); i += 1 }
-          Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
-            r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
-            p.html.length.toLong)
+          // lean production mode: drop full_text (2x output size; offsets in
+          // spans still index it, and main_text == full_text on pages whose
+          // spans are all kept) — schema stays contract-identical
+          Extracted(p.url, p.lang, r.mainText, if (lean) "" else r.text,
+            r.spans, r.errors, r.spans.length, r.nTokens, r.nTags, r.nErrors,
+            r.truncated, p.html.length.toLong)
         }
       }
     }
@@ -255,7 +261,8 @@ object ExtractJob {
       runId: String,
       chunks: Int,
       partitionsPerChunk: Int,
-      maxTaskBytes: Long = Long.MaxValue
+      maxTaskBytes: Long = Long.MaxValue,
+      lean: Boolean = false
   ): Unit = {
     import spark.implicits._
     val lineageDir = s"$outDir/lineage"
@@ -266,7 +273,7 @@ object ExtractJob {
     for (c <- 0 until chunks if !done.contains(c)) {
       val t0 = System.currentTimeMillis()
       val acc = spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$runId-$c")
-      extractFiles(chunkOf(c), runId, acc, c, maxTaskBytes)
+      extractFiles(chunkOf(c), runId, acc, c, maxTaskBytes, lean)
         .write.mode("overwrite").parquet(s"$outDir/data/chunk=$c")
       val tW = System.currentTimeMillis()
       // Accumulator updates inside transformations are at-least-once (task

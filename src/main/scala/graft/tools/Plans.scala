@@ -14,7 +14,9 @@ object Plans {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- Seq("q_filter_orders", "q_join_region", "q1_agg", "q_extract_roundtrip", "q_dedup_exact", "q_ann_cosine")) {
+    for (name <- Seq("q_filter_orders", "q_join_region", "q1_agg", "q_extract_roundtrip",
+      "q_dedup_exact", "q_ann_cosine", "q_dedup_minhash", "q_dedup_simhash",
+      "q_embed_near_dups", "q_extract_spans")) {
       println(s"===== $name =====")
       graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
