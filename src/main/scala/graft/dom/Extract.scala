@@ -40,8 +40,8 @@ object ExtractConfig {
   /** A start of any of these auto-closes an open <p> (implied-end subset of
     * WHATWG §13.2.6.4.7). */
   val closesP: Set[String] = Set(
-    "p", "div", "ul", "ol", "li", "h1", "h2", "h3", "h4", "h5", "h6",
-    "table", "blockquote", "pre", "section", "article", "main", "dl"
+    "p", "div", "ul", "ol", "li", "dd", "dt", "h1", "h2", "h3", "h4", "h5",
+    "h6", "table", "blockquote", "pre", "section", "article", "main", "dl"
   )
   /** Active-formatting elements (WHATWG §13.2.4.3): scope-bounded end-tag
     * matching + reconstruction after implied closes. */
@@ -67,6 +67,13 @@ object ExtractConfig {
   val tableEndStops: Set[String] = Set("html", "template")
   val tablePartEndStops: Set[String] = Set("html", "table", "template")
   val listEndStops: Set[String] = scopeStops ++ Set("ul", "ol", "dl")
+  // implied-end scope stops, hoisted: these sit on the per-TAG hot path and
+  // must never be allocated per call
+  val pImpliedStops: Set[String] = Set("body", "table", "td", "th", "caption")
+  val liImpliedStops: Set[String] = Set("ul", "ol", "body", "table", "td", "th")
+  val dlImpliedStops: Set[String] = Set("dl", "body", "table", "td", "th")
+  val trImpliedStops: Set[String] = Set("table", "html")
+  val cellImpliedStops: Set[String] = Set("tr", "table", "html")
   /** Content that is legal directly in table context (never fostered). */
   val tableParts: Set[String] = Set(
     "table", "tbody", "thead", "tfoot", "tr", "td", "th", "caption",
@@ -78,6 +85,46 @@ object ExtractConfig {
   )
   val minBlockTextLen = 8
   val maxLinkDensity = 0.5
+
+  // ---- per-name bit flags (the per-tag hot path does ONE hash lookup) -----
+  final val FBlacklist = 1 << 0
+  final val FVoid = 1 << 1
+  final val FBlock = 1 << 2
+  final val FClosesP = 1 << 3
+  final val FFormatting = 1 << 4
+  final val FFoster = 1 << 5
+  final val FTablePart = 1 << 6
+  final val FHeadOnly = 1 << 7
+  final val FMarker = 1 << 8
+  final val SDefault = 1 << 9
+  final val STableEnd = 1 << 10
+  final val STablePart = 1 << 11
+  final val SList = 1 << 12
+  final val SP = 1 << 13
+  final val SLi = 1 << 14
+  final val SDl = 1 << 15
+  final val STr = 1 << 16
+  final val SCell = 1 << 17
+
+  /** name → OR of all flag/scope bits; names absent from every set → 0. */
+  val flagTable: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](128)
+    def add(s: Iterable[String], bit: Int): Unit =
+      s.foreach(n => m.merge(n, Integer.valueOf(bit), (a, b) => Integer.valueOf(a.intValue | b.intValue)))
+    add(blacklist, FBlacklist); add(voids, FVoid); add(blocks, FBlock)
+    add(closesP, FClosesP); add(formatting, FFormatting); add(fosterSet, FFoster)
+    add(tableParts, FTablePart); add(headOnly, FHeadOnly); add(fmtMarkerSet, FMarker)
+    add(scopeStops, SDefault); add(tableEndStops, STableEnd)
+    add(tablePartEndStops, STablePart); add(listEndStops, SList)
+    add(pImpliedStops, SP); add(liImpliedStops, SLi); add(dlImpliedStops, SDl)
+    add(trImpliedStops, STr); add(cellImpliedStops, SCell)
+    m
+  }
+
+  @inline def flagsOf(name: String): Int = {
+    val v = flagTable.get(name)
+    if (v == null) 0 else v.intValue
+  }
 }
 
 /** Flat DOM arena: nodes are appended, never moved; parent/child indices only
@@ -135,6 +182,7 @@ final class ExtractSink extends TokenSink {
   // open-element stack (parallel arrays)
   private val stkNode = ArrayBuffer(root)
   private val stkName = ArrayBuffer("#root")
+  private val stkFlags = ArrayBuffer(0) // ExtractConfig flag bits per entry
   private var skipDepth = 0 // >0 → inside blacklisted subtree
   private var linkDepth = 0
   private var blockTop = root // nearest open block node
@@ -176,6 +224,7 @@ final class ExtractSink extends TokenSink {
     root = arena.add("#root", -1)
     stkNode.clear(); stkNode += root
     stkName.clear(); stkName += "#root"
+    stkFlags.clear(); stkFlags += 0
     skipDepth = 0; linkDepth = 0; blockTop = root; foreignDepth = 0
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); fmtMarkers.clear()
@@ -208,7 +257,7 @@ final class ExtractSink extends TokenSink {
 
   private def blockUpTo(topIdx: Int): Int = {
     var i = topIdx
-    while (i > 0 && !blocks.contains(stkName(i))) i -= 1
+    while (i > 0 && (stkFlags(i) & FBlock) == 0) i -= 1
     stkNode(i)
   }
 
@@ -219,7 +268,7 @@ final class ExtractSink extends TokenSink {
       // point is table/tbody/thead/tfoot/tr is inserted BEFORE the table —
       // the run anchors to the table's stack parent, not the table
       val anchor =
-        if (fosterSet.contains(stkName(top))) {
+        if ((stkFlags(top) & FFoster) != 0) {
           val ti = stkName.lastIndexOf("table")
           if (ti > 0) ti - 1 else top
         } else top
@@ -245,7 +294,7 @@ final class ExtractSink extends TokenSink {
       if (stkName(stkName.length - 1) == "head" || skipDepth == 0) ensureBody()
     }
     if (skipDepth > 0) return false
-    if (runStart < 0 && !fosterSet.contains(stkName(stkName.length - 1)))
+    if (runStart < 0 && (stkFlags(stkFlags.length - 1) & FFoster) == 0)
       reconstructFmt()
     true
   }
@@ -292,21 +341,24 @@ final class ExtractSink extends TokenSink {
     cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x0c
 
   private def recomputeBlockTop(): Unit = {
-    var i = stkName.length - 1
-    while (i > 0 && !blocks.contains(stkName(i))) i -= 1
+    var i = stkFlags.length - 1
+    while (i > 0 && (stkFlags(i) & FBlock) == 0) i -= 1
     blockTop = stkNode(i)
   }
 
-  /** Push an element onto the open stack (arena node already created). */
-  private def pushOpen(name: String, par: Int): Int = {
+  /** Push an element onto the open stack (arena node already created);
+    * `f` = flagsOf(name), computed once by the caller.
+    */
+  private def pushOpen(name: String, par: Int, f: Int): Int = {
     val id = arena.add(name, par)
     stkNode += id
     stkName += name
-    if (blacklist.contains(name)) skipDepth += 1
-    if (name == "a") linkDepth += 1
+    stkFlags += f
+    if ((f & FBlacklist) != 0) skipDepth += 1
+    if ((f & FFormatting) != 0 && name == "a") linkDepth += 1
     if (name == "svg" || name == "math") foreignDepth += 1
-    if (blocks.contains(name)) blockTop = id
-    if (fmtMarkerSet.contains(name)) fmtMarkers += activeFmt.length
+    if ((f & FBlock) != 0) blockTop = id
+    if ((f & FMarker) != 0) fmtMarkers += activeFmt.length
     id
   }
 
@@ -315,15 +367,16 @@ final class ExtractSink extends TokenSink {
     var i = stkName.length - 1
     while (i >= idx) {
       val nm = stkName(i)
-      if (blacklist.contains(nm)) skipDepth -= 1
-      if (nm == "a") linkDepth -= 1
+      val f = stkFlags(i)
+      if ((f & FBlacklist) != 0) skipDepth -= 1
+      if ((f & FFormatting) != 0 && nm == "a") linkDepth -= 1
       if (nm == "svg" || nm == "math") foreignDepth -= 1
-      if (fmtMarkerSet.contains(nm) && fmtMarkers.nonEmpty) {
+      if ((f & FMarker) != 0 && fmtMarkers.nonEmpty) {
         // clear active formatting up to the marker (§ "clear ... to last marker")
         val m = fmtMarkers.remove(fmtMarkers.length - 1)
         activeFmt.dropRightInPlace(activeFmt.length - m)
         activeFmtOpen.dropRightInPlace(activeFmtOpen.length - m)
-      } else if (formatting.contains(nm)) {
+      } else if ((f & FFormatting) != 0) {
         // implicitly closed formatting element → eligible for reconstruction
         var j = activeFmt.length - 1
         var done = false
@@ -334,6 +387,7 @@ final class ExtractSink extends TokenSink {
       }
       stkName.remove(i)
       stkNode.remove(i)
+      stkFlags.remove(i)
       i -= 1
     }
     recomputeBlockTop()
@@ -342,12 +396,11 @@ final class ExtractSink extends TokenSink {
   /** Last stack index holding `name`, scanning down but never past a scope
     * boundary (§13.2.4.2 "has an element in scope"); -1 when out of scope.
     */
-  private def lastIndexWithin(name: String, stops: Set[String]): Int = {
+  private def lastIndexWithin(name: String, stopMask: Int): Int = {
     var i = stkName.length - 1
     while (i > 0) {
-      val nm = stkName(i)
-      if (nm == name) return i
-      if (stops.contains(nm)) return -1
+      if (stkName(i) == name) return i
+      if ((stkFlags(i) & stopMask) != 0) return -1
       i -= 1
     }
     -1
@@ -363,7 +416,8 @@ final class ExtractSink extends TokenSink {
     var i = start
     while (i < activeFmt.length) {
       if (!activeFmtOpen(i)) {
-        pushOpen(activeFmt(i), stkNode(stkNode.length - 1))
+        val nm = activeFmt(i)
+        pushOpen(nm, stkNode(stkNode.length - 1), flagsOf(nm))
         activeFmtOpen(i) = true
       }
       i += 1
@@ -386,11 +440,12 @@ final class ExtractSink extends TokenSink {
   // ---- implied document structure (§13.2.6.4.1-4.6) -----------------------
 
   private def ensureHtml(): Unit =
-    if (htmlIdx < 0) htmlIdx = pushOpen("html", root)
+    if (htmlIdx < 0) htmlIdx = pushOpen("html", root, flagsOf("html"))
 
   private def ensureHead(): Unit = {
     ensureHtml()
-    if (headIdx < 0 && bodyIdx < 0) headIdx = pushOpen("head", stkNode(stkNode.length - 1))
+    if (headIdx < 0 && bodyIdx < 0)
+      headIdx = pushOpen("head", stkNode(stkNode.length - 1), flagsOf("head"))
   }
 
   private def ensureBody(): Unit = {
@@ -398,7 +453,7 @@ final class ExtractSink extends TokenSink {
     if (bodyIdx < 0) {
       val h = stkName.lastIndexOf("head")
       if (h > 0) popTo(h) // implied </head>
-      bodyIdx = pushOpen("body", htmlIdx)
+      bodyIdx = pushOpen("body", htmlIdx, flagsOf("body"))
     }
   }
 
@@ -410,11 +465,12 @@ final class ExtractSink extends TokenSink {
   }
 
   private def startTag(name: String, selfClosing: Boolean): Unit = {
+    val f = flagsOf(name) // the ONE name-hash of the per-tag hot path
     // document-structure elements: adopt the first, ignore repeats
-    if (name == "html") { if (htmlIdx < 0) htmlIdx = pushOpen("html", root); return }
-    if (name == "head") { ensureHtml(); if (headIdx < 0 && bodyIdx < 0) headIdx = pushOpen("head", stkNode(stkNode.length - 1)); return }
+    if (name == "html") { if (htmlIdx < 0) htmlIdx = pushOpen("html", root, f); return }
+    if (name == "head") { ensureHtml(); if (headIdx < 0 && bodyIdx < 0) headIdx = pushOpen("head", stkNode(stkNode.length - 1), f); return }
     if (name == "body") { ensureBody(); return }
-    if (headOnly.contains(name)) {
+    if ((f & FHeadOnly) != 0) {
       // metadata content: into the (implied) head before body, in place after
       if (bodyIdx < 0 && stkName.lastIndexOf("head") <= 0) ensureHead()
       else ensureHtml()
@@ -423,50 +479,45 @@ final class ExtractSink extends TokenSink {
     }
     // implied end tags (§13.2.6.4.7/4.9): a new block closes an open <p>;
     // li/tr/td/sections close their predecessor within their scope
-    if (closesP.contains(name)) {
-      val i = lastIndexWithin("p", Set("body", "table", "td", "th", "caption"))
+    if ((f & FClosesP) != 0) {
+      val i = lastIndexWithin("p", SP)
       if (i > 0) popTo(i)
-    }
-    name match {
-      case "li" =>
-        val i = lastIndexWithin("li", Set("ul", "ol", "body", "table", "td", "th"))
-        if (i > 0) popTo(i)
-      case "dd" | "dt" =>
-        val i = math.max(
-          lastIndexWithin("dd", Set("dl", "body", "table", "td", "th")),
-          lastIndexWithin("dt", Set("dl", "body", "table", "td", "th")))
-        if (i > 0) popTo(i)
-      case "tr" =>
-        val i = lastIndexWithin("tr", Set("table", "html"))
-        if (i > 0) popTo(i)
-      case "td" | "th" =>
-        val i = math.max(
-          lastIndexWithin("td", Set("tr", "table", "html")),
-          lastIndexWithin("th", Set("tr", "table", "html")))
-        if (i > 0) popTo(i)
-      case "tbody" | "thead" | "tfoot" =>
-        val i = math.max(lastIndexWithin("tbody", Set("table", "html")),
-          math.max(lastIndexWithin("thead", Set("table", "html")),
-            lastIndexWithin("tfoot", Set("table", "html"))))
-        if (i > 0) popTo(i)
-      case "table" if fosterSet.contains(stkName(stkName.length - 1)) =>
+      if (name == "li") {
+        val j = lastIndexWithin("li", SLi)
+        if (j > 0) popTo(j)
+      } else if (name == "dd" || name == "dt") {
+        val j = math.max(lastIndexWithin("dd", SDl), lastIndexWithin("dt", SDl))
+        if (j > 0) popTo(j)
+      } else if (name == "table" && (stkFlags(stkFlags.length - 1) & FFoster) != 0) {
         // a table start inside a table closes the outer one (§ "in table")
-        val i = lastIndexWithin("table", Set("html"))
+        val j = lastIndexWithin("table", STableEnd)
+        if (j > 0) popTo(j)
+      }
+    } else if ((f & FTablePart) != 0) {
+      if (name == "tr") {
+        val i = lastIndexWithin("tr", STr)
         if (i > 0) popTo(i)
-      case _ => ()
+      } else if (name == "td" || name == "th") {
+        val i = math.max(lastIndexWithin("td", SCell), lastIndexWithin("th", SCell))
+        if (i > 0) popTo(i)
+      } else if (name == "tbody" || name == "thead" || name == "tfoot") {
+        val i = math.max(lastIndexWithin("tbody", STr),
+          math.max(lastIndexWithin("thead", STr), lastIndexWithin("tfoot", STr)))
+        if (i > 0) popTo(i)
+      }
     }
     // foster parenting for non-table content whose insertion point is
     // table/section/row: the arena node hangs BEFORE the table (its stack
     // parent) while staying on the open stack above it
     val top = stkName.length - 1
     val par =
-      if (fosterSet.contains(stkName(top)) && !tableParts.contains(name)) {
+      if ((stkFlags(top) & FFoster) != 0 && (f & FTablePart) == 0) {
         val ti = stkName.lastIndexOf("table")
         if (ti > 0) arena.parent(stkNode(ti)) else stkNode(top)
       } else stkNode(top)
-    if (!selfClosing && !voids.contains(name)) {
-      pushOpen(name, par)
-      if (formatting.contains(name)) { activeFmt += name; activeFmtOpen += true }
+    if (!selfClosing && (f & FVoid) == 0) {
+      pushOpen(name, par, f)
+      if ((f & FFormatting) != 0) { activeFmt += name; activeFmtOpen += true }
     } else {
       arena.add(name, par) // void/self-closing: arena node only
     }
@@ -474,13 +525,14 @@ final class ExtractSink extends TokenSink {
 
   private def endTag(name: String): Unit = {
     if (name == "body" || name == "html") return // trailing text re-enters body
-    if (formatting.contains(name)) {
-      val idx = lastIndexWithin(name, scopeStops)
+    val f = flagsOf(name)
+    if ((f & FFormatting) != 0) {
+      val idx = lastIndexWithin(name, SDefault)
       if (idx <= 0) { removeLastFmtEntry(name); return }
       var allFmtAbove = true
       var j = idx + 1
       while (j < stkName.length && allFmtAbove) {
-        allFmtAbove = formatting.contains(stkName(j)); j += 1
+        allFmtAbove = (stkFlags(j) & FFormatting) != 0; j += 1
       }
       if (allFmtAbove) {
         popTo(idx) // marks the ones above for reconstruction
@@ -493,7 +545,7 @@ final class ExtractSink extends TokenSink {
       }
       return
     }
-    val i = lastIndexWithin(name, endScopeStops(name))
+    val i = lastIndexWithin(name, endScopeMask(name))
     if (i > 0) popTo(i) // out-of-scope / unmatched end tags ignored
   }
 
@@ -502,12 +554,11 @@ final class ExtractSink extends TokenSink {
     * table's end), list items add their list containers, everything else
     * the default scope.
     */
-  private def endScopeStops(name: String): Set[String] = name match {
-    case "table" => ExtractConfig.tableEndStops
-    case "tbody" | "thead" | "tfoot" | "tr" | "td" | "th" | "caption" =>
-      ExtractConfig.tablePartEndStops
-    case "li" | "dd" | "dt" => ExtractConfig.listEndStops
-    case _ => scopeStops
+  private def endScopeMask(name: String): Int = name match {
+    case "table" => STableEnd
+    case "tbody" | "thead" | "tfoot" | "tr" | "td" | "th" | "caption" => STablePart
+    case "li" | "dd" | "dt" => SList
+    case _ => SDefault
   }
 
   override def comment(data: String): Unit = { nTokens += 1; closeRun() } // elided
