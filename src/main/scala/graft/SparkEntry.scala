@@ -116,6 +116,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))),
     "q_events_window" -> ((s, dir) =>
       graft.streaming.ExtractStream.eventCounts(s.read.parquet(s"$dir/events.parquet"))),
+    "q_sessionize" -> ((s, dir) =>
+      // stateful-streaming operator family: flatMapGroupsWithState
+      graft.streaming.ExtractStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
     "q_top_orders" -> ((s, dir) =>
       s.read.parquet(s"$dir/orders.parquet")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -222,6 +225,27 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands reformulation of the 30-minute-gap sessionization;
+    // microsecond epochs keep every output column an exact BIGINT
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |       CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+        |       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

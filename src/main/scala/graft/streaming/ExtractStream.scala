@@ -54,6 +54,110 @@ object ExtractStream {
     }
   }
 
+  /** Gap-based sessionization via the stateful-streaming API
+    * (`flatMapGroupsWithState` over a KeyValueGroupedDataset — the custom-
+    * state operator family). Sessions = per-user event groups where
+    * consecutive events are ≤ `gapUs` apart; output is one row per session
+    * with exact microsecond bounds (BIGINT — bit-stable for the oracle).
+    *
+    * Scale shape: ONE shuffle keyed by user_id; per-group work is O(events
+    * per user · log) for the in-group sort — users are the natural bounded
+    * key. In a streaming query the same function runs incrementally with
+    * GroupState carrying the open session (here unused in batch execution,
+    * where each key's full iterator arrives at once).
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      // events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast's
+      // wall-clock-as-UTC epoch equals DuckDB's epoch_us on the naive value
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)], _: GroupState[Long]) =>
+          val ts = it.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var start = ts(0)
+          var prev = ts(0)
+          var n = 1L
+          var i = 1
+          while (i < ts.length) {
+            if (ts(i) - prev > gapUs) {
+              out += ((uid, start, prev, n))
+              start = ts(i); n = 0L
+            }
+            prev = ts(i); n += 1
+            i += 1
+          }
+          out += ((uid, start, prev, n))
+          out.iterator
+      }
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
+  /** One event for the streaming sessionizer (ts drives the watermark). */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** One closed session. */
+  final case class Session(user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** GroupState payload: the per-user open session (public for the encoder). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+
+  /** Incremental streaming sessionization: open sessions live in GroupState,
+    * closed ones are emitted as soon as a same-batch gap closes them, and the
+    * event-time timeout (watermark-driven) flushes a session once no event
+    * can extend it. This is the cross-batch-correct variant of `sessionize`
+    * (whose batch execution sees each key's full history at once and flushes
+    * everything).
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapUs: Long = 1800000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withWatermark("ts", s"${gapUs / 1000000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.startUs, s.lastUs, s.n))
+          } else {
+            val ts = it.map(e => e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption.getOrElse(OpenSession(ts(0), ts(0), 0L))
+            var i = 0
+            // if the state's open session cannot absorb the first new event,
+            // close it; otherwise the loop below extends it
+            if (state.exists && ts(0) - open.lastUs > gapUs) {
+              closed += Session(uid, open.startUs, open.lastUs, open.n)
+              open = OpenSession(ts(0), ts(0), 0L)
+            }
+            while (i < ts.length) {
+              if (ts(i) - open.lastUs > gapUs) {
+                closed += Session(uid, open.startUs, open.lastUs, open.n)
+                open = OpenSession(ts(i), ts(i), 1L)
+              } else {
+                open = OpenSession(open.startUs, ts(i), open.n + 1L)
+              }
+              i += 1
+            }
+            state.update(open)
+            // flush once the watermark passes last event + gap
+            state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
+            closed.iterator
+          }
+      }
+  }
+
   /** Watermarked tumbling-window event aggregation (the streaming-analytics
     * operator family: event-time window + late-data bound + partial aggs).
     * Works on a streaming OR batch events Dataset — semantics match

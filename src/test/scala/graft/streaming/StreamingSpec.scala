@@ -46,6 +46,62 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() === 500)
   }
 
+  test("incremental sessionization: GroupState spans micro-batches, event-time timeout flushes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    def ev(uid: Long, us: Long) =
+      ExtractStream.SessionEvent(uid, new java.sql.Timestamp(us / 1000L))
+    val min = 60L * 1000000L
+    val t0 = 1700000000L * 1000000L
+    val mem = MemoryStream[ExtractStream.SessionEvent]
+    val q = ExtractStream.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // batch 1: u1 opens a session (2 events), u2 opens a 1-event session
+      mem.addData(ev(1, t0), ev(1, t0 + 10 * min), ev(2, t0))
+      q.processAllAvailable()
+      // batch 2: u1's session EXTENDS across the batch boundary (state!),
+      // then a 2h-later event closes it; u99's far-future event drives the
+      // watermark past everyone's timeout
+      mem.addData(ev(1, t0 + 20 * min), ev(1, t0 + 140 * min), ev(99, t0 + 300 * min))
+      q.processAllAvailable()
+      // batch 3: any new data lets the now-advanced watermark fire timeouts
+      mem.addData(ev(99, t0 + 400 * min))
+      q.processAllAvailable()
+      val got = ss.table("sess").as[ExtractStream.Session].collect()
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+      assert(got.contains((1L, t0, t0 + 20 * min, 3L)), s"cross-batch merge: $got")
+      assert(got.contains((1L, t0 + 140 * min, t0 + 140 * min, 1L)), s"timeout flush u1: $got")
+      assert(got.contains((2L, t0, t0, 1L)), s"timeout flush u2: $got")
+      assert(got.contains((99L, t0 + 300 * min, t0 + 300 * min, 1L)), s"gap close u99: $got")
+    } finally q.stop()
+  }
+
+  test("batch sessionize equals the window-function reformulation on the events table") {
+    val ss = spark
+    val got = ExtractStream.sessionize(ss.read.parquet(s"$sfDir/events.parquet"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    ss.read.parquet(s"$sfDir/events.parquet").createOrReplaceTempView("events_v")
+    val expected = ss.sql(
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events_v),
+        |m AS (SELECT user_id, ts, event_id,
+        |        CASE WHEN prev IS NULL OR unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev AS TIMESTAMP)) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m)
+        |SELECT user_id, min(unix_micros(CAST(ts AS TIMESTAMP))) AS session_start_us,
+        |       max(unix_micros(CAST(ts AS TIMESTAMP))) AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin)
+      .collect().map(_.toSeq).sortBy(_.toString())
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("watermarked window agg equals the batch groupBy on the events table") {
     val batch = ExtractStream.eventCounts(spark.read.parquet(s"$sfDir/events.parquet"))
       .collect().map(_.toSeq).sortBy(_.toString())
