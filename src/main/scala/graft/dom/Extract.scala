@@ -568,35 +568,46 @@ final class ExtractSink extends TokenSink {
   override def eof(name: String, msg: String): Unit = { nTokens += 1; closeRun() }
   override def parseError(code: String): Unit = errors += code
 
+  // density-scoring scratch, reused across rows (cleared per result())
+  private val densTotal = new java.util.HashMap[Integer, Int](32)
+  private val densLink = new java.util.HashMap[Integer, Int](32)
+
   /** Finalize: text-density scoring per block → mainText. */
   def result(truncated: Boolean, stateHits: Array[Long]): ExtractResult = {
     closeRun()
     val full = text.toString
-    // per-block totals
-    val totalLen = scala.collection.mutable.HashMap.empty[Int, Int]
-    val linkLen = scala.collection.mutable.HashMap.empty[Int, Int]
-    spans.foreach { s =>
+    // per-block totals (reused maps — no per-row allocation)
+    densTotal.clear(); densLink.clear()
+    var si = 0
+    while (si < spans.length) {
+      val s = spans(si)
       val n = s.end - s.start
-      totalLen.update(s.block, totalLen.getOrElse(s.block, 0) + n)
-      if (s.link) linkLen.update(s.block, linkLen.getOrElse(s.block, 0) + n)
+      densTotal.merge(s.block, n, (a, b) => a + b)
+      if (s.link) densLink.merge(s.block, n, (a, b) => a + b)
+      si += 1
     }
     def keepBlock(b: Int): Boolean = {
-      val t = totalLen.getOrElse(b, 0)
-      val l = linkLen.getOrElse(b, 0)
+      val t = densTotal.getOrDefault(b, 0)
+      val l = densLink.getOrDefault(b, 0)
       t >= minBlockTextLen && l.toDouble <= maxLinkDensity * t
     }
     // append straight from the text builder (no second full-copy); when every
-    // span is kept (the common page), mainText IS full — skip the copy.
+    // span is kept (the common page), mainText IS full and the spans (built
+    // with kept = true) need no copy at all.
     val allKept = spans.forall(s => keepBlock(s.block))
-    val main = new java.lang.StringBuilder(if (allKept) 0 else full.length)
-    val finalSpans = spans.map { s =>
-      val kept = keepBlock(s.block)
-      if (kept && !allKept) main.append(text, s.start, s.end)
-      s.copy(kept = kept)
+    if (allKept) {
+      ExtractResult(full, full, spans.toVector, nTokens, nTags,
+        errors.length, errors.toVector, truncated, stateHits)
+    } else {
+      val main = new java.lang.StringBuilder(full.length)
+      val finalSpans = spans.map { s =>
+        val kept = keepBlock(s.block)
+        if (kept) main.append(text, s.start, s.end)
+        s.copy(kept = kept)
+      }
+      ExtractResult(full, main.toString, finalSpans.toVector, nTokens, nTags,
+        errors.length, errors.toVector, truncated, stateHits)
     }
-    val mainStr = if (allKept) full else main.toString
-    ExtractResult(full, mainStr, finalSpans.toVector, nTokens, nTags,
-      errors.length, errors.toVector, truncated, stateHits)
   }
 }
 
