@@ -17,4 +17,14 @@ class GoldenSpec extends AnyFunSuite {
     val mism = golden.zip(fresh).filter { case (a, b) => a != b }
     assert(mism.isEmpty, s"${mism.size} golden mismatches; first: ${mism.headOption}")
   }
+
+  test("gnarly golden hashes reproduce (tree-construction fragments + tag soup)") {
+    val in = getClass.getResourceAsStream("/golden/sha256_gnarly.tsv")
+    assert(in != null, "gnarly golden file missing — run `sbt \"runMain graft.tools.GoldenGen\"`")
+    val golden = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    val fresh = graft.tools.GoldenGen.gnarlyRows
+    assert(golden.size === fresh.size)
+    val mism = golden.zip(fresh).filter { case (a, b) => a != b }
+    assert(mism.isEmpty, s"${mism.size} gnarly mismatches; first: ${mism.headOption}")
+  }
 }
