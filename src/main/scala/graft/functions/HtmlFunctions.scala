@@ -58,11 +58,48 @@ case class HtmlTagCount(child: Expression) extends HtmlKernelExpression {
   override def prettyName: String = "html_tag_count"
 }
 
+case class HtmlSpans(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = HtmlSpans.spanArrayType
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ex(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      r.spans.map(s => org.apache.spark.sql.catalyst.InternalRow(
+        s.start, s.end, UTF8String.fromString(s.path), s.block, s.link, s.kept)).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlSpans = copy(child = newChild)
+  override def prettyName: String = "html_spans"
+}
+
+object HtmlSpans {
+  import org.apache.spark.sql.types._
+  val spanArrayType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("block", IntegerType, nullable = false),
+    StructField("link", BooleanType, nullable = false),
+    StructField("kept", BooleanType, nullable = false))), containsNull = false)
+}
+
+case class HtmlErrors(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ex(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      r.errors.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlErrors = copy(child = newChild)
+  override def prettyName: String = "html_errors"
+}
+
 object HtmlFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "html_main_text" -> (args => HtmlMainText(args.head)),
     "html_text" -> (args => HtmlText(args.head)),
-    "html_tag_count" -> (args => HtmlTagCount(args.head))
+    "html_tag_count" -> (args => HtmlTagCount(args.head)),
+    "html_spans" -> (args => HtmlSpans(args.head)),
+    "html_errors" -> (args => HtmlErrors(args.head))
   )
 
   /** Imperative registration — works on any live session (no config needed). */
@@ -79,7 +116,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = Seq(
     ("html_main_text", (args: Seq[Expression]) => HtmlMainText(args.head)),
     ("html_text", (args: Seq[Expression]) => HtmlText(args.head)),
-    ("html_tag_count", (args: Seq[Expression]) => HtmlTagCount(args.head))
+    ("html_tag_count", (args: Seq[Expression]) => HtmlTagCount(args.head)),
+    ("html_spans", (args: Seq[Expression]) => HtmlSpans(args.head)),
+    ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head))
   ).foreach { case (name, builder) =>
     ext.injectFunction((FunctionIdentifier(name),
       new ExpressionInfo("graft.functions.HtmlFunctions", name), builder))

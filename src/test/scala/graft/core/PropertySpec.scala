@@ -35,8 +35,13 @@ class PropertySpec extends AnyFunSuite {
     val attr = for { n <- word; v <- word } yield s""" $n="$v""""
     val piece: Gen[String] = Gen.frequency(
       6 -> tagFreeText,
-      2 -> (for { t <- Gen.oneOf("p", "div", "span", "li", "em"); a <- attr } yield s"<$t$a>"),
-      2 -> Gen.oneOf("p", "div", "span", "li", "em").map(t => s"</$t>"),
+      2 -> (for {
+        t <- Gen.oneOf("p", "div", "span", "li", "em", "b", "i", "a", "table",
+          "tr", "td", "ul", "dl", "dt", "dd", "svg", "head", "body", "title", "nav")
+        a <- attr
+      } yield s"<$t$a>"),
+      2 -> Gen.oneOf("p", "div", "span", "li", "em", "b", "i", "a", "table",
+        "tr", "td", "ul", "head", "body", "title").map(t => s"</$t>"),
       1 -> Gen.oneOf("&amp;", "&lt;", "&notin;", "&#x41;", "&#65;", "&xyz;"),
       1 -> Gen.oneOf("<!-- c -->", "<!DOCTYPE html>", "<!------>", "<![CDATA[x]]>")
     )
@@ -79,6 +84,28 @@ class PropertySpec extends AnyFunSuite {
       val r = Extractor.extractString(html)
       val kept = r.spans.filter(_.kept).map(s => r.text.substring(s.start, s.end)).mkString
       assert(kept == r.mainText)
+    }
+  }
+
+  test("spans are sorted, disjoint, non-empty, and anchored under /html/body") {
+    forAll(htmlish) { html =>
+      val r = Extractor.extractString(html)
+      var prevEnd = 0
+      r.spans.foreach { s =>
+        assert(s.start == prevEnd && s.end > s.start,
+          s"span tiling broken at $s (prevEnd=$prevEnd)")
+        prevEnd = s.end
+        assert(s.path.startsWith("/html/body"), s"span path outside body: ${s.path}")
+      }
+      assert(prevEnd == r.text.length)
+    }
+  }
+
+  test("tree construction is deterministic and partition-independent per page") {
+    forAll(htmlish) { html =>
+      val a = Extractor.extractString(html)
+      val b = Extractor.extractString(html)
+      assert(a.spans == b.spans && a.text == b.text && a.mainText == b.mainText)
     }
   }
 }

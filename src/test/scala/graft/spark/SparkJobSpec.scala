@@ -117,6 +117,12 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.where(col("m") =!= col("text")).count() === 0)
     assert(j.where(col("t") <= 0).count() === 0)
     assert(j.where(length(col("f")) < length(col("m"))).count() === 0)
+    // the span/error arrays are reachable from pure SQL too
+    val sp = spark.sql(
+      """SELECT html_spans(html) AS sp, html_errors(html) AS er FROM pages_v""")
+    assert(sp.where(size(col("sp")) =!= 1).count() === 0)
+    assert(sp.where(size(col("er")) =!= 0).count() === 0)
+    assert(sp.selectExpr("sp[0].path AS p").where(not(col("p").startsWith("/html/body/"))).count() === 0)
   }
 
   test("file-backed lineage records input files and row ranges") {
