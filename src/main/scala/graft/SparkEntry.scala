@@ -151,6 +151,11 @@ object SparkEntry {
       Ann.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+    "q_ann_ivf" -> ((s, dir) =>
+      // IVF coarse-quantizer ANN (k-means clusters + nprobe re-rank); like
+      // q_ann_lsh it is approximate by design → rows-only driver check,
+      // recall asserted vs brute force in SparkJobSpec
+      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -96,6 +96,114 @@ object Ann {
       explode(array(probes: _*)).as("qbucket")).distinct()
     val dot = aggregate(zip_with(col("qemb"), col("emb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
     val sims = q.join(e, col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr_id"), (dot / (col("qnorm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nbr_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nbr_id"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** One IVF-assigned vector: id, coarse cluster, vector, norm (public —
+    * the Dataset encoder's generated code constructs it). */
+  final case class IvfVec(vec_id: Long, cluster: Int, emb: Array[Double], norm: Double)
+
+  /** IVF coarse quantizer: deterministic k-means (init = the `nlist`
+    * lowest vec_ids, `iters` Lloyd rounds). Centroids are O(nlist·dim)
+    * driver/broadcast state — the legitimate small side; assignments are a
+    * narrow map over the corpus and the update is one groupByKey shuffle of
+    * (cluster, vector) per iteration. At 10^9+ vectors you train on a
+    * sample and only the final assignment pass touches the full corpus.
+    */
+  def ivfAssign(embeddings: DataFrame, nlist: Int, iters: Int = 3): Dataset[IvfVec] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = prep(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var centroids: Array[Array[Double]] = e.filter(_._1 < nlist).collect()
+      .sortBy(_._1).map(_._2)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val updated = e
+        .map { case (_, v, _) => (nearest(bc.value, v), v) }
+        .groupByKey(_._1)
+        .mapGroups { (c, vs) =>
+          val sum = new Array[Double](centroids(0).length)
+          var n = 0L
+          vs.foreach { case (_, v) =>
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); i += 1 }
+            n += 1
+          }
+          var i = 0
+          while (i < sum.length) { sum(i) /= n; i += 1 }
+          (c, sum)
+        }
+        .collect()
+      val next = centroids.clone()
+      updated.foreach { case (c, v) => next(c) = v } // empty clusters keep old center
+      centroids = next
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+    e.map { case (id, v, norm) => IvfVec(id, nearest(bc.value, v), v, norm) }
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest coarse clusters per
+    * query, exact cosine re-rank inside them. The scale path for corpora
+    * where hyperplane LSH recall is poor: clusters follow the actual data
+    * geometry, and the shuffle is keyed on ≤ nlist · nprobe small cluster
+    * ids. Output shape matches bruteForceTopK (recall-tested, not
+    * equality — approximate by design, like lshTopK).
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      nlist: Int = 0, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val nl = if (nlist > 0) nlist
+    else math.max(4, math.min(1024, math.sqrt(embeddings.count().toDouble).toInt))
+    val assigned = ivfAssign(embeddings, nl, iters)
+    // per-query probe list: nprobe nearest centroids (centroids re-derived
+    // from the assignment's broadcast would be cleaner; recomputing the
+    // distance to every centroid per query is O(nQueries · nlist · dim) on
+    // executors — negligible)
+    val cents = assigned.groupByKey(_.cluster).mapGroups { (c, vs) =>
+      val first = vs.next()
+      val sum = first.emb.clone()
+      var n = 1L
+      vs.foreach { v => var i = 0; while (i < sum.length) { sum(i) += v.emb(i); i += 1 }; n += 1 }
+      var i = 0
+      while (i < sum.length) { sum(i) /= n; i += 1 }
+      (c, sum)
+    }.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val np = nprobe
+    val q = assigned.filter(_.vec_id < nQueries)
+      .flatMap { v =>
+        val ds = bc.value.map { case (c, cv) =>
+          var d = 0.0; var i = 0
+          while (i < v.emb.length) { val t = v.emb(i) - cv(i); d += t * t; i += 1 }
+          (c, d)
+        }
+        ds.sortBy(_._2).take(np).iterator.map(p => (v.vec_id, v.emb, v.norm, p._1))
+      }
+      .toDF("qid", "qemb", "qnorm", "cluster")
+    val dot = aggregate(zip_with(col("qemb"), col("emb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+    val sims = broadcast(q).join(assigned.toDF(), Seq("cluster"))
+      .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr_id"), (dot / (col("qnorm") * col("norm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nbr_id"))
     sims.withColumn("rank", row_number().over(w))

@@ -226,6 +226,16 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.size < 5000, s"degenerate bucket not capped: ${pairs.size} pairs")
   }
 
+  test("IVF ANN recall against brute-force ground truth") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.operators.Ann.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val approx = graft.operators.Ann.ivfTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("embedding near-dup pairs include every planted duplicate vector") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Ann.cosineNearDups(emb).collect()
