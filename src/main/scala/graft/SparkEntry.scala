@@ -162,7 +162,16 @@ object SparkEntry {
     // ---- text analysis ---------------------------------------------------
     "q_text_quality" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.qualitySelect: _*)),
     "q_lang_id" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.langIdSelect: _*)),
+    "q_token_count" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.tokenCountSelect: _*)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "q_json_props" -> ((s, dir) =>
+      // semi-structured operator family: JSON extraction + aggregation over
+      // the events.props payload column
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
     "q_multimodal_meta" -> ((s, dir) => TextOps.multimodalMeta(docs(s, dir)))
   )
 
@@ -371,6 +380,15 @@ object SparkEntry {
       s"SELECT ${TextOps.qualitySelect.mkString(", ")} FROM documents",
     "q_lang_id" ->
       s"SELECT ${TextOps.langIdSelect.mkString(", ")} FROM documents",
+    "q_token_count" ->
+      s"""SELECT doc_id, ${TextOps.tokensExpr} AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '${TextOps.bpeIshPattern}')) AS BIGINT) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,

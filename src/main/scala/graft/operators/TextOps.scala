@@ -23,6 +23,24 @@ object TextOps {
   def markerExpr(w: String): String =
     s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
 
+  /** BPE-ish subword tokenization via regex: letter runs, single digits,
+    * punctuation runs — the GPT-2-style class split restricted to a pattern
+    * whose semantics are identical in Java regex (Spark codegen) and
+    * DuckDB's RE2, so the count is oracle-exact. Whitespace itself is not a
+    * token.
+    */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Token-counting projection (Spark side; the oracle recomputes the same
+    * regex with DuckDB's `len` — array-length spells differently per engine,
+    * the pattern and semantics are identical).
+    */
+  val tokenCountSelect: Seq[String] = Seq(
+    "doc_id",
+    s"$tokensExpr AS ws_tokens",
+    s"CAST(size(regexp_extract_all(text, '$bpeIshPattern', 0)) AS BIGINT) AS bpe_ish_tokens"
+  )
+
   /** Quality-score projection: token count, char/token ratio, marker-word
     * ("stopword") ratio. Pure SQL → also the oracle.
     */
