@@ -172,7 +172,8 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
-    "q_multimodal_meta" -> ((s, dir) => TextOps.multimodalMeta(docs(s, dir)))
+    "q_multimodal_meta" -> ((s, dir) => TextOps.multimodalMeta(docs(s, dir))),
+    "q_frame_sample" -> ((s, dir) => TextOps.frameSample(docs(s, dir)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -389,6 +390,14 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+        |SELECT doc_id,
+        |       CAST(j AS INTEGER) AS frame_idx,
+        |       CAST(j * 4096 AS BIGINT) AS frame_offset,
+        |       CAST(least(4096, nb - j * 4096) AS BIGINT) AS frame_bytes
+        |FROM (SELECT doc_id, nb, unnest(generate_series(0, nb // 4096)) AS j FROM d)
+        |WHERE j % 10 = 0""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,

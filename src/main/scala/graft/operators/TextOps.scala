@@ -125,6 +125,31 @@ object TextOps {
     * The fake "decode" derives (width, height, n_frames) from byte lengths so
     * the oracle is `octet_length`-expressible in DuckDB.
     */
+  /** Multimodal frame sampling: treat the payload as a fixed-stride frame
+    * container (stride 4096 B), emit every `every`-th frame as its own row
+    * (doc_id, frame_idx, frame_offset, frame_bytes). The DECODE of a frame
+    * is the same declared stub as multimodalMeta; the Spark-side plumbing is
+    * the real thing being exercised — a narrow flatMap whose output
+    * cardinality is data-dependent (the explode shape every video/audio
+    * pipeline needs), partition-preserving, no shuffle.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 4096, every: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id", $"text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val nFrames = payload.length / stride + 1 // trailing partial frame
+        (0 until nFrames).iterator.filter(_ % every == 0).map { j =>
+          val off = j.toLong * stride
+          val len = math.min(stride.toLong, payload.length - off)
+          // STUB decode: a real build would decode payload[off, off+len) here
+          (id, j, off, len)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_offset", "frame_bytes")
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
