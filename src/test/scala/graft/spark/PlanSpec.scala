@@ -1,0 +1,80 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guards: the properties that make the engine
+  * scale (pushdown reaching the parquet scan, broadcasts on small sides,
+  * map-side partial aggregation, and — above all — the shuffle-free
+  * extraction hot path) are asserted here so a refactor that silently
+  * degrades a plan fails CI, not a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def formatted(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter pushdown reaches the parquet scan") {
+    val p = formatted("q_filter_orders")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"),
+      s"predicate not pushed:\n$p")
+    // column pruning: the scan reads only the 3 projected columns
+    assert(p.contains("ReadSchema") && !p.contains("o_comment"), "scan not pruned")
+  }
+
+  test("small-dimension join broadcasts") {
+    val p = formatted("q_join_region")
+    assert(p.contains("BroadcastHashJoin"), s"region join not broadcast:\n$p")
+  }
+
+  test("aggregations are map-side partial") {
+    val p = formatted("q1_agg")
+    // partial + final HashAggregate pair around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("exact dedup shuffles digests, not texts") {
+    val p = formatted("q_dedup_exact")
+    assert(p.contains("md5"), "md5 not in plan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "dedup agg not partial")
+  }
+
+  test("extraction hot path has no shuffle above the kernel") {
+    val plan = graft.SparkEntry.queries("q_extract_roundtrip")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val kernel = lines.indexWhere(_.contains("MapPartitions"))
+    assert(kernel >= 0, s"kernel node missing:\n$plan")
+    // tree prints top-down: anything above the kernel (smaller index) runs
+    // AFTER it — no Exchange may appear there (the one legitimate Exchange,
+    // the compact documents-table spread, sits BELOW the kernel)
+    val exchangeAbove = lines.take(kernel).exists(_.contains("Exchange"))
+    assert(!exchangeAbove, s"shuffle above the extraction kernel:\n$plan")
+    val exchangesBelow = lines.drop(kernel).count(_.contains("Exchange"))
+    assert(exchangesBelow <= 1, s"unexpected extra shuffles below kernel:\n$plan")
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = formatted("q_ann_cosine")
+    assert(p.contains("BroadcastExchange"), s"query set not broadcast:\n$p")
+  }
+}
