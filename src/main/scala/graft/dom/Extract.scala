@@ -332,10 +332,19 @@ final class ExtractSink extends TokenSink {
     } else nonWs = true
     if (preText(nonWs)) {
       startRunIfNeeded()
-      var i = from
-      while (i < until) { text.append(src(i).toChar); i += 1 }
+      // bulk path: byte→char into a reused buffer, ONE array append (the
+      // per-char StringBuilder append pays a capacity+bounds check per char;
+      // text runs arrive here in whole-run batches from the byte-mode loop)
+      val n = until - from
+      if (asciiBuf.length < n) asciiBuf = new Array[Char](math.max(n, asciiBuf.length * 2))
+      var i = 0
+      while (i < n) { asciiBuf(i) = src(from + i).toChar; i += 1 }
+      text.append(asciiBuf, 0, n)
     }
   }
+
+  /** reused byte→char staging buffer for charsAscii */
+  private var asciiBuf = new Array[Char](4096)
 
   private def isWsCp(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == 0x0c
