@@ -51,9 +51,10 @@ object SparkEntry {
         "CAST(aggregate(filter(spans, x -> x.kept), 0, (a, x) -> a + (x.end - x.start)) AS INT) AS kept_len",
         "CAST(size(errors) AS INT) AS n_errs")),
     "q_warc_roundtrip" -> ((s, dir) => {
-      // source-format path: pages → WARC archive files → re-ingest → extract
+      // source-format path: pages → CC-shaped .warc.gz (gzip member per
+      // record, HTTP response blocks) → re-ingest → extract
       val warcDir = s"${System.getProperty("java.io.tmpdir")}/graft_warc_${dir.hashCode.toHexString}"
-      graft.sources.Warc.write(Pages.synthesize(s, dir), warcDir)
+      graft.sources.Warc.write(Pages.synthesize(s, dir), warcDir, gzip = true, http = true)
       val n = s.sparkContext.defaultParallelism
       ExtractJob.extract(graft.sources.Warc.read(s, warcDir), "warc", n)
         .toDF().select("url", "main_text")
@@ -137,6 +138,22 @@ object SparkEntry {
         .select((col("doc_id") + 250L).as("doc_id"))
       shifted.except(base).withColumn("op", lit("new"))
         .unionAll(shifted.intersect(base).withColumn("op", lit("overlap")))
+    }),
+    "q_curate" -> ((s, dir) => {
+      // capstone composition: the training-data curation pipeline — language
+      // agreement (lang-ID operator), length floor (token counting), and
+      // exact-dedup keeper-ship, composed as keyed joins on doc_id
+      val d = docs(s, dir)
+      val langOk = d.selectExpr(TextOps.langIdSelect: _*)
+      val keepers = Dedup.exact(Dedup.withPlantedDups(d, every = 7, dropWords = 0))
+        .select(col("keeper_id").as("doc_id"))
+      d.select(col("doc_id"), col("lang"),
+          expr(TextOps.tokensExpr).as("n_tokens"))
+        .where(col("n_tokens") >= 20)
+        .join(langOk, "doc_id")
+        .where(col("pred_lang") === col("lang"))
+        .join(keepers, "doc_id")
+        .select("doc_id", "lang", "n_tokens")
     }),
     // ---- dedup family ----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -274,6 +291,20 @@ object SparkEntry {
         |SELECT doc_id, 'new' AS op FROM (SELECT doc_id FROM shifted EXCEPT SELECT doc_id FROM base)
         |UNION ALL
         |SELECT doc_id, 'overlap' AS op FROM (SELECT doc_id FROM shifted INTERSECT SELECT doc_id FROM base)""".stripMargin,
+    "q_curate" -> {
+      val langCase = graft.operators.TextOps.langIdSelect(1) // the CASE ... AS pred_lang
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)),
+        |lid AS (SELECT doc_id, $langCase FROM documents)
+        |SELECT d.doc_id, d.lang, ${graft.operators.TextOps.tokensExpr} AS n_tokens
+        |FROM documents d
+        |JOIN lid ON lid.doc_id = d.doc_id AND lid.pred_lang = d.lang
+        |JOIN keepers k ON k.doc_id = d.doc_id
+        |WHERE ${graft.operators.TextOps.tokensExpr} >= 20""".stripMargin
+    },
     "q_dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

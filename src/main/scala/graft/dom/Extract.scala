@@ -204,7 +204,6 @@ final class ExtractSink extends TokenSink {
   private val spans = ArrayBuffer.empty[Span]
   // current run
   private var runStart = -1
-  private var runOwner = root
   private var runBlock = root
   private var runLink = false
   private var runPath = ""
@@ -230,7 +229,7 @@ final class ExtractSink extends TokenSink {
     activeFmt.clear(); activeFmtOpen.clear(); fmtMarkers.clear()
     text.setLength(0)
     spans.clear()
-    runStart = -1; runOwner = root; runBlock = root; runLink = false; runPath = ""
+    runStart = -1; runBlock = root; runLink = false; runPath = ""
     nTokens = 0L; nTags = 0L
     errors.clear()
   }
@@ -273,7 +272,6 @@ final class ExtractSink extends TokenSink {
           if (ti > 0) ti - 1 else top
         } else top
       runStart = text.length
-      runOwner = stkNode(anchor)
       runBlock = if (anchor == top) blockTop else blockUpTo(anchor)
       runLink = linkDepth > 0
       runPath = pathUpTo(anchor)
