@@ -104,6 +104,14 @@ object Pages {
       sb.append("<a href=\"/legal/").append(i).append("\">Legal ").append(i).append("</a>")
       i += 1
     }
+    // tree-construction stressors INSIDE the stripped subtree: a table with
+    // stray (fostered) text and implied row ends, plus misnested formatting —
+    // every page now drives the foster-parenting / reconstruction machinery
+    // through the oracle-checked path without touching the content contract
+    // (footer is blacklisted, so none of this reaches text or spans)
+    sb.append("<table>x").append(rng.nextInt(10))
+      .append("<tr><td>c1<td><b><i>c2</b>tail</i><tr><td>c3</table>")
+    sb.append("<p><b>mis").append(rng.nextInt(10)).append("</p><p>nested</p>")
     sb.append("</div></footer></body></html>")
     sb.toString
   }
