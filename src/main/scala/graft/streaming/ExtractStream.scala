@@ -146,13 +146,20 @@ object ExtractStream {
                 closed += Session(uid, open.startUs, open.lastUs, open.n)
                 open = OpenSession(ts(i), ts(i), 1L)
               } else {
-                open = OpenSession(open.startUs, ts(i), open.n + 1L)
+                // min/max guards: a LATE event (older than the open session's
+                // bounds but inside the watermark allowance) must widen the
+                // session, never rewind lastUs — a rewound timeout timestamp
+                // can fall below the current watermark, which Spark rejects
+                open = OpenSession(math.min(open.startUs, ts(i)),
+                  math.max(open.lastUs, ts(i)), open.n + 1L)
               }
               i += 1
             }
             state.update(open)
-            // flush once the watermark passes last event + gap
-            state.setTimeoutTimestamp(open.lastUs / 1000L + gapUs / 1000L)
+            // flush once the watermark passes last event + gap; never set a
+            // timeout at or below the current watermark (late-data edge)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(open.lastUs / 1000L + gapUs / 1000L, wm + 1L))
             closed.iterator
           }
       }

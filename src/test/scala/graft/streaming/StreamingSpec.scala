@@ -67,8 +67,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       // watermark past everyone's timeout
       mem.addData(ev(1, t0 + 20 * min), ev(1, t0 + 140 * min), ev(99, t0 + 300 * min))
       q.processAllAvailable()
-      // batch 3: any new data lets the now-advanced watermark fire timeouts
-      mem.addData(ev(99, t0 + 400 * min))
+      // batch 3: any new data lets the now-advanced watermark fire timeouts;
+      // u99 also gets a LATE event (older than its open session, within the
+      // watermark) — must widen the open session, not crash or rewind it
+      mem.addData(ev(99, t0 + 400 * min), ev(99, t0 + 399 * min))
       q.processAllAvailable()
       val got = ss.table("sess").as[ExtractStream.Session].collect()
         .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
