@@ -545,9 +545,17 @@ final class ExtractSink extends TokenSink {
         popTo(idx) // marks the ones above for reconstruction
         removeLastFmtEntry(name)
       } else {
-        // misnested across a non-formatting element (<b><div></b>): the
-        // element stays open until its ancestor closes (adoption-agency
-        // approximation); it just stops being reconstructable
+        // misnested across a non-formatting element (<b><div></b>more):
+        // splice the formatting element out of the open stack so subsequent
+        // content is NOT nested under it — the adoption agency's observable
+        // effect on everything after the end tag. (Content already emitted
+        // keeps its insertion-time path; the agency's clone-into-block step
+        // would reorder those ancestors, a documented divergence.)
+        val nm = stkName(idx)
+        if (nm == "a") linkDepth -= 1
+        stkName.remove(idx)
+        stkNode.remove(idx)
+        stkFlags.remove(idx)
         removeLastFmtEntry(name)
       }
       return

@@ -107,6 +107,30 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(!r.spans(3).path.contains("/b#") && !r.spans(3).path.contains("/b/"), s"real </b> closed it: ${r.spans(3).path}")
   }
 
+  test("misnested formatting across a block: content after </b> leaves the b") {
+    // section does NOT implied-close anything here, so <b> genuinely spans
+    // the block and </b> hits the misnested (splice) path
+    val r = ex("<div>1<b>2<section>3</b>4</section>5</div>")
+    assert(r.text == "12345")
+    assert(r.spans(1).path.contains("/div/b#"))
+    assert(r.spans(2).path.contains("/b/section#"))
+    assert(!r.spans(3).path.contains("/b#") && !r.spans(3).path.contains("/b/"),
+      s"post-close content left the b: ${r.spans(3).path}")
+    assert(r.spans(3).path.contains("/section#"))
+    assert(r.spans(4).path.endsWith("/div#" + r.spans(4).path.split('#')(1)),
+      s"after </section>, back in div without b: ${r.spans(4).path}")
+  }
+
+  test("implied p-close before a block reconstructs formatting inside the block (spec)") {
+    val r = ex("<p>1<b>2<div>3</b>4</div>5")
+    assert(r.text == "12345")
+    assert(r.spans(1).path.contains("/p/b#"))
+    assert(r.spans(2).path.contains("/div/b#"), s"b reconstructed inside div: ${r.spans(2).path}")
+    assert(!r.spans(3).path.contains("/b#") && !r.spans(3).path.contains("/b/"),
+      s"closed for good after </b>: ${r.spans(3).path}")
+    assert(r.spans(4).path.startsWith("/html/body#"), s"5 lands in body: ${r.spans(4).path}")
+  }
+
   test("link attribution follows reconstruction") {
     val r = ex("<p><a href=\"/x\">one</p><p>two</p>")
     assert(r.spans(0).link && r.spans(1).link, "reconstructed <a> keeps link attribution")
