@@ -134,7 +134,8 @@ object Warc {
                 case "WARC-Type" => typ = v
                 case "WARC-Target-URI" => url = v
                 case "WARC-Date" => date = v
-                case "Content-Length" => len = v.toInt
+                // malformed length → skip the record, never kill the task
+                case "Content-Length" => len = v.toIntOption.getOrElse(-1)
                 case _ => ()
               }
             }
