@@ -316,9 +316,10 @@ object SparkEntry {
     // Oracle = exhaustive enumeration of pairs with 3-word-shingle Jaccard
     // >= 0.6 (shingle *strings*; Spark compares 64-bit shingle hashes —
     // equal counts unless a 64-bit collision occurs). The LSH candidate
-    // stage (8 bands x 4 rows) catches a J>=0.95 planted pair with miss
-    // probability (1-J^4)^8 ~ 1e-6, and no organic pair sits near the
-    // threshold, so candidate-set != all-pairs cannot show up at test SFs.
+    // stage (16 bands x 2 rows — see Dedup.lshBands) catches a J>=0.77 pair
+    // with miss probability (1-J^2)^16 ~ 1e-7 (the weakest organic sf0.01
+    // pair; the J>=0.95 planted pairs are ~1e-22), so candidate-set !=
+    // all-pairs cannot show up at test SFs.
     "q_dedup_minhash" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -427,7 +428,7 @@ object SparkEntry {
         |       CAST(j AS INTEGER) AS frame_idx,
         |       CAST(j * 4096 AS BIGINT) AS frame_offset,
         |       CAST(least(4096, nb - j * 4096) AS BIGINT) AS frame_bytes
-        |FROM (SELECT doc_id, nb, unnest(generate_series(0, nb // 4096)) AS j FROM d)
+        |FROM (SELECT doc_id, nb, unnest(generate_series(0, greatest((nb + 4095) // 4096 - 1, 0))) AS j FROM d)
         |WHERE j % 10 = 0""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -309,13 +309,17 @@ final class ExtractSink extends TokenSink {
     if (until <= from) return
     nTokens += until - from
     var nonWs = false
+    var start = from
     if (bodyIdx < 0) {
       var i = from
       while (i < until && !nonWs) { nonWs = !isWsCp(src(i)); i += 1 }
+      // match the per-char path: leading whitespace before body opens is
+      // dropped (spec); only the tail from the first non-ws cp is inserted
+      if (nonWs && runStart < 0) start = i - 1
     } else nonWs = true
     if (preText(nonWs)) {
       startRunIfNeeded()
-      var i = from
+      var i = start
       while (i < until) { text.appendCodePoint(src(i)); i += 1 }
     }
   }
@@ -324,19 +328,22 @@ final class ExtractSink extends TokenSink {
     if (until <= from) return
     nTokens += until - from
     var nonWs = false
+    var start = from
     if (bodyIdx < 0) {
       var i = from
       while (i < until && !nonWs) { nonWs = !isWsCp(src(i).toInt); i += 1 }
+      // match the per-char path: pre-body leading whitespace is dropped
+      if (nonWs && runStart < 0) start = i - 1
     } else nonWs = true
     if (preText(nonWs)) {
       startRunIfNeeded()
       // bulk path: byte→char into a reused buffer, ONE array append (the
       // per-char StringBuilder append pays a capacity+bounds check per char;
       // text runs arrive here in whole-run batches from the byte-mode loop)
-      val n = until - from
+      val n = until - start
       if (asciiBuf.length < n) asciiBuf = new Array[Char](math.max(n, asciiBuf.length * 2))
       var i = 0
-      while (i < n) { asciiBuf(i) = src(from + i).toChar; i += 1 }
+      while (i < n) { asciiBuf(i) = src(start + i).toChar; i += 1 }
       text.append(asciiBuf, 0, n)
     }
   }

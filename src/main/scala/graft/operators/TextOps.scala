@@ -139,7 +139,9 @@ object TextOps {
     docs.select($"doc_id", $"text").as[(Long, String)]
       .flatMap { case (id, text) =>
         val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val nFrames = payload.length / stride + 1 // trailing partial frame
+        // ceil division: an exact-multiple payload has no phantom zero-byte
+        // trailing frame; an empty doc still emits one (empty) frame row
+        val nFrames = math.max(1, (payload.length + stride - 1) / stride)
         (0 until nFrames).iterator.filter(_ % every == 0).map { j =>
           val off = j.toLong * stride
           val len = math.min(stride.toLong, payload.length - off)

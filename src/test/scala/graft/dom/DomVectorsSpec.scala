@@ -149,6 +149,18 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(r.errors.contains("cdata_in_html_content"))
   }
 
+  test("headless page: pre-body leading whitespace dropped in batch paths too") {
+    // per-char, codepoint-batch and ascii-byte-batch paths must agree: the
+    // whitespace before body opens is dropped, the text from the first
+    // non-ws cp onward is kept (ADVICE r2: batch paths kept the leading ws)
+    val r = ex("  \n\thello world")
+    assert(r.text == "hello world", s"got '${r.text}'")
+    val rb = Extractor.extractInto("  \n\thello world".getBytes("UTF-8"), new ExtractSink)
+    assert(rb.text == "hello world", s"byte mode got '${rb.text}'")
+    val rc = Extractor.extractInto("  héllo world".getBytes("UTF-8"), new ExtractSink)
+    assert(rc.text == "héllo world", s"cp mode got '${rc.text}'")
+  }
+
   test("after-body text re-enters body") {
     val r = ex("<body><p>a</p></body>tail</html>")
     assert(r.text == "atail")
