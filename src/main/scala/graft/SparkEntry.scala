@@ -59,6 +59,17 @@ object SparkEntry {
       ExtractJob.extract(graft.sources.Warc.read(s, warcDir), "warc", n)
         .toDF().select("url", "main_text")
     }),
+    "q_warc_charsets" -> ((s, dir) => {
+      // charset-aware ingest: mixed-charset .warc.gz (utf-8 / windows-1252 /
+      // shift_jis; declared via HTTP, BOM, or <meta> prescan per doc_id % 6)
+      // → re-ingest (Warc.read normalizes to UTF-8) → extract; main_text
+      // must equal prefix+text byte-for-byte per url
+      val warcDir = s"${System.getProperty("java.io.tmpdir")}/graft_warc_cs_${dir.hashCode.toHexString}"
+      graft.sources.Warc.writeRecords(graft.sources.Warc.charsetFixture(docs(s, dir)), warcDir, gzip = true)
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(graft.sources.Warc.read(s, warcDir), "warc_cs", n)
+        .toDF().select("url", "main_text")
+    }),
     "q_pipeline_quality" -> ((s, dir) =>
       // composition: extraction kernel → token/char features → per-lang agg
       extracted(s, dir).toDF()
@@ -202,6 +213,13 @@ object SparkEntry {
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
         |FROM documents""".stripMargin,
+    "q_warc_charsets" -> {
+      val cases = graft.sources.Warc.charsetPrefixes.zipWithIndex
+        .map { case (p, m) => s"WHEN $m THEN '$p'" }.mkString(" ")
+      s"""SELECT 'https://example.com/cs/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       (CASE doc_id % 6 $cases END) || text AS main_text
+        |FROM documents""".stripMargin
+    },
     "q_extract_stats" ->
       s"""SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       CAST(1 AS INTEGER) AS n_spans,

@@ -666,7 +666,19 @@ object Extractor {
     * reused across rows — per-row allocation drops to tokenizer registers +
     * the output row itself.
     */
-  def extractInto(html: Array[Byte], sink: ExtractSink): ExtractResult = {
+  def extractInto(html0: Array[Byte], sink: ExtractSink): ExtractResult = {
+    // BOM sniff (WHATWG: the BOM outranks every other encoding signal and is
+    // not content): UTF-8 BOM is skipped, UTF-16 BOMs take the charset path
+    var html = html0
+    if (html.length >= 3 && (html(0) & 0xff) == 0xef && (html(1) & 0xff) == 0xbb &&
+      (html(2) & 0xff) == 0xbf)
+      html = java.util.Arrays.copyOfRange(html, 3, html.length)
+    else if (html.length >= 2 &&
+      ((html(0) & 0xff) == 0xff && (html(1) & 0xff) == 0xfe ||
+       (html(0) & 0xff) == 0xfe && (html(1) & 0xff) == 0xff)) {
+      val cps = graft.sources.CharsetSniff.decodeFallback(html)
+      return extractCpsInto(cps, sink)
+    }
     // pure-ASCII page (the dominant web case): bytes ARE codepoints — skip
     // the 4× Int expansion entirely and run the kernel in byte mode
     var i = 0
@@ -678,8 +690,14 @@ object Extractor {
       if (sink.decodeBuf.length < html.length)
         sink.decodeBuf = new Array[Int](math.max(html.length, sink.decodeBuf.length * 2))
       val n = RefTokenizer.decodeUtf8Into(html, sink.decodeBuf)
-      if (n < 0) extractCpsInto(RefTokenizer.decodeUtf8(html), sink) // malformed → JDK semantics
-      else {
+      if (n < 0) {
+        // not valid UTF-8: sniff (`<meta charset>` prescan, then the WHATWG
+        // windows-1252 legacy fallback) instead of emitting replacement chars
+        val cps = graft.sources.CharsetSniff.decodeFallback(html)
+        if (cps != null) extractCpsInto(cps, sink)
+        // meta says utf-8 but bytes are malformed → JDK replacement semantics
+        else extractCpsInto(RefTokenizer.decodeUtf8(html), sink)
+      } else {
         sink.reset()
         runGuarded(new RefTokenizer(sink.decodeBuf, sink, specMode = true, inputLenIn = n), sink)
       }

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.PageRow
 import java.nio.charset.StandardCharsets.UTF_8
-import scala.jdk.CollectionConverters._
 
 /** WARC/1.0 source + sink — Common Crawl's native container format, so the
   * engine can ingest real crawl archives without a conversion step.
@@ -22,7 +21,21 @@ import scala.jdk.CollectionConverters._
   *   - only `WARC-Type: response` records yield pages (warcinfo / request /
   *     metadata records are skipped, as in real CC files);
   *   - a response block starting with `HTTP/` has its HTTP response headers
-  *     stripped — the page html is the entity body, as CC stores it.
+  *     stripped — the page html is the entity body, as CC stores it; the
+  *     `Content-Type: ...; charset=` parameter is CAPTURED, not discarded;
+  *   - the body is normalized to UTF-8 via [[CharsetSniff]] (BOM > HTTP
+  *     charset > `<meta>` prescan > UTF-8-validates > windows-1252) so the
+  *     kernel and every downstream stage see one encoding; already-UTF-8
+  *     bodies pass through by reference;
+  *   - header lines are bounded at 8 KB (a corrupt record without line
+  *     terminators can no longer buffer the rest of the file), malformed
+  *     Content-Length skips the record — never kills the task.
+  *
+  * Write path: Hadoop `FileSystem` with task-attempt temp files + rename, so
+  * object stores (s3a/gs) and speculative execution / task retries are safe;
+  * `.warc.gz` writes each record as its own gzip member (the CC layout) with
+  * ONE `Deflater` reused across the partition — no per-record native-memory
+  * churn (a `GZIPOutputStream` per record leaks its Deflater until GC).
   *
   * Record layout written (WARC/1.0 `response` records, CC-shaped):
   *
@@ -37,9 +50,23 @@ import scala.jdk.CollectionConverters._
   */
 object Warc {
 
-  /** HTTP response wrapper around the page bytes (what a crawler stores). */
-  def httpBlock(body: Array[Byte]): Array[Byte] = {
-    val h = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+  /** Header lines longer than this are malformed (real WARC headers are
+    * well under 1 KB); the parser skims to the next newline and treats the
+    * line as garbage instead of buffering unboundedly.
+    */
+  val maxHeaderLine = 8192
+
+  /** One serialized record: url, timestamp, and the record block (HTTP
+    * response block or raw body). Public — Dataset encoder payload.
+    */
+  final case class WarcRec(url: String, tsMillis: Long, block: Array[Byte])
+
+  /** HTTP response wrapper around the page bytes (what a crawler stores).
+    * `charset = null` omits the charset parameter (content-sniffing case).
+    */
+  def httpBlock(body: Array[Byte], charset: String = "UTF-8"): Array[Byte] = {
+    val ct = if (charset == null) "text/html" else s"text/html; charset=$charset"
+    val h = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
       s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8)
     val out = new Array[Byte](h.length + body.length)
     System.arraycopy(h, 0, out, 0, h.length)
@@ -52,8 +79,12 @@ object Warc {
     * round-1 fixture shape, still parsed).
     */
   def record(url: String, tsMillis: Long, body: Array[Byte], http: Boolean = false,
+      warcType: String = "response"): Array[Byte] =
+    recordBlock(url, tsMillis, if (http) httpBlock(body) else body, warcType)
+
+  /** Serialize one record around an already-built block. */
+  def recordBlock(url: String, tsMillis: Long, block: Array[Byte],
       warcType: String = "response"): Array[Byte] = {
-    val block = if (http) httpBlock(body) else body
     val date = java.time.Instant.ofEpochMilli(tsMillis).toString
     val header =
       s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\nWARC-Date: $date\r\nContent-Length: ${block.length}\r\n\r\n"
@@ -66,54 +97,120 @@ object Warc {
     out
   }
 
-  /** Write pages as .warc / .warc.gz files, one per partition (executors
-    * write via java.nio against the shared filesystem; on a cluster this
-    * targets a shared mount — for object stores route through the Hadoop FS
-    * API instead). `gzip = true` writes each record as its OWN gzip member
-    * (CC layout: members are independently seekable/decompressable).
-    * Clears stale part files first so a rerun with fewer partitions cannot
-    * leave orphans that read() would re-ingest.
+  /** Writes consecutive gzip members to one underlying stream, reusing a
+    * single Deflater + CRC32 across members: the CC layout (each record its
+    * own member, independently decompressable) without per-record native
+    * Deflater allocation. A GZIPOutputStream per record only releases its
+    * zlib state when GC runs its Cleaner — tens of thousands of records per
+    * partition would pool gigabytes of off-heap deflate buffers.
     */
-  def write(pages: Dataset[PageRow], dir: String, gzip: Boolean = false, http: Boolean = false): Unit = {
-    val d = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(d)
-    scala.util.Using.resource(java.nio.file.Files.list(d)) { s =>
-      s.iterator().asScala
-        .filter { p => val n = p.getFileName.toString; n.endsWith(".warc") || n.endsWith(".warc.gz") }
-        .foreach(java.nio.file.Files.delete)
-    }
-    pages.foreachPartition { (it: Iterator[PageRow]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      val ext = if (gzip) "warc.gz" else "warc"
-      val path = java.nio.file.Paths.get(dir, f"part-$pid%05d.$ext")
-      val os = new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(path), 1 << 16)
-      try it.foreach { p =>
-        val rec = record(p.url, p.warc_ts.getTime, p.html, http)
-        if (gzip) {
-          val gz = new java.util.zip.GZIPOutputStream(os)
-          gz.write(rec)
-          gz.finish() // member trailer only; the file stream stays open
-        } else os.write(rec)
+  final class GzipMemberWriter(os: java.io.OutputStream) {
+    private val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](1 << 16)
+    // RFC 1952 member header: magic, CM=deflate, no flags, mtime 0, XFL 0, OS 255 (unknown)
+    private val header = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte)
+
+    def writeMember(rec: Array[Byte]): Unit = {
+      os.write(header)
+      deflater.reset()
+      deflater.setInput(rec)
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) os.write(buf, 0, n)
       }
-      finally os.close()
+      crc.reset()
+      crc.update(rec)
+      writeIntLe(crc.getValue.toInt)
+      writeIntLe(rec.length)
+    }
+
+    private def writeIntLe(v: Int): Unit = {
+      os.write(v & 0xff); os.write((v >>> 8) & 0xff)
+      os.write((v >>> 16) & 0xff); os.write((v >>> 24) & 0xff)
+    }
+
+    /** Releases the native zlib state (call once per partition). */
+    def end(): Unit = deflater.end()
+  }
+
+  /** Write pages as .warc / .warc.gz files, one per partition. */
+  def write(pages: Dataset[PageRow], dir: String, gzip: Boolean = false, http: Boolean = false): Unit = {
+    import pages.sparkSession.implicits._
+    writeRecords(pages.map(p =>
+      WarcRec(p.url, p.warc_ts.getTime, if (http) httpBlock(p.html) else p.html)), dir, gzip)
+  }
+
+  /** Write serialized records through the Hadoop FileSystem API: each task
+    * writes `.tmp-<nonce>-partNNNNN` then renames into place, so object
+    * stores, task retries and speculative execution never expose partial
+    * files (rename is the commit; both attempts produce identical bytes from
+    * deterministic input, so last-rename-wins is safe). Stale part/temp
+    * files from earlier runs are cleared first so a rerun with fewer
+    * partitions cannot leave orphans that read() would re-ingest.
+    */
+  def writeRecords(recs: Dataset[WarcRec], dir: String, gzip: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = recs.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val stale = fs.listStatus(dirPath).filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".warc") || n.endsWith(".warc.gz") || n.startsWith(".tmp-")
+    }
+    stale.foreach(st => fs.delete(st.getPath, false))
+    val ext = if (gzip) "warc.gz" else "warc"
+    val nonce = java.util.UUID.randomUUID().toString.take(8) // driver-side, once per job
+    recs.foreachPartition { (it: Iterator[WarcRec]) =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      // executor side: default Configuration picks up the cluster's Hadoop
+      // conf from the classpath (core-site.xml), which is where object-store
+      // credentials/impl classes live on a real deployment
+      val efs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val tmp = new Path(dir, f".tmp-$nonce-${tc.taskAttemptId()}%d-part-$pid%05d.$ext")
+      val dst = new Path(dir, f"part-$pid%05d.$ext")
+      val os = new java.io.BufferedOutputStream(efs.create(tmp, true), 1 << 16)
+      if (gzip) {
+        val gz = new GzipMemberWriter(os)
+        try it.foreach(r => gz.writeMember(recordBlock(r.url, r.tsMillis, r.block)))
+        finally { gz.end(); os.close() }
+      } else {
+        try it.foreach(r => os.write(recordBlock(r.url, r.tsMillis, r.block)))
+        finally os.close()
+      }
+      if (efs.exists(dst)) efs.delete(dst, false)
+      if (!efs.rename(tmp, dst))
+        throw new java.io.IOException(s"rename $tmp -> $dst failed")
     }
   }
 
-  /** Streaming record parse; `in` must already be decompressed. */
+  /** Streaming record parse; `in` must already be decompressed. Bodies are
+    * charset-normalized to UTF-8 (see object doc).
+    */
   def parseStream(in: java.io.InputStream): Iterator[PageRow] = new Iterator[PageRow] {
     private val bin = new java.io.BufferedInputStream(in, 1 << 16)
     private var nextRow: PageRow = advance()
 
-    /** Next CRLF-terminated line (terminator dropped), or null at EOF. */
+    /** Next CRLF-terminated line (terminator dropped), or null at EOF. A
+      * line beyond maxHeaderLine is skimmed (not buffered) and replaced by a
+      * marker that can never match a WARC magic or `key: value` header.
+      */
     private def line(): String = {
       val sb = new java.lang.StringBuilder(64)
       var c = bin.read()
       if (c < 0) return null
+      var truncated = false
       while (c >= 0 && c != '\n') {
-        if (c != '\r') sb.append(c.toChar)
+        if (c != '\r') {
+          if (sb.length < maxHeaderLine) sb.append(c.toChar)
+          else truncated = true
+        }
         c = bin.read()
       }
-      sb.toString
+      if (truncated) " overlong" else sb.toString
     }
 
     private def advance(): PageRow = {
@@ -144,7 +241,8 @@ object Warc {
           if (len >= 0) {
             val block = bin.readNBytes(len)
             if (block.length == len && (typ == null || typ == "response") && url != null) {
-              val body = stripHttpHeaders(block)
+              val (raw, charset) = stripHttpHeadersCs(block)
+              val body = CharsetSniff.toUtf8(raw, charset)
               val ts = new java.sql.Timestamp(
                 if (date != null) java.time.Instant.parse(date).toEpochMilli else 0L)
               return PageRow(url, ts, body, null, null)
@@ -161,19 +259,34 @@ object Warc {
   }
 
   /** CC response blocks wrap the page in an HTTP response; the html is the
-    * entity body after the header terminator. Raw blocks pass through.
+    * entity body after the header terminator, and the Content-Type header's
+    * charset parameter (when present) is the transport-declared encoding.
+    * Raw blocks pass through with a null charset.
     */
-  def stripHttpHeaders(block: Array[Byte]): Array[Byte] = {
+  def stripHttpHeadersCs(block: Array[Byte]): (Array[Byte], String) = {
     if (block.length < 5 || block(0) != 'H' || block(1) != 'T' || block(2) != 'T' ||
-      block(3) != 'P' || block(4) != '/') return block
+      block(3) != 'P' || block(4) != '/') return (block, null)
     var i = 0
     while (i + 3 < block.length) {
-      if (block(i) == '\r' && block(i + 1) == '\n' && block(i + 2) == '\r' && block(i + 3) == '\n')
-        return java.util.Arrays.copyOfRange(block, i + 4, block.length)
+      if (block(i) == '\r' && block(i + 1) == '\n' && block(i + 2) == '\r' && block(i + 3) == '\n') {
+        val body = java.util.Arrays.copyOfRange(block, i + 4, block.length)
+        // header region is ASCII-compatible by RFC 9110; Latin-1 decode is safe
+        val headers = new String(block, 0, i + 2, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var charset: String = null
+        headers.split("\r\n").foreach { ln =>
+          val c = ln.indexOf(':')
+          if (c > 0 && ln.substring(0, c).trim.equalsIgnoreCase("content-type"))
+            charset = CharsetSniff.charsetFromContentType(ln.substring(c + 1))
+        }
+        return (body, charset)
+      }
       i += 1
     }
-    block
+    (block, null)
   }
+
+  /** Header-discarding strip (fixtures/back-compat). */
+  def stripHttpHeaders(block: Array[Byte]): Array[Byte] = stripHttpHeadersCs(block)._1
 
   /** Legacy whole-array entry (fixtures); delegates to the stream parser. */
   def parse(bytes: Array[Byte]): Iterator[PageRow] =
@@ -186,6 +299,58 @@ object Warc {
         new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 1 << 16)
       else new java.io.ByteArrayInputStream(bytes)
     parseStream(in)
+  }
+
+  /** Per-mode non-ASCII content prefixes for the mixed-charset fixture —
+    * each exercises one sniffing path end-to-end (mode = doc_id % 6):
+    * 0 utf-8 declared in HTTP; 1 windows-1252 declared in HTTP; 2 shift_jis
+    * declared in HTTP; 3 utf-8 with BOM, nothing declared; 4 windows-1252
+    * via `<meta charset>` prescan; 5 shift_jis via `<meta http-equiv>`
+    * prescan. Public so the oracle CASE is generated from the same table.
+    */
+  val charsetPrefixes: IndexedSeq[String] = Vector(
+    "héllo wörld ✓ ",
+    "café—naïve «quoted» ",
+    "日本語テスト ",
+    "ßøm bom-marked ",
+    "résumé déjà vu ",
+    "カタカナ文字 ")
+
+  /** Mixed-charset WARC fixture rows from the documents table: per-doc page
+    * whose `<p>` content is `charsetPrefixes(doc_id % 6) + text`, encoded
+    * and declared per mode. After Warc.read's charset normalization, the
+    * extracted main text must equal that string byte-for-byte — the
+    * oracle-checked charset contract (q_warc_charsets).
+    */
+  def charsetFixture(docs: org.apache.spark.sql.DataFrame): Dataset[WarcRec] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val mode = (id % 6).toInt
+      val meta = mode match {
+        case 4 => "<meta charset=\"windows-1252\">"
+        case 5 => "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=shift_jis\">"
+        case _ => ""
+      }
+      val html = s"<html><head>$meta<title>cs</title></head><body><p>${charsetPrefixes(mode)}$text</p></body></html>"
+      val bytes = mode match {
+        case 1 | 4 => html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        case 2 | 5 => html.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+        case 3 =>
+          val u = html.getBytes(UTF_8)
+          val b = new Array[Byte](u.length + 3)
+          b(0) = 0xef.toByte; b(1) = 0xbb.toByte; b(2) = 0xbf.toByte
+          System.arraycopy(u, 0, b, 3, u.length)
+          b
+        case _ => html.getBytes(UTF_8)
+      }
+      val httpCharset = mode match {
+        case 0 => "utf-8"
+        case 1 => "windows-1252"
+        case 2 => "shift_jis"
+        case _ => null // modes 3-5: the transport declares nothing
+      }
+      WarcRec(s"https://example.com/cs/doc$id", 1609459200000L + id, httpBlock(bytes, httpCharset))
+    }
   }
 
   /** Read a directory of .warc / .warc.gz files as the pages table. */

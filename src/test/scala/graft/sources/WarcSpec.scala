@@ -91,6 +91,102 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Warc.read(spark, dir).count() === 500L)
   }
 
+  test("overlong header line is bounded and the record skipped, valid records survive") {
+    val good = Warc.record("https://ok/1", 1000L, "page one".getBytes)
+    // a "record" whose header line never terminates for 1 MB — must be
+    // skimmed in O(1) memory and treated as garbage
+    val evil = ("WARC/1.0\r\nWARC-Type: response\r\nX-Garbage: " + "g" * (1 << 20)).getBytes
+    val good2 = Warc.record("https://ok/2", 2000L, "page two".getBytes)
+    val rows = Warc.parse(good ++ evil ++ "\r\n\r\n".getBytes ++ good2).toVector
+    assert(rows.map(_.url) === Vector("https://ok/1", "https://ok/2"))
+  }
+
+  test("fuzz: garbage bytes, truncated record, missing CRLFs yield exactly the valid records") {
+    val r1 = Warc.record("https://ok/a", 1000L, "alpha".getBytes)
+    val garbage = Array.tabulate[Byte](4096)(i => ((i * 31 + 7) % 251).toByte)
+    val noCrlf = "WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://ok/b\nContent-Length: 4\n\nbeta".getBytes
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ok/c\r\nContent-Length: 999999\r\n\r\nshort".getBytes
+    val badLen = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ok/d\r\nContent-Length: NaN\r\n\r\nx".getBytes
+    val rows = Warc.parse(r1 ++ garbage ++ "\r\n".getBytes ++ noCrlf ++ "\r\n".getBytes ++ badLen ++ truncated).toVector
+    // LF-only line endings are tolerated (line() drops \r, splits on \n)
+    assert(rows.map(_.url).contains("https://ok/a"))
+    assert(rows.map(_.url).contains("https://ok/b"))
+    assert(!rows.map(_.url).contains("https://ok/c")) // truncated body → dropped
+    assert(!rows.map(_.url).contains("https://ok/d")) // malformed length → dropped
+  }
+
+  test("gzip member writer: one deflater, members independently decompressable") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new Warc.GzipMemberWriter(bos)
+    val recs = Seq("first record".getBytes, "second, longer record with more bytes".getBytes)
+    recs.foreach(w.writeMember)
+    w.end()
+    val all = bos.toByteArray
+    // whole-stream decompression sees the concatenation
+    val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(all))
+    assert(new String(gz.readAllBytes()) === recs.map(new String(_)).mkString)
+    // each member is its own gzip stream: find the second member's magic
+    val second = {
+      var i = 10 // skip first header
+      while (!(all(i) == 0x1f.toByte && all(i + 1) == 0x8b.toByte)) i += 1
+      java.util.Arrays.copyOfRange(all, i, all.length)
+    }
+    val gz2 = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(second))
+    assert(new String(gz2.readAllBytes()) === new String(recs(1)))
+  }
+
+  test("write leaves no temp files behind") {
+    val dir = java.nio.file.Files.createTempDirectory("warctmp").toString
+    Warc.write(Pages.synthesize(spark, sfDir).repartition(4), dir, gzip = true, http = true)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(names.count(_.endsWith(".warc.gz")) === 4)
+    assert(!names.exists(_.startsWith(".tmp-")), s"stale temps: ${names.mkString(",")}")
+  }
+
+  test("charset vectors: HTTP-declared windows-1252 / shift_jis bodies normalize to utf-8") {
+    val cp = "<p>café—x</p>".getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val sj = "<p>日本語</p>".getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    def rec(url: String, body: Array[Byte], cs: String) =
+      Warc.recordBlock(url, 1000L, Warc.httpBlock(body, cs))
+    val rows = Warc.parse(
+      rec("https://x/cp", cp, "windows-1252") ++ rec("https://x/sj", sj, "shift_jis") ++
+        rec("https://x/utf", "<p>plain ünïcode</p>".getBytes("UTF-8"), "utf-8")).toVector
+    val byUrl = rows.map(r => r.url -> new String(r.html, "UTF-8")).toMap
+    assert(byUrl("https://x/cp") === "<p>café—x</p>")
+    assert(byUrl("https://x/sj") === "<p>日本語</p>")
+    assert(byUrl("https://x/utf") === "<p>plain ünïcode</p>")
+  }
+
+  test("charset vectors: BOM and meta-prescan records with no transport charset") {
+    val bomBody = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "<p>bøm</p>".getBytes("UTF-8")
+    val metaBody = "<html><head><meta charset=\"windows-1252\"></head><body><p>déjà</p></body></html>"
+      .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val rows = Warc.parse(
+      Warc.recordBlock("https://x/bom", 1L, Warc.httpBlock(bomBody, null)) ++
+        Warc.recordBlock("https://x/meta", 2L, Warc.httpBlock(metaBody, null))).toVector
+    val byUrl = rows.map(r => r.url -> new String(r.html, "UTF-8")).toMap
+    assert(byUrl("https://x/bom") === "<p>bøm</p>") // BOM stripped, not content
+    assert(byUrl("https://x/meta").contains("<p>déjà</p>"))
+  }
+
+  test("mixed-charset fixture round-trips to prefix+text per url (all 6 modes)") {
+    val ss = spark
+    import ss.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("warccs").toString
+    Warc.writeRecords(Warc.charsetFixture(docs), dir, gzip = true)
+    val got = Warc.read(spark, dir)
+      .map(p => (p.url, new String(p.html, "UTF-8")))
+      .collect().toMap
+    val expected = docs.select("doc_id", "text").as[(Long, String)].collect()
+    assert(got.size === expected.length)
+    expected.foreach { case (id, text) =>
+      val want = Warc.charsetPrefixes((id % 6).toInt) + text
+      val html = got(s"https://example.com/cs/doc$id")
+      assert(html.contains(s"<p>$want</p>"), s"doc $id mode ${id % 6}")
+    }
+  }
+
   test("spark write/read round-trip preserves every page byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
     val pages = Pages.synthesize(spark, sfDir)
