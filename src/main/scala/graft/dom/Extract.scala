@@ -83,6 +83,22 @@ object ExtractConfig {
   val headOnly: Set[String] = Set(
     "title", "meta", "link", "base", "style", "script", "noscript", "template"
   )
+  /** WHATWG §13.2.4.2 "special" category (html namespace) — the furthest-
+    * block eligibility test of the adoption agency algorithm.
+    */
+  val special: Set[String] = Set(
+    "address", "applet", "area", "article", "aside", "base", "basefont",
+    "bgsound", "blockquote", "body", "br", "button", "caption", "center",
+    "col", "colgroup", "dd", "details", "dir", "div", "dl", "dt", "embed",
+    "fieldset", "figcaption", "figure", "footer", "form", "frame", "frameset",
+    "h1", "h2", "h3", "h4", "h5", "h6", "head", "header", "hgroup", "hr",
+    "html", "iframe", "img", "input", "keygen", "li", "link", "listing",
+    "main", "marquee", "menu", "meta", "nav", "noembed", "noframes",
+    "noscript", "object", "ol", "p", "param", "plaintext", "pre", "script",
+    "search", "section", "select", "source", "style", "summary", "table",
+    "tbody", "td", "template", "textarea", "tfoot", "th", "thead", "title",
+    "tr", "track", "ul", "wbr", "xmp"
+  )
   val minBlockTextLen = 8
   val maxLinkDensity = 0.5
 
@@ -105,6 +121,7 @@ object ExtractConfig {
   final val SDl = 1 << 15
   final val STr = 1 << 16
   final val SCell = 1 << 17
+  final val FSpecial = 1 << 18
 
   /** name → OR of all flag/scope bits; names absent from every set → 0. */
   val flagTable: java.util.HashMap[String, Integer] = {
@@ -118,6 +135,7 @@ object ExtractConfig {
     add(tablePartEndStops, STablePart); add(listEndStops, SList)
     add(pImpliedStops, SP); add(liImpliedStops, SLi); add(dlImpliedStops, SDl)
     add(trImpliedStops, STr); add(cellImpliedStops, SCell)
+    add(special, FSpecial)
     m
   }
 
@@ -158,12 +176,52 @@ final class Arena {
     val id = n
     name(id) = nm; parent(id) = par; firstChild(id) = -1; nextSibling(id) = -1; lastChild(id) = -1
     n += 1
-    if (par >= 0) {
-      if (firstChild(par) < 0) firstChild(par) = id
-      else nextSibling(lastChild(par)) = id
-      lastChild(par) = id
-    }
+    if (par >= 0) appendChild(par, id)
     id
+  }
+
+  /** Unlink a node from its parent's child list (O(#siblings); only the
+    * adoption agency's tree surgery calls this — misnested formatting is
+    * rare, the per-tag hot path never detaches).
+    */
+  def detach(id: Int): Unit = {
+    val par = parent(id)
+    if (par < 0) return
+    if (firstChild(par) == id) {
+      firstChild(par) = nextSibling(id)
+      if (lastChild(par) == id) lastChild(par) = -1
+    } else {
+      var c = firstChild(par)
+      while (c >= 0 && nextSibling(c) != id) c = nextSibling(c)
+      if (c >= 0) {
+        nextSibling(c) = nextSibling(id)
+        if (lastChild(par) == id) lastChild(par) = c
+      }
+    }
+    parent(id) = -1; nextSibling(id) = -1
+  }
+
+  def appendChild(par: Int, id: Int): Unit = {
+    parent(id) = par
+    if (firstChild(par) < 0) firstChild(par) = id
+    else nextSibling(lastChild(par)) = id
+    lastChild(par) = id
+  }
+
+  def moveTo(id: Int, newPar: Int): Unit = { detach(id); appendChild(newPar, id) }
+
+  /** Re-parent every child of `from` under `to` (order preserved) — the
+    * adoption agency's clone-into-furthest-block step.
+    */
+  def moveChildren(from: Int, to: Int): Unit = {
+    var c = firstChild(from)
+    while (c >= 0) {
+      val nx = nextSibling(c)
+      nextSibling(c) = -1
+      appendChild(to, c)
+      c = nx
+    }
+    firstChild(from) = -1; lastChild(from) = -1
   }
   def size: Int = n
 }
@@ -193,20 +251,30 @@ final class ExtractSink extends TokenSink {
   private var headIdx = -1
   private var bodyIdx = -1
 
-  // active formatting elements (§13.2.4.3): name + currently-open flag;
-  // markers record list length at table/td/caption entry so reconstruction
-  // never crosses a cell boundary
+  // active formatting elements (§13.2.4.3): name + currently-open flag +
+  // arena node (the adoption agency's entry identity); markers record list
+  // length at table/td/caption entry so reconstruction never crosses a cell
+  // boundary
   private val activeFmt = ArrayBuffer.empty[String]
   private val activeFmtOpen = ArrayBuffer.empty[Boolean]
+  private val activeFmtNode = ArrayBuffer.empty[Int]
   private val fmtMarkers = ArrayBuffer.empty[Int]
 
   private val text = new java.lang.StringBuilder
-  private val spans = ArrayBuffer.empty[Span]
+  // pending spans: each text run becomes an arena TEXT NODE (name = null)
+  // under its anchor element, so adoption-agency tree surgery moves text
+  // with its block and span paths are materialized from the FINAL tree in
+  // result() — not from the insertion-time stack
+  private val spStart = ArrayBuffer.empty[Int]
+  private val spEnd = ArrayBuffer.empty[Int]
+  private val spText = ArrayBuffer.empty[Int]
+  private val spBlock = ArrayBuffer.empty[Int]
+  private val spLink = ArrayBuffer.empty[Boolean]
   // current run
   private var runStart = -1
   private var runBlock = root
   private var runLink = false
-  private var runPath = ""
+  private var runAnchor = root
 
   var nTokens = 0L
   var nTags = 0L
@@ -226,10 +294,11 @@ final class ExtractSink extends TokenSink {
     stkFlags.clear(); stkFlags += 0
     skipDepth = 0; linkDepth = 0; blockTop = root; foreignDepth = 0
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
-    activeFmt.clear(); activeFmtOpen.clear(); fmtMarkers.clear()
+    activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
     text.setLength(0)
-    spans.clear()
-    runStart = -1; runBlock = root; runLink = false; runPath = ""
+    spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
+    pathMemo.clear()
+    runStart = -1; runBlock = root; runLink = false; runAnchor = root
     nTokens = 0L; nTags = 0L
     errors.clear()
   }
@@ -238,20 +307,24 @@ final class ExtractSink extends TokenSink {
 
   private def closeRun(): Unit = {
     if (runStart >= 0 && text.length > runStart) {
-      spans += Span(runStart, text.length, runPath, runBlock, runLink, kept = true)
+      val tid = arena.add(null, runAnchor) // text node under the anchor element
+      spStart += runStart; spEnd += text.length; spText += tid
+      spBlock += runBlock; spLink += runLink
     }
     runStart = -1
   }
 
-  private def pathUpTo(topIdx: Int): String = {
-    val sb = new java.lang.StringBuilder
-    var i = 1
-    while (i <= topIdx) {
-      sb.append('/').append(stkName(i))
-      i += 1
-    }
-    sb.append('#').append(stkNode(topIdx))
-    sb.toString
+  // element id → "/html/body/..." prefix from the FINAL arena tree, memoized
+  // per document (spans in the same element share one walk)
+  private val pathMemo = new java.util.HashMap[Integer, String]
+
+  private def pathPrefix(e: Int): String = {
+    if (e <= 0) return "" // #root
+    val cached = pathMemo.get(e)
+    if (cached != null) return cached
+    val s = pathPrefix(arena.parent(e)) + "/" + arena.name(e)
+    pathMemo.put(e, s)
+    s
   }
 
   private def blockUpTo(topIdx: Int): Int = {
@@ -274,7 +347,7 @@ final class ExtractSink extends TokenSink {
       runStart = text.length
       runBlock = if (anchor == top) blockTop else blockUpTo(anchor)
       runLink = linkDepth > 0
-      runPath = pathUpTo(anchor)
+      runAnchor = stkNode(anchor)
     }
   }
 
@@ -431,24 +504,50 @@ final class ExtractSink extends TokenSink {
     while (i < activeFmt.length) {
       if (!activeFmtOpen(i)) {
         val nm = activeFmt(i)
-        pushOpen(nm, stkNode(stkNode.length - 1), flagsOf(nm))
+        val id = pushOpen(nm, stkNode(stkNode.length - 1), flagsOf(nm))
         activeFmtOpen(i) = true
+        activeFmtNode(i) = id // the re-opened element is a NEW node
       }
       i += 1
     }
+  }
+
+  private def removeFmtAt(i: Int): Unit = {
+    activeFmt.remove(i); activeFmtOpen.remove(i); activeFmtNode.remove(i)
   }
 
   private def removeLastFmtEntry(name: String): Unit = {
     val start = if (fmtMarkers.isEmpty) 0 else fmtMarkers(fmtMarkers.length - 1)
     var i = activeFmt.length - 1
     while (i >= start) {
-      if (activeFmt(i) == name) {
-        activeFmt.remove(i)
-        activeFmtOpen.remove(i)
-        return
-      }
+      if (activeFmt(i) == name) { removeFmtAt(i); return }
       i -= 1
     }
+  }
+
+  /** Last active-formatting entry with `name` between the end of the list
+    * and the last marker (§13.2.6.4.7 step 4), or -1.
+    */
+  private def lastFmtIdx(name: String): Int = {
+    val start = if (fmtMarkers.isEmpty) 0 else fmtMarkers(fmtMarkers.length - 1)
+    var i = activeFmt.length - 1
+    while (i >= start) {
+      if (activeFmt(i) == name) return i
+      i -= 1
+    }
+    -1
+  }
+
+  private def aflIdxOfNode(id: Int): Int = {
+    var i = activeFmtNode.length - 1
+    while (i >= 0 && activeFmtNode(i) != id) i -= 1
+    i
+  }
+
+  private def stackIdxOfNode(id: Int): Int = {
+    var i = stkNode.length - 1
+    while (i > 0 && stkNode(i) != id) i -= 1
+    i
   }
 
   // ---- implied document structure (§13.2.6.4.1-4.6) -----------------------
@@ -530,8 +629,10 @@ final class ExtractSink extends TokenSink {
         if (ti > 0) arena.parent(stkNode(ti)) else stkNode(top)
       } else stkNode(top)
     if (!selfClosing && (f & FVoid) == 0) {
-      pushOpen(name, par, f)
-      if ((f & FFormatting) != 0) { activeFmt += name; activeFmtOpen += true }
+      val id = pushOpen(name, par, f)
+      if ((f & FFormatting) != 0) {
+        activeFmt += name; activeFmtOpen += true; activeFmtNode += id
+      }
     } else {
       arena.add(name, par) // void/self-closing: arena node only
     }
@@ -540,35 +641,148 @@ final class ExtractSink extends TokenSink {
   private def endTag(name: String): Unit = {
     if (name == "body" || name == "html") return // trailing text re-enters body
     val f = flagsOf(name)
-    if ((f & FFormatting) != 0) {
-      val idx = lastIndexWithin(name, SDefault)
-      if (idx <= 0) { removeLastFmtEntry(name); return }
-      var allFmtAbove = true
-      var j = idx + 1
-      while (j < stkName.length && allFmtAbove) {
-        allFmtAbove = (stkFlags(j) & FFormatting) != 0; j += 1
-      }
-      if (allFmtAbove) {
-        popTo(idx) // marks the ones above for reconstruction
-        removeLastFmtEntry(name)
-      } else {
-        // misnested across a non-formatting element (<b><div></b>more):
-        // splice the formatting element out of the open stack so subsequent
-        // content is NOT nested under it — the adoption agency's observable
-        // effect on everything after the end tag. (Content already emitted
-        // keeps its insertion-time path; the agency's clone-into-block step
-        // would reorder those ancestors, a documented divergence.)
-        val nm = stkName(idx)
-        if (nm == "a") linkDepth -= 1
-        stkName.remove(idx)
-        stkNode.remove(idx)
-        stkFlags.remove(idx)
-        removeLastFmtEntry(name)
-      }
-      return
-    }
+    if ((f & FFormatting) != 0) { adoptionAgency(name); return }
     val i = lastIndexWithin(name, endScopeMask(name))
     if (i > 0) popTo(i) // out-of-scope / unmatched end tags ignored
+  }
+
+  /** Raw stack removal (no reconstruction marking) with the same depth
+    * bookkeeping as popTo — the adoption agency's mid-stack surgery.
+    */
+  private def removeStackAt(i: Int): Unit = {
+    val fl = stkFlags(i); val nm = stkName(i)
+    if ((fl & FBlacklist) != 0) skipDepth -= 1
+    if ((fl & FFormatting) != 0 && nm == "a") linkDepth -= 1
+    if (nm == "svg" || nm == "math") foreignDepth -= 1
+    stkName.remove(i); stkNode.remove(i); stkFlags.remove(i)
+  }
+
+  /** True when the stack entry at `idx` is in default scope (§13.2.4.2): no
+    * scope-stop element sits above it.
+    */
+  private def inScopeAt(idx: Int): Boolean = {
+    var i = stkName.length - 1
+    while (i > idx) {
+      if ((stkFlags(i) & SDefault) != 0) return false
+      i -= 1
+    }
+    true
+  }
+
+  /** The adoption agency algorithm (WHATWG §13.2.6.4.7), full form: outer
+    * loop up to 8 rounds, furthest-block detection over the special
+    * category, inner-loop clone chain, and the clone-into-furthest-block
+    * restructuring. Because text runs are arena text nodes, the surgery
+    * moves already-inserted content exactly as the spec's DOM mutations do,
+    * and span paths (materialized from the final arena) match browser tree
+    * shapes on misnested-formatting pages.
+    */
+  private def adoptionAgency(subject: String): Unit = {
+    // step 2: current node is the subject and not in the AFL → pop it, done
+    val top0 = stkName.length - 1
+    if (top0 > 0 && stkName(top0) == subject && aflIdxOfNode(stkNode(top0)) < 0) {
+      popTo(top0)
+      return
+    }
+    var outer = 0
+    while (outer < 8) {
+      outer += 1
+      val aflIdx = lastFmtIdx(subject)
+      if (aflIdx < 0) {
+        // no formatting entry → "any other end tag" semantics
+        val i = lastIndexWithin(subject, SDefault)
+        if (i > 0) popTo(i)
+        return
+      }
+      val fmtNode = activeFmtNode(aflIdx)
+      val sIdx = stackIdxOfNode(fmtNode)
+      if (sIdx <= 0) { removeFmtAt(aflIdx); return } // in AFL, not in stack
+      if (!inScopeAt(sIdx)) return // in stack, out of scope → ignore
+      // furthest block: topmost SPECIAL element below the formatting element
+      var fb = -1
+      var i = sIdx + 1
+      while (i < stkName.length && fb < 0) {
+        if ((stkFlags(i) & FSpecial) != 0) fb = i
+        i += 1
+      }
+      if (fb < 0) {
+        // no furthest block: pop through the formatting element (marks the
+        // formatting elements above for reconstruction), drop its entry
+        popTo(sIdx)
+        removeFmtAt(aflIdx)
+        return
+      }
+      val fbNode = stkNode(fb)
+      val commonAncestor =
+        if ((stkFlags(sIdx - 1) & FFoster) != 0) fosterParentNode(sIdx - 1)
+        else stkNode(sIdx - 1)
+      var bookmark = aflIdx
+      // inner loop: walk up from the furthest block toward the formatting
+      // element, cloning intervening active-formatting elements (≤3) and
+      // dropping the rest from the stack
+      var lastNode = fbNode
+      var nodeIdx = fb
+      var inner = 0
+      var brk = false
+      while (!brk) {
+        inner += 1
+        nodeIdx -= 1
+        if (nodeIdx == sIdx) brk = true
+        else {
+          val nId = stkNode(nodeIdx)
+          var aIdx = aflIdxOfNode(nId)
+          if (inner > 3 && aIdx >= 0) {
+            removeFmtAt(aIdx)
+            if (aIdx < bookmark) bookmark -= 1
+            aIdx = -1
+          }
+          if (aIdx < 0) {
+            removeStackAt(nodeIdx) // not active formatting → off the stack
+          } else {
+            // clone: replaces the node in both the stack and the AFL; the
+            // chain built so far is re-parented under the clone
+            val cloneId = arena.add(stkName(nodeIdx), -1)
+            activeFmtNode(aIdx) = cloneId
+            stkNode(nodeIdx) = cloneId
+            if (lastNode == fbNode) bookmark = aIdx + 1
+            arena.moveTo(lastNode, cloneId)
+            lastNode = cloneId
+          }
+        }
+      }
+      // steps 10-13: chain into the common ancestor; clone the formatting
+      // element around the furthest block's existing children
+      arena.moveTo(lastNode, commonAncestor)
+      val cloneFmt = arena.add(subject, -1)
+      arena.moveChildren(fbNode, cloneFmt)
+      arena.appendChild(fbNode, cloneFmt)
+      // step 14: AFL — formatting entry out, clone entry in at the bookmark
+      val p = aflIdxOfNode(fmtNode)
+      if (p >= 0) {
+        removeFmtAt(p)
+        if (p < bookmark) bookmark -= 1
+      }
+      activeFmt.insert(bookmark, subject)
+      activeFmtOpen.insert(bookmark, true)
+      activeFmtNode.insert(bookmark, cloneFmt)
+      // step 15: stack — formatting element out, clone immediately below
+      // the furthest block
+      removeStackAt(stackIdxOfNode(fmtNode))
+      if (subject == "a") linkDepth += 1 // re-balance removeStackAt's decrement
+      val fbIdx = stackIdxOfNode(fbNode)
+      stkName.insert(fbIdx + 1, subject)
+      stkNode.insert(fbIdx + 1, cloneFmt)
+      stkFlags.insert(fbIdx + 1, flagsOf(subject))
+      recomputeBlockTop()
+      // outer loop continues: the next round finds the clone; with no
+      // special element below it, the no-furthest-block case pops it
+    }
+  }
+
+  private def fosterParentNode(topIdx: Int): Int = {
+    var ti = topIdx
+    while (ti > 0 && stkName(ti) != "table") ti -= 1
+    if (ti > 0) arena.parent(stkNode(ti)) else stkNode(topIdx)
   }
 
   /** Per-tag scope for end-tag matching (§13.2.4.2): table-family end tags
@@ -594,18 +808,26 @@ final class ExtractSink extends TokenSink {
   private val densTotal = new java.util.HashMap[Integer, Int](32)
   private val densLink = new java.util.HashMap[Integer, Int](32)
 
+  /** Span path from the FINAL tree: the text node's (possibly adopted)
+    * parent chain plus that parent's arena id.
+    */
+  private def spanPath(tid: Int): String = {
+    val par = arena.parent(tid)
+    pathPrefix(par) + "#" + par
+  }
+
   /** Finalize: text-density scoring per block → mainText. */
   def result(truncated: Boolean, stateHits: Array[Long]): ExtractResult = {
     closeRun()
     val full = text.toString
+    val nSpans = spStart.length
     // per-block totals (reused maps — no per-row allocation)
     densTotal.clear(); densLink.clear()
     var si = 0
-    while (si < spans.length) {
-      val s = spans(si)
-      val n = s.end - s.start
-      densTotal.merge(s.block, n, (a, b) => a + b)
-      if (s.link) densLink.merge(s.block, n, (a, b) => a + b)
+    while (si < nSpans) {
+      val n = spEnd(si) - spStart(si)
+      densTotal.merge(spBlock(si), n, (a, b) => a + b)
+      if (spLink(si)) densLink.merge(spBlock(si), n, (a, b) => a + b)
       si += 1
     }
     def keepBlock(b: Int): Boolean = {
@@ -613,23 +835,24 @@ final class ExtractSink extends TokenSink {
       val l = densLink.getOrDefault(b, 0)
       t >= minBlockTextLen && l.toDouble <= maxLinkDensity * t
     }
+    var allKept = true
+    si = 0
+    while (si < nSpans && allKept) { allKept = keepBlock(spBlock(si)); si += 1 }
     // append straight from the text builder (no second full-copy); when every
-    // span is kept (the common page), mainText IS full and the spans (built
-    // with kept = true) need no copy at all.
-    val allKept = spans.forall(s => keepBlock(s.block))
-    if (allKept) {
-      ExtractResult(full, full, spans.toVector, nTokens, nTags,
-        errors.length, errors.toVector, truncated, stateHits)
-    } else {
-      val main = new java.lang.StringBuilder(full.length)
-      val finalSpans = spans.map { s =>
-        val kept = keepBlock(s.block)
-        if (kept) main.append(text, s.start, s.end)
-        s.copy(kept = kept)
-      }
-      ExtractResult(full, main.toString, finalSpans.toVector, nTokens, nTags,
-        errors.length, errors.toVector, truncated, stateHits)
+    // span is kept (the common page), mainText IS full.
+    val main = if (allKept) null else new java.lang.StringBuilder(full.length)
+    val outSpans = Vector.newBuilder[Span]
+    outSpans.sizeHint(nSpans)
+    si = 0
+    while (si < nSpans) {
+      val kept = allKept || keepBlock(spBlock(si))
+      if (!allKept && kept) main.append(text, spStart(si), spEnd(si))
+      outSpans += Span(spStart(si), spEnd(si), spanPath(spText(si)),
+        spBlock(si), spLink(si), kept)
+      si += 1
     }
+    ExtractResult(full, if (allKept) full else main.toString, outSpans.result(),
+      nTokens, nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 }
 

@@ -107,18 +107,58 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(!r.spans(3).path.contains("/b#") && !r.spans(3).path.contains("/b/"), s"real </b> closed it: ${r.spans(3).path}")
   }
 
-  test("misnested formatting across a block: content after </b> leaves the b") {
+  test("misnested formatting across a block: full adoption agency tree shape") {
     // section does NOT implied-close anything here, so <b> genuinely spans
-    // the block and </b> hits the misnested (splice) path
+    // the block and </b> runs the adoption agency: the section is adopted by
+    // the div, a <b> clone wraps the section's existing children, and
+    // content after </b> is outside any b — the spec tree
+    // (WHATWG §13.2.6.4.7), asserted per span
     val r = ex("<div>1<b>2<section>3</b>4</section>5</div>")
     assert(r.text == "12345")
     assert(r.spans(1).path.contains("/div/b#"))
-    assert(r.spans(2).path.contains("/b/section#"))
+    assert(r.spans(2).path.contains("/div/section/b#"),
+      s"clone wraps the section's children: ${r.spans(2).path}")
     assert(!r.spans(3).path.contains("/b#") && !r.spans(3).path.contains("/b/"),
       s"post-close content left the b: ${r.spans(3).path}")
-    assert(r.spans(3).path.contains("/section#"))
+    assert(r.spans(3).path.contains("/div/section#"),
+      s"section now hangs off the div, not the b: ${r.spans(3).path}")
     assert(r.spans(4).path.endsWith("/div#" + r.spans(4).path.split('#')(1)),
       s"after </section>, back in div without b: ${r.spans(4).path}")
+  }
+
+  test("adoption agency spec example: <b>1<p>2</b>3</p>") {
+    // the canonical misnested-tags example: b{1}, p{b{2}, 3}
+    val r = ex("<b>1<p>2</b>3</p>")
+    assert(r.text == "123")
+    assert(r.spans(0).path.contains("/body/b#"))
+    assert(r.spans(1).path.contains("/body/p/b#"),
+      s"2 sits in the b clone inside the p: ${r.spans(1).path}")
+    assert(r.spans(2).path.endsWith("/p#" + r.spans(2).path.split('#')(1)) &&
+      !r.spans(2).path.contains("/b#") && !r.spans(2).path.contains("/b/"),
+      s"3 is a plain child of the p: ${r.spans(2).path}")
+  }
+
+  test("adoption agency keeps link attribution honest: <a>1<p>2</a>3</p>") {
+    val r = ex("<a>1<p>2</a>3</p>")
+    assert(r.text == "123")
+    assert(r.spans(0).link && r.spans(0).path.contains("/body/a#"))
+    assert(r.spans(1).link && r.spans(1).path.contains("/p/a#"),
+      s"2 in the adopted a clone: ${r.spans(1).path}")
+    assert(!r.spans(2).link && !r.spans(2).path.contains("/a#") &&
+      !r.spans(2).path.contains("/a/"),
+      s"3 is outside any link: ${r.spans(2).path}")
+  }
+
+  test("adoption agency inner loop: <b><i><div>x</b>y clones the i chain") {
+    val r = ex("<p>0</p><b><i><div>x</b>y</div>")
+    assert(r.text == "0xy")
+    // spec: i is cloned (inner loop), div is adopted under the i clone,
+    // a b clone wraps the div's children; y lands in the div (italic, not bold)
+    assert(r.spans(1).path.contains("/i/div/b#"),
+      s"x wrapped by the b clone inside the adopted div: ${r.spans(1).path}")
+    assert(r.spans(2).path.contains("/i/div#") && !r.spans(2).path.contains("/b#") &&
+      !r.spans(2).path.contains("/b/"),
+      s"y italic but not bold: ${r.spans(2).path}")
   }
 
   test("implied p-close before a block reconstructs formatting inside the block (spec)") {
