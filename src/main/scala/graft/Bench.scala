@@ -43,24 +43,51 @@ object Bench {
     // multi-minute contention windows that can slow one pass 2-7x, and the
     // driver compares BENCH_rN across rounds — a single-pass headline is
     // noise (round-1 driver run read 41 MB/s where a quiet JVM does ~1 GB/s).
+    // ALL pass times are emitted (extract_passes / query_passes) plus a
+    // contention_spread = slowest/fastest extraction pass, so a cross-round
+    // reader can discount a contended window instead of reading a phantom
+    // regression.
     extractOnce(spark, pages, parts)
-    val (docs, sec) = (1 to 3).map(_ => extractOnce(spark, pages, parts)).minBy(_._2)
+    val extractPasses = (1 to 3).map(_ => extractOnce(spark, pages, parts))
+    val (docs, sec) = extractPasses.minBy(_._2)
+    val spread = extractPasses.map(_._2).max / sec
     pages.unpersist()
 
-    // ---- per-query timings (min of 2 passes — same contention rationale
-    // as the headline; the driver compares totals across rounds) ----------
+    // ---- per-query timings (2 passes each, min reported in `queries` —
+    // same contention rationale; a crashing query is surfaced in `errors`
+    // with value -1, never silently timed as if it ran) -------------------
+    def jesc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "'").replace("\n", " ").replace("\r", " ")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, String) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, null) }
+        catch {
+          case e: Throwable =>
+            ((System.nanoTime() - t0) / 1e9,
+              e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120))
+        }
       }
-      name -> math.min(once(), once())
+      (name, once(), once())
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + sec
+    val qs = results.map { case (k, p1, p2) =>
+      val ok = Seq(p1, p2).filter(_._2 == null).map(_._1)
+      "\"" + k + f"""\":${if (ok.nonEmpty) ok.min else -1.0}%.3f"""
+    }.mkString("{", ",", "}")
+    val qPasses = results.map { case (k, p1, p2) =>
+      "\"" + k + f"""\":[${p1._1}%.3f,${p2._1}%.3f]"""
+    }.mkString("{", ",", "}")
+    val errs = results.flatMap { case (k, p1, p2) =>
+      val e = if (p1._2 != null) p1._2 else p2._2
+      if (e != null) Some("\"" + k + "\":\"" + jesc(e) + "\"") else None
+    }.mkString("{", ",", "}")
+    val total = results.map { case (_, p1, p2) =>
+      val ok = Seq(p1, p2).filter(_._2 == null).map(_._1)
+      if (ok.nonEmpty) ok.min else 0.0
+    }.sum + sec
+    val ep = extractPasses.map(p => f"${p._2}%.3f").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract":{"docs":$docs,"mb":$mb%.1f,"sec":$sec%.3f,"docs_per_sec":${docs / sec}%.1f,"mb_per_sec":${mb / sec}%.2f},"cpus":$cpus,"variants":$variants}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_passes":$qPasses,"errors":$errs,"sf":"$sfDir","extract":{"docs":$docs,"mb":$mb%.1f,"sec":$sec%.3f,"docs_per_sec":${docs / sec}%.1f,"mb_per_sec":${mb / sec}%.2f,"passes":$ep,"contention_spread":$spread%.2f},"cpus":$cpus,"variants":$variants}""")
     spark.stop()
   }
 }

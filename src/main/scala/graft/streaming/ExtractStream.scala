@@ -54,48 +54,52 @@ object ExtractStream {
     }
   }
 
-  /** Gap-based sessionization via the stateful-streaming API
-    * (`flatMapGroupsWithState` over a KeyValueGroupedDataset — the custom-
-    * state operator family). Sessions = per-user event groups where
-    * consecutive events are ≤ `gapUs` apart; output is one row per session
-    * with exact microsecond bounds (BIGINT — bit-stable for the oracle).
+  /** Gap-based sessionization (batch). Sessions = per-user event groups
+    * where consecutive events are ≤ `gapUs` apart; output is one row per
+    * session with exact microsecond bounds (BIGINT — bit-stable for the
+    * oracle).
     *
-    * Scale shape: ONE shuffle keyed by user_id; per-group work is O(events
-    * per user · log) for the in-group sort — users are the natural bounded
-    * key. In a streaming query the same function runs incrementally with
-    * GroupState carrying the open session (here unused in batch execution,
-    * where each key's full iterator arrives at once).
+    * Scale shape: ONE hash shuffle keyed by user_id (all of a user's events
+    * land in one partition), then Spark's EXTERNAL sort within partitions
+    * and a single forward iterator walk with O(1) state per open session —
+    * a 10^8-event bot/crawler user spills through the sort instead of
+    * buffering in task memory (the round-2 `it.toArray` hazard). The
+    * incremental variant is `sessionizeStream` (flatMapGroupsWithState).
     */
   def sessionize(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
       // events.ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast's
       // wall-clock-as-UTC epoch equals DuckDB's epoch_us on the naive value
       .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_us")
       .as[(Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Long)], _: GroupState[Long]) =>
-          val ts = it.map(_._2).toArray
-          java.util.Arrays.sort(ts)
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-          var start = ts(0)
-          var prev = ts(0)
-          var n = 1L
-          var i = 1
-          while (i < ts.length) {
-            if (ts(i) - prev > gapUs) {
-              out += ((uid, start, prev, n))
-              start = ts(i); n = 0L
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long)] {
+          private var more = it.hasNext
+          private var cur: (Long, Long) = if (more) it.next() else null
+          def hasNext: Boolean = more
+          def next(): (Long, Long, Long, Long) = {
+            val uid = cur._1
+            val start = cur._2
+            var prev = cur._2
+            var n = 1L
+            var out: (Long, Long, Long, Long) = null
+            while (out == null) {
+              if (it.hasNext) {
+                val nx = it.next()
+                if (nx._1 != uid || nx._2 - prev > gapUs) { out = (uid, start, prev, n); cur = nx }
+                else { prev = nx._2; n += 1 }
+              } else {
+                out = (uid, start, prev, n)
+                more = false
+              }
             }
-            prev = ts(i); n += 1
-            i += 1
+            out
           }
-          out += ((uid, start, prev, n))
-          out.iterator
+        }
       }
       .toDF("user_id", "session_start_us", "session_end_us", "n_events")
   }

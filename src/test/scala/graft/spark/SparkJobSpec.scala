@@ -236,6 +236,39 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF trainer: 90%-hot cluster trains via partial aggregation, no straggler materialization") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val m = new graft.spark.Mix(seed)
+      Array.fill(64)((m.next() >>> 11).toFloat / (1L << 53).toFloat - 0.5f)
+    }
+    // adversarial skew: 90% of vectors identical (one giant cluster) — the
+    // round-2 mapGroups update would buffer all of them in ONE task; the
+    // partial-aggregation update reduces (cluster → sum,count) partials
+    val hot = vec(7L)
+    val rows = (0L until 4500L).map(i => (i + 100L, hot)) ++
+      (0L until 500L).map(i => (i * 31 + 10000L, vec(i)))
+    val emb = rows.toDF("vec_id", "embedding").repartition(8)
+    val cents = graft.operators.Ann.ivfTrain(emb, nlist = 8, iters = 3)
+    assert(cents.length === 8)
+    assert(cents.forall(c => c.forall(x => !x.isNaN && !x.isInfinite)))
+    // the hot point must be (numerically) one of the centroids
+    val hotD = hot.map(_.toDouble)
+    val best = cents.map(c => c.zip(hotD).map { case (a, b) => (a - b) * (a - b) }.sum).min
+    assert(best < 1e-6, s"hot cluster centroid off by $best")
+  }
+
+  test("IVF sample-based training keeps recall on the real corpus") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = graft.operators.Ann.bruteForceTopK(emb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val approx = graft.operators.Ann.ivfTopK(emb, trainFraction = 0.5).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (trained on a 50% sample)")
+  }
+
   test("embedding near-dup pairs include every planted duplicate vector") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Ann.cosineNearDups(emb).collect()

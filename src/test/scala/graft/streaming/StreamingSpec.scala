@@ -104,6 +104,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("sessionize hot key: one user with 10^6 events walks the iterator, no per-user buffering") {
+    val ss = spark
+    import ss.implicits._
+    // one bot user emitting an event every 10 s for ~116 days, with a >30min
+    // gap every 100,000 events → exactly 10 sessions of 100,000. The sort-
+    // based walk keeps O(1) state per open session; the round-2 it.toArray
+    // variant would have buffered all 10^6 timestamps in one task.
+    val gapUs = 1800000000L
+    val events = ss.range(1000000L)
+      .selectExpr("CAST(7 AS BIGINT) AS user_id",
+        s"timestamp_micros(id * 10000000 + (id DIV 100000) * ${2 * gapUs}) AS ts")
+    val got = ExtractStream.sessionize(events).collect()
+    assert(got.length === 10)
+    assert(got.forall(_.getAs[Long]("n_events") === 100000L))
+  }
+
   test("watermarked window agg equals the batch groupBy on the events table") {
     val batch = ExtractStream.eventCounts(spark.read.parquet(s"$sfDir/events.parquet"))
       .collect().map(_.toSeq).sortBy(_.toString())
