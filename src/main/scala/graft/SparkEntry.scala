@@ -180,6 +180,7 @@ object SparkEntry {
     // ---- dedup family ----------------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withPlantedDups(docs(s, dir), every = 7, dropWords = 0))),
+    "q_dedup_paragraph" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir))),
     "q_dedup_jaccard" -> ((s, dir) => Dedup.adjacentJaccard(docs(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
@@ -212,7 +213,19 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
     "q_multimodal_meta" -> ((s, dir) => TextOps.multimodalMeta(docs(s, dir))),
-    "q_frame_sample" -> ((s, dir) => TextOps.frameSample(docs(s, dir)))
+    "q_frame_sample" -> ((s, dir) => TextOps.frameSample(docs(s, dir))),
+    "q_url_parse" -> ((s, dir) =>
+      // URL decomposition over a synthetic per-doc url (host varies by
+      // lang/source): Spark's codegen'd parse_url vs an independent DuckDB
+      // regexp reconstruction — the crawl-curation url-keying operator
+      docs(s, dir)
+        .selectExpr("doc_id",
+          "concat('https://', lang, '.', source, '.example.com/', source, '/doc', CAST(doc_id AS STRING), '?ref=', CAST(doc_id % 7 AS STRING)) AS url")
+        .selectExpr("doc_id",
+          "parse_url(url, 'HOST') AS host",
+          "parse_url(url, 'PATH') AS path",
+          "CAST(parse_url(url, 'QUERY', 'ref') AS BIGINT) AS ref",
+          "array_join(slice(split(parse_url(url, 'HOST'), '[.]'), -2, 2), '.') AS reg_domain"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -342,6 +355,29 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keeper_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM all_docs GROUP BY md5(text)""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 13 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+        |c AS (SELECT doc_id,
+        |             md5(array_to_string(list_slice(ws, i * 20 + 1, i * 20 + 20), ' ')) AS chunk_md5
+        |      FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) - 1) // 20)) AS i FROM w))
+        |SELECT chunk_md5, CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+        |       CAST(count(*) AS BIGINT) AS n_copies
+        |FROM c GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin,
+    "q_url_parse" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || lang || '.' || source || '.example.com/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_extract(url, '://([^/]+)/', 1) AS host,
+        |       regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+        |       CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref,
+        |       regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain
+        |FROM u""".stripMargin,
     // Oracle = exhaustive enumeration of pairs with 3-word-shingle Jaccard
     // >= 0.6 (shingle *strings*; Spark compares 64-bit shingle hashes —
     // equal counts unless a 64-bit collision occurs). The LSH candidate

@@ -631,6 +631,20 @@ final class ExtractSink extends TokenSink {
     if (!selfClosing && (f & FVoid) == 0) {
       val id = pushOpen(name, par, f)
       if ((f & FFormatting) != 0) {
+        // Noah's Ark clause (§13.2.4.3): at most 3 same-name entries between
+        // the end of the list and the last marker. Besides spec fidelity,
+        // this BOUNDS the active-formatting list (≤ 3 × 14 names per marker
+        // scope), so reconstructFmt stays O(1)-ish per text run even on a
+        // pathological <b><b><b>... page — without it that page is O(n²).
+        val start = if (fmtMarkers.isEmpty) 0 else fmtMarkers(fmtMarkers.length - 1)
+        var cnt = 0
+        var earliest = -1
+        var i = activeFmt.length - 1
+        while (i >= start) {
+          if (activeFmt(i) == name) { cnt += 1; earliest = i }
+          i -= 1
+        }
+        if (cnt >= 3) removeFmtAt(earliest)
         activeFmt += name; activeFmtOpen += true; activeFmtNode += id
       }
     } else {

@@ -50,6 +50,32 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Passage-level exact dedup (the C4/RefinedWeb-style operator): split
+    * each doc into fixed-`words`-word chunks, hash each chunk, keep the
+    * duplicated ones with their keeper doc. Removing repeated boilerplate
+    * passages ACROSS documents is the highest-yield text-dedup op on crawl
+    * data after url/doc-level dedup.
+    *
+    * Scale shape: one narrow chunk projection (codegen'd — sequence/
+    * transform/posexplode, no UDF), then ONE shuffle on the 16-byte chunk
+    * digest with map-side partial aggregation — the full chunk text never
+    * shuffles. Docs with `doc_id % 13 == 0` get a planted twin
+    * (+2,000,000) so small SFs exercise the duplicate path.
+    */
+  def paragraphDedup(docs: DataFrame, words: Int = 20): DataFrame = {
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    planted
+      .selectExpr("doc_id",
+        s"""explode(transform(sequence(0, (size(split(text, ' ')) - 1) div $words),
+           |  i -> md5(array_join(slice(split(text, ' '), i * $words + 1, $words), ' ')))) AS chunk_md5""".stripMargin)
+      .groupBy("chunk_md5")
+      .agg(min("doc_id").as("keeper_doc"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+      .orderBy("chunk_md5")
+  }
+
   /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
     val spark = docs.sparkSession

@@ -201,6 +201,16 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(rc.text == "héllo world", s"cp mode got '${rc.text}'")
   }
 
+  test("Noah's Ark clause bounds reconstruction on pathological repeated formatting") {
+    // 5,000 unclosed <b> tags: the AFL keeps at most 3 same-name entries per
+    // marker scope, so the next paragraph reconstructs ≤ 3 nested b — not
+    // 5,000 (which would also make every text run O(n) in list length)
+    val r = ex("<p>" + "<b>" * 5000 + "one</p><p>two</p>")
+    assert(r.text == "onetwo")
+    val bCount = r.spans(1).path.sliding(3).count(s => s == "/b/" || s == "/b#")
+    assert(bCount <= 3, s"reconstructed $bCount b's: ${r.spans(1).path.take(120)}")
+  }
+
   test("after-body text re-enters body") {
     val r = ex("<body><p>a</p></body>tail</html>")
     assert(r.text == "atail")
