@@ -108,4 +108,32 @@ class PropertySpec extends AnyFunSuite {
       assert(a.spans == b.spans && a.text == b.text && a.mainText == b.mainText)
     }
   }
+
+  test("arena stays a consistent tree under tag soup (adoption-agency surgery invariant)") {
+    // the adoption agency detaches/moves/clones arena nodes mid-document;
+    // after any input, every child list must be acyclic, parent-consistent,
+    // and lastChild-accurate — the invariant the surgery must preserve
+    forAll(htmlish, 200) { html =>
+      val sink = new graft.dom.ExtractSink
+      Extractor.extractCpsInto(RefTokenizer.codepoints(html), sink)
+      val a = sink.arena
+      val n = a.size
+      var id = 0
+      while (id < n) {
+        var c = a.firstChild(id)
+        var last = -1
+        var steps = 0
+        while (c >= 0) {
+          assert(a.parent(c) == id, s"child $c of node $id has parent ${a.parent(c)} in:\n$html")
+          last = c
+          c = a.nextSibling(c)
+          steps += 1
+          assert(steps <= n, s"cycle in child list of node $id in:\n$html")
+        }
+        if (a.firstChild(id) >= 0)
+          assert(a.lastChild(id) == last, s"stale lastChild for node $id in:\n$html")
+        id += 1
+      }
+    }
+  }
 }

@@ -77,4 +77,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = formatted("q_ann_cosine")
     assert(p.contains("BroadcastExchange"), s"query set not broadcast:\n$p")
   }
+
+  test("paragraph dedup shuffles chunk digests with partial aggregation") {
+    val p = formatted("q_dedup_paragraph")
+    assert(p.contains("md5"), "chunk digest not in plan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"chunk agg not partial:\n$p")
+  }
+
+  test("url parse is a pure codegen'd projection — zero shuffles") {
+    val plan = graft.SparkEntry.queries("q_url_parse")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"url projection shuffles:\n$plan")
+    // "*(n)" is the whole-stage-codegen stage marker in the compact tree print
+    assert(plan.contains("*(1) Project"), s"url projection left codegen:\n$plan")
+  }
+
+  test("sessionize plans exactly one shuffle (the user_id repartition)") {
+    val plan = graft.SparkEntry.queries("q_sessionize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"expected one user_id shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("Sort"), "within-partition sort missing")
+  }
 }
