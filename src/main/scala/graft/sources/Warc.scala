@@ -353,8 +353,23 @@ object Warc {
     }
   }
 
-  /** Read a directory of .warc / .warc.gz files as the pages table. */
+  /** Read a directory of .warc / .warc.gz files as the pages table, via the
+    * streaming DataSourceV2 connector ([[WarcSource]]): one partition per
+    * archive file, O(record) executor memory, column pruning when the
+    * caller projects. `text`/`lang` are null (the crawl doesn't carry them).
+    */
   def read(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.format("warc").load(dir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit(null).cast("string").as("text"), lit(null).cast("string").as("lang"))
+      .as[PageRow]
+  }
+
+  /** Legacy whole-file read path (binaryFile + in-memory parse); kept for
+    * comparison tests — prefer `read`.
+    */
+  def readViaBinaryFile(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*.warc*")
       .select(col("content"))

@@ -187,6 +187,34 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DataSourceV2 warc format equals the binaryFile parse path") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcdsv2").toString
+    Warc.write(Pages.synthesize(spark, sfDir).repartition(4), dir, gzip = true, http = true)
+    val viaDsv2 = Warc.read(spark, dir)
+      .map(p => (p.url, java.util.Arrays.hashCode(p.html), p.warc_ts.getTime))
+      .collect().sortBy(_._1)
+    val viaBinary = Warc.readViaBinaryFile(spark, dir)
+      .map(p => (p.url, java.util.Arrays.hashCode(p.html), p.warc_ts.getTime))
+      .collect().sortBy(_._1)
+    assert(viaDsv2.length === 500)
+    assert(viaDsv2.toSeq === viaBinary.toSeq)
+    // one partition per archive file
+    assert(ss.read.format("warc").load(dir).rdd.getNumPartitions === 4)
+  }
+
+  test("DataSourceV2 warc format prunes columns into the reader") {
+    val ss = spark
+    val dir = java.nio.file.Files.createTempDirectory("warcprune").toString
+    Warc.write(Pages.synthesize(spark, sfDir).repartition(2), dir, gzip = true, http = true)
+    val urlsOnly = ss.read.format("warc").load(dir).select("url")
+    val plan = urlsOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=url") && !plan.contains("html"),
+      s"html not pruned from the warc scan:\n$plan")
+    assert(urlsOnly.count() === 500L)
+  }
+
   test("spark write/read round-trip preserves every page byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
     val pages = Pages.synthesize(spark, sfDir)
