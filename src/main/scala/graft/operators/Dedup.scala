@@ -168,6 +168,16 @@ object Dedup {
     * trade (at petabyte scale you'd checkpoint it to a temp table instead;
     * both beat executor-memory caching).
     */
+  /** Production near-dup entry (no planted twins, used by the curation
+    * pipeline): verified pairs with shingle-Jaccard ≥ `threshold`.
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(docs)
+    verifyJaccard(candidatePairs(lshBands(minhashSignatures(sh))), sh)
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   def minhashLsh(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val withDups = withPlantedDups(docs)
     val sh = shingles(withDups)

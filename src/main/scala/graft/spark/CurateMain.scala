@@ -1,0 +1,89 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.Warc
+import graft.operators.{Dedup, TextOps}
+
+/** End-to-end training-data curation pipeline — the composed product
+  * surface: crawl archive in, curated text corpus out.
+  *
+  *   WARC ingest (charset-normalized, streaming DSv2 reader)
+  *     → extraction kernel (tokenizer + tree construction + boilerplate
+  *       strip; narrow mapPartitions, lineage rows on the side)
+  *     → text features (token count, language ID)
+  *     → quality floor (n_tokens ≥ minTokens)
+  *     → exact dedup (md5 keeper per text)
+  *     → MinHash/LSH near-dup removal (verified Jaccard ≥ 0.6; the
+  *       lexicographically-first doc of each pair survives)
+  *     → curated parquet + one JSON report line with per-stage counts.
+  *
+  * Every stage is one of the engine's tested operators; the composition
+  * adds no new shuffles beyond each operator's own (extraction is narrow;
+  * dedup stages key on doc_id/digests). At 100 TB each stage is exactly
+  * this plan with more partitions.
+  *
+  * Usage: runMain graft.spark.CurateMain [sfDir] [outDir]
+  * (the sf documents table stands in for a crawl drop — it is written as a
+  * CC-shaped .warc.gz landing dir first, so the REAL ingest path is what
+  * runs end-to-end).
+  */
+object CurateMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_curate"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val report = run(spark, sfDir, outDir)
+    println(report)
+    spark.stop()
+  }
+
+  /** Runs the pipeline; returns the JSON report line. */
+  def run(spark: SparkSession, sfDir: String, outDir: String, minTokens: Int = 20): String = {
+    val n = spark.sparkContext.defaultParallelism
+    val t0 = System.nanoTime()
+
+    // 1. simulated crawl drop: CC-shaped gzip-member WARC landing dir
+    val warcDir = s"$outDir/warc_in"
+    Warc.write(Pages.synthesize(spark, sfDir), warcDir, gzip = true, http = true)
+
+    // 2. ingest (charset-normalized) + extract
+    val extracted = ExtractJob.extract(Warc.read(spark, warcDir), "curate", n)
+      .toDF().persist()
+    val nIn = extracted.count()
+
+    // 3. features over the extracted main text
+    val docs = extracted.selectExpr("url", "xxhash64(url) AS doc_id", "main_text AS text")
+    val feats = docs
+      .selectExpr("url", "doc_id", "text", s"${TextOps.tokensExpr} AS n_tokens")
+      .join(docs.selectExpr(TextOps.langIdSelect: _*), "doc_id")
+
+    // 4. quality floor
+    val quality = feats.where(col("n_tokens") >= minTokens)
+    val nQuality = quality.count()
+
+    // 5. exact-dedup keepers (md5 digest shuffle, partial aggs)
+    val keepers = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
+
+    // 6. near-dup losers: of each verified pair, the larger doc_id goes
+    val losers = Dedup.nearDupPairs(docs).select(col("id_b").as("doc_id")).distinct()
+    val nLosers = losers.count()
+
+    val curated = quality
+      .join(keepers, "doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("url", "doc_id", "pred_lang", "n_tokens", "text")
+    curated.write.mode("overwrite").parquet(s"$outDir/curated.parquet")
+    val nOut = spark.read.parquet(s"$outDir/curated.parquet").count()
+    extracted.unpersist()
+    val wall = (System.nanoTime() - t0) / 1e9
+    f"""{"metric":"curate","docs_in":$nIn,"after_quality":$nQuality,"near_dup_losers":$nLosers,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
+  }
+}
