@@ -70,6 +70,10 @@ object SparkEntry {
       ExtractJob.extract(graft.sources.Warc.read(s, warcDir), "warc", n)
         .toDF().select("url", "main_text")
     }),
+    "q_extract_title" -> ((s, dir) =>
+      // metadata extraction: first <title> content rides the output row
+      // (captured on the side in the kernel — never part of the text)
+      extracted(s, dir).select("url", "title")),
     "q_warc_charsets" -> ((s, dir) => {
       // charset-aware ingest: mixed-charset .warc.gz (utf-8 / windows-1252 /
       // shift_jis; declared via HTTP, BOM, or <meta> prescan per doc_id % 6)
@@ -236,6 +240,10 @@ object SparkEntry {
     "q_warc_roundtrip" ->
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
         |       text AS main_text
+        |FROM documents""".stripMargin,
+    "q_extract_title" ->
+      """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title
         |FROM documents""".stripMargin,
     "q_warc_charsets" -> {
       val cases = graft.sources.Warc.charsetPrefixes.zipWithIndex

@@ -10,6 +10,7 @@ final case class Span(start: Int, end: Int, path: String, block: Int, link: Bool
 final case class ExtractResult(
     text: String, // all in-content character tokens (boilerplate subtrees elided)
     mainText: String, // density-filtered main content
+    title: String, // first <title> content (metadata; never part of text)
     spans: Vector[Span],
     nTokens: Long,
     nTags: Long,
@@ -20,11 +21,14 @@ final case class ExtractResult(
 )
 
 object ExtractConfig {
-  /** Subtrees whose character data is never content. */
+  /** Subtrees whose character data is never content. `title` is captured
+    * separately as metadata (ExtractSink.titleBuf) — a stray title in body
+    * must not leak into the extracted text either.
+    */
   val blacklist: Set[String] = Set(
     "script", "style", "template", "noscript", "head", "svg", "math",
     "nav", "footer", "aside", "form", "iframe", "object", "applet",
-    "select", "option", "button", "datalist"
+    "select", "option", "button", "datalist", "title"
   )
   /** Void elements (never pushed on the open stack). */
   val voids: Set[String] = Set(
@@ -261,6 +265,11 @@ final class ExtractSink extends TokenSink {
   private val fmtMarkers = ArrayBuffer.empty[Int]
 
   private val text = new java.lang.StringBuilder
+  // first <title> content (metadata every curation pipeline wants; captured
+  // on the side — never reaches the content text, never alters accounting)
+  private val titleBuf = new java.lang.StringBuilder
+  private var inTitle = false
+  private var titleDone = false
   // pending spans: each text run becomes an arena TEXT NODE (name = null)
   // under its anchor element, so adoption-agency tree surgery moves text
   // with its block and span paths are materialized from the FINAL tree in
@@ -296,6 +305,7 @@ final class ExtractSink extends TokenSink {
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
     text.setLength(0)
+    titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
     pathMemo.clear()
     runStart = -1; runBlock = root; runLink = false; runAnchor = root
@@ -372,6 +382,7 @@ final class ExtractSink extends TokenSink {
 
   override def char(cp: Int): Unit = {
     nTokens += 1
+    if (inTitle) titleBuf.appendCodePoint(cp)
     if (preText(!isWsCp(cp))) {
       startRunIfNeeded()
       text.appendCodePoint(cp)
@@ -381,6 +392,7 @@ final class ExtractSink extends TokenSink {
   override def chars(src: Array[Int], from: Int, until: Int): Unit = {
     if (until <= from) return
     nTokens += until - from
+    if (inTitle) { var i = from; while (i < until) { titleBuf.appendCodePoint(src(i)); i += 1 } }
     var nonWs = false
     var start = from
     if (bodyIdx < 0) {
@@ -400,6 +412,7 @@ final class ExtractSink extends TokenSink {
   override def charsAscii(src: Array[Byte], from: Int, until: Int): Unit = {
     if (until <= from) return
     nTokens += until - from
+    if (inTitle) { var i = from; while (i < until) { titleBuf.append(src(i).toChar); i += 1 } }
     var nonWs = false
     var start = from
     if (bodyIdx < 0) {
@@ -446,6 +459,7 @@ final class ExtractSink extends TokenSink {
     if (name == "svg" || name == "math") foreignDepth += 1
     if ((f & FBlock) != 0) blockTop = id
     if ((f & FMarker) != 0) fmtMarkers += activeFmt.length
+    if (!titleDone && name == "title") inTitle = true
     id
   }
 
@@ -458,11 +472,13 @@ final class ExtractSink extends TokenSink {
       if ((f & FBlacklist) != 0) skipDepth -= 1
       if ((f & FFormatting) != 0 && nm == "a") linkDepth -= 1
       if (nm == "svg" || nm == "math") foreignDepth -= 1
+      if (inTitle && nm == "title") { inTitle = false; titleDone = true }
       if ((f & FMarker) != 0 && fmtMarkers.nonEmpty) {
         // clear active formatting up to the marker (§ "clear ... to last marker")
         val m = fmtMarkers.remove(fmtMarkers.length - 1)
         activeFmt.dropRightInPlace(activeFmt.length - m)
         activeFmtOpen.dropRightInPlace(activeFmtOpen.length - m)
+        activeFmtNode.dropRightInPlace(activeFmtNode.length - m)
       } else if ((f & FFormatting) != 0) {
         // implicitly closed formatting element → eligible for reconstruction
         var j = activeFmt.length - 1
@@ -668,6 +684,7 @@ final class ExtractSink extends TokenSink {
     if ((fl & FBlacklist) != 0) skipDepth -= 1
     if ((fl & FFormatting) != 0 && nm == "a") linkDepth -= 1
     if (nm == "svg" || nm == "math") foreignDepth -= 1
+    if (inTitle && nm == "title") { inTitle = false; titleDone = true }
     stkName.remove(i); stkNode.remove(i); stkFlags.remove(i)
   }
 
@@ -865,8 +882,9 @@ final class ExtractSink extends TokenSink {
         spBlock(si), spLink(si), kept)
       si += 1
     }
-    ExtractResult(full, if (allKept) full else main.toString, outSpans.result(),
-      nTokens, nTags, errors.length, errors.toVector, truncated, stateHits)
+    ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
+      outSpans.result(), nTokens, nTags, errors.length, errors.toVector,
+      truncated, stateHits)
   }
 }
 

@@ -17,6 +17,7 @@ final case class Extracted(
     lang: String,
     main_text: String,
     full_text: String,
+    title: String,
     spans: Seq[graft.dom.Span],
     errors: Seq[String],
     n_spans: Int,
@@ -87,7 +88,7 @@ object ExtractJob {
     */
   def extractRow(p: PageRow): Extracted = {
     val r = Extractor.extract(p.html)
-    Extracted(p.url, p.lang, r.mainText, r.text, r.spans, r.errors,
+    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.errors,
       r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
       p.html.length.toLong)
   }
@@ -211,7 +212,7 @@ object ExtractJob {
         if (bytes >= maxTaskBytes) {
           capped += 1
           bytes += p.html.length
-          Extracted(p.url, p.lang, "", "", Nil, Seq("TASK_BYTE_CAP"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Seq("TASK_BYTE_CAP"),
             0, 0L, 0L, 1, truncated = true, p.html.length.toLong)
         } else {
           val r = Extractor.extractInto(p.html, sink)
@@ -222,8 +223,8 @@ object ExtractJob {
           // spans still index it, and main_text == full_text on pages whose
           // spans are all kept) — schema stays contract-identical
           Extracted(p.url, p.lang, r.mainText, if (lean) "" else r.text,
-            r.spans, r.errors, r.spans.length, r.nTokens, r.nTags, r.nErrors,
-            r.truncated, p.html.length.toLong)
+            r.title, r.spans, r.errors, r.spans.length, r.nTokens, r.nTags,
+            r.nErrors, r.truncated, p.html.length.toLong)
         }
       }
     }

@@ -211,6 +211,17 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(bCount <= 3, s"reconstructed $bCount b's: ${r.spans(1).path.take(120)}")
   }
 
+  test("title capture: first title wins, content never leaks into text") {
+    val r = ex("<html><head><title>My Page</title></head><body><p>content text</p><title>late</title></body></html>")
+    assert(r.title == "My Page")
+    assert(r.text == "content text", s"title leaked: '${r.text}'")
+    val r2 = ex("no title here at all")
+    assert(r2.title == "")
+    // RCDATA semantics: markup inside title is text, char refs still decode
+    val r3 = ex("<title>a<b&amp;c</title>body")
+    assert(r3.title == "a<b&c")
+  }
+
   test("after-body text re-enters body") {
     val r = ex("<body><p>a</p></body>tail</html>")
     assert(r.text == "atail")
