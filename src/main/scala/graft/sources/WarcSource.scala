@@ -66,7 +66,7 @@ final class WarcTable(pathOpt: Option[String]) extends Table with SupportsRead {
   override def name(): String = s"warc:${pathOpt.getOrElse("?")}"
   override def schema(): StructType = WarcSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val dir = Option(options.get("path")).orElse(pathOpt)
       .getOrElse(throw new IllegalArgumentException("warc source needs a path"))
@@ -90,6 +90,51 @@ final class WarcScan(dir: String, required: StructType) extends Scan with Batch 
     WarcSource.listFiles(dir).map(WarcFilePartition.apply)
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(dir, required)
+}
+
+/** Offset = high-water mark over the sorted archive-file paths. The crawl
+  * landing convention this models: files are append-only and named so new
+  * drops sort after old ones (Common Crawl's timestamped segment names).
+  */
+final case class WarcOffset(lastFile: String) extends streaming.Offset {
+  override def json(): String = lastFile
+}
+
+/** Micro-batch stream over a crawl landing dir: each batch reads the files
+  * that appeared since the checkpointed high-water mark — continuous ingest
+  * with exactly-once via the streaming checkpoint, same streaming reader
+  * (and charset normalization) as the batch path.
+  */
+final class WarcMicroBatchStream(dir: String, required: StructType)
+    extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+  private var availableNowTarget: WarcOffset = _
+
+  private def currentLatest(): WarcOffset =
+    WarcOffset(WarcSource.listFiles(dir).lastOption.getOrElse(""))
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNowTarget = currentLatest()
+  override def latestOffset(): streaming.Offset =
+    if (availableNowTarget != null) availableNowTarget else currentLatest()
+  // SupportsAdmissionControl entry (no rate limiting: a whole file is the
+  // admission unit; batches are bounded by drop cadence, not row counts)
+  override def latestOffset(start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset =
+    latestOffset()
+  override def initialOffset(): streaming.Offset = WarcOffset("")
+  override def deserializeOffset(json: String): streaming.Offset = WarcOffset(json)
+
+  override def planInputPartitions(start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[WarcOffset].lastFile
+    val e = end.asInstanceOf[WarcOffset].lastFile
+    WarcSource.listFiles(dir)
+      .filter(f => f > s && f <= e)
+      .map(WarcFilePartition.apply)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new WarcReaderFactory(required)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class WarcReaderFactory(required: StructType) extends PartitionReaderFactory {

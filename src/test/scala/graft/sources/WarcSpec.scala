@@ -215,6 +215,38 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(urlsOnly.count() === 500L)
   }
 
+  test("streaming warc source: checkpointed incremental file pickup across restarts") {
+    val ss = spark
+    val dir = java.nio.file.Files.createTempDirectory("warcstream").toString
+    val cp = java.nio.file.Files.createTempDirectory("warccp").toString
+    def drop(name: String, urls: Seq[String]): Unit = {
+      val bytes = urls.zipWithIndex.map { case (u, i) =>
+        Warc.record(u, 1000L + i, s"<p>page $u</p>".getBytes("UTF-8"), http = true)
+      }.reduce(_ ++ _)
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val outData = java.nio.file.Files.createTempDirectory("warcsink").toString
+    def drain(): Long = {
+      val q = ss.readStream.format("warc").load(dir)
+        .selectExpr("url", "CAST(html AS STRING) AS body")
+        .writeStream.format("parquet")
+        .option("path", outData)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ss.read.parquet(outData).count()
+    }
+    drop("part-00001.warc", Seq("https://s/a", "https://s/b", "https://s/c"))
+    assert(drain() === 3L)
+    // a new archive lands; the restarted query reads ONLY the new file
+    // (checkpointed offset), appending exactly 2 rows
+    drop("part-00002.warc", Seq("https://s/d", "https://s/e"))
+    assert(drain() === 5L)
+    val urls = ss.read.parquet(outData).collect().map(_.getString(0)).sorted
+    assert(urls.toSeq === Seq("https://s/a", "https://s/b", "https://s/c", "https://s/d", "https://s/e"))
+  }
+
   test("spark write/read round-trip preserves every page byte-for-byte") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec").toString
     val pages = Pages.synthesize(spark, sfDir)
