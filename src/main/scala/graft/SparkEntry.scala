@@ -218,6 +218,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
     "q_multimodal_meta" -> ((s, dir) => TextOps.multimodalMeta(docs(s, dir))),
     "q_frame_sample" -> ((s, dir) => TextOps.frameSample(docs(s, dir))),
+    "q_pdf_extract" -> ((s, dir) => {
+      // the north rule's PDF/layout-parse leg: per-doc deterministic PDF
+      // bytes (FlateDecode on even ids) → real content-stream parse + text-
+      // operator extraction; must reproduce the source text byte-for-byte
+      import s.implicits._
+      docs(s, dir).select("doc_id", "text").as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val pdf = graft.sources.Pdf.render(id, text, flate = id % 2 == 0)
+          (id, graft.sources.Pdf.extractText(pdf))
+        })
+        .toDF("doc_id", "text")
+    }),
     "q_url_parse" -> ((s, dir) =>
       // URL decomposition over a synthetic per-doc url (host varies by
       // lang/source): Spark's codegen'd parse_url vs an independent DuckDB
@@ -375,6 +387,7 @@ object SparkEntry {
         |SELECT chunk_md5, CAST(min(doc_id) AS BIGINT) AS keeper_doc,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM c GROUP BY chunk_md5 HAVING count(*) > 1""".stripMargin,
+    "q_pdf_extract" -> "SELECT doc_id, text FROM documents",
     "q_url_parse" ->
       """WITH u AS (
         |  SELECT doc_id,
