@@ -150,7 +150,8 @@ object Warc {
     * files from earlier runs are cleared first so a rerun with fewer
     * partitions cannot leave orphans that read() would re-ingest.
     */
-  def writeRecords(recs: Dataset[WarcRec], dir: String, gzip: Boolean = false): Unit = {
+  def writeRecords(recs: Dataset[WarcRec], dir: String, gzip: Boolean = false,
+      zstd: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = recs.sparkSession
     val dirPath = new Path(dir)
@@ -158,10 +159,11 @@ object Warc {
     fs.mkdirs(dirPath)
     val stale = fs.listStatus(dirPath).filter { st =>
       val n = st.getPath.getName
-      n.endsWith(".warc") || n.endsWith(".warc.gz") || n.startsWith(".tmp-")
+      n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".warc.zst") ||
+        n.startsWith(".tmp-")
     }
     stale.foreach(st => fs.delete(st.getPath, false))
-    val ext = if (gzip) "warc.gz" else "warc"
+    val ext = if (gzip) "warc.gz" else if (zstd) "warc.zst" else "warc"
     val nonce = java.util.UUID.randomUUID().toString.take(8) // driver-side, once per job
     recs.foreachPartition { (it: Iterator[WarcRec]) =>
       val tc = org.apache.spark.TaskContext.get()
@@ -177,6 +179,13 @@ object Warc {
         val gz = new GzipMemberWriter(os)
         try it.foreach(r => gz.writeMember(recordBlock(r.url, r.tsMillis, r.block)))
         finally { gz.end(); os.close() }
+      } else if (zstd) {
+        // whole-file zstd frame (real CC .warc.zst uses per-record frames
+        // with a shared dictionary for seekability; readers handle both —
+        // ZstdInputStream in continuous mode decodes concatenated frames)
+        val zs = new com.github.luben.zstd.ZstdOutputStream(os)
+        try it.foreach(r => zs.write(recordBlock(r.url, r.tsMillis, r.block)))
+        finally zs.close()
       } else {
         try it.foreach(r => os.write(recordBlock(r.url, r.tsMillis, r.block)))
         finally os.close()
@@ -292,14 +301,28 @@ object Warc {
   def parse(bytes: Array[Byte]): Iterator[PageRow] =
     parseStream(new java.io.ByteArrayInputStream(bytes))
 
-  /** Decompressing entry: gzip magic → multi-member GZIPInputStream. */
-  def parseFile(bytes: Array[Byte]): Iterator[PageRow] = {
-    val in: java.io.InputStream =
-      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
-        new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes), 1 << 16)
-      else new java.io.ByteArrayInputStream(bytes)
-    parseStream(in)
+  /** Wrap a raw archive stream with the right decompressor by magic number:
+    * gzip (1f 8b, multi-member) or zstd (28 b5 2f fd, continuous frames).
+    */
+  def decompress(raw: java.io.InputStream): java.io.InputStream = {
+    val in = new java.io.BufferedInputStream(raw, 1 << 16)
+    in.mark(4)
+    val m = new Array[Byte](4)
+    val n = in.readNBytes(m, 0, 4)
+    in.reset()
+    if (n >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b)
+      new java.util.zip.GZIPInputStream(in, 1 << 16)
+    else if (n >= 4 && (m(0) & 0xff) == 0x28 && (m(1) & 0xff) == 0xb5 &&
+      (m(2) & 0xff) == 0x2f && (m(3) & 0xff) == 0xfd) {
+      val z = new com.github.luben.zstd.ZstdInputStream(in)
+      z.setContinuous(true) // concatenated frames (per-record-frame layouts)
+      z
+    } else in
   }
+
+  /** Decompressing entry: magic-sniffing gzip / zstd / plain. */
+  def parseFile(bytes: Array[Byte]): Iterator[PageRow] =
+    parseStream(decompress(new java.io.ByteArrayInputStream(bytes)))
 
   /** Per-mode non-ASCII content prefixes for the mixed-charset fixture —
     * each exercises one sniffing path end-to-end (mode = doc_id % 6):

@@ -57,7 +57,10 @@ object WarcSource {
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.listStatus(p).iterator
       .map(_.getPath)
-      .filter { f => val n = f.getName; n.endsWith(".warc") || n.endsWith(".warc.gz") }
+      .filter { f =>
+        val n = f.getName
+        n.endsWith(".warc") || n.endsWith(".warc.gz") || n.endsWith(".warc.zst")
+      }
       .map(_.toString).toArray.sorted
   }
 }
@@ -151,9 +154,7 @@ final class WarcPartitionReader(file: String, required: StructType)
     val p = new Path(file)
     p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
   }
-  private val in: java.io.InputStream =
-    if (file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
-  private val it = Warc.parseStream(in)
+  private val it = Warc.parseStream(Warc.decompress(raw)) // magic-sniffed gzip/zstd/plain
   private var cur: graft.spark.PageRow = _
   // column indices resolved once (pruned schema order)
   private val wantUrl = required.fieldNames.indexOf("url")

@@ -187,6 +187,28 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("zstd round-trip: .warc.zst written and re-ingested byte-for-byte") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warczst").toString
+    val pages = Pages.synthesize(spark, sfDir)
+    Warc.writeRecords(pages.map(p =>
+      Warc.WarcRec(p.url, p.warc_ts.getTime, Warc.httpBlock(p.html))), dir, zstd = true)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".warc.zst")) && !files.exists(_.endsWith(".warc.gz")))
+    val back = Warc.read(spark, dir)
+    val a = pages.map(p => (p.url, java.util.Arrays.hashCode(p.html))).collect().sortBy(_._1)
+    val b = back.map(p => (p.url, java.util.Arrays.hashCode(p.html))).collect().sortBy(_._1)
+    assert(a.length === 500)
+    assert(a.toSeq === b.toSeq)
+    // concatenated zstd frames (per-record-frame layout) also decode
+    val f1 = Warc.record("https://z/1", 1000L, "one".getBytes)
+    val f2 = Warc.record("https://z/2", 2000L, "two".getBytes)
+    def frame(b2: Array[Byte]) = com.github.luben.zstd.Zstd.compress(b2)
+    val rows = Warc.parseFile(frame(f1) ++ frame(f2)).toVector
+    assert(rows.map(_.url) === Vector("https://z/1", "https://z/2"))
+  }
+
   test("DataSourceV2 warc format equals the binaryFile parse path") {
     val ss = spark
     import ss.implicits._
