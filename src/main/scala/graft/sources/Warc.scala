@@ -135,12 +135,13 @@ object Warc {
     def end(): Unit = deflater.end()
   }
 
-  /** Write pages as .warc / .warc.gz files, one per partition. */
-  def write(pages: Dataset[PageRow], dir: String, gzip: Boolean = false, http: Boolean = false): Unit = {
-    import pages.sparkSession.implicits._
-    writeRecords(pages.map(p =>
-      WarcRec(p.url, p.warc_ts.getTime, if (http) httpBlock(p.html) else p.html)), dir, gzip)
-  }
+  /** Write pages as .warc / .warc.gz files, one per partition. Records are
+    * serialized INSIDE the task (no intermediate Dataset.map — an encoder
+    * round over the html payloads costs ~2 extra full-corpus copies).
+    */
+  def write(pages: Dataset[PageRow], dir: String, gzip: Boolean = false, http: Boolean = false): Unit =
+    writeFiles(pages, dir, gzip, zstd = false)(p =>
+      record(p.url, p.warc_ts.getTime, p.html, http))
 
   /** Write serialized records through the Hadoop FileSystem API: each task
     * writes `.tmp-<nonce>-partNNNNN` then renames into place, so object
@@ -151,9 +152,13 @@ object Warc {
     * partitions cannot leave orphans that read() would re-ingest.
     */
   def writeRecords(recs: Dataset[WarcRec], dir: String, gzip: Boolean = false,
-      zstd: Boolean = false): Unit = {
+      zstd: Boolean = false): Unit =
+    writeFiles(recs, dir, gzip, zstd)(r => recordBlock(r.url, r.tsMillis, r.block))
+
+  private def writeFiles[T](ds: Dataset[T], dir: String, gzip: Boolean, zstd: Boolean)(
+      ser: T => Array[Byte]): Unit = {
     import org.apache.hadoop.fs.Path
-    val spark = recs.sparkSession
+    val spark = ds.sparkSession
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)
@@ -165,7 +170,7 @@ object Warc {
     stale.foreach(st => fs.delete(st.getPath, false))
     val ext = if (gzip) "warc.gz" else if (zstd) "warc.zst" else "warc"
     val nonce = java.util.UUID.randomUUID().toString.take(8) // driver-side, once per job
-    recs.foreachPartition { (it: Iterator[WarcRec]) =>
+    ds.foreachPartition { (it: Iterator[T]) =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
       // executor side: default Configuration picks up the cluster's Hadoop
@@ -177,17 +182,17 @@ object Warc {
       val os = new java.io.BufferedOutputStream(efs.create(tmp, true), 1 << 16)
       if (gzip) {
         val gz = new GzipMemberWriter(os)
-        try it.foreach(r => gz.writeMember(recordBlock(r.url, r.tsMillis, r.block)))
+        try it.foreach(r => gz.writeMember(ser(r)))
         finally { gz.end(); os.close() }
       } else if (zstd) {
         // whole-file zstd frame (real CC .warc.zst uses per-record frames
         // with a shared dictionary for seekability; readers handle both —
         // ZstdInputStream in continuous mode decodes concatenated frames)
         val zs = new com.github.luben.zstd.ZstdOutputStream(os)
-        try it.foreach(r => zs.write(recordBlock(r.url, r.tsMillis, r.block)))
+        try it.foreach(r => zs.write(ser(r)))
         finally zs.close()
       } else {
-        try it.foreach(r => os.write(recordBlock(r.url, r.tsMillis, r.block)))
+        try it.foreach(r => os.write(ser(r)))
         finally os.close()
       }
       if (efs.exists(dst)) efs.delete(dst, false)
