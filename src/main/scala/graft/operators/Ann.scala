@@ -66,12 +66,33 @@ object Ann {
     val rng = new graft.spark.Mix(0xbeefL)
     val dim = 64
     val planes = Array.fill(bits, dim)((rng.next() >>> 11).toDouble / (1L << 53).toDouble - 0.5)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val e = prep(embeddings)
-    val bucket = (0 until bits).map { b =>
-      val dot = (0 until dim).map(i => element_at(col("emb"), i + 1) * lit(planes(b)(i))).reduce(_ + _)
-      when(dot > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    e.withColumn("bucket", bucket)
+    // one typed pass against the broadcast plane matrix instead of a
+    // bits×dim expression tree (a 24-bit corpus would otherwise codegen
+    // 1,536 element_at nodes per row); the left-to-right accumulation
+    // reproduces the expression form's float order bit-for-bit
+    val bc = spark.sparkContext.broadcast(planes)
+    e.select(col("vec_id"), col("emb"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (id, emb, norm) =>
+          var bucket = 0L
+          var b = 0
+          while (b < ps.length) {
+            val p = ps(b)
+            var dot = 0.0
+            var i = 0
+            while (i < p.length && i < emb.length) { dot += emb(i) * p(i); i += 1 }
+            if (dot > 0) bucket |= 1L << b
+            b += 1
+          }
+          (id, emb, norm, bucket)
+        }
+      }
+      .toDF("vec_id", "emb", "norm", "bucket")
   }
 
   /** Approximate top-k: exact cosine re-rank within LSH buckets. Output shape
