@@ -109,6 +109,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("raw-bytes fuzz: arbitrary binary through the full decode+extract path never crashes") {
+    // exercises charset sniffing (invalid UTF-8 → meta prescan → cp1252),
+    // BOM handling, and the tokenizer on adversarial input — the crawl
+    // reality where bodies can be images or garbage mislabeled as html
+    val sink = new graft.dom.ExtractSink
+    var seed = 0xFADEDL
+    val mix = new graft.spark.Mix(seed)
+    (0 until 300).foreach { k =>
+      val n = mix.nextInt(4096)
+      val b = new Array[Byte](n)
+      var i = 0
+      while (i < n) { b(i) = (mix.next() & 0xff).toByte; i += 1 }
+      // occasionally prefix with a BOM or meta declaration
+      val input = mix.nextInt(4) match {
+        case 0 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ b
+        case 1 => "<meta charset=shift_jis>".getBytes ++ b
+        case 2 => Array[Byte](0xff.toByte, 0xfe.toByte) ++ b
+        case _ => b
+      }
+      val r = graft.dom.Extractor.extractInto(input, sink)
+      assert(r.text != null && r.spans != null) // terminated, produced a result
+    }
+  }
+
   test("arena stays a consistent tree under tag soup (adoption-agency surgery invariant)") {
     // the adoption agency detaches/moves/clones arena nodes mid-document;
     // after any input, every child list must be acyclic, parent-consistent,
