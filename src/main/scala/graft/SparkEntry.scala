@@ -146,6 +146,17 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       // stateful-streaming operator family: flatMapGroupsWithState
       graft.streaming.ExtractStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join operator: every event matched to the latest snapshot
+      // (the deterministic event_id % 10 == 0 subset, deduped per (user,
+      // ts)) at or before its timestamp — union + window, one shuffle
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      val snaps = ev.where(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("snap_id"))
+      graft.operators.AsOf.asOfJoin(ev, snaps, "user_id", "ts_us", "event_id", "snap_id")
+    }),
     "q_top_orders" -> ((s, dir) =>
       s.read.parquet(s"$dir/orders.parquet")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -340,6 +351,13 @@ object SparkEntry {
         |       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    // independent oracle: DuckDB's NATIVE ASOF JOIN (not a reformulation of
+    // the union+window algorithm)
+    "q_asof_join" ->
+      """WITH s AS (SELECT user_id, ts, max(event_id) AS snap_id
+        |           FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+        |SELECT e.user_id, e.event_id, s.snap_id
+        |FROM events e ASOF JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -92,6 +92,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project"), s"url projection left codegen:\n$plan")
   }
 
+  test("as-of join is union + window, not a range theta-join") {
+    val plan = graft.SparkEntry.queries("q_asof_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated into a product join:\n$plan")
+  }
+
   test("sessionize plans exactly one shuffle (the user_id repartition)") {
     val plan = graft.SparkEntry.queries("q_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -269,6 +269,24 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall=$recall (trained on a 50% sample)")
   }
 
+  test("as-of join: equal-ts snapshot matches, later snapshots don't, no-match rows drop") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // before any snapshot → dropped
+      (1L, 200L, 11L), // equal ts → snapshot 90 matches
+      (1L, 250L, 12L), // between → still 90
+      (1L, 300L, 13L), // equal to second snapshot → 91
+      (2L, 500L, 20L)  // other key, after its snapshot → 95
+    ).toDF("user_id", "ts_us", "event_id")
+    val right = Seq(
+      (1L, 200L, 90L), (1L, 300L, 91L), (1L, 400L, 92L), (2L, 450L, 95L)
+    ).toDF("user_id", "ts_us", "snap_id")
+    val out = graft.operators.AsOf.asOfJoin(left, right, "user_id", "ts_us", "event_id", "snap_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out.toSeq === Seq((1L, 11L, 90L), (1L, 12L, 90L), (1L, 13L, 91L), (2L, 20L, 95L)))
+  }
+
   test("embedding near-dup pairs include every planted duplicate vector") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Ann.cosineNearDups(emb).collect()
