@@ -157,6 +157,17 @@ object SparkEntry {
         .groupBy("user_id", "ts_us").agg(max("event_id").as("snap_id"))
       graft.operators.AsOf.asOfJoin(ev, snaps, "user_id", "ts_us", "event_id", "snap_id")
     }),
+    "q_range_join" -> ((s, dir) => {
+      // interval-containment join: every event into the (non-overlapping)
+      // session of the event_id % 3 == 0 subset that contains it — the
+      // as-of + end-bound-filter shape, one shuffle
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val rows = ev.select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      val sessions = graft.streaming.ExtractStream.sessionize(ev.where(col("event_id") % 3 === 0))
+      graft.operators.AsOf.rangeJoinNonOverlapping(rows, sessions, "user_id",
+        "ts_us", "session_start_us", "session_end_us", "event_id", "session_start_us")
+    }),
     "q_top_orders" -> ((s, dir) =>
       s.read.parquet(s"$dir/orders.parquet")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -358,6 +369,26 @@ object SparkEntry {
         |           FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
         |SELECT e.user_id, e.event_id, s.snap_id
         |FROM events e ASOF JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+    // oracle: sessions via the proven gaps-and-islands CTE, then an
+    // INDEPENDENT inequality containment join
+    "q_range_join" ->
+      """WITH e3 AS (SELECT user_id, ts, event_id FROM events WHERE event_id % 3 = 0),
+        |e AS (SELECT user_id, ts, event_id,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e3),
+        |m AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, ts,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+        |                CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us
+        |         FROM g GROUP BY user_id, sid)
+        |SELECT ev.user_id, ev.event_id, s.session_start_us
+        |FROM events ev JOIN sess s
+        |  ON ev.user_id = s.user_id
+        | AND epoch_us(ev.ts) >= s.session_start_us AND epoch_us(ev.ts) <= s.session_end_us""".stripMargin,
     "q_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,

@@ -26,6 +26,31 @@ object AsOf {
     * output (key, leftId, rightId). Both id columns must be BIGINT (the
     * bit-stable oracle contract).
     */
+  /** Range (interval-containment) join for NON-OVERLAPPING intervals per
+    * key — e.g. events into sessions: the interval with the latest start at
+    * or before the row's timestamp is the only candidate, so the as-of
+    * shape applies and the end-bound becomes a post-filter. One shuffle +
+    * sort, never the O(|L|·|R|) inequality join a naive range predicate
+    * plans as. `right` = (key, startCol, endCol, rightId).
+    */
+  def rangeJoinNonOverlapping(left: DataFrame, right: DataFrame, key: String,
+      ts: String, startCol: String, endCol: String, leftId: String,
+      rightId: String): DataFrame = {
+    val l = left.select(col(key), col(ts).as("_ts"),
+      col(leftId).as("_lid"), lit(null).cast("bigint").as("_rid"),
+      lit(null).cast("bigint").as("_rend"), lit(1).as("_tag"))
+    val r = right.select(col(key), col(startCol).as("_ts"),
+      lit(null).cast("bigint").as("_lid"), col(rightId).as("_rid"),
+      col(endCol).cast("bigint").as("_rend"), lit(0).as("_tag"))
+    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("_asof", last("_rid", ignoreNulls = true).over(w))
+      .withColumn("_end", last("_rend", ignoreNulls = true).over(w))
+      .where(col("_tag") === 1 && col("_asof").isNotNull && col("_ts") <= col("_end"))
+      .select(col(key), col("_lid").as(leftId), col("_asof").as(rightId))
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       leftId: String, rightId: String): DataFrame = {
     val l = left.select(col(key), col(ts),

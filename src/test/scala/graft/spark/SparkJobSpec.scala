@@ -287,6 +287,25 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((1L, 11L, 90L), (1L, 12L, 90L), (1L, 13L, 91L), (2L, 20L, 95L)))
   }
 
+  test("range join: bounds inclusive, gap rows drop, later interval wins") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, 99L, 10L),  // before first interval → drop
+      (1L, 100L, 11L), // at start bound → s100
+      (1L, 150L, 12L), // inside → s100
+      (1L, 200L, 13L), // at end bound → s100
+      (1L, 250L, 14L), // in the gap → drop
+      (1L, 300L, 15L)  // second interval start → s300
+    ).toDF("user_id", "ts_us", "event_id")
+    val ivals = Seq((1L, 100L, 200L, 100L), (1L, 300L, 400L, 300L))
+      .toDF("user_id", "session_start_us", "session_end_us", "sid")
+    val out = graft.operators.AsOf.rangeJoinNonOverlapping(rows, ivals, "user_id",
+      "ts_us", "session_start_us", "session_end_us", "event_id", "sid")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq((11L, 100L), (12L, 100L), (13L, 100L), (15L, 300L)))
+  }
+
   test("embedding near-dup pairs include every planted duplicate vector") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = graft.operators.Ann.cosineNearDups(emb).collect()
