@@ -53,6 +53,12 @@ object GoldenGen {
       "fmt_misnest" -> "<p><b><i>a</b>b</i>c</p>",
       "fmt_marker" -> "<p><b>one</p><table><tr><td>plain</td></tr></table>tail",
       "fmt_cell_end" -> "<p><b>x<table><tr><td></b>plain</td></tr></table>y</b>z</p>",
+      "aa_block" -> "<div>1<b>2<section>3</b>4</section>5</div>",
+      "aa_p" -> "<b>1<p>2</b>3</p>",
+      "aa_link" -> "<a href=\"/x\">1<p>2</a>3</p>",
+      "aa_inner" -> "<p>0</p><b><i><div>x</b>y</div>",
+      "noahs_ark" -> ("<p>" + "<b>" * 10 + "one</p><p>two</p>"),
+      "title_late" -> "<title>first</title><body>content<title>late</title>more",
       "cdata_svg" -> "<div><svg><![CDATA[x<y]]></svg>ok</div>",
       "cdata_html" -> "<div><![CDATA[x]]>ok</div>",
       "after_body" -> "<body><p>a</p></body>tail</html>",
