@@ -185,12 +185,15 @@ object Warc {
         try it.foreach(r => gz.writeMember(ser(r)))
         finally { gz.end(); os.close() }
       } else if (zstd) {
-        // whole-file zstd frame (real CC .warc.zst uses per-record frames
-        // with a shared dictionary for seekability; readers handle both —
-        // ZstdInputStream in continuous mode decodes concatenated frames)
-        val zs = new com.github.luben.zstd.ZstdOutputStream(os)
-        try it.foreach(r => zs.write(ser(r)))
-        finally zs.close()
+        // CC .warc.zst layout: each record its OWN zstd frame (independently
+        // decodable/seekable, like the gzip-member layout; CC additionally
+        // ships a dictionary in a skippable frame — not emitted here, and
+        // not needed for reading). One reused ZstdCompressCtx per partition,
+        // no per-record native-context churn; the reader's continuous-mode
+        // ZstdInputStream walks the concatenated frames.
+        val ctx = new com.github.luben.zstd.ZstdCompressCtx()
+        try it.foreach(r => os.write(ctx.compress(ser(r))))
+        finally { ctx.close(); os.close() }
       } else {
         try it.foreach(r => os.write(ser(r)))
         finally os.close()

@@ -54,6 +54,31 @@ object ExtractStream {
     }
   }
 
+  /** Streaming curation: incremental extraction + quality floor + STREAMING
+    * exact dedup — the continuous-ingest form of CurateMain's first stages.
+    * `dropDuplicatesWithinWatermark` keys on the text digest and evicts
+    * dedup state once the crawl-time watermark passes `lateness`, so state
+    * is bounded by the dedup horizon instead of growing with the crawl
+    * (exact-dedup-forever needs the batch job; this catches the dominant
+    * case — recrawls/mirrors landing close together in crawl time).
+    */
+  def curateStream(pages: Dataset[PageRow], minTokens: Int = 20,
+      lateness: String = "1 hour"): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages.mapPartitions { it =>
+      val sink = new graft.dom.ExtractSink
+      it.map { p =>
+        val r = graft.dom.Extractor.extractInto(p.html, sink)
+        (p.url, p.warc_ts, r.title, r.mainText)
+      }
+    }.toDF("url", "warc_ts", "title", "text")
+      .withColumn("n_tokens", expr(graft.operators.TextOps.tokensExpr))
+      .where(col("n_tokens") >= minTokens)
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("warc_ts", lateness)
+      .dropDuplicatesWithinWatermark("text_md5")
+  }
+
   /** Gap-based sessionization (batch). Sessions = per-user event groups
     * where consecutive events are ≤ `gapUs` apart; output is one row per
     * session with exact microsecond bounds (BIGINT — bit-stable for the

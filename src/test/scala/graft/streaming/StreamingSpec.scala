@@ -46,6 +46,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() === 500)
   }
 
+  test("streaming curation: quality floor + cross-batch dedup within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val longText = ("tok " * 30).trim
+    def page(url: String, tsMs: Long, text: String) = graft.spark.PageRow(
+      url, new java.sql.Timestamp(tsMs),
+      s"<html><head><title>t</title></head><body><p>$text</p></body></html>".getBytes("UTF-8"),
+      null, null)
+    val t0 = 1700000000000L
+    val mem = MemoryStream[graft.spark.PageRow]
+    val q = ExtractStream.curateStream(mem.toDS())
+      .writeStream.format("memory").queryName("curate_s").outputMode("append").start()
+    // batch 1: one good page, one too-short page
+    mem.addData(page("https://c/a", t0, longText), page("https://c/short", t0, "tiny"))
+    q.processAllAvailable()
+    // batch 2: an exact duplicate of a's text (within the watermark) + a new page
+    mem.addData(page("https://c/a-dup", t0 + 60000, longText),
+      page("https://c/b", t0 + 60000, longText + " distinct tail"))
+    q.processAllAvailable()
+    q.stop()
+    val urls = ss.table("curate_s").collect().map(_.getString(0)).sorted
+    assert(urls.toSeq === Seq("https://c/a", "https://c/b"),
+      s"expected dedup+quality to keep a and b, got ${urls.mkString(",")}")
+  }
+
   test("incremental sessionization: GroupState spans micro-batches, event-time timeout flushes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = spark
