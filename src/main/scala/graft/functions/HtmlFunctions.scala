@@ -50,6 +50,14 @@ case class HtmlText(child: Expression) extends HtmlKernelExpression {
   override def prettyName: String = "html_text"
 }
 
+case class HtmlTitle(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ex(input.asInstanceOf[Array[Byte]]).title)
+  override protected def withNewChildInternal(newChild: Expression): HtmlTitle = copy(child = newChild)
+  override def prettyName: String = "html_title"
+}
+
 case class HtmlTagCount(child: Expression) extends HtmlKernelExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
@@ -97,6 +105,7 @@ object HtmlFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "html_main_text" -> (args => HtmlMainText(args.head)),
     "html_text" -> (args => HtmlText(args.head)),
+    "html_title" -> (args => HtmlTitle(args.head)),
     "html_tag_count" -> (args => HtmlTagCount(args.head)),
     "html_spans" -> (args => HtmlSpans(args.head)),
     "html_errors" -> (args => HtmlErrors(args.head))
@@ -116,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = Seq(
     ("html_main_text", (args: Seq[Expression]) => HtmlMainText(args.head)),
     ("html_text", (args: Seq[Expression]) => HtmlText(args.head)),
+    ("html_title", (args: Seq[Expression]) => HtmlTitle(args.head)),
     ("html_tag_count", (args: Seq[Expression]) => HtmlTagCount(args.head)),
     ("html_spans", (args: Seq[Expression]) => HtmlSpans(args.head)),
     ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head))

@@ -117,6 +117,12 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j.where(col("m") =!= col("text")).count() === 0)
     assert(j.where(col("t") <= 0).count() === 0)
     assert(j.where(length(col("f")) < length(col("m"))).count() === 0)
+    // title metadata from pure SQL: render puts "Doc <id> - <source>" in head
+    val ti = spark.sql("SELECT url, html_title(html) AS ti FROM pages_v")
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') as url",
+          "concat('Doc ', doc_id, ' - ', source) AS want"), "url")
+    assert(ti.where(col("ti") =!= col("want")).count() === 0)
     // the span/error arrays are reachable from pure SQL too
     val sp = spark.sql(
       """SELECT html_spans(html) AS sp, html_errors(html) AS er FROM pages_v""")
