@@ -146,6 +146,18 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       // stateful-streaming operator family: flatMapGroupsWithState
       graft.streaming.ExtractStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    "q_pivot_events" -> ((s, dir) =>
+      // pivot operator family: per-user event-type count matrix via the
+      // native RelationalGroupedDataset.pivot (explicit value list → no
+      // extra distinct job, stable columns); oracle = independent
+      // conditional aggregation
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("click" -> "n_click", "error" -> "n_error",
+          "purchase" -> "n_purchase", "signup" -> "n_signup", "view" -> "n_view"))),
     "q_asof_join" -> ((s, dir) => {
       // as-of join operator: every event matched to the latest snapshot
       // (the deterministic event_id % 10 == 0 subset, deduped per (user,
@@ -362,6 +374,14 @@ object SparkEntry {
         |       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
+        |       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_error,
+        |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchase,
+        |       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS n_signup,
+        |       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY user_id""".stripMargin,
     // independent oracle: DuckDB's NATIVE ASOF JOIN (not a reformulation of
     // the union+window algorithm)
     "q_asof_join" ->
