@@ -146,6 +146,14 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       // stateful-streaming operator family: flatMapGroupsWithState
       graft.streaming.ExtractStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    "q_distinct_agg" -> ((s, dir) =>
+      // distinct-aggregation family: mixed COUNT(DISTINCT) + plain counts
+      // in one aggregate — Catalyst plans this via Expand + two-phase agg
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("bigint")).as("sum_value_cents"))),
     "q_pivot_events" -> ((s, dir) =>
       // pivot operator family: per-user event-type count matrix via the
       // native RelationalGroupedDataset.pivot (explicit value list → no
@@ -374,6 +382,12 @@ object SparkEntry {
         |       CAST(max(epoch_us(ts)) AS BIGINT) AS session_end_us,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY user_id, sid""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_pivot_events" ->
       """SELECT user_id,
         |       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_click,
