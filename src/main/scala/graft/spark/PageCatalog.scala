@@ -60,6 +60,40 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     snap
   }
 
+  /** Iceberg-style TIME TRAVEL: read the table as of a past snapshot.
+    * Manifests are immutable and never deleted, so every committed version
+    * stays addressable.
+    */
+  def readSnapshot(spark: SparkSession, table: String, snap: Long): DataFrame = {
+    require(Files.exists(manifestDir(table).resolve(s"v$snap.json")),
+      s"no snapshot $snap for $table")
+    spark.read.parquet(manifestFiles(table, snap): _*)
+  }
+
+  /** All committed snapshot ids, ascending. */
+  def snapshots(table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    if (!Files.exists(dir)) return Nil
+    scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+        .toSeq.sorted
+    }
+  }
+
+  /** Roll the table back (or forward) to an existing snapshot — a
+    * metadata-only atomic pointer swap, like Iceberg's rollback_to_snapshot.
+    */
+  def rollbackTo(table: String, snap: Long): Unit = {
+    require(Files.exists(manifestDir(table).resolve(s"v$snap.json")),
+      s"no snapshot $snap for $table")
+    val tmp = manifestDir(table).resolve(s".CURRENT.rb$snap")
+    Files.writeString(tmp, snap.toString)
+    Files.move(tmp, manifestDir(table).resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Metadata-only commit: a new snapshot whose manifest references data
     * files already on storage (e.g. the chunk outputs of a resumable run) —
     * the Iceberg-style O(files) commit, no data copy.

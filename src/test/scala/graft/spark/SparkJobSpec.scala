@@ -94,6 +94,16 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s2 = cat.commit(Seq((9, "z")).toDF("id", "v"), "t")
     assert(s2 === 2 && cat.read(spark, "t").count() === 1)
     assert(cat.currentSnapshot("t").contains(2L))
+    // time travel: every committed version stays addressable
+    assert(cat.snapshots("t") === Seq(1L, 2L))
+    assert(cat.readSnapshot(spark, "t", 1L).count() === 2)
+    assert(cat.readSnapshot(spark, "t", 2L).count() === 1)
+    // rollback is a metadata-only pointer swap; the rolled-back-over
+    // snapshot remains readable via time travel
+    cat.rollbackTo("t", 1L)
+    assert(cat.currentSnapshot("t").contains(1L) && cat.read(spark, "t").count() === 2)
+    assert(cat.readSnapshot(spark, "t", 2L).count() === 1)
+    intercept[IllegalArgumentException](cat.rollbackTo("t", 99L))
   }
 
   test("lineage rows cover every non-empty partition with positive throughput") {
