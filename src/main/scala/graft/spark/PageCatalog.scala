@@ -48,7 +48,7 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   }
 
   override def commit(df: DataFrame, table: String): Long = {
-    val snap = currentSnapshot(table).getOrElse(0L) + 1L
+    val snap = claimSnapshotId(table)
     val dataDir = Paths.get(root, table, "data", s"snap-$snap")
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
@@ -58,6 +58,34 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     }
     writeManifest(table, snap, files)
     snap
+  }
+
+  /** Optimistic snapshot-id claim: atomically CREATE_NEW a claim marker so
+    * two concurrent committers can never write the same manifest version
+    * (the Iceberg-catalog CAS, filesystem edition). Claims are separate
+    * from manifests, so a half-done commit is invisible to readers and
+    * time travel. The CURRENT pointer still advances last-swap-wins; both
+    * snapshots stay addressable either way.
+    */
+  private def claimSnapshotId(table: String): Long = {
+    val dir = manifestDir(table)
+    Files.createDirectories(dir)
+    val claimed = scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".claim-v"))
+        .map(_.stripPrefix(".claim-v").toLong).toSeq
+    }
+    var snap = (snapshots(table) ++ claimed :+ 0L).max + 1L
+    while (true) {
+      try {
+        Files.writeString(dir.resolve(s".claim-v$snap"), "",
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => snap += 1L
+      }
+    }
+    snap // unreachable
   }
 
   /** Iceberg-style TIME TRAVEL: read the table as of a past snapshot.
@@ -99,7 +127,7 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * the Iceberg-style O(files) commit, no data copy.
     */
   def commitFiles(files: Seq[String], table: String): Long = {
-    val snap = currentSnapshot(table).getOrElse(0L) + 1L
+    val snap = claimSnapshotId(table)
     writeManifest(table, snap, files.sorted)
     snap
   }

@@ -104,6 +104,10 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.currentSnapshot("t").contains(1L) && cat.read(spark, "t").count() === 2)
     assert(cat.readSnapshot(spark, "t", 2L).count() === 1)
     intercept[IllegalArgumentException](cat.rollbackTo("t", 99L))
+    // concurrent committers can never collide on a snapshot id: the claim
+    // marker is CREATE_NEW-atomic, so interleaved commits get distinct ids
+    val ids = (1 to 4).map(i => cat.commitFiles(Seq.empty, "t2"))
+    assert(ids.distinct.size === 4 && ids.toSeq === ids.sorted)
   }
 
   test("lineage rows cover every non-empty partition with positive throughput") {
