@@ -212,7 +212,35 @@ final class Arena {
     lastChild(par) = id
   }
 
+  /** Link `id` under `par` immediately before `ref` (§13.2.6.4.9 foster
+    * parenting inserts BEFORE the table). Falls back to append when `ref`
+    * is not currently a child of `par` (the table was itself moved by
+    * adoption-agency surgery). O(#siblings), fostering only.
+    */
+  def insertBefore(par: Int, ref: Int, id: Int): Unit = {
+    if (ref < 0 || parent(ref) != par) { appendChild(par, id); return }
+    parent(id) = par
+    if (firstChild(par) == ref) {
+      nextSibling(id) = ref
+      firstChild(par) = id
+    } else {
+      var c = firstChild(par)
+      while (c >= 0 && nextSibling(c) != ref) c = nextSibling(c)
+      if (c >= 0) { nextSibling(id) = ref; nextSibling(c) = id }
+      else appendChild(par, id)
+    }
+  }
+
+  /** New node inserted before `ref` under `par` (fostered element/text). */
+  def addBefore(nm: String, par: Int, ref: Int): Int = {
+    val id = add(nm, -1)
+    insertBefore(par, ref, id)
+    id
+  }
+
   def moveTo(id: Int, newPar: Int): Unit = { detach(id); appendChild(newPar, id) }
+
+  def moveBefore(id: Int, newPar: Int, ref: Int): Unit = { detach(id); insertBefore(newPar, ref, id) }
 
   /** Re-parent every child of `from` under `to` (order preserved) — the
     * adoption agency's clone-into-furthest-block step.
@@ -284,6 +312,7 @@ final class ExtractSink extends TokenSink {
   private var runBlock = root
   private var runLink = false
   private var runAnchor = root
+  private var runFosterRef = -1 // ≥0: the table node this run inserts before
 
   var nTokens = 0L
   var nTags = 0L
@@ -308,7 +337,7 @@ final class ExtractSink extends TokenSink {
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
     pathMemo.clear()
-    runStart = -1; runBlock = root; runLink = false; runAnchor = root
+    runStart = -1; runBlock = root; runLink = false; runAnchor = root; runFosterRef = -1
     nTokens = 0L; nTags = 0L
     errors.clear()
   }
@@ -317,11 +346,15 @@ final class ExtractSink extends TokenSink {
 
   private def closeRun(): Unit = {
     if (runStart >= 0 && text.length > runStart) {
-      val tid = arena.add(null, runAnchor) // text node under the anchor element
+      // text node under the anchor element; fostered runs link before the table
+      val tid =
+        if (runFosterRef >= 0) arena.addBefore(null, runAnchor, runFosterRef)
+        else arena.add(null, runAnchor)
       spStart += runStart; spEnd += text.length; spText += tid
       spBlock += runBlock; spLink += runLink
     }
     runStart = -1
+    runFosterRef = -1
   }
 
   // element id → "/html/body/..." prefix from the FINAL arena tree, memoized
@@ -346,18 +379,24 @@ final class ExtractSink extends TokenSink {
   private def startRunIfNeeded(): Unit = {
     if (runStart < 0) {
       val top = stkName.length - 1
+      runStart = text.length
+      runLink = linkDepth > 0
       // foster parenting (§13.2.6.4.9): character data while the insertion
       // point is table/tbody/thead/tfoot/tr is inserted BEFORE the table —
-      // the run anchors to the table's stack parent, not the table
-      val anchor =
-        if ((stkFlags(top) & FFoster) != 0) {
-          val ti = stkName.lastIndexOf("table")
-          if (ti > 0) ti - 1 else top
-        } else top
-      runStart = text.length
-      runBlock = if (anchor == top) blockTop else blockUpTo(anchor)
-      runLink = linkDepth > 0
-      runAnchor = stkNode(anchor)
+      // the run's text node hangs under the table's arena parent, linked
+      // before the table in sibling order
+      runFosterRef = -1
+      if ((stkFlags(top) & FFoster) != 0) {
+        val ti = stkName.lastIndexOf("table")
+        if (ti > 0) {
+          runFosterRef = stkNode(ti)
+          runAnchor = arena.parent(runFosterRef)
+          runBlock = blockUpTo(ti - 1)
+          return
+        }
+      }
+      runBlock = blockTop
+      runAnchor = stkNode(top)
     }
   }
 
@@ -447,10 +486,11 @@ final class ExtractSink extends TokenSink {
   }
 
   /** Push an element onto the open stack (arena node already created);
-    * `f` = flagsOf(name), computed once by the caller.
+    * `f` = flagsOf(name), computed once by the caller. `before` ≥ 0 =
+    * foster insertion point: link before that sibling instead of appending.
     */
-  private def pushOpen(name: String, par: Int, f: Int): Int = {
-    val id = arena.add(name, par)
+  private def pushOpen(name: String, par: Int, f: Int, before: Int = -1): Int = {
+    val id = if (before >= 0) arena.addBefore(name, par, before) else arena.add(name, par)
     stkNode += id
     stkName += name
     stkFlags += f
@@ -636,16 +676,18 @@ final class ExtractSink extends TokenSink {
       }
     }
     // foster parenting for non-table content whose insertion point is
-    // table/section/row: the arena node hangs BEFORE the table (its stack
-    // parent) while staying on the open stack above it
+    // table/section/row: the arena node hangs under the table's arena
+    // parent, linked BEFORE the table in sibling order (§13.2.6.4.9),
+    // while staying on the open stack above it
     val top = stkName.length - 1
+    var fosterRef = -1
     val par =
       if ((stkFlags(top) & FFoster) != 0 && (f & FTablePart) == 0) {
         val ti = stkName.lastIndexOf("table")
-        if (ti > 0) arena.parent(stkNode(ti)) else stkNode(top)
+        if (ti > 0) { fosterRef = stkNode(ti); arena.parent(fosterRef) } else stkNode(top)
       } else stkNode(top)
     if (!selfClosing && (f & FVoid) == 0) {
-      val id = pushOpen(name, par, f)
+      val id = pushOpen(name, par, f, fosterRef)
       if ((f & FFormatting) != 0) {
         // Noah's Ark clause (§13.2.4.3): at most 3 same-name entries between
         // the end of the list and the last marker. Besides spec fidelity,
@@ -664,7 +706,9 @@ final class ExtractSink extends TokenSink {
         activeFmt += name; activeFmtOpen += true; activeFmtNode += id
       }
     } else {
-      arena.add(name, par) // void/self-closing: arena node only
+      // void/self-closing: arena node only (fostered ones before the table)
+      if (fosterRef >= 0) arena.addBefore(name, par, fosterRef)
+      else arena.add(name, par)
     }
   }
 
@@ -744,9 +788,17 @@ final class ExtractSink extends TokenSink {
         return
       }
       val fbNode = stkNode(fb)
+      // foster-parenting common ancestor: the chain re-homes under the
+      // table's arena parent, linked before the table (§ step 13 uses the
+      // "appropriate place ... with foster parenting")
+      var caFosterRef = -1
       val commonAncestor =
-        if ((stkFlags(sIdx - 1) & FFoster) != 0) fosterParentNode(sIdx - 1)
-        else stkNode(sIdx - 1)
+        if ((stkFlags(sIdx - 1) & FFoster) != 0) {
+          var ti = sIdx - 1
+          while (ti > 0 && stkName(ti) != "table") ti -= 1
+          if (ti > 0) { caFosterRef = stkNode(ti); arena.parent(caFosterRef) }
+          else stkNode(sIdx - 1)
+        } else stkNode(sIdx - 1)
       var bookmark = aflIdx
       // inner loop: walk up from the furthest block toward the formatting
       // element, cloning intervening active-formatting elements (≤3) and
@@ -783,7 +835,8 @@ final class ExtractSink extends TokenSink {
       }
       // steps 10-13: chain into the common ancestor; clone the formatting
       // element around the furthest block's existing children
-      arena.moveTo(lastNode, commonAncestor)
+      if (caFosterRef >= 0) arena.moveBefore(lastNode, commonAncestor, caFosterRef)
+      else arena.moveTo(lastNode, commonAncestor)
       val cloneFmt = arena.add(subject, -1)
       arena.moveChildren(fbNode, cloneFmt)
       arena.appendChild(fbNode, cloneFmt)
@@ -808,12 +861,6 @@ final class ExtractSink extends TokenSink {
       // outer loop continues: the next round finds the clone; with no
       // special element below it, the no-furthest-block case pops it
     }
-  }
-
-  private def fosterParentNode(topIdx: Int): Int = {
-    var ti = topIdx
-    while (ti > 0 && stkName(ti) != "table") ti -= 1
-    if (ti > 0) arena.parent(stkNode(ti)) else stkNode(topIdx)
   }
 
   /** Per-tag scope for end-tag matching (§13.2.4.2): table-family end tags

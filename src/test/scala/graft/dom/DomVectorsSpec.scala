@@ -227,4 +227,41 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(r.text == "atail")
     assert(r.spans(1).path.startsWith("/html/body#"))
   }
+
+  test("fostered nodes precede the table in sibling order (§13.2.6.4.9)") {
+    // the spec inserts fostered content immediately BEFORE the table; the
+    // body's child list must read: fostered text, fostered div, table
+    val sink = new ExtractSink
+    Extractor.extractCpsInto(
+      graft.core.RefTokenizer.codepoints(
+        "<body><table>x<div>d</div><tr><td>cell</td></tr></table></body>"), sink)
+    val a = sink.arena
+    // find the body node and walk its children
+    var body = -1
+    var id = 0
+    while (id < a.size) { if (a.name(id) == "body") body = id; id += 1 }
+    assert(body >= 0)
+    val kids = scala.collection.mutable.ArrayBuffer.empty[String]
+    var c = a.firstChild(body)
+    while (c >= 0) { kids += (if (a.name(c) == null) "#text" else a.name(c)); c = a.nextSibling(c) }
+    assert(kids.toList == List("#text", "div", "table"),
+      s"fostered content must precede the table: $kids")
+  }
+
+  test("successive fostered siblings keep document order before the table") {
+    val sink = new ExtractSink
+    Extractor.extractCpsInto(
+      graft.core.RefTokenizer.codepoints(
+        "<table><div>a</div><span>b</span>c<tr><td>d</td></tr></table>"), sink)
+    val a = sink.arena
+    var body = -1
+    var id = 0
+    while (id < a.size) { if (a.name(id) == "body") body = id; id += 1 }
+    val kids = scala.collection.mutable.ArrayBuffer.empty[String]
+    var c = a.firstChild(body)
+    while (c >= 0) { kids += (if (a.name(c) == null) "#text" else a.name(c)); c = a.nextSibling(c) }
+    assert(kids.toList == List("div", "span", "#text", "table"),
+      s"relative order of fostered nodes preserved, table last: $kids")
+    assert(sink.arena.size > 0)
+  }
 }
