@@ -230,6 +230,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> ((s, dir) => Dedup.adjacentJaccard(docs(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "q_decontaminate" -> ((s, dir) =>
+      // benchmark decontamination: flag training docs sharing an 8-word
+      // n-gram with the eval slice (doc_id % 50 == 0); eval grams broadcast
+      Dedup.decontaminate(docs(s, dir))),
     "q_embed_near_dups" -> ((s, dir) =>
       Ann.cosineNearDups(embeddings(s, dir), nHint = embCount(s, dir))),
     // ---- similarity search ----------------------------------------------
@@ -250,6 +254,12 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.langIdSelect: _*)),
     "q_token_count" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.tokenCountSelect: _*)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "q_rep_quality" -> ((s, dir) =>
+      // Gopher-style repetition filters: top-word / top-bigram frequency
+      TextOps.repetitionStats(docs(s, dir))),
+    "q_sample_strata" -> ((s, dir) =>
+      // deterministic per-language training-mixture sampling (zero-shuffle)
+      TextOps.stratifiedSample(docs(s, dir))),
     "q_json_props" -> ((s, dir) =>
       // semi-structured operator family: JSON extraction + aggregation over
       // the events.props payload column
@@ -546,6 +556,54 @@ object SparkEntry {
         |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+    },
+    // Oracle enumerates the same 8-word n-grams (md5'd, per-doc DISTINCT)
+    // and joins train-side against the eval slice exhaustively; Spark's
+    // broadcast semi-join + count must produce the identical per-doc hit
+    // counts (both engines hash the same gram strings with md5).
+    "q_decontaminate" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000001, text FROM documents WHERE doc_id % 100 = 0),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+        |gx AS (SELECT doc_id,
+        |              CASE WHEN len(w) < 8 THEN array_to_string(w, ' ')
+        |                   ELSE array_to_string(list_slice(w, i + 1, i + 8), ' ') END AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(0, greatest(len(w) - 8, 0))) AS i FROM w)),
+        |g AS (SELECT DISTINCT doc_id, md5(g) AS gh FROM gx),
+        |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g JOIN ev ON g.gh = ev.gh WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
+    "q_rep_quality" ->
+      """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM wx GROUP BY doc_id, w),
+        |wa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |              CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |              CAST(max(c) AS BIGINT) AS top_word_n
+        |       FROM wc GROUP BY doc_id),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bx AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS b
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws)),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bx GROUP BY doc_id, b),
+        |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id)
+        |SELECT wa.doc_id, n_words, n_distinct_words, top_word_n,
+        |       CAST(coalesce(ba.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac
+        |FROM wa LEFT JOIN ba ON ba.doc_id = wa.doc_id""".stripMargin,
+    "q_sample_strata" -> {
+      // the md5 bucket recomputed as an 8-nibble positional sum (the proven
+      // simhash-oracle idiom); rates/CASE shared with the Spark side
+      val bucketTerms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      val rateCase = "CASE " +
+        TextOps.strataRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
+        s" ELSE ${TextOps.strataDefaultRate} END"
+      s"""WITH b AS (SELECT doc_id, lang, ($bucketTerms) % 100 AS bucket
+        |           FROM (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS m FROM documents))
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket FROM b WHERE bucket < $rateCase""".stripMargin
     },
     // Planted duplicates are bit-identical vectors (cos == 1 up to one ulp,
     // far from the 0.95 threshold; organic pairs sit far below it), so the

@@ -76,6 +76,44 @@ object Dedup {
       .orderBy("chunk_md5")
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    * filter): flag every training document that shares at least one
+    * `n`-word n-gram with the held-out eval set. Docs with
+    * `doc_id % evalMod == 0` stand in for the benchmark table; docs with
+    * `doc_id % (2*evalMod) == 0` get a planted training-side copy
+    * (+3,000,001) so small SFs always exercise the contamination path.
+    * Output: (doc_id, n_hits) — distinct contaminated n-grams per flagged
+    * training doc.
+    *
+    * Scale shape: n-grams are a codegen'd sequence/transform projection (no
+    * UDF) immediately collapsed to (doc_id, 16-byte digest) DISTINCT with
+    * map-side partial aggregation — gram strings never shuffle. The eval
+    * side is tiny relative to the corpus (a benchmark suite is ~10^6 grams
+    * even against 100 TB of training text) and is BROADCAST, so the
+    * training side never reshuffles for the join: scan → broadcast-hash
+    * semi-join → one partial-agged groupBy(doc_id).
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8, evalMod: Long = 50): DataFrame = {
+    val withPlanted = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % (2 * evalMod) === 0)
+        .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
+    val grams = withPlanted
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id",
+        s"""CASE WHEN size(w) < $n THEN array(array_join(w, ' '))
+           |     ELSE transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))
+           |END AS gs""".stripMargin)
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .distinct()
+    val evalGrams = grams.where(col("doc_id") % evalMod === 0).select("gh").distinct()
+    grams.where(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits")) // (doc_id, gh) already distinct
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
     val spark = docs.sparkSession

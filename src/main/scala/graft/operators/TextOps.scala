@@ -117,6 +117,69 @@ object TextOps {
     }.toDF("doc_id", "fingerprint").orderBy("doc_id")
   }
 
+  /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1): per
+    * doc, total/distinct word counts, the count of the most frequent word,
+    * and the count of the most frequent adjacent bigram. High
+    * top-word/top-bigram fractions mark low-quality repetitive pages — the
+    * standard pre-training repetition filters.
+    *
+    * Scale shape: two groupBys keyed (doc_id, gram) then doc_id, both with
+    * map-side partial aggregation; the bigram projection is a codegen'd
+    * sequence/transform/explode (no UDF); no windows, no driver loops. The
+    * join back is keyed on doc_id only.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val wordAgg = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_n"))
+    val bigramAgg = docs
+      .selectExpr("doc_id", "split(text, ' ') AS w")
+      .selectExpr("doc_id",
+        // slice(w, 1, 0) = typed empty array (array() would infer array<null>)
+        "CASE WHEN size(w) < 2 THEN slice(w, 1, 0) " +
+          "ELSE transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) END AS bs")
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    wordAgg.join(bigramAgg, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_words", "n_distinct_words", "top_word_n",
+        "coalesce(top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n",
+        "CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac")
+  }
+
+  /** Per-language keep rates (percent) for the training-mixture sampler;
+    * languages absent from the list fall back to `strataDefaultRate`.
+    * Ordered so the generated CASE expression is deterministic.
+    */
+  val strataRates: Seq[(String, Int)] = Seq("en" -> 60, "de" -> 40, "fr" -> 30)
+  val strataDefaultRate = 20
+
+  /** Per-doc sampling bucket in [0, 100): first 8 hex digits of
+    * md5(doc_id) as an integer, mod 100 — reproducible across engines and
+    * runs with no RNG state (DuckDB recomputes it as a nibble sum).
+    */
+  val sampleBucketExpr: String =
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+
+  /** Deterministic stratified sampling for training-mixture construction:
+    * per-language keep rates applied via the md5-derived bucket. A pure
+    * projection + filter — ZERO shuffle, pushdown-friendly — so at 100 TB
+    * "downsample low-resource-quality strata" costs one streaming scan.
+    */
+  def stratifiedSample(docs: DataFrame,
+                       rates: Seq[(String, Int)] = strataRates,
+                       defaultRate: Int = strataDefaultRate): DataFrame = {
+    val rateCase = "CASE " +
+      rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ") +
+      s" ELSE $defaultRate END"
+    docs.selectExpr("doc_id", "lang", s"$sampleBucketExpr AS bucket")
+      .where(expr(s"bucket < $rateCase"))
+  }
+
   /** Multimodal-column plumbing: treat a binary payload column as an opaque
     * blob with typed metadata. The decode step is a clearly-marked
     * deterministic STUB (image/audio codecs are not in this container —

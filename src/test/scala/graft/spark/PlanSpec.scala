@@ -100,6 +100,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"as-of degenerated into a product join:\n$plan")
   }
 
+  test("decontamination broadcasts the eval-gram side; train side never re-shuffles for the join") {
+    val p = formatted("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    assert(p.contains("md5"), "grams must shuffle as digests, not strings")
+  }
+
+  test("stratified sampling is a pure projection + filter — zero shuffles") {
+    val plan = graft.SparkEntry.queries("q_sample_strata")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampler shuffles:\n$plan")
+    assert(plan.contains("Filter"), "bucket filter missing")
+  }
+
+  test("repetition stats aggregate with map-side partials") {
+    val p = formatted("q_rep_quality")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"per-gram aggs not partial:\n$p")
+  }
+
   test("sessionize plans exactly one shuffle (the user_id repartition)") {
     val plan = graft.SparkEntry.queries("q_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -333,4 +333,57 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val planted = (0L until 500L by 10).map(id => (id, id + 1000000L)).toSet
     assert(planted.subsetOf(pairs))
   }
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the eval slice") {
+    val s = spark
+    import s.implicits._
+    // doc 0: eval (0 % 50 == 0). doc 7: a 10-word doc embedding doc 0's
+    // words 1-8 → contaminated (3 shared 8-grams: offsets 0,1,2 of the
+    // shared span... actually exactly the grams fully inside the copied
+    // window). doc 8: disjoint vocabulary → clean.
+    val evalWords = (0 until 12).map(i => s"e$i")
+    val contam = ("x" +: evalWords.slice(1, 9)) :+ "y" // e1..e8 inside
+    val clean = (0 until 10).map(i => s"c$i")
+    val docs = Seq(
+      (0L, evalWords.mkString(" ")),
+      (7L, contam.mkString(" ")),
+      (8L, clean.mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(docs, n = 8, evalMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.contains(7L), s"contaminated doc not flagged: $out")
+    assert(out(7L) == 1L, s"exactly one shared 8-gram (e1..e8): $out")
+    assert(!out.contains(8L), "clean doc wrongly flagged")
+    assert(!out.contains(0L), "eval docs are not training docs")
+  }
+
+  test("repetition stats: top word/bigram counts on a crafted repetitive doc") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam eggs spam"), // 5 words, 2 distinct, top word 4, top bigram "spam spam" ×2
+      (2L, "one")                       // single word → no bigrams
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((5L, 2L, 4L, 2L, 0.8)))
+    assert(out(2L) == ((1L, 1L, 1L, 0L, 1.0)))
+  }
+
+  test("stratified sample: deterministic, respects per-lang rate ordering") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = graft.operators.TextOps.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
+    val b = graft.operators.TextOps.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "sampling must be reproducible run-to-run")
+    // rate sanity: en keeps ~60%, fallback langs ~20% — with 500 docs the
+    // binomial bounds are loose but directional
+    val kept = graft.operators.TextOps.stratifiedSample(docs)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = kept.getOrElse("en", 0L).toDouble / total("en")
+    val zhRate = kept.getOrElse("zh", 0L).toDouble / total("zh")
+    assert(enRate > 0.4 && enRate < 0.8, s"en rate off: $enRate")
+    assert(zhRate < enRate, s"fallback stratum must keep less than en: $zhRate vs $enRate")
+  }
 }
