@@ -132,6 +132,42 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     snap
   }
 
+  /** Iceberg-style rewrite_data_files (bin-packing compaction): coalesce
+    * the current snapshot's files into ~targetBytes outputs, committed as a
+    * NEW snapshot — old versions stay time-travelable, CURRENT advances
+    * atomically. `coalesce` (not `repartition`) keeps the rewrite a
+    * shuffle-free narrow pass: adjacent scan splits merge into one writer
+    * task each. At 100 TB this is the maintenance op that keeps scan task
+    * counts bounded after many incremental/streaming commits (thousands of
+    * small files → file-open overhead dominates the scan).
+    */
+  def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): Long = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val files = manifestFiles(table, snap)
+    val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    commit(spark.read.parquet(files: _*).coalesce(nOut), table)
+  }
+
+  /** Iceberg-style expire_snapshots: drop all but the last `keepLast`
+    * snapshots (CURRENT always survives) and delete the data files that
+    * are referenced ONLY by expired manifests — metadata-only snapshots
+    * sharing files with a live version keep those files on disk.
+    * Returns the expired snapshot ids.
+    */
+  def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
+    val snaps = snapshots(table)
+    val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++ currentSnapshot(table)
+    val expired = snaps.filterNot(keep)
+    val liveFiles = keep.flatMap(s => manifestFiles(table, s))
+    expired.flatMap(s => manifestFiles(table, s)).distinct
+      .filterNot(liveFiles)
+      .foreach(f => Files.deleteIfExists(Paths.get(f)))
+    expired.foreach(s => Files.deleteIfExists(manifestDir(table).resolve(s"v$s.json")))
+    expired
+  }
+
   private def writeManifest(table: String, snap: Long, files: Seq[String]): Unit = {
     Files.createDirectories(manifestDir(table))
     val manifest = files.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]")

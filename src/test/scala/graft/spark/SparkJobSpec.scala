@@ -110,6 +110,35 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.distinct.size === 4 && ids.toSeq === ids.sorted)
   }
 
+  test("catalog maintenance: bin-pack compaction + reference-counted snapshot expiry") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark
+    import ss.implicits._
+    // a many-small-files snapshot (8 writer tasks for 100 rows)
+    val s1 = cat.commit((1 to 100).map(i => (i, s"v$i")).toDF("id", "v").repartition(8), "t")
+    val filesBefore = cat.read(spark, "t").inputFiles.length
+    assert(filesBefore >= 8)
+    // compaction: new snapshot, fewer files, identical rows; old snapshot
+    // stays time-travelable
+    val s2 = cat.compact(spark, "t", targetBytes = 1L << 30)
+    assert(cat.currentSnapshot("t").contains(s2))
+    assert(cat.read(spark, "t").inputFiles.length === 1)
+    assert(cat.read(spark, "t").collect().map(_.getInt(0)).sorted.toSeq === (1 to 100))
+    assert(cat.readSnapshot(spark, "t", s1).count() === 100)
+    // a metadata-only snapshot SHARING the compacted files (commitFiles)
+    val sharedFiles = cat.read(spark, "t").inputFiles.map(f => f.stripPrefix("file:")).toSeq
+    val s3 = cat.commitFiles(sharedFiles, "t")
+    // expire all but the last 2 (s2, s3): s1's private files die, but the
+    // compacted files survive because live snapshots still reference them
+    val expired = cat.expireSnapshots("t", keepLast = 2)
+    assert(expired === Seq(s1))
+    intercept[IllegalArgumentException](cat.readSnapshot(spark, "t", s1))
+    assert(cat.read(spark, "t").count() === 100)
+    assert(cat.readSnapshot(spark, "t", s3).count() === 100)
+    assert(sharedFiles.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
+  }
+
   test("lineage rows cover every non-empty partition with positive throughput") {
     val acc = spark.sparkContext.collectionAccumulator[LineageRow]("lin-test")
     ExtractJob.extract(Pages.synthesize(spark, sfDir), "t", 6, acc).toDF().count()
