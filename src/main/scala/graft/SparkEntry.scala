@@ -257,6 +257,11 @@ object SparkEntry {
     "q_rep_quality" -> ((s, dir) =>
       // Gopher-style repetition filters: top-word / top-bigram frequency
       TextOps.repetitionStats(docs(s, dir))),
+    "q_redact_pii" -> ((s, dir) =>
+      // PII scrub: deterministic planted email+phone per doc, then the
+      // zero-shuffle redaction projection (counts from the original text)
+      TextOps.redactPii(docs(s, dir).selectExpr("doc_id",
+        "concat('contact doc', CAST(doc_id AS STRING), '@mail.example.com or 555-867-530', CAST(doc_id % 10 AS STRING), ' ', text) AS text"))),
     "q_sample_strata" -> ((s, dir) =>
       // deterministic per-language training-mixture sampling (zero-shuffle)
       TextOps.stratifiedSample(docs(s, dir))),
@@ -558,9 +563,9 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
     },
     // Oracle enumerates the same 8-word n-grams (md5'd, per-doc DISTINCT)
-    // and joins train-side against the eval slice exhaustively; Spark's
-    // broadcast semi-join + count must produce the identical per-doc hit
-    // counts (both engines hash the same gram strings with md5).
+    // and joins train-side against the eval slice exhaustively; Spark joins
+    // xxhash64 gram keys instead — per-doc hit counts agree unless a 64-bit
+    // collision occurs (minhash-oracle convention, vanishing at test SFs).
     "q_decontaminate" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -592,6 +597,15 @@ object SparkEntry {
         |       CAST(coalesce(ba.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
         |       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac
         |FROM wa LEFT JOIN ba ON ba.doc_id = wa.doc_id""".stripMargin,
+    "q_redact_pii" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  'contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || ' ' || text AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(text, '${TextOps.emailPattern}', '<EMAIL>', 'g'), '${TextOps.phonePattern}', '<PHONE>', 'g') AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) AS BIGINT) AS n_phones
+        |FROM d""".stripMargin,
     "q_sample_strata" -> {
       // the md5 bucket recomputed as an 8-nibble positional sum (the proven
       // simhash-oracle idiom); rates/CASE shared with the Spark side

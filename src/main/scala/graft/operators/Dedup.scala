@@ -86,31 +86,38 @@ object Dedup {
     * training doc.
     *
     * Scale shape: n-grams are a codegen'd sequence/transform projection (no
-    * UDF) immediately collapsed to (doc_id, 16-byte digest) DISTINCT with
-    * map-side partial aggregation — gram strings never shuffle. The eval
-    * side is tiny relative to the corpus (a benchmark suite is ~10^6 grams
-    * even against 100 TB of training text) and is BROADCAST, so the
-    * training side never reshuffles for the join: scan → broadcast-hash
-    * semi-join → one partial-agged groupBy(doc_id).
+    * UDF) collapsed to (doc_id, 8-byte xxhash64) — gram strings never
+    * shuffle. The eval side is tiny relative to the corpus (a benchmark
+    * suite is ~10^6 grams even against 100 TB of training text) and is
+    * BROADCAST; the training side's raw gram stream flows straight into the
+    * broadcast join (which discards the overwhelmingly-clean majority)
+    * BEFORE any aggregation, so the only train-side shuffle is the
+    * countDistinct over the few surviving hits — never a full-corpus
+    * distinct. The DuckDB oracle joins its own md5'd gram strings; per-doc
+    * hit counts agree unless a 64-bit gram-hash collision occurs (the
+    * established minhash-oracle convention; vanishing at test SFs).
     */
   def decontaminate(docs: DataFrame, n: Int = 8, evalMod: Long = 50): DataFrame = {
     val withPlanted = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % (2 * evalMod) === 0)
         .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
+    // grams are hashed as word-array slices — the joined gram string is
+    // never materialized (xxhash64 hashes array elements recursively;
+    // distinct-preserving because words cannot contain the separator)
     val grams = withPlanted
       .selectExpr("doc_id", "split(text, ' ') AS w")
       .selectExpr("doc_id",
-        s"""CASE WHEN size(w) < $n THEN array(array_join(w, ' '))
-           |     ELSE transform(sequence(0, size(w) - $n), i -> array_join(slice(w, i + 1, $n), ' '))
-           |END AS gs""".stripMargin)
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gh"))
-      .distinct()
+        s"""CASE WHEN size(w) < $n THEN array(xxhash64(w))
+           |     ELSE transform(sequence(0, size(w) - $n), i -> xxhash64(slice(w, i + 1, $n)))
+           |END AS ghs""".stripMargin)
+      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+    // the doc_id filters push below the Generate: the eval branch only ever
+    // explodes the 1/evalMod eval slice
     val evalGrams = grams.where(col("doc_id") % evalMod === 0).select("gh").distinct()
     grams.where(col("doc_id") % evalMod =!= 0)
       .join(broadcast(evalGrams), "gh")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits")) // (doc_id, gh) already distinct
+      .agg(countDistinct("gh").as("n_hits"))
       .orderBy("doc_id")
   }
 

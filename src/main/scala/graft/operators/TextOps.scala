@@ -151,6 +151,28 @@ object TextOps {
         "CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac")
   }
 
+  /** PII-redaction patterns (pre-training scrub stage): restricted to
+    * syntax whose semantics are identical in Java regex (Spark codegen)
+    * and DuckDB RE2 so redaction is oracle-exact. Real deployments extend
+    * the list; the machinery (count-then-replace single projection) is the
+    * shipped thing.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val phonePattern = "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]"
+
+  /** PII redaction: replace emails/phone-shaped substrings with typed
+    * placeholder tags and count the replacements per doc. A single
+    * codegen'd projection — ZERO shuffle; at 100 TB redaction rides the
+    * same streaming scan as extraction. Expects a `text` column; emits
+    * (doc_id, clean_text, n_emails, n_phones).
+    */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"regexp_replace(regexp_replace(text, '$emailPattern', '<EMAIL>'), '$phonePattern', '<PHONE>') AS clean_text",
+      s"CAST(size(regexp_extract_all(text, '$emailPattern', 0)) AS BIGINT) AS n_emails",
+      s"CAST(size(regexp_extract_all(text, '$phonePattern', 0)) AS BIGINT) AS n_phones")
+
   /** Per-language keep rates (percent) for the training-mixture sampler;
     * languages absent from the list fall back to `strataDefaultRate`.
     * Ordered so the generated CASE expression is deterministic.

@@ -103,7 +103,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("decontamination broadcasts the eval-gram side; train side never re-shuffles for the join") {
     val p = formatted("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
-    assert(p.contains("md5"), "grams must shuffle as digests, not strings")
+    assert(p.contains("xxhash64"), "grams must shuffle as 8-byte hashes, not strings")
   }
 
   test("stratified sampling is a pure projection + filter — zero shuffles") {

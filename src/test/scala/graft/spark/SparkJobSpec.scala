@@ -400,6 +400,20 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, 1L, 1L, 0L, 1.0)))
   }
 
+  test("PII redaction: emails and phone shapes replaced, counts from the original text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a.b_c%d@sub.example.org and x@y.io plus 555-123-4567 twice 555-123-4567"),
+      (2L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.redactPii(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 == "mail <EMAIL> and <EMAIL> plus <PHONE> twice <PHONE>")
+    assert(out(1L)._2 == 2L && out(1L)._3 == 2L)
+    assert(out(2L) == (("no pii here at all", 0L, 0L)))
+  }
+
   test("stratified sample: deterministic, respects per-lang rate ordering") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = graft.operators.TextOps.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
