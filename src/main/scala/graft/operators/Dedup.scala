@@ -101,25 +101,41 @@ object Dedup {
     val withPlanted = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % (2 * evalMod) === 0)
         .select((col("doc_id") + 3000001L).as("doc_id"), col("text")))
-    // grams are hashed as word-array slices — the joined gram string is
-    // never materialized (xxhash64 hashes array elements recursively;
-    // distinct-preserving because words cannot contain the separator)
-    val grams = withPlanted
-      .selectExpr("doc_id", "split(text, ' ') AS w")
-      .selectExpr("doc_id",
-        s"""CASE WHEN size(w) < $n THEN array(xxhash64(w))
-           |     ELSE transform(sequence(0, size(w) - $n), i -> xxhash64(slice(w, i + 1, $n)))
-           |END AS ghs""".stripMargin)
-      .select(col("doc_id"), explode(col("ghs")).as("gh"))
     // the doc_id filters push below the Generate: the eval branch only ever
     // explodes the 1/evalMod eval slice
-    val evalGrams = grams.where(col("doc_id") % evalMod === 0).select("gh").distinct()
-    grams.where(col("doc_id") % evalMod =!= 0)
+    contaminationHits(
+      withPlanted.where(col("doc_id") % evalMod =!= 0),
+      withPlanted.where(col("doc_id") % evalMod === 0).select("text"), n)
+      .orderBy("doc_id")
+  }
+
+  /** Core of `decontaminate` for composition (e.g. CurateMain): flag docs
+    * in `train` (doc_id, text) sharing an `n`-word n-gram with any row of
+    * `evalTexts` (text) — the eval table is external in production; the
+    * contract query derives it from a corpus slice.
+    */
+  def contaminationHits(train: DataFrame, evalTexts: DataFrame, n: Int = 8): DataFrame = {
+    val evalGrams = gramHashes(
+      evalTexts.selectExpr("CAST(0 AS BIGINT) AS doc_id", "text"), n)
+      .select("gh").distinct()
+    gramHashes(train.select(col("doc_id"), col("text")), n)
       .join(broadcast(evalGrams), "gh")
       .groupBy("doc_id")
       .agg(countDistinct("gh").as("n_hits"))
-      .orderBy("doc_id")
   }
+
+  /** (doc_id, n-gram hash): grams are hashed as word-array slices — the
+    * joined gram string is never materialized (xxhash64 hashes array
+    * elements recursively; distinct-preserving because words cannot
+    * contain the separator).
+    */
+  private def gramHashes(df: DataFrame, n: Int): DataFrame = df
+    .selectExpr("doc_id", "split(text, ' ') AS w")
+    .selectExpr("doc_id",
+      s"""CASE WHEN size(w) < $n THEN array(xxhash64(w))
+         |     ELSE transform(sequence(0, size(w) - $n), i -> xxhash64(slice(w, i + 1, $n)))
+         |END AS ghs""".stripMargin)
+    .select(col("doc_id"), explode(col("ghs")).as("gh"))
 
   /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {

@@ -13,9 +13,14 @@ import graft.operators.{Dedup, TextOps}
   *       strip; narrow mapPartitions, lineage rows on the side)
   *     → text features (token count, language ID)
   *     → quality floor (n_tokens ≥ minTokens)
+  *     → repetition floor (Gopher-style: top-word fraction ≤ maxTopWordFrac)
+  *     → PII scrub (emails/phones → typed placeholders; a byte-level no-op
+  *       on clean text — the content contract survives)
   *     → exact dedup (md5 keeper per text)
   *     → MinHash/LSH near-dup removal (verified Jaccard ≥ 0.6; the
   *       lexicographically-first doc of each pair survives)
+  *     → decontamination (drop docs sharing an 8-word n-gram with the
+  *       held-out eval slice; eval grams broadcast)
   *     → curated parquet + one JSON report line with per-stage counts.
   *
   * Every stage is one of the engine's tested operators; the composition
@@ -46,7 +51,8 @@ object CurateMain {
   }
 
   /** Runs the pipeline; returns the JSON report line. */
-  def run(spark: SparkSession, sfDir: String, outDir: String, minTokens: Int = 20): String = {
+  def run(spark: SparkSession, sfDir: String, outDir: String, minTokens: Int = 20,
+          maxTopWordFrac: Double = 0.2): String = {
     val n = spark.sparkContext.defaultParallelism
     val t0 = System.nanoTime()
 
@@ -69,6 +75,20 @@ object CurateMain {
     val quality = feats.where(col("n_tokens") >= minTokens)
     val nQuality = quality.count()
 
+    // 4b. repetition floor (Gopher-style): pages dominated by one token go
+    val repOk = TextOps.repetitionStats(docs)
+      .where(col("top_word_frac") <= maxTopWordFrac)
+      .select("doc_id")
+    val qualityRep = quality.join(repOk, "doc_id")
+    val nRep = qualityRep.count()
+
+    // 4c. PII scrub: text becomes the redacted clean_text (byte-identical
+    // on clean pages); per-doc counts feed the report
+    val scrubbed = qualityRep.drop("text")
+      .join(TextOps.redactPii(qualityRep), "doc_id")
+      .withColumnRenamed("clean_text", "text")
+    val nPii = scrubbed.where(col("n_emails") + col("n_phones") > 0).count()
+
     // 5. exact-dedup keepers (md5 digest shuffle, partial aggs)
     val keepers = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
 
@@ -76,14 +96,22 @@ object CurateMain {
     val losers = Dedup.nearDupPairs(docs).select(col("id_b").as("doc_id")).distinct()
     val nLosers = losers.count()
 
-    val curated = quality
+    // 7. decontamination against the held-out eval slice (stand-in: the
+    // pmod-50 corpus slice; production passes an external benchmark table)
+    val evalTexts = docs.where(pmod(col("doc_id"), lit(50)) === 0).select("text")
+    val contaminated = Dedup.contaminationHits(
+      docs.where(pmod(col("doc_id"), lit(50)) =!= 0), evalTexts).select("doc_id")
+    val nContam = contaminated.count()
+
+    val curated = scrubbed
       .join(keepers, "doc_id")
       .join(losers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .select("url", "doc_id", "pred_lang", "n_tokens", "text")
     curated.write.mode("overwrite").parquet(s"$outDir/curated.parquet")
     val nOut = spark.read.parquet(s"$outDir/curated.parquet").count()
     extracted.unpersist()
     val wall = (System.nanoTime() - t0) / 1e9
-    f"""{"metric":"curate","docs_in":$nIn,"after_quality":$nQuality,"near_dup_losers":$nLosers,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
+    f"""{"metric":"curate","docs_in":$nIn,"after_quality":$nQuality,"after_repetition":$nRep,"pii_docs":$nPii,"near_dup_losers":$nLosers,"contaminated":$nContam,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
   }
 }

@@ -34,6 +34,11 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline runs end-to-end and reports sane stage counts") {
     assert(report.contains("\"metric\":\"curate\""))
     assert(report.contains("\"docs_in\":500"))
+    assert(report.contains("\"after_repetition\":"))
+    assert(report.contains("\"contaminated\":"))
+    // the synthetic corpus carries no emails/phone shapes — the PII scrub
+    // must be a byte-level no-op (also protects the content contract below)
+    assert(report.contains("\"pii_docs\":0"))
   }
 
   test("curated output: nonempty, no duplicate texts, quality floor holds") {
