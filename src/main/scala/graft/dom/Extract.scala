@@ -258,6 +258,59 @@ final class Arena {
   def size: Int = n
 }
 
+/** Minimal primitive-backed growable vector. The open-element stack and
+  * span buffers run per-tag/per-text-run: `ArrayBuffer[Int]` would box
+  * every append (Integer.valueOf only caches −128..127; node ids and flag
+  * masks sit outside it) — tens of millions of allocations per GB of
+  * corpus on the kernel hot path.
+  */
+final class IntVec(initial: Int = 16) {
+  private[this] var a = new Array[Int](initial)
+  private[this] var n = 0
+  def length: Int = n
+  def isEmpty: Boolean = n == 0
+  def nonEmpty: Boolean = n != 0
+  def apply(i: Int): Int = a(i)
+  def update(i: Int, v: Int): Unit = a(i) = v
+  def +=(v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = v; n += 1
+  }
+  def remove(i: Int): Int = {
+    val v = a(i)
+    System.arraycopy(a, i + 1, a, i, n - i - 1); n -= 1
+    v
+  }
+  def insert(i: Int, v: Int): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    System.arraycopy(a, i, a, i + 1, n - i)
+    a(i) = v; n += 1
+  }
+  def clear(): Unit = n = 0
+  def dropRightInPlace(k: Int): Unit = n -= k
+}
+
+/** Boolean sibling of IntVec (span link flags, active-formatting open bits). */
+final class BoolVec(initial: Int = 16) {
+  private[this] var a = new Array[Boolean](initial)
+  private[this] var n = 0
+  def length: Int = n
+  def apply(i: Int): Boolean = a(i)
+  def update(i: Int, v: Boolean): Unit = a(i) = v
+  def +=(v: Boolean): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    a(n) = v; n += 1
+  }
+  def remove(i: Int): Unit = { System.arraycopy(a, i + 1, a, i, n - i - 1); n -= 1 }
+  def insert(i: Int, v: Boolean): Unit = {
+    if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+    System.arraycopy(a, i, a, i + 1, n - i)
+    a(i) = v; n += 1
+  }
+  def clear(): Unit = n = 0
+  def dropRightInPlace(k: Int): Unit = n -= k
+}
+
 /** Streams extract-mode tokenizer events into the arena + text buffer and
   * applies boilerplate-strip + text-density heuristics. All heuristics are
   * deterministic; no wall clock, no randomness.
@@ -270,9 +323,9 @@ final class ExtractSink extends TokenSink {
   private var root = arena.add("#root", -1)
 
   // open-element stack (parallel arrays)
-  private val stkNode = ArrayBuffer(root)
+  private val stkNode = new IntVec(64); stkNode += root
   private val stkName = ArrayBuffer("#root")
-  private val stkFlags = ArrayBuffer(0) // ExtractConfig flag bits per entry
+  private val stkFlags = new IntVec(64); stkFlags += 0 // ExtractConfig flag bits per entry
   private var skipDepth = 0 // >0 → inside blacklisted subtree
   private var linkDepth = 0
   private var blockTop = root // nearest open block node
@@ -288,9 +341,9 @@ final class ExtractSink extends TokenSink {
   // length at table/td/caption entry so reconstruction never crosses a cell
   // boundary
   private val activeFmt = ArrayBuffer.empty[String]
-  private val activeFmtOpen = ArrayBuffer.empty[Boolean]
-  private val activeFmtNode = ArrayBuffer.empty[Int]
-  private val fmtMarkers = ArrayBuffer.empty[Int]
+  private val activeFmtOpen = new BoolVec
+  private val activeFmtNode = new IntVec
+  private val fmtMarkers = new IntVec
 
   private val text = new java.lang.StringBuilder
   // first <title> content (metadata every curation pipeline wants; captured
@@ -302,11 +355,11 @@ final class ExtractSink extends TokenSink {
   // under its anchor element, so adoption-agency tree surgery moves text
   // with its block and span paths are materialized from the FINAL tree in
   // result() — not from the insertion-time stack
-  private val spStart = ArrayBuffer.empty[Int]
-  private val spEnd = ArrayBuffer.empty[Int]
-  private val spText = ArrayBuffer.empty[Int]
-  private val spBlock = ArrayBuffer.empty[Int]
-  private val spLink = ArrayBuffer.empty[Boolean]
+  private val spStart = new IntVec(64)
+  private val spEnd = new IntVec(64)
+  private val spText = new IntVec(64)
+  private val spBlock = new IntVec(64)
+  private val spLink = new BoolVec(64)
   // current run
   private var runStart = -1
   private var runBlock = root
