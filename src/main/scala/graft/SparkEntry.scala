@@ -265,6 +265,13 @@ object SparkEntry {
     "q_sample_strata" -> ((s, dir) =>
       // deterministic per-language training-mixture sampling (zero-shuffle)
       TextOps.stratifiedSample(docs(s, dir))),
+    "q_vocab_topk" -> ((s, dir) =>
+      // vocabulary construction: global word counts, deterministic top-100
+      // (count desc, word asc) — explode + one partial-agged shuffle + top-k
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w")).limit(100)),
     "q_json_props" -> ((s, dir) =>
       // semi-structured operator family: JSON extraction + aggregation over
       // the events.props payload column
@@ -597,6 +604,12 @@ object SparkEntry {
         |       CAST(coalesce(ba.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
         |       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac
         |FROM wa LEFT JOIN ba ON ba.doc_id = wa.doc_id""".stripMargin,
+    // top-100 is a TOTAL order (count desc, word asc) so the boundary cut
+    // is deterministic on both engines
+    "q_vocab_topk" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n DESC, w LIMIT 100""".stripMargin,
     "q_redact_pii" ->
       s"""WITH d AS (SELECT doc_id,
         |  'contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || ' ' || text AS text

@@ -74,6 +74,12 @@ object ExtractStream {
     }.toDF("url", "warc_ts", "title", "text")
       .withColumn("n_tokens", expr(graft.operators.TextOps.tokensExpr))
       .where(col("n_tokens") >= minTokens)
+      // PII scrub is a stateless codegen'd projection — streaming-safe; the
+      // dedup digest is computed AFTER the scrub so two pages differing
+      // only in redacted PII values (template spam) collapse to one
+      .withColumn("text", regexp_replace(
+        regexp_replace(col("text"), graft.operators.TextOps.emailPattern, "<EMAIL>"),
+        graft.operators.TextOps.phonePattern, "<PHONE>"))
       .withColumn("text_md5", md5(col("text")))
       .withWatermark("warc_ts", lateness)
       .dropDuplicatesWithinWatermark("text_md5")

@@ -63,14 +63,21 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 1: one good page, one too-short page
     mem.addData(page("https://c/a", t0, longText), page("https://c/short", t0, "tiny"))
     q.processAllAvailable()
-    // batch 2: an exact duplicate of a's text (within the watermark) + a new page
+    // batch 2: an exact duplicate of a's text (within the watermark) + a new
+    // page + two template-spam pages differing ONLY in their email — the
+    // scrub runs before the dedup digest, so they collapse to one
     mem.addData(page("https://c/a-dup", t0 + 60000, longText),
-      page("https://c/b", t0 + 60000, longText + " distinct tail"))
+      page("https://c/b", t0 + 60000, longText + " distinct tail"),
+      page("https://c/spam1", t0 + 60000, longText + " mail u1@host-a.example.com"),
+      page("https://c/spam2", t0 + 61000, longText + " mail other.user@host-b.example.net"))
     q.processAllAvailable()
     q.stop()
-    val urls = ss.table("curate_s").collect().map(_.getString(0)).sorted
-    assert(urls.toSeq === Seq("https://c/a", "https://c/b"),
-      s"expected dedup+quality to keep a and b, got ${urls.mkString(",")}")
+    val rows = ss.table("curate_s").collect()
+    val urls = rows.map(_.getString(0)).sorted
+    assert(urls.toSeq === Seq("https://c/a", "https://c/b", "https://c/spam1"),
+      s"expected dedup+quality+scrub-dedup to keep a, b, spam1; got ${urls.mkString(",")}")
+    val spamText = rows.find(_.getString(0) == "https://c/spam1").get.getAs[String]("text")
+    assert(spamText.endsWith(" mail <EMAIL>"), s"PII not scrubbed: $spamText")
   }
 
   test("incremental sessionization: GroupState spans micro-batches, event-time timeout flushes") {
