@@ -60,9 +60,12 @@ object ExtractConfig {
     "template"
   )
   /** Elements that also push a marker onto the active-formatting list
-    * (reconstruction never crosses them). */
+    * (reconstruction never crosses them). §13.2.4.3's exact list — table
+    * is a SCOPE boundary but NOT a marker: formatting opened in table
+    * context (fostered) survives `</table>` and reconstructs after it.
+    */
   val fmtMarkerSet: Set[String] = Set(
-    "table", "td", "th", "caption", "applet", "marquee", "object", "template"
+    "td", "th", "caption", "applet", "marquee", "object", "template"
   )
   /** Insertion points whose character data / stray elements are
     * foster-parented before the table (§13.2.6.4.9 "in table"). */
@@ -126,6 +129,7 @@ object ExtractConfig {
   final val STr = 1 << 16
   final val SCell = 1 << 17
   final val FSpecial = 1 << 18
+  final val FTableSection = 1 << 19 // row/section/cell/caption family (clears to table context)
 
   /** name → OR of all flag/scope bits; names absent from every set → 0. */
   val flagTable: java.util.HashMap[String, Integer] = {
@@ -140,6 +144,8 @@ object ExtractConfig {
     add(pImpliedStops, SP); add(liImpliedStops, SLi); add(dlImpliedStops, SDl)
     add(trImpliedStops, STr); add(cellImpliedStops, SCell)
     add(special, FSpecial)
+    add(Set("tr", "td", "th", "tbody", "thead", "tfoot", "caption", "colgroup", "col"),
+      FTableSection)
     m
   }
 
@@ -716,6 +722,25 @@ final class ExtractSink extends TokenSink {
         if (j > 0) popTo(j)
       }
     } else if ((f & FTablePart) != 0) {
+      // §13.2.6.4.9/4.13/4.14 "clear the stack back to a table/body/row
+      // context": a row/section/cell/caption start pops any unclosed
+      // non-structural elements (formatting, phrasing, fostered divs) down
+      // to its structural container — but only when a table is actually in
+      // TABLE scope (stray table parts in body stay ordinary elements).
+      // popTo marks popped formatting for reconstruction, so `<table><b>x
+      // <tr><td>c` renders c un-bolded in the cell and re-bolds text after
+      // </table> — the browser shape.
+      if ((f & FTableSection) != 0 && lastIndexWithin("table", STableEnd) > 0) {
+        val isCell = name == "td" || name == "th"
+        val isRow = name == "tr"
+        def isStop(nm: String): Boolean =
+          nm == "table" || nm == "template" || nm == "html" || nm == "#root" ||
+            ((isCell || isRow) && (nm == "tbody" || nm == "thead" || nm == "tfoot")) ||
+            (isCell && nm == "tr")
+        var top = stkName.length - 1
+        while (top > 0 && !isStop(stkName(top))) top -= 1
+        if (top < stkName.length - 1) popTo(top + 1)
+      }
       if (name == "tr") {
         val i = lastIndexWithin("tr", STr)
         if (i > 0) popTo(i)

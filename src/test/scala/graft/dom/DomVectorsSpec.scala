@@ -228,6 +228,34 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(r.spans(1).path.startsWith("/html/body#"))
   }
 
+  test("clear-to-table-context: an unclosed <b> never captures table rows (§13.2.6.4.9)") {
+    // browser shape: b("f") fostered before the table, tr/td INSIDE the
+    // table (the <tr> start pops the open b back to table context, marking
+    // it for reconstruction), cell text un-bolded, post-table text re-bolded
+    val r = ex("<body><table><b>f<tr><td>c</td></tr></table>t</body>")
+    assert(r.text == "fct")
+    assert(r.spans(0).path.contains("/body/b#"), s"f bold, fostered: ${r.spans(0).path}")
+    assert(r.spans(1).path.contains("/body/table/tr/td#"),
+      s"cell belongs to the table, not the b: ${r.spans(1).path}")
+    assert(r.spans(2).path.contains("/body/b#"),
+      s"t re-bolded by reconstruction after </table>: ${r.spans(2).path}")
+  }
+
+  test("clear-to-row-context: a <td> pops an unclosed span back to its row") {
+    val r = ex("<table><tr><span><td>x</td></tr></table>")
+    assert(r.text == "x")
+    assert(r.spans(0).path.contains("/table/tr/td#"),
+      s"td under tr, span popped: ${r.spans(0).path}")
+    assert(!r.spans(0).path.contains("/span"), s"span must not capture the cell: ${r.spans(0).path}")
+  }
+
+  test("stray table parts outside any table stay ordinary elements") {
+    val r = ex("<div><tr><td>loose</td></tr></div>after")
+    assert(r.text == "looseafter")
+    assert(r.spans(0).path.contains("/div/tr/td#"),
+      s"no table in scope → no clearing: ${r.spans(0).path}")
+  }
+
   test("fostered nodes precede the table in sibling order (§13.2.6.4.9)") {
     // the spec inserts fostered content immediately BEFORE the table; the
     // body's child list must read: fostered text, fostered div, table

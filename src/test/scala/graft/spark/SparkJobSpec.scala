@@ -414,6 +414,40 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (("no pii here at all", 0L, 0L)))
   }
 
+  test("decontamination survives a mega-doc (10^5 words) without driver/task blowup") {
+    val s = spark
+    import s.implicits._
+    // one 100k-word doc → ~100k grams in one task; plus an eval doc sharing
+    // a window so the hit path runs
+    val big = (0 until 100000).map(i => s"w${i % 9973}").mkString(" ")
+    val evalDoc = (0 until 12).map(i => s"w${(50000 + i) % 9973}").mkString(" ")
+    val docs = Seq((50L, evalDoc), (7L, big)).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.decontaminate(docs, n = 8, evalMod = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.contains(7L) && out(7L) >= 1L, s"mega-doc contamination missed: $out")
+  }
+
+  test("repetition stats: one word repeated 10^5 times is a single hot key, partial-agged") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, Seq.fill(100000)("spam").mkString(" "))).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.repetitionStats(docs).collect()(0)
+    assert(r.getLong(1) == 100000L && r.getLong(2) == 1L && r.getLong(3) == 100000L)
+    assert(r.getLong(4) == 99999L && r.getDouble(5) == 1.0)
+  }
+
+  test("stratified sample: unknown languages take the default rate; empty input is empty") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "xx" else "en")).toDF("doc_id", "lang")
+    val kept = graft.operators.TextOps.stratifiedSample(docs)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 500 docs per stratum: xx ~20% (default), en ~60% — loose binomial bounds
+    assert(kept("xx") > 50 && kept("xx") < 160, s"default-rate stratum off: ${kept("xx")}")
+    assert(kept("en") > 230 && kept("en") < 370, s"en stratum off: ${kept("en")}")
+    assert(graft.operators.TextOps.stratifiedSample(docs.limit(0)).count() === 0L)
+  }
+
   test("stratified sample: deterministic, respects per-lang rate ordering") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val a = graft.operators.TextOps.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
