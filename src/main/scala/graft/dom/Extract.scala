@@ -705,6 +705,25 @@ final class ExtractSink extends TokenSink {
     } else {
       if (bodyIdx < 0) ensureBody()
     }
+    // §"in body" <a> start: an a already active after the last marker runs
+    // the adoption agency before the new one opens — links become siblings,
+    // never nested (link farms would otherwise stack reconstructed a's)
+    if (name == "a") {
+      val start = if (fmtMarkers.isEmpty) 0 else fmtMarkers(fmtMarkers.length - 1)
+      var i = activeFmt.length - 1
+      var prior = -1
+      while (i >= start && prior < 0) { if (activeFmt(i) == "a") prior = i; i -= 1 }
+      if (prior >= 0) {
+        val priorNode = activeFmtNode(prior)
+        adoptionAgency("a")
+        // spec step 2: if the agency left the entry behind, remove it from
+        // both the AFL and the stack explicitly
+        val p2 = aflIdxOfNode(priorNode)
+        if (p2 >= 0) removeFmtAt(p2)
+        val s2 = stackIdxOfNode(priorNode)
+        if (s2 > 0) removeStackAt(s2)
+      }
+    }
     // implied end tags (§13.2.6.4.7/4.9): a new block closes an open <p>;
     // li/tr/td/sections close their predecessor within their scope
     if ((f & FClosesP) != 0) {

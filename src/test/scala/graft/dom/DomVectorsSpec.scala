@@ -228,6 +228,17 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(r.spans(1).path.startsWith("/html/body#"))
   }
 
+  test("nested <a> runs the adoption agency: links are siblings, never nested") {
+    val r = ex("<a href=\"/1\">one<a href=\"/2\">two</a>three")
+    assert(r.text == "onetwothree")
+    assert(r.spans(0).link && r.spans(0).path.contains("/body/a#"))
+    assert(r.spans(1).link && r.spans(1).path.contains("/body/a#") &&
+      r.spans(1).path.split('#')(1) != r.spans(0).path.split('#')(1),
+      s"second a is a NEW sibling: ${r.spans(1).path} vs ${r.spans(0).path}")
+    assert(!r.spans(1).path.contains("/a/a"), "a's must not nest")
+    assert(!r.spans(2).link, s"text after </a> is not linked: ${r.spans(2).path}")
+  }
+
   test("clear-to-table-context: an unclosed <b> never captures table rows (§13.2.6.4.9)") {
     // browser shape: b("f") fostered before the table, tr/td INSIDE the
     // table (the <tr> start pops the open b back to table context, marking
