@@ -85,6 +85,14 @@ object SparkEntry {
       ExtractJob.extract(graft.sources.Warc.read(s, warcDir), "warc_cs", n)
         .toDF().select("url", "main_text")
     }),
+    "q_link_graph" -> ((s, dir) => {
+      // outlink capture → link graph: every a-href rides the output row in
+      // document order (kernel attribute path); posexplode gives the edge
+      // list a crawl-graph pipeline joins/aggregates on
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "links", n)
+        .toDF().selectExpr("url", "posexplode(links) AS (idx, href)")
+    }),
     "q_pipeline_quality" -> ((s, dir) =>
       // composition: extraction kernel → token/char features → per-lang agg
       extracted(s, dir).toDF()
@@ -348,6 +356,11 @@ object SparkEntry {
         |       CAST(length(text) AS INTEGER) AS kept_len,
         |       CAST(0 AS INTEGER) AS n_errs
         |FROM documents""".stripMargin,
+    "q_link_graph" ->
+      """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       CAST(i AS INTEGER) AS idx,
+        |       'https://ext' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.net/p/' || CAST(i AS VARCHAR) AS href
+        |FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 5)) AS i FROM documents)""".stripMargin,
     "q_pipeline_quality" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

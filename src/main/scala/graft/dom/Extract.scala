@@ -12,6 +12,7 @@ final case class ExtractResult(
     mainText: String, // density-filtered main content
     title: String, // first <title> content (metadata; never part of text)
     spans: Vector[Span],
+    links: Vector[String], // href of every <a> start tag, document order
     nTokens: Long,
     nTags: Long,
     nErrors: Int,
@@ -351,6 +352,8 @@ final class ExtractSink extends TokenSink {
   private val activeFmtNode = new IntVec
   private val fmtMarkers = new IntVec
 
+  private val outLinks = ArrayBuffer.empty[String] // a-href outlinks, document order
+
   private val text = new java.lang.StringBuilder
   // first <title> content (metadata every curation pipeline wants; captured
   // on the side — never reaches the content text, never alters accounting)
@@ -393,6 +396,7 @@ final class ExtractSink extends TokenSink {
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
     text.setLength(0)
+    outLinks.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
     pathMemo.clear()
@@ -689,7 +693,21 @@ final class ExtractSink extends TokenSink {
     nTokens += 1
     nTags += 1
     closeRun()
-    if (isStart) startTag(name, selfClosing) else endTag(name)
+    if (isStart) {
+      // outlink capture (document-level link graph — boilerplate links
+      // included by design; the density heuristics judge TEXT, the graph
+      // wants every edge). One name check per start tag; attrs are already
+      // materialized by the tokenizer.
+      if (name == "a" && attrs.nonEmpty) {
+        var i = 0
+        var done = false
+        while (i < attrs.length && !done) {
+          if (attrs(i)._1 == "href") { outLinks += attrs(i)._2; done = true }
+          i += 1
+        }
+      }
+      startTag(name, selfClosing)
+    } else endTag(name)
   }
 
   private def startTag(name: String, selfClosing: Boolean): Unit = {
@@ -1027,8 +1045,8 @@ final class ExtractSink extends TokenSink {
       si += 1
     }
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
-      outSpans.result(), nTokens, nTags, errors.length, errors.toVector,
-      truncated, stateHits)
+      outSpans.result(), outLinks.toVector, nTokens, nTags, errors.length,
+      errors.toVector, truncated, stateHits)
   }
 }
 

@@ -135,6 +135,40 @@ object Pages {
   val plainOverhead: Int =
     renderPlain(7, "", "xx").getBytes(java.nio.charset.StandardCharsets.UTF_8).length - 1 - 2
 
+  /** Deterministic link-bearing page: (doc_id % 5 + 1) anchors with
+    * closed-form hrefs, so the outlink-capture path (link graph) has a
+    * generate_series-expressible DuckDB oracle.
+    */
+  def renderLinks(docId: Long): String = {
+    val k = (docId % 5 + 1).toInt
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("<!DOCTYPE html><html><head><title>L").append(docId)
+      .append("</title></head><body><p>intro text for doc ").append(docId).append("</p>")
+    var i = 0
+    while (i < k) {
+      sb.append("<a href=\"https://ext").append((docId + i) % 7)
+        .append(".example.net/p/").append(i).append("\">link ").append(i).append("</a>")
+      i += 1
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** The deterministic link-page corpus (link-graph-oracle input). */
+  def synthesizeLinkPages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val html = renderLinks(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(s"https://example.com/links/doc$docId",
+          new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** The deterministic plain-page corpus (stats-oracle input). */
   def synthesizePlain(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._

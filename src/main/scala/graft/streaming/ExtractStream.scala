@@ -47,8 +47,8 @@ object ExtractStream {
       val sink = new graft.dom.ExtractSink
       it.map { p =>
         val r = graft.dom.Extractor.extractInto(p.html, sink)
-        Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.errors,
-          r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
+        Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links,
+          r.errors, r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
           p.html.length.toLong)
       }
     }
