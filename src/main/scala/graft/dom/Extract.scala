@@ -334,6 +334,7 @@ final class ExtractSink extends TokenSink {
   private val stkName = ArrayBuffer("#root")
   private val stkFlags = new IntVec(64); stkFlags += 0 // ExtractConfig flag bits per entry
   private var skipDepth = 0 // >0 → inside blacklisted subtree
+  private var dropNl = false // spec: newline right after <pre>/<listing>/<textarea> is ignored
   private var linkDepth = 0
   private var blockTop = root // nearest open block node
   private var foreignDepth = 0 // >0 → inside svg/math (CDATA is legal there)
@@ -392,7 +393,7 @@ final class ExtractSink extends TokenSink {
     stkNode.clear(); stkNode += root
     stkName.clear(); stkName += "#root"
     stkFlags.clear(); stkFlags += 0
-    skipDepth = 0; linkDepth = 0; blockTop = root; foreignDepth = 0
+    skipDepth = 0; linkDepth = 0; blockTop = root; foreignDepth = 0; dropNl = false
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
     text.setLength(0)
@@ -485,16 +486,20 @@ final class ExtractSink extends TokenSink {
   override def char(cp: Int): Unit = {
     nTokens += 1
     if (inTitle) titleBuf.appendCodePoint(cp)
+    if (dropNl) { dropNl = false; if (cp == '\n') return }
     if (preText(!isWsCp(cp))) {
       startRunIfNeeded()
       text.appendCodePoint(cp)
     }
   }
 
-  override def chars(src: Array[Int], from: Int, until: Int): Unit = {
-    if (until <= from) return
-    nTokens += until - from
+  override def chars(src: Array[Int], from0: Int, until: Int): Unit = {
+    if (until <= from0) return
+    nTokens += until - from0
+    var from = from0
+    if (dropNl) { dropNl = false; if (src(from) == '\n') from += 1 }
     if (inTitle) { var i = from; while (i < until) { titleBuf.appendCodePoint(src(i)); i += 1 } }
+    if (until <= from) return
     var nonWs = false
     var start = from
     if (bodyIdx < 0) {
@@ -511,10 +516,13 @@ final class ExtractSink extends TokenSink {
     }
   }
 
-  override def charsAscii(src: Array[Byte], from: Int, until: Int): Unit = {
-    if (until <= from) return
-    nTokens += until - from
+  override def charsAscii(src: Array[Byte], from0: Int, until: Int): Unit = {
+    if (until <= from0) return
+    nTokens += until - from0
+    var from = from0
+    if (dropNl) { dropNl = false; if (src(from) == '\n') from += 1 }
     if (inTitle) { var i = from; while (i < until) { titleBuf.append(src(i).toChar); i += 1 } }
+    if (until <= from) return
     var nonWs = false
     var start = from
     if (bodyIdx < 0) {
@@ -707,7 +715,13 @@ final class ExtractSink extends TokenSink {
         }
       }
       startTag(name, selfClosing)
-    } else endTag(name)
+      // spec (13.2.6.4.7): a newline IMMEDIATELY after these start tags is
+      // ignored — next-token-only, so every other token clears the flag
+      dropNl = name == "pre" || name == "listing" || name == "textarea"
+    } else {
+      endTag(name)
+      dropNl = false
+    }
   }
 
   private def startTag(name: String, selfClosing: Boolean): Unit = {
@@ -990,9 +1004,9 @@ final class ExtractSink extends TokenSink {
     case _ => SDefault
   }
 
-  override def comment(data: String): Unit = { nTokens += 1; closeRun() } // elided
+  override def comment(data: String): Unit = { nTokens += 1; closeRun(); dropNl = false } // elided
   override def doctype(name: String, publicId: String, systemId: String, forceQuirks: Boolean): Unit = {
-    nTokens += 1; closeRun()
+    nTokens += 1; closeRun(); dropNl = false
   }
   override def eof(name: String, msg: String): Unit = { nTokens += 1; closeRun() }
   override def parseError(code: String): Unit = errors += code

@@ -228,6 +228,18 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(r.spans(1).path.startsWith("/html/body#"))
   }
 
+  test("leading newline after <pre>/<textarea> is dropped (next token only)") {
+    assert(ex("<pre>\ncode</pre>").text == "code")
+    assert(ex("<pre>x\ny</pre>").text == "x\ny", "only the IMMEDIATE newline drops")
+    assert(ex("<pre>\n\ncode</pre>").text == "\ncode", "only ONE newline drops")
+    assert(ex("<div>a</div><textarea>\nta</textarea>b").text == "atab")
+    assert(ex("<pre><!--c-->\ncode</pre>").text == "\ncode",
+      "an intervening token (comment) cancels the drop")
+    // batch byte path agrees with the per-cp path
+    val rb = Extractor.extractInto("<pre>\ncode</pre>".getBytes("UTF-8"), new ExtractSink)
+    assert(rb.text == "code", s"byte path kept the newline: '${rb.text}'")
+  }
+
   test("nested <a> runs the adoption agency: links are siblings, never nested") {
     val r = ex("<a href=\"/1\">one<a href=\"/2\">two</a>three")
     assert(r.text == "onetwothree")
