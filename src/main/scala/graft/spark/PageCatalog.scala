@@ -44,7 +44,10 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   override def read(spark: SparkSession, table: String): DataFrame = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    spark.read.parquet(manifestFiles(table, snap): _*)
+    // mergeSchema: Iceberg-style ADD-column evolution — a metadata-only
+    // commit may reference data files written before and after a schema
+    // widened; old files surface nulls for the new columns
+    spark.read.option("mergeSchema", "true").parquet(manifestFiles(table, snap): _*)
   }
 
   override def commit(df: DataFrame, table: String): Long = {
@@ -95,7 +98,7 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def readSnapshot(spark: SparkSession, table: String, snap: Long): DataFrame = {
     require(Files.exists(manifestDir(table).resolve(s"v$snap.json")),
       s"no snapshot $snap for $table")
-    spark.read.parquet(manifestFiles(table, snap): _*)
+    spark.read.option("mergeSchema", "true").parquet(manifestFiles(table, snap): _*)
   }
 
   /** All committed snapshot ids, ascending. */

@@ -139,6 +139,23 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sharedFiles.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
   }
 
+  test("catalog schema evolution: a metadata commit mixing old and new file schemas reads merged") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark
+    import ss.implicits._
+    val s1 = cat.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), "t")
+    val s2 = cat.commit(Seq((3, "c", 9L)).toDF("id", "v", "extra"), "t")
+    val f1 = cat.readSnapshot(spark, "t", s1).inputFiles.map(_.stripPrefix("file:"))
+    val f2 = cat.readSnapshot(spark, "t", s2).inputFiles.map(_.stripPrefix("file:"))
+    cat.commitFiles((f1 ++ f2).toSeq, "t")
+    val merged = cat.read(spark, "t")
+    assert(merged.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    assert(merged.count() === 3)
+    assert(merged.where(col("extra").isNull).count() === 2, "pre-widening rows surface nulls")
+    assert(merged.where(col("extra") === 9L).count() === 1)
+  }
+
   test("lineage rows cover every non-empty partition with positive throughput") {
     val acc = spark.sparkContext.collectionAccumulator[LineageRow]("lin-test")
     ExtractJob.extract(Pages.synthesize(spark, sfDir), "t", 6, acc).toDF().count()
