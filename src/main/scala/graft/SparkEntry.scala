@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{Pages, ExtractJob, PageRow}
-import graft.operators.{Dedup, Ann, TextOps}
+import graft.operators.{Dedup, Ann, TextOps, UrlOps}
 import graft.dom.Extractor
 
 /** Driver contract (see builder prompt + SURVEY.md §7). Each `queries` entry
@@ -273,6 +273,17 @@ object SparkEntry {
     "q_sample_strata" -> ((s, dir) =>
       // deterministic per-language training-mixture sampling (zero-shuffle)
       TextOps.stratifiedSample(docs(s, dir))),
+    "q_url_canon" -> ((s, dir) => {
+      // crawl-frontier URL canonicalization: mixed-case host, default port,
+      // dot segments, unsorted query, fragment — all normalized per doc
+      import s.implicits._
+      UrlOps.canonicalizeUrls(docs(s, dir).selectExpr("doc_id",
+        "concat('HTTPS://WWW.', upper(lang), '.Example.COM:443/', source, '/./x/../doc', CAST(doc_id AS STRING), '?z=1&a=', CAST(doc_id % 7 AS STRING), '#frag') AS url"))
+    }),
+    "q_text_normalize" -> ((s, dir) =>
+      // C4-style cleanup over text with planted controls/ws runs
+      TextOps.normalizeText(docs(s, dir).selectExpr("doc_id",
+        "concat('  ', text, chr(9), chr(1), 'mid  word', chr(13), ' tail ') AS text"))),
     "q_vocab_topk" -> ((s, dir) =>
       // vocabulary construction: global word counts, deterministic top-100
       // (count desc, word asc) — explode + one partial-agged shuffle + top-k
@@ -617,6 +628,20 @@ object SparkEntry {
         |       CAST(coalesce(ba.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
         |       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac
         |FROM wa LEFT JOIN ba ON ba.doc_id = wa.doc_id""".stripMargin,
+    // oracle builds the canonical form directly from doc_id parts; the
+    // Spark side runs the real generic canonicalizer on the messy input
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |       'https://www.' || lang || '.example.com/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '?a=' || CAST(doc_id % 7 AS VARCHAR) || '&z=1' AS canon_url
+        |FROM documents""".stripMargin,
+    "q_text_normalize" ->
+      s"""WITH d AS (SELECT doc_id,
+        |  '  ' || text || chr(9) || chr(1) || 'mid  word' || chr(13) || ' tail ' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(t, '${TextOps.ctrlPattern}', '', 'g'), '${TextOps.wsRunPattern}', ' ', 'g')) AS clean_text,
+        |       CAST(length(trim(regexp_replace(regexp_replace(t, '${TextOps.ctrlPattern}', '', 'g'), '${TextOps.wsRunPattern}', ' ', 'g'))) AS BIGINT) AS n_chars_clean
+        |FROM d""".stripMargin,
     // top-100 is a TOTAL order (count desc, word asc) so the boundary cut
     // is deterministic on both engines
     "q_vocab_topk" ->

@@ -151,6 +151,21 @@ object TextOps {
         "CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac")
   }
 
+  /** C4-style text normalization patterns: strip control characters,
+    * collapse whitespace runs to one space, trim. Classes written so Java
+    * regex and DuckDB RE2 agree byte-for-byte.
+    */
+  val ctrlPattern = "[\\x00-\\x08\\x0b\\x0e-\\x1f]"
+  val wsRunPattern = "[ \\t\\n\\r\\f]+"
+
+  /** Normalization: strip controls → collapse whitespace → trim. One
+    * codegen'd projection, zero shuffle. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(col("text"), ctrlPattern, ""), wsRunPattern, " "))
+        .as("clean_text"))
+      .withColumn("n_chars_clean", length(col("clean_text")).cast("bigint"))
+
   /** PII-redaction patterns (pre-training scrub stage): restricted to
     * syntax whose semantics are identical in Java regex (Spark codegen)
     * and DuckDB RE2 so redaction is oracle-exact. Real deployments extend

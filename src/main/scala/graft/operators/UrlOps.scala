@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** URL canonicalization — the crawl-frontier / url-dedup key every
+  * CC-scale pipeline needs before url-level dedup and politeness
+  * partitioning: lowercase scheme+host, strip default ports, resolve
+  * dot-segments (RFC 3986 §5.2.4), drop fragments, sort query params
+  * (stable for duplicate keys). Non-absolute inputs pass through
+  * untouched. Pure per-row function → a narrow zero-shuffle map.
+  */
+object UrlOps {
+
+  def canonicalize(url: String): String = {
+    val hIdx = url.indexOf('#')
+    val noFrag = if (hIdx >= 0) url.substring(0, hIdx) else url
+    val sIdx = noFrag.indexOf("://")
+    if (sIdx < 0) return url // relative / opaque: leave untouched
+    val qIdx = noFrag.indexOf('?')
+    val (base, query) =
+      if (qIdx >= 0) (noFrag.substring(0, qIdx), noFrag.substring(qIdx + 1))
+      else (noFrag, null)
+    val scheme = base.substring(0, sIdx).toLowerCase
+    val rest = base.substring(sIdx + 3)
+    val pIdx = rest.indexOf('/')
+    val (auth, path0) = if (pIdx >= 0) (rest.substring(0, pIdx), rest.substring(pIdx)) else (rest, "/")
+    // host[:port]
+    val cIdx = auth.lastIndexOf(':')
+    var host = auth
+    var port = ""
+    if (cIdx >= 0 && cIdx + 1 < auth.length && auth.substring(cIdx + 1).forall(_.isDigit)) {
+      host = auth.substring(0, cIdx)
+      port = auth.substring(cIdx + 1)
+    }
+    host = host.toLowerCase
+    val defPort = (scheme == "http" && port == "80") || (scheme == "https" && port == "443")
+    val portPart = if (port.isEmpty || defPort) "" else ":" + port
+    // dot-segment resolution (".." never climbs past the root)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    path0.split('/').foreach {
+      case "" | "."  => ()
+      case ".."      => if (segs.nonEmpty) segs.remove(segs.length - 1)
+      case s         => segs += s
+    }
+    val trailingSlash = path0.endsWith("/") || path0.endsWith("/.") || path0.endsWith("/..")
+    val path = "/" + segs.mkString("/") + (if (trailingSlash && segs.nonEmpty) "/" else "")
+    val q =
+      if (query == null || query.isEmpty) ""
+      else "?" + query.split('&').filter(_.nonEmpty)
+        .sortBy(p => p.takeWhile(_ != '=')).mkString("&") // stable for dup keys
+    scheme + "://" + host + portPart + path + q
+  }
+
+  /** (doc_id, url) → (doc_id, canon_url): narrow typed map, no shuffle. */
+  def canonicalizeUrls(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("doc_id", "url").as[(Long, String)]
+      .mapPartitions(_.map { case (id, u) => (id, canonicalize(u)) })
+      .toDF("doc_id", "canon_url")
+  }
+}

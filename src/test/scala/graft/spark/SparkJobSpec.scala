@@ -417,6 +417,18 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, 1L, 1L, 0L, 1.0)))
   }
 
+  test("url canonicalization: case, ports, dot segments, query sort, fragments") {
+    import graft.operators.UrlOps.canonicalize
+    assert(canonicalize("HTTP://Ex.COM:80/a/b/../c/./d.html?b=2&a=1#x")
+      == "http://ex.com/a/c/d.html?a=1&b=2")
+    assert(canonicalize("https://h:8080/x/") == "https://h:8080/x/", "non-default port + trailing slash kept")
+    assert(canonicalize("https://h/a/../../b") == "https://h/b", ".. never climbs past root")
+    assert(canonicalize("https://H.example.org") == "https://h.example.org/", "bare authority gets /")
+    assert(canonicalize("foo/bar?b=1") == "foo/bar?b=1", "relative urls pass through")
+    assert(canonicalize("https://h/p?a=2&a=1&A=3") == "https://h/p?A=3&a=2&a=1",
+      "duplicate keys keep stable order; sort is byte-wise")
+  }
+
   test("PII redaction: emails and phone shapes replaced, counts from the original text") {
     val s = spark
     import s.implicits._
