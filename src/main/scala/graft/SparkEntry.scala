@@ -93,6 +93,13 @@ object SparkEntry {
       ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "links", n)
         .toDF().selectExpr("url", "posexplode(links) AS (idx, href)")
     }),
+    "q_meta_robots" -> ((s, dir) => {
+      // noindex compliance: first <meta name=robots> content rides the
+      // output row; corpora drop noindex pages before training
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "robots", n)
+        .toDF().select("url", "meta_robots")
+    }),
     "q_pipeline_quality" -> ((s, dir) =>
       // composition: extraction kernel → token/char features → per-lang agg
       extracted(s, dir).toDF()
@@ -284,6 +291,10 @@ object SparkEntry {
       // C4-style cleanup over text with planted controls/ws runs
       TextOps.normalizeText(docs(s, dir).selectExpr("doc_id",
         "concat('  ', text, chr(9), chr(1), 'mid  word', chr(13), ' tail ') AS text"))),
+    "q_compress_ratio" -> ((s, dir) =>
+      // deflate-ratio gibberish detector; rows-only (deflate is not
+      // SQL-expressible), invariants unit-tested in SparkJobSpec
+      TextOps.compressionRatio(docs(s, dir))),
     "q_vocab_topk" -> ((s, dir) =>
       // vocabulary construction: global word counts, deterministic top-100
       // (count desc, word asc) — explode + one partial-agged shuffle + top-k
@@ -366,6 +377,10 @@ object SparkEntry {
         |       CAST(length(text) AS INTEGER) AS last_end,
         |       CAST(length(text) AS INTEGER) AS kept_len,
         |       CAST(0 AS INTEGER) AS n_errs
+        |FROM documents""".stripMargin,
+    "q_meta_robots" ->
+      """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots
         |FROM documents""".stripMargin,
     "q_link_graph" ->
       """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,

@@ -13,6 +13,7 @@ final case class ExtractResult(
     title: String, // first <title> content (metadata; never part of text)
     spans: Vector[Span],
     links: Vector[String], // href of every <a> start tag, document order
+    metaRobots: String, // first <meta name=robots> content ("" if absent)
     nTokens: Long,
     nTags: Long,
     nErrors: Int,
@@ -354,6 +355,7 @@ final class ExtractSink extends TokenSink {
   private val fmtMarkers = new IntVec
 
   private val outLinks = ArrayBuffer.empty[String] // a-href outlinks, document order
+  private var metaRobots: String = "" // first <meta name=robots> content
 
   private val text = new java.lang.StringBuilder
   // first <title> content (metadata every curation pipeline wants; captured
@@ -397,7 +399,7 @@ final class ExtractSink extends TokenSink {
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
     text.setLength(0)
-    outLinks.clear()
+    outLinks.clear(); metaRobots = ""
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
     pathMemo.clear()
@@ -713,6 +715,15 @@ final class ExtractSink extends TokenSink {
           if (attrs(i)._1 == "href") { outLinks += attrs(i)._2; done = true }
           i += 1
         }
+      } else if (name == "meta" && metaRobots.isEmpty && attrs.nonEmpty) {
+        // <meta name=robots content=...>: corpora respect noindex; first wins
+        var nm: String = null
+        var ct: String = null
+        attrs.foreach { case (k, v) =>
+          if (k == "name" && nm == null) nm = v
+          else if (k == "content" && ct == null) ct = v
+        }
+        if (nm != null && ct != null && nm.equalsIgnoreCase("robots")) metaRobots = ct
       }
       startTag(name, selfClosing)
       // spec (13.2.6.4.7): a newline IMMEDIATELY after these start tags is
@@ -1059,8 +1070,8 @@ final class ExtractSink extends TokenSink {
       si += 1
     }
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
-      outSpans.result(), outLinks.toVector, nTokens, nTags, errors.length,
-      errors.toVector, truncated, stateHits)
+      outSpans.result(), outLinks.toVector, metaRobots, nTokens, nTags,
+      errors.length, errors.toVector, truncated, stateHits)
   }
 }
 

@@ -20,6 +20,7 @@ final case class Extracted(
     title: String,
     spans: Seq[graft.dom.Span],
     links: Seq[String],
+    meta_robots: String,
     errors: Seq[String],
     n_spans: Int,
     n_tokens: Long,
@@ -89,7 +90,7 @@ object ExtractJob {
     */
   def extractRow(p: PageRow): Extracted = {
     val r = Extractor.extract(p.html)
-    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links, r.errors,
+    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links, r.metaRobots, r.errors,
       r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
       p.html.length.toLong)
   }
@@ -213,7 +214,7 @@ object ExtractJob {
         if (bytes >= maxTaskBytes) {
           capped += 1
           bytes += p.html.length
-          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Seq("TASK_BYTE_CAP"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, "", Seq("TASK_BYTE_CAP"),
             0, 0L, 0L, 1, truncated = true, p.html.length.toLong)
         } else {
           val r = Extractor.extractInto(p.html, sink)
@@ -224,7 +225,7 @@ object ExtractJob {
           // spans still index it, and main_text == full_text on pages whose
           // spans are all kept) — schema stays contract-identical
           Extracted(p.url, p.lang, r.mainText, if (lean) "" else r.text,
-            r.title, r.spans, r.links, r.errors, r.spans.length, r.nTokens, r.nTags,
+            r.title, r.spans, r.links, r.metaRobots, r.errors, r.spans.length, r.nTokens, r.nTags,
             r.nErrors, r.truncated, p.html.length.toLong)
         }
       }

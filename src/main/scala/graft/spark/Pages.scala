@@ -142,8 +142,9 @@ object Pages {
   def renderLinks(docId: Long): String = {
     val k = (docId % 5 + 1).toInt
     val sb = new java.lang.StringBuilder(256)
-    sb.append("<!DOCTYPE html><html><head><title>L").append(docId)
-      .append("</title></head><body><p>intro text for doc ").append(docId).append("</p>")
+    sb.append("<!DOCTYPE html><html><head><title>L").append(docId).append("</title>")
+    if (docId % 2 == 1) sb.append("<meta name=\"robots\" content=\"noindex,nofollow\">")
+    sb.append("</head><body><p>intro text for doc ").append(docId).append("</p>")
     var i = 0
     while (i < k) {
       sb.append("<a href=\"https://ext").append((docId + i) % 7)

@@ -48,8 +48,8 @@ object ExtractStream {
       it.map { p =>
         val r = graft.dom.Extractor.extractInto(p.html, sink)
         Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links,
-          r.errors, r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
-          p.html.length.toLong)
+          r.metaRobots, r.errors, r.spans.length, r.nTokens, r.nTags,
+          r.nErrors, r.truncated, p.html.length.toLong)
       }
     }
   }

@@ -417,6 +417,26 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, 1L, 1L, 0L, 1.0)))
   }
 
+  test("compression ratio separates repetitive boilerplate from diverse text") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val docs = Seq(
+      (1L, "spam " * 2000),                                       // boilerplate
+      (2L, Seq.fill(2000)(rng.alphanumeric.take(5).mkString).mkString(" ")), // diverse
+      (3L, "")                                                    // empty edge
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < 0.05, s"repetitive text must compress hard: ${out(1L)}")
+    assert(out(2L) > 0.3, s"diverse text must not: ${out(2L)}")
+    assert(out(3L) == 1.0)
+    // determinism: identical input → identical ratio across runs
+    val again = graft.operators.TextOps.compressionRatio(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out)
+  }
+
   test("url canonicalization: case, ports, dot segments, query sort, fragments") {
     import graft.operators.UrlOps.canonicalize
     assert(canonicalize("HTTP://Ex.COM:80/a/b/../c/./d.html?b=2&a=1#x")
