@@ -93,6 +93,17 @@ object SparkEntry {
       ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "links", n)
         .toDF().selectExpr("url", "posexplode(links) AS (idx, href)")
     }),
+    "q_link_resolve" -> ((s, dir) => {
+      // RFC 3986 reference resolution: raw hrefs (absolute, root-relative,
+      // path-relative) resolve against the page url and canonicalize
+      import s.implicits._
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "resolve", n)
+        .toDF().selectExpr("url", "posexplode(links) AS (idx, href)")
+        .as[(String, Int, String)]
+        .map { case (u, i, h) => (u, i, UrlOps.resolve(u, h)) }
+        .toDF("url", "idx", "abs_href")
+    }),
     "q_meta_robots" -> ((s, dir) => {
       // noindex compliance: first <meta name=robots> content rides the
       // output row; corpora drop noindex pages before training
@@ -383,10 +394,25 @@ object SparkEntry {
         |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots
         |FROM documents""".stripMargin,
     "q_link_graph" ->
-      """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
-        |       CAST(i AS INTEGER) AS idx,
+      """WITH b AS (SELECT doc_id, 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url FROM documents)
+        |SELECT url, CAST(i AS INTEGER) AS idx,
         |       'https://ext' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.net/p/' || CAST(i AS VARCHAR) AS href
-        |FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 5)) AS i FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id, url, unnest(generate_series(0, doc_id % 5)) AS i FROM b)
+        |UNION ALL
+        |SELECT url, CAST(doc_id % 5 + 1 AS INTEGER), '/rel/' || CAST(doc_id AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT url, CAST(doc_id % 5 + 2 AS INTEGER), 'sub/page' || CAST(doc_id AS VARCHAR) FROM b""".stripMargin,
+    "q_link_resolve" ->
+      """WITH b AS (SELECT doc_id, doc_id % 5 + 1 AS k,
+        |                  'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url
+        |           FROM documents)
+        |SELECT url, CAST(i AS INTEGER) AS idx,
+        |       'https://ext' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.net/p/' || CAST(i AS VARCHAR) AS abs_href
+        |FROM (SELECT doc_id, url, unnest(generate_series(0, doc_id % 5)) AS i FROM b)
+        |UNION ALL
+        |SELECT url, CAST(k AS INTEGER), 'https://example.com/rel/' || CAST(doc_id AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT url, CAST(k + 1 AS INTEGER), 'https://example.com/links/sub/page' || CAST(doc_id AS VARCHAR) FROM b""".stripMargin,
     "q_pipeline_quality" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

@@ -51,6 +51,30 @@ object UrlOps {
     scheme + "://" + host + portPart + path + q
   }
 
+  /** RFC 3986 §5 reference resolution for the link graph: absolute hrefs
+    * pass through; scheme-relative, root-relative, and relative paths
+    * resolve against the base (page url or `<base href>`). Fragments-only
+    * and empty hrefs resolve to the base itself.
+    */
+  def resolve(base: String, href: String): String = {
+    if (href == null || href.isEmpty) return canonicalize(base)
+    if (href.startsWith("#")) return canonicalize(base)
+    if (href.contains("://")) return canonicalize(href)
+    val sIdx = base.indexOf("://")
+    if (sIdx < 0) return href // non-absolute base: give the href back
+    val scheme = base.substring(0, sIdx)
+    val rest = base.substring(sIdx + 3)
+    val pIdx = rest.indexOf('/')
+    val auth = if (pIdx >= 0) rest.substring(0, pIdx) else rest
+    if (href.startsWith("//")) return canonicalize(scheme + ":" + href)
+    if (href.startsWith("/")) return canonicalize(scheme + "://" + auth + href)
+    // relative path: replace everything after the base path's last '/'
+    val basePath0 = if (pIdx >= 0) rest.substring(pIdx) else "/"
+    val basePath = { val q = basePath0.indexOf('?'); if (q >= 0) basePath0.substring(0, q) else basePath0 }
+    val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
+    canonicalize(scheme + "://" + auth + dir + href)
+  }
+
   /** (doc_id, url) → (doc_id, canon_url): narrow typed map, no shuffle. */
   def canonicalizeUrls(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -151,6 +151,10 @@ object Pages {
         .append(".example.net/p/").append(i).append("\">link ").append(i).append("</a>")
       i += 1
     }
+    // one root-relative and one path-relative link per page (the
+    // resolution operator's closed-form fixtures)
+    sb.append("<a href=\"/rel/").append(docId).append("\">r</a>")
+    sb.append("<a href=\"sub/page").append(docId).append("\">s</a>")
     sb.append("</body></html>")
     sb.toString
   }

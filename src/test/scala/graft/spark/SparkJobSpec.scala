@@ -449,6 +449,18 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "duplicate keys keep stable order; sort is byte-wise")
   }
 
+  test("url resolution: absolute, scheme-relative, root-relative, path-relative, fragment") {
+    import graft.operators.UrlOps.resolve
+    val base = "https://h.example.org/a/b?q=1"
+    assert(resolve(base, "https://x.com/p") == "https://x.com/p")
+    assert(resolve(base, "//x.com/p") == "https://x.com/p")
+    assert(resolve(base, "/root/p") == "https://h.example.org/root/p")
+    assert(resolve(base, "c/d") == "https://h.example.org/a/c/d")
+    assert(resolve(base, "../up") == "https://h.example.org/up")
+    assert(resolve(base, "#frag") == "https://h.example.org/a/b?q=1")
+    assert(resolve(base, "") == "https://h.example.org/a/b?q=1")
+  }
+
   test("PII redaction: emails and phone shapes replaced, counts from the original text") {
     val s = spark
     import s.implicits._
