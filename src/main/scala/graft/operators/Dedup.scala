@@ -124,18 +124,47 @@ object Dedup {
       .agg(countDistinct("gh").as("n_hits"))
   }
 
-  /** (doc_id, n-gram hash): grams are hashed as word-array slices — the
-    * joined gram string is never materialized (xxhash64 hashes array
-    * elements recursively; distinct-preserving because words cannot
-    * contain the separator).
+  /** (doc_id, n-gram hash): per-word hash64 once, then an O(1) wrapping
+    * polynomial roll per gram — no gram string or slice array is ever
+    * materialized (the SQL transform/slice formulation allocated an
+    * n-element array per gram; this typed pass is pure arithmetic).
+    * Distinct-preserving modulo 64-bit collisions (oracle convention).
     */
-  private def gramHashes(df: DataFrame, n: Int): DataFrame = df
-    .selectExpr("doc_id", "split(text, ' ') AS w")
-    .selectExpr("doc_id",
-      s"""CASE WHEN size(w) < $n THEN array(xxhash64(w))
-         |     ELSE transform(sequence(0, size(w) - $n), i -> xxhash64(slice(w, i + 1, $n)))
-         |END AS ghs""".stripMargin)
-    .select(col("doc_id"), explode(col("ghs")).as("gh"))
+  private val gramBase = 0x100000001b3L // FNV prime; odd → invertible mod 2^64
+  private def gramHashes(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // B^(n-1) for the rolling subtract, wrapping
+    var topPow = 1L
+    var k = 1
+    while (k < n) { topPow *= gramBase; k += 1 }
+    val tp = topPow
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(' ')
+        if (ws.length < n) Iterator.single((id, hash64(text)))
+        else {
+          val m = ws.length
+          val H = new Array[Long](m)
+          var i = 0
+          while (i < m) { H(i) = hash64(ws(i)); i += 1 }
+          var h = 0L
+          i = 0
+          while (i < n) { h = h * gramBase + H(i); i += 1 }
+          new Iterator[(Long, Long)] {
+            private var w = 0 // gram start
+            def hasNext: Boolean = w <= m - n
+            def next(): (Long, Long) = {
+              val out = (id, h)
+              if (w < m - n) h = (h - H(w) * tp) * gramBase + H(w + n)
+              w += 1
+              out
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "gh")
+  }
 
   /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {

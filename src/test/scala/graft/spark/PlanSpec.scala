@@ -103,7 +103,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("decontamination broadcasts the eval-gram side; train side never re-shuffles for the join") {
     val p = formatted("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
-    assert(p.contains("xxhash64"), "grams must shuffle as 8-byte hashes, not strings")
+    // grams travel as 8-byte rolled hashes from a typed flatMap — the join
+    // key schema is a single bigint, never a gram string
+    assert(!p.contains("array_join"), "gram strings must never materialize")
   }
 
   test("stratified sampling is a pure projection + filter — zero shuffles") {
