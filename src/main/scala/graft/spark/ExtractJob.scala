@@ -211,7 +211,12 @@ object ExtractJob {
       def next(): Extracted = {
         val p = it.next()
         docs += 1
-        if (bytes >= maxTaskBytes) {
+        if (p.html == null) {
+          // real crawl tables carry null bodies (fetch failures, truncated
+          // records): an error row, never an NPE'd task at 100 TB
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, "", Seq("NULL_HTML"),
+            0, 0L, 0L, 1, truncated = false, 0L)
+        } else if (bytes >= maxTaskBytes) {
           capped += 1
           bytes += p.html.length
           Extracted(p.url, p.lang, "", "", "", Nil, Nil, "", Seq("TASK_BYTE_CAP"),

@@ -46,10 +46,15 @@ object ExtractStream {
     pages.mapPartitions { it =>
       val sink = new graft.dom.ExtractSink
       it.map { p =>
-        val r = graft.dom.Extractor.extractInto(p.html, sink)
-        Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links,
-          r.metaRobots, r.errors, r.spans.length, r.nTokens, r.nTags,
-          r.nErrors, r.truncated, p.html.length.toLong)
+        if (p.html == null)
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, "", Seq("NULL_HTML"),
+            0, 0L, 0L, 1, truncated = false, 0L)
+        else {
+          val r = graft.dom.Extractor.extractInto(p.html, sink)
+          Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links,
+            r.metaRobots, r.errors, r.spans.length, r.nTokens, r.nTags,
+            r.nErrors, r.truncated, p.html.length.toLong)
+        }
       }
     }
   }
@@ -68,8 +73,11 @@ object ExtractStream {
     pages.mapPartitions { it =>
       val sink = new graft.dom.ExtractSink
       it.map { p =>
-        val r = graft.dom.Extractor.extractInto(p.html, sink)
-        (p.url, p.warc_ts, r.title, r.mainText)
+        if (p.html == null) (p.url, p.warc_ts, "", "")
+        else {
+          val r = graft.dom.Extractor.extractInto(p.html, sink)
+          (p.url, p.warc_ts, r.title, r.mainText)
+        }
       }
     }.toDF("url", "warc_ts", "title", "text")
       .withColumn("n_tokens", expr(graft.operators.TextOps.tokensExpr))

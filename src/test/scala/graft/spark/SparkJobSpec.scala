@@ -437,6 +437,20 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("null html bodies become error rows, never NPE'd tasks") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      PageRow("https://n/ok", new java.sql.Timestamp(0L),
+        "<p>fine content long enough</p>".getBytes("UTF-8"), null, "en"),
+      PageRow("https://n/null", new java.sql.Timestamp(0L), null, null, "en")
+    ).toDS()
+    val out = ExtractJob.extract(pages, "nulls", 2).collect().map(r => r.url -> r).toMap
+    assert(out("https://n/ok").main_text == "fine content long enough")
+    assert(out("https://n/null").main_text == "" &&
+      out("https://n/null").errors == Seq("NULL_HTML"))
+  }
+
   test("url canonicalization: case, ports, dot segments, query sort, fragments") {
     import graft.operators.UrlOps.canonicalize
     assert(canonicalize("HTTP://Ex.COM:80/a/b/../c/./d.html?b=2&a=1#x")
