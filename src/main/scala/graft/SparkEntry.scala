@@ -255,6 +255,10 @@ object SparkEntry {
     "q_dedup_paragraph" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir))),
     "q_dedup_jaccard" -> ((s, dir) => Dedup.adjacentJaccard(docs(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir))),
+    "q_dup_clusters" -> ((s, dir) =>
+      // near-dup CLUSTERS: connected components over the verified pair set
+      // (pairwise keeper logic mishandles A~B~C chains)
+      Dedup.connectedComponents(Dedup.minhashLsh(docs(s, dir)))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       // benchmark decontamination: flag training docs sharing an 8-word
@@ -348,6 +352,31 @@ object SparkEntry {
           "CAST(parse_url(url, 'QUERY', 'ref') AS BIGINT) AS ref",
           "array_join(slice(split(parse_url(url, 'HOST'), '[.]'), -2, 2), '.') AS reg_domain"))
   )
+
+  /** Exhaustive minhash pair-enumeration oracle — shared by
+    * q_dedup_minhash and (transitively closed) q_dup_clusters. */
+  private val minhashOracleSql: String =
+    """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split(text,' '), 1, greatest(len(string_split(text,' '))-2, 1)), ' ')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ws AS (SELECT doc_id, string_split(text,' ') AS w, len(string_split(text,' ')) AS n FROM all_docs),
+        |shx AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n < 3 THEN array_to_string(w, ' ')
+        |              ELSE array_to_string(list_slice(w, i, i+2), ' ') END AS sh
+        |  FROM (SELECT doc_id, w, n, unnest(generate_series(1, greatest(n-2, 1))) AS i FROM ws)),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM shx),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM sh GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT i.id_a, i.id_b, i.inter, na.nw + nb.nw - i.inter AS uni,
+        |       CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) AS jaccard
+        |FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
+        |WHERE CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) >= 0.6""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_extract_roundtrip" ->
@@ -576,28 +605,19 @@ object SparkEntry {
     // with miss probability (1-J^2)^16 ~ 1e-7 (the weakest organic sf0.01
     // pair; the J>=0.95 planted pairs are ~1e-22), so candidate-set !=
     // all-pairs cannot show up at test SFs.
-    "q_dedup_minhash" ->
-      """WITH all_docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |         array_to_string(list_slice(string_split(text,' '), 1, greatest(len(string_split(text,' '))-2, 1)), ' ')
-        |  FROM documents WHERE doc_id % 10 = 0),
-        |ws AS (SELECT doc_id, string_split(text,' ') AS w, len(string_split(text,' ')) AS n FROM all_docs),
-        |shx AS (
-        |  SELECT doc_id,
-        |         CASE WHEN n < 3 THEN array_to_string(w, ' ')
-        |              ELSE array_to_string(list_slice(w, i, i+2), ' ') END AS sh
-        |  FROM (SELECT doc_id, w, n, unnest(generate_series(1, greatest(n-2, 1))) AS i FROM ws)),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM shx),
-        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM sh GROUP BY doc_id),
-        |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
-        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT i.id_a, i.id_b, i.inter, na.nw + nb.nw - i.inter AS uni,
-        |       CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) AS jaccard
-        |FROM i JOIN n na ON na.doc_id = i.id_a JOIN n nb ON nb.doc_id = i.id_b
-        |WHERE CAST(i.inter AS DOUBLE) / (na.nw + nb.nw - i.inter) >= 0.6""".stripMargin,
+    "q_dedup_minhash" -> minhashOracleSql,
+    // cluster oracle: the SAME exhaustive pair enumeration, closed
+    // transitively with a recursive CTE — min reachable id per node
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashOracleSql),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, CAST(least(min(b), a) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |w AS (SELECT DISTINCT doc_id, w FROM wx),

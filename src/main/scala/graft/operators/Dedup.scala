@@ -166,6 +166,43 @@ object Dedup {
       .toDF("doc_id", "gh")
   }
 
+  /** Connected components over a near-dup pair set (id_a, id_b) — the
+    * cluster step every production dedup needs: pairwise keeper logic
+    * mishandles chains (A~B, B~C ⇒ one cluster {A,B,C}, one keeper).
+    * Iterative min-label propagation: each round joins labels across
+    * edges and takes the per-node min, until a fixpoint (≤ diameter
+    * rounds; near-dup clusters are shallow). Output: (doc_id, cluster_id)
+    * with cluster_id = min doc_id of the component.
+    *
+    * Scale shape: each round is one keyed join + one partial-agged min —
+    * the Pregel/GraphX CC plan without the GraphX dependency.
+    * `localCheckpoint` truncates lineage so plans stay O(1) per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("comp"))
+        .unionAll(labels)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .where(col("comp") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
     val spark = docs.sparkSession

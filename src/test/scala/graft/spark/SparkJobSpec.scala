@@ -437,6 +437,16 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("connected components: chains collapse to one cluster, islands stay apart") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L),
+      s"got $cc")
+  }
+
   test("null html bodies become error rows, never NPE'd tasks") {
     val s = spark
     import s.implicits._
