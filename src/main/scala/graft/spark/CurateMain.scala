@@ -17,8 +17,8 @@ import graft.operators.{Dedup, TextOps}
   *     → PII scrub (emails/phones → typed placeholders; a byte-level no-op
   *       on clean text — the content contract survives)
   *     → exact dedup (md5 keeper per text)
-  *     → MinHash/LSH near-dup removal (verified Jaccard ≥ 0.6; the
-  *       lexicographically-first doc of each pair survives)
+  *     → MinHash/LSH near-dup removal (verified Jaccard ≥ 0.6, connected
+  *       components over the pair set; each cluster keeps its min doc_id)
   *     → decontamination (drop docs sharing an 8-word n-gram with the
   *       held-out eval slice; eval grams broadcast)
   *     → curated parquet + one JSON report line with per-stage counts.
@@ -92,8 +92,12 @@ object CurateMain {
     // 5. exact-dedup keepers (md5 digest shuffle, partial aggs)
     val keepers = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
 
-    // 6. near-dup losers: of each verified pair, the larger doc_id goes
-    val losers = Dedup.nearDupPairs(docs).select(col("id_b").as("doc_id")).distinct()
+    // 6. near-dup losers: connected components over the verified pair set —
+    // each cluster keeps its minimum doc_id (pairwise id_b-drops mishandle
+    // A~B~C chains: they could drop B twice and keep C)
+    val losers = Dedup.connectedComponents(Dedup.nearDupPairs(docs))
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
     val nLosers = losers.count()
 
     // 7. decontamination against the held-out eval slice (stand-in: the
