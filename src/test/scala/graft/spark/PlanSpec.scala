@@ -120,6 +120,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 4, s"per-gram aggs not partial:\n$p")
   }
 
+  test("url canonicalization is a narrow map — zero shuffles") {
+    val plan = graft.SparkEntry.queries("q_url_canon")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"canonicalizer shuffles:\n$plan")
+  }
+
+  test("vocab top-k plans partial aggregation + TakeOrdered (no global sort)") {
+    val plan = graft.SparkEntry.queries("q_vocab_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"word counts not partial:\n$plan")
+  }
+
   test("sessionize plans exactly one shuffle (the user_id repartition)") {
     val plan = graft.SparkEntry.queries("q_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
