@@ -165,6 +165,10 @@ object TextOps {
     docs.select($"doc_id", $"text").as[(Long, String)]
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(level)
+        // release the native zlib state at task end (ADVICE r2: relying on
+        // the GC Cleaner accumulates off-heap deflater buffers)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => defl.end())
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

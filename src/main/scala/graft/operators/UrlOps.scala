@@ -68,9 +68,11 @@ object UrlOps {
     val auth = if (pIdx >= 0) rest.substring(0, pIdx) else rest
     if (href.startsWith("//")) return canonicalize(scheme + ":" + href)
     if (href.startsWith("/")) return canonicalize(scheme + "://" + auth + href)
-    // relative path: replace everything after the base path's last '/'
     val basePath0 = if (pIdx >= 0) rest.substring(pIdx) else "/"
     val basePath = { val q = basePath0.indexOf('?'); if (q >= 0) basePath0.substring(0, q) else basePath0 }
+    // query-only reference: base path kept, query replaced (RFC 3986 §5.3)
+    if (href.startsWith("?")) return canonicalize(scheme + "://" + auth + basePath + href)
+    // relative path: replace everything after the base path's last '/'
     val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
     canonicalize(scheme + "://" + auth + dir + href)
   }

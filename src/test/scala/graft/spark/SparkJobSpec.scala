@@ -483,6 +483,8 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resolve(base, "../up") == "https://h.example.org/up")
     assert(resolve(base, "#frag") == "https://h.example.org/a/b?q=1")
     assert(resolve(base, "") == "https://h.example.org/a/b?q=1")
+    assert(resolve(base, "?r=2") == "https://h.example.org/a/b?r=2",
+      "query-only reference keeps the base path")
   }
 
   test("PII redaction: emails and phone shapes replaced, counts from the original text") {
