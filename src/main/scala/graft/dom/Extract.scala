@@ -767,6 +767,11 @@ final class ExtractSink extends TokenSink {
         if (s2 > 0) removeStackAt(s2)
       }
     }
+    // §"in body" <nobr>: a nobr already in scope runs the adoption agency
+    // before the new one opens (the sibling-not-nested rule, stack-scope
+    // flavored — the anchor rule above tests the AFL instead)
+    if (name == "nobr" && lastIndexWithin("nobr", SDefault) > 0)
+      adoptionAgency("nobr")
     // implied end tags (§13.2.6.4.7/4.9): a new block closes an open <p>;
     // li/tr/td/sections close their predecessor within their scope
     if ((f & FClosesP) != 0) {

@@ -228,6 +228,25 @@ class DomVectorsSpec extends AnyFunSuite {
     assert(r.spans(1).path.startsWith("/html/body#"))
   }
 
+  test("nobr in scope runs the adoption agency: siblings, never nested") {
+    val sink = new ExtractSink
+    Extractor.extractCpsInto(
+      graft.core.RefTokenizer.codepoints("<body><nobr>x<nobr>y</body>"), sink)
+    val a = sink.arena
+    var deepest = 0
+    var id = 0
+    while (id < a.size) {
+      if (a.name(id) == "nobr") {
+        var d = 0
+        var p = a.parent(id)
+        while (p >= 0) { if (a.name(p) == "nobr") d += 1; p = a.parent(p) }
+        deepest = math.max(deepest, d)
+      }
+      id += 1
+    }
+    assert(deepest == 0, "nobr elements must not nest")
+  }
+
   test("leading newline after <pre>/<textarea> is dropped (next token only)") {
     assert(ex("<pre>\ncode</pre>").text == "code")
     assert(ex("<pre>x\ny</pre>").text == "x\ny", "only the IMMEDIATE newline drops")
