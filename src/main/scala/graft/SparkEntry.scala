@@ -95,13 +95,14 @@ object SparkEntry {
     }),
     "q_link_resolve" -> ((s, dir) => {
       // RFC 3986 reference resolution: raw hrefs (absolute, root-relative,
-      // path-relative) resolve against the page url and canonicalize
+      // path-relative) resolve against the captured <base href> when the
+      // page declares one, else the page url — then canonicalize
       import s.implicits._
       val n = s.sparkContext.defaultParallelism
       ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "resolve", n)
-        .toDF().selectExpr("url", "posexplode(links) AS (idx, href)")
-        .as[(String, Int, String)]
-        .map { case (u, i, h) => (u, i, UrlOps.resolve(u, h)) }
+        .toDF().selectExpr("url", "base_href", "posexplode(links) AS (idx, href)")
+        .as[(String, String, Int, String)]
+        .map { case (u, b, i, h) => (u, i, UrlOps.resolve(if (b.nonEmpty) b else u, h)) }
         .toDF("url", "idx", "abs_href")
     }),
     "q_meta_robots" -> ((s, dir) => {
@@ -431,17 +432,24 @@ object SparkEntry {
         |SELECT url, CAST(doc_id % 5 + 1 AS INTEGER), '/rel/' || CAST(doc_id AS VARCHAR) FROM b
         |UNION ALL
         |SELECT url, CAST(doc_id % 5 + 2 AS INTEGER), 'sub/page' || CAST(doc_id AS VARCHAR) FROM b""".stripMargin,
+    // base-aware: pages with doc_id % 3 == 0 declare
+    // <base href="https://cdn<id%5>.example.org/dir/"> — their relative
+    // links resolve against it; others against the page url
     "q_link_resolve" ->
       """WITH b AS (SELECT doc_id, doc_id % 5 + 1 AS k,
-        |                  'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url
+        |                  'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |                  CASE WHEN doc_id % 3 = 0
+        |                       THEN 'https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        |                       ELSE 'https://example.com' END AS host,
+        |                  CASE WHEN doc_id % 3 = 0 THEN '/dir/' ELSE '/links/' END AS dir
         |           FROM documents)
         |SELECT url, CAST(i AS INTEGER) AS idx,
         |       'https://ext' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.net/p/' || CAST(i AS VARCHAR) AS abs_href
         |FROM (SELECT doc_id, url, unnest(generate_series(0, doc_id % 5)) AS i FROM b)
         |UNION ALL
-        |SELECT url, CAST(k AS INTEGER), 'https://example.com/rel/' || CAST(doc_id AS VARCHAR) FROM b
+        |SELECT url, CAST(k AS INTEGER), host || '/rel/' || CAST(doc_id AS VARCHAR) FROM b
         |UNION ALL
-        |SELECT url, CAST(k + 1 AS INTEGER), 'https://example.com/links/sub/page' || CAST(doc_id AS VARCHAR) FROM b""".stripMargin,
+        |SELECT url, CAST(k + 1 AS INTEGER), host || dir || 'sub/page' || CAST(doc_id AS VARCHAR) FROM b""".stripMargin,
     "q_pipeline_quality" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,

@@ -14,6 +14,7 @@ final case class ExtractResult(
     spans: Vector[Span],
     links: Vector[String], // href of every <a> start tag, document order
     metaRobots: String, // first <meta name=robots> content ("" if absent)
+    baseHref: String, // first <base href> ("" if absent) — link-resolution base
     nTokens: Long,
     nTags: Long,
     nErrors: Int,
@@ -356,6 +357,7 @@ final class ExtractSink extends TokenSink {
 
   private val outLinks = ArrayBuffer.empty[String] // a-href outlinks, document order
   private var metaRobots: String = "" // first <meta name=robots> content
+  private var baseHref: String = "" // first <base href>
 
   private val text = new java.lang.StringBuilder
   // first <title> content (metadata every curation pipeline wants; captured
@@ -399,7 +401,7 @@ final class ExtractSink extends TokenSink {
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
     text.setLength(0)
-    outLinks.clear(); metaRobots = ""
+    outLinks.clear(); metaRobots = ""; baseHref = ""
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
     pathMemo.clear()
@@ -713,6 +715,14 @@ final class ExtractSink extends TokenSink {
         var done = false
         while (i < attrs.length && !done) {
           if (attrs(i)._1 == "href") { outLinks += attrs(i)._2; done = true }
+          i += 1
+        }
+      } else if (name == "base" && baseHref.isEmpty && attrs.nonEmpty) {
+        // <base href>: the document's link-resolution base; first wins
+        var i = 0
+        var done = false
+        while (i < attrs.length && !done) {
+          if (attrs(i)._1 == "href") { baseHref = attrs(i)._2; done = true }
           i += 1
         }
       } else if (name == "meta" && metaRobots.isEmpty && attrs.nonEmpty) {
@@ -1075,8 +1085,8 @@ final class ExtractSink extends TokenSink {
       si += 1
     }
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
-      outSpans.result(), outLinks.toVector, metaRobots, nTokens, nTags,
-      errors.length, errors.toVector, truncated, stateHits)
+      outSpans.result(), outLinks.toVector, metaRobots, baseHref, nTokens,
+      nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 }
 

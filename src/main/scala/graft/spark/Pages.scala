@@ -144,6 +144,10 @@ object Pages {
     val sb = new java.lang.StringBuilder(256)
     sb.append("<!DOCTYPE html><html><head><title>L").append(docId).append("</title>")
     if (docId % 2 == 1) sb.append("<meta name=\"robots\" content=\"noindex,nofollow\">")
+    // every third page declares a <base href> — relative links resolve
+    // against it instead of the page url
+    if (docId % 3 == 0)
+      sb.append("<base href=\"https://cdn").append(docId % 5).append(".example.org/dir/\">")
     sb.append("</head><body><p>intro text for doc ").append(docId).append("</p>")
     var i = 0
     while (i < k) {
