@@ -105,6 +105,20 @@ object SparkEntry {
         .map { case (u, b, i, h) => (u, i, UrlOps.resolve(if (b.nonEmpty) b else u, h)) }
         .toDF("url", "idx", "abs_href")
     }),
+    "q_host_stats" -> ((s, dir) => {
+      // domain-graph aggregation: in-link counts per target host over the
+      // RESOLVED edge list (parse_url is codegen'd; one partial-agged
+      // shuffle on the host key)
+      import s.implicits._
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "hosts", n)
+        .toDF().selectExpr("url", "base_href", "explode(links) AS href")
+        .as[(String, String, String)]
+        .map { case (u, b, h) => UrlOps.resolve(if (b.nonEmpty) b else u, h) }
+        .toDF("abs_href")
+        .selectExpr("parse_url(abs_href, 'HOST') AS host")
+        .groupBy("host").agg(count(lit(1)).as("n_inlinks"))
+    }),
     "q_meta_robots" -> ((s, dir) => {
       // noindex compliance: first <meta name=robots> content rides the
       // output row; corpora drop noindex pages before training
@@ -419,6 +433,20 @@ object SparkEntry {
         |       CAST(length(text) AS INTEGER) AS kept_len,
         |       CAST(0 AS INTEGER) AS n_errs
         |FROM documents""".stripMargin,
+    // host in-degree over the SAME resolved edge set as q_link_resolve
+    "q_host_stats" ->
+      """WITH b AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 3 = 0
+        |                       THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        |                       ELSE 'example.com' END AS host
+        |           FROM documents),
+        |edges AS (
+        |  SELECT 'ext' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.net' AS host
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 5)) AS i FROM documents)
+        |  UNION ALL SELECT host FROM b
+        |  UNION ALL SELECT host FROM b)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_inlinks
+        |FROM edges GROUP BY host""".stripMargin,
     "q_meta_robots" ->
       """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
         |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots
