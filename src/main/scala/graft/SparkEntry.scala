@@ -105,6 +105,23 @@ object SparkEntry {
         .map { case (u, b, i, h) => (u, i, UrlOps.resolve(if (b.nonEmpty) b else u, h)) }
         .toDF("url", "idx", "abs_href")
     }),
+    "q_anchor_text" -> ((s, dir) => {
+      // anchor-text index (the classic web-scale relevance signal): each
+      // link's visible text rides the output row parallel to `links`;
+      // resolve targets, then one partial-agged shuffle keyed by
+      // (host, anchor) — the shape an anchor-text corpus build uses
+      import s.implicits._
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "anchors", n)
+        .toDF()
+        .selectExpr("url", "base_href", "explode(arrays_zip(links, anchors)) AS la")
+        .selectExpr("url", "base_href", "la.links AS href", "la.anchors AS anchor")
+        .as[(String, String, String, String)]
+        .map { case (u, b, h, a) => (UrlOps.resolve(if (b.nonEmpty) b else u, h), a) }
+        .toDF("abs_href", "anchor")
+        .selectExpr("parse_url(abs_href, 'HOST') AS host", "anchor")
+        .groupBy("host", "anchor").agg(count(lit(1)).as("n_links"))
+    }),
     "q_host_stats" -> ((s, dir) => {
       // domain-graph aggregation: in-link counts per target host over the
       // RESOLVED edge list (parse_url is codegen'd; one partial-agged
@@ -433,6 +450,22 @@ object SparkEntry {
         |       CAST(length(text) AS INTEGER) AS kept_len,
         |       CAST(0 AS INTEGER) AS n_errs
         |FROM documents""".stripMargin,
+    // anchor texts are closed-form: "link i" on the k external links,
+    // "r"/"s" on the root-/path-relative ones (Pages.renderLinks)
+    "q_anchor_text" ->
+      """WITH b AS (SELECT doc_id,
+        |                  CASE WHEN doc_id % 3 = 0
+        |                       THEN 'cdn' || CAST(doc_id % 5 AS VARCHAR) || '.example.org'
+        |                       ELSE 'example.com' END AS host
+        |           FROM documents),
+        |edges AS (
+        |  SELECT 'ext' || CAST((doc_id + i) % 7 AS VARCHAR) || '.example.net' AS host,
+        |         'link ' || CAST(i AS VARCHAR) AS anchor
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 5)) AS i FROM documents)
+        |  UNION ALL SELECT host, 'r' FROM b
+        |  UNION ALL SELECT host, 's' FROM b)
+        |SELECT host, anchor, CAST(count(*) AS BIGINT) AS n_links
+        |FROM edges GROUP BY host, anchor""".stripMargin,
     // host in-degree over the SAME resolved edge set as q_link_resolve
     "q_host_stats" ->
       """WITH b AS (SELECT doc_id,

@@ -13,6 +13,12 @@ final case class ExtractResult(
     title: String, // first <title> content (metadata; never part of text)
     spans: Vector[Span],
     links: Vector[String], // href of every <a> start tag, document order
+    // anchor text per captured link (parallel to `links`): the text the
+    // extractor sees inside that <a> in the final tree, adoption-agency
+    // clones included. Links whose text sits in blacklisted subtrees (nav,
+    // footer, ...) keep "" — the engine judges content text, and boilerplate
+    // anchors carry no content.
+    anchors: Vector[String],
     metaRobots: String, // first <meta name=robots> content ("" if absent)
     baseHref: String, // first <base href> ("" if absent) — link-resolution base
     nTokens: Long,
@@ -353,9 +359,15 @@ final class ExtractSink extends TokenSink {
   private val activeFmt = ArrayBuffer.empty[String]
   private val activeFmtOpen = new BoolVec
   private val activeFmtNode = new IntVec
+  // outLinks index of an `a` entry's source link (-1 otherwise). Rides the
+  // AFL so adoption-agency clones and reconstruction re-opens keep pointing
+  // at the link whose start tag captured the href — anchor text accumulates
+  // across clone boundaries exactly like the rendered link does.
+  private val activeFmtLink = new IntVec
   private val fmtMarkers = new IntVec
 
   private val outLinks = ArrayBuffer.empty[String] // a-href outlinks, document order
+  private var pendingLinkIdx = -1 // outLinks idx of the <a> start being opened
   private var metaRobots: String = "" // first <meta name=robots> content
   private var baseHref: String = "" // first <base href>
 
@@ -374,10 +386,12 @@ final class ExtractSink extends TokenSink {
   private val spText = new IntVec(64)
   private val spBlock = new IntVec(64)
   private val spLink = new BoolVec(64)
+  private val spLinkIdx = new IntVec(64) // outLinks idx the run sits inside (-1 none)
   // current run
   private var runStart = -1
   private var runBlock = root
   private var runLink = false
+  private var runLinkIdx = -1
   private var runAnchor = root
   private var runFosterRef = -1 // ≥0: the table node this run inserts before
 
@@ -399,13 +413,13 @@ final class ExtractSink extends TokenSink {
     stkFlags.clear(); stkFlags += 0
     skipDepth = 0; linkDepth = 0; blockTop = root; foreignDepth = 0; dropNl = false
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
-    activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); fmtMarkers.clear()
+    activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); activeFmtLink.clear(); fmtMarkers.clear()
     text.setLength(0)
-    outLinks.clear(); metaRobots = ""; baseHref = ""
+    outLinks.clear(); metaRobots = ""; baseHref = ""; pendingLinkIdx = -1
     titleBuf.setLength(0); inTitle = false; titleDone = false
-    spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear()
+    spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
     pathMemo.clear()
-    runStart = -1; runBlock = root; runLink = false; runAnchor = root; runFosterRef = -1
+    runStart = -1; runBlock = root; runLink = false; runLinkIdx = -1; runAnchor = root; runFosterRef = -1
     nTokens = 0L; nTags = 0L
     errors.clear()
   }
@@ -419,7 +433,7 @@ final class ExtractSink extends TokenSink {
         if (runFosterRef >= 0) arena.addBefore(null, runAnchor, runFosterRef)
         else arena.add(null, runAnchor)
       spStart += runStart; spEnd += text.length; spText += tid
-      spBlock += runBlock; spLink += runLink
+      spBlock += runBlock; spLink += runLink; spLinkIdx += runLinkIdx
     }
     runStart = -1
     runFosterRef = -1
@@ -444,11 +458,28 @@ final class ExtractSink extends TokenSink {
     stkNode(i)
   }
 
+  /** outLinks index of the innermost open `a` (via its AFL entry), -1 when
+    * the run is not inside a captured link (href-less a, or the agency's
+    * stack-removal fallback left an a outside the AFL).
+    */
+  private def currentLinkIdx(): Int = {
+    var i = stkName.length - 1
+    while (i > 0) {
+      if (stkName(i) == "a") {
+        val af = aflIdxOfNode(stkNode(i))
+        return if (af >= 0) activeFmtLink(af) else -1
+      }
+      i -= 1
+    }
+    -1
+  }
+
   private def startRunIfNeeded(): Unit = {
     if (runStart < 0) {
       val top = stkName.length - 1
       runStart = text.length
       runLink = linkDepth > 0
+      runLinkIdx = if (runLink) currentLinkIdx() else -1 // O(depth) only inside links
       // foster parenting (§13.2.6.4.9): character data while the insertion
       // point is table/tbody/thead/tfoot/tr is inserted BEFORE the table —
       // the run's text node hangs under the table's arena parent, linked
@@ -593,6 +624,7 @@ final class ExtractSink extends TokenSink {
         val m = fmtMarkers.remove(fmtMarkers.length - 1)
         activeFmt.dropRightInPlace(activeFmt.length - m)
         activeFmtOpen.dropRightInPlace(activeFmtOpen.length - m)
+        activeFmtLink.dropRightInPlace(activeFmtLink.length - m)
         activeFmtNode.dropRightInPlace(activeFmtNode.length - m)
       } else if ((f & FFormatting) != 0) {
         // implicitly closed formatting element → eligible for reconstruction
@@ -644,7 +676,7 @@ final class ExtractSink extends TokenSink {
   }
 
   private def removeFmtAt(i: Int): Unit = {
-    activeFmt.remove(i); activeFmtOpen.remove(i); activeFmtNode.remove(i)
+    activeFmt.remove(i); activeFmtOpen.remove(i); activeFmtNode.remove(i); activeFmtLink.remove(i)
   }
 
   private def removeLastFmtEntry(name: String): Unit = {
@@ -710,11 +742,11 @@ final class ExtractSink extends TokenSink {
       // included by design; the density heuristics judge TEXT, the graph
       // wants every edge). One name check per start tag; attrs are already
       // materialized by the tokenizer.
-      if (name == "a" && attrs.nonEmpty) {
+      if (name == "a") {
+        pendingLinkIdx = -1
         var i = 0
-        var done = false
-        while (i < attrs.length && !done) {
-          if (attrs(i)._1 == "href") { outLinks += attrs(i)._2; done = true }
+        while (i < attrs.length && pendingLinkIdx < 0) {
+          if (attrs(i)._1 == "href") { outLinks += attrs(i)._2; pendingLinkIdx = outLinks.length - 1 }
           i += 1
         }
       } else if (name == "base" && baseHref.isEmpty && attrs.nonEmpty) {
@@ -859,6 +891,7 @@ final class ExtractSink extends TokenSink {
         }
         if (cnt >= 3) removeFmtAt(earliest)
         activeFmt += name; activeFmtOpen += true; activeFmtNode += id
+        activeFmtLink += (if (name == "a") pendingLinkIdx else -1)
       }
     } else {
       // void/self-closing: arena node only (fostered ones before the table)
@@ -925,6 +958,7 @@ final class ExtractSink extends TokenSink {
         return
       }
       val fmtNode = activeFmtNode(aflIdx)
+      val fmtLink = activeFmtLink(aflIdx) // survives into the subject clone
       val sIdx = stackIdxOfNode(fmtNode)
       if (sIdx <= 0) { removeFmtAt(aflIdx); return } // in AFL, not in stack
       if (!inScopeAt(sIdx)) return // in stack, out of scope → ignore
@@ -1004,6 +1038,7 @@ final class ExtractSink extends TokenSink {
       activeFmt.insert(bookmark, subject)
       activeFmtOpen.insert(bookmark, true)
       activeFmtNode.insert(bookmark, cloneFmt)
+      activeFmtLink.insert(bookmark, fmtLink)
       // step 15: stack — formatting element out, clone immediately below
       // the furthest block
       removeStackAt(stackIdxOfNode(fmtNode))
@@ -1076,16 +1111,28 @@ final class ExtractSink extends TokenSink {
     val main = if (allKept) null else new java.lang.StringBuilder(full.length)
     val outSpans = Vector.newBuilder[Span]
     outSpans.sizeHint(nSpans)
+    // anchor text: concatenate each link's runs in document order (clones of
+    // the same source <a> share the outLinks index, so split links re-join)
+    val anch: Array[java.lang.StringBuilder] =
+      if (outLinks.isEmpty) null else new Array(outLinks.length)
     si = 0
     while (si < nSpans) {
       val kept = allKept || keepBlock(spBlock(si))
       if (!allKept && kept) main.append(text, spStart(si), spEnd(si))
+      val li = spLinkIdx(si)
+      if (li >= 0) {
+        if (anch(li) == null) anch(li) = new java.lang.StringBuilder(16)
+        anch(li).append(text, spStart(si), spEnd(si))
+      }
       outSpans += Span(spStart(si), spEnd(si), spanPath(spText(si)),
         spBlock(si), spLink(si), kept)
       si += 1
     }
+    val anchors =
+      if (anch == null) Vector.empty[String]
+      else Vector.tabulate(anch.length)(i => if (anch(i) == null) "" else anch(i).toString)
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
-      outSpans.result(), outLinks.toVector, metaRobots, baseHref, nTokens,
+      outSpans.result(), outLinks.toVector, anchors, metaRobots, baseHref, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 }
