@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{Pages, ExtractJob, PageRow}
-import graft.operators.{Dedup, Ann, TextOps, UrlOps}
+import graft.operators.{Dedup, Ann, TextOps, UrlOps, Graph}
 import graft.dom.Extractor
 
 /** Driver contract (see builder prompt + SURVEY.md §7). Each `queries` entry
@@ -121,6 +121,18 @@ object SparkEntry {
         .toDF("abs_href", "anchor")
         .selectExpr("parse_url(abs_href, 'HOST') AS host", "anchor")
         .groupBy("host", "anchor").agg(count(lit(1)).as("n_links"))
+    }),
+    "q_pagerank" -> ((s, dir) => {
+      // host-level PageRank (the Common-Crawl domain-rank artifact): extract
+      // → absolute edge list → distinct host graph → 3 fixed-point
+      // iterations (BIGINT scale 1e9, d = 0.85 as integer ops) — exact on
+      // any partitioning, so the DuckDB unrolling is bit-identical
+      val n = s.sparkContext.defaultParallelism
+      val edges = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "graph", n)
+        .toDF().selectExpr("url", "explode(links) AS href")
+        .selectExpr("parse_url(url, 'HOST') AS src", "parse_url(href, 'HOST') AS dst")
+      Graph.pageRank(edges, iters = 3)
+        .select(col("node").as("host"), col("r").as("rank_fp"))
     }),
     "q_host_stats" -> ((s, dir) => {
       // domain-graph aggregation: in-link counts per target host over the
@@ -466,6 +478,31 @@ object SparkEntry {
         |  UNION ALL SELECT host, 's' FROM b)
         |SELECT host, anchor, CAST(count(*) AS BIGINT) AS n_links
         |FROM edges GROUP BY host, anchor""".stripMargin,
+    // PageRank over the closed-form graph-corpus host edges, 3 unrolled
+    // fixed-point rounds; `//` (DuckDB floor div) == Spark `div` (trunc)
+    // because every operand is positive
+    "q_pagerank" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS src,
+        |         'site' || CAST((doc_id * 3 + i * 5) % 11 AS VARCHAR) || '.example.com' AS dst
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents)),
+        |edges AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.r // dg.od) AS c
+        |       FROM edges e JOIN r0 ON e.src = r0.node JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c1.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.r // dg.od) AS c
+        |       FROM edges e JOIN r1 ON e.src = r1.node JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c2.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, SUM(r2.r // dg.od) AS c
+        |       FROM edges e JOIN r2 ON e.src = r2.node JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node AS host, r AS rank_fp FROM r3""".stripMargin,
     // host in-degree over the SAME resolved edge set as q_link_resolve
     "q_host_stats" ->
       """WITH b AS (SELECT doc_id,

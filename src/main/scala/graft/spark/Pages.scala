@@ -163,6 +163,41 @@ object Pages {
     sb.toString
   }
 
+  /** Deterministic multi-host graph page: the page lives on
+    * site{doc_id % 11}.example.com and carries (doc_id % 4 + 1) absolute
+    * links to closed-form sibling hosts — the host-graph (PageRank) oracle
+    * input. Distinct from renderLinks, whose pages all share one host.
+    */
+  def renderGraph(docId: Long): String = {
+    val k = (docId % 4 + 1).toInt
+    val sb = new java.lang.StringBuilder(192)
+    sb.append("<!DOCTYPE html><html><head><title>G").append(docId)
+      .append("</title></head><body><p>graph doc ").append(docId).append("</p>")
+    var i = 0
+    while (i < k) {
+      sb.append("<a href=\"https://site").append((docId * 3 + i * 5) % 11)
+        .append(".example.com/g/x").append(i).append("\">g").append(i).append("</a>")
+      i += 1
+    }
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** The deterministic graph-page corpus (host-rank-oracle input). */
+  def synthesizeGraphPages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val html = renderGraph(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(s"https://site${docId % 11}.example.com/g/doc$docId",
+          new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** The deterministic link-page corpus (link-graph-oracle input). */
   def synthesizeLinkPages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._

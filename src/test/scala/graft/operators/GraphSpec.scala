@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** Fixed-point PageRank vectors: hand-computed integer ranks on small
+  * graphs, plus the invariants that make the operator trustworthy at scale
+  * (partitioning-independence, dangling-node floor, duplicate-edge dedup).
+  */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ranks(edges: Seq[(String, String)], iters: Int, parts: Int = 4): Map[String, Long] = {
+    val df = spark.createDataFrame(edges).toDF("src", "dst").repartition(parts)
+    Graph.pageRank(df, iters).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("directed cycle is a fixed point: every rank stays exactly scale") {
+    // outdeg 1 everywhere → contrib = full rank; 0.15 + 0.85 · 1.0 = 1.0
+    // exactly in integer arithmetic (150000000 + 85·10^9/100)
+    val r = ranks(Seq("a" -> "b", "b" -> "c", "c" -> "a"), iters = 3)
+    assert(r == Map("a" -> 1000000000L, "b" -> 1000000000L, "c" -> 1000000000L))
+  }
+
+  test("star graph, 2 iterations, hand-computed integer ranks") {
+    // l1,l2,l3 → hub; hub → l1
+    // r1: hub = .15e9 + .85·3e9 = 2.7e9; l1 = 1e9; l2 = l3 = 1.5e8
+    // r2: hub = .15e9 + 85·(1e9 + 1.5e8 + 1.5e8)//100 = 1.255e9
+    //     l1  = .15e9 + 85·2.7e9//100 = 2.445e9
+    val r = ranks(Seq("l1" -> "hub", "l2" -> "hub", "l3" -> "hub", "hub" -> "l1"), iters = 2)
+    assert(r("hub") == 1255000000L)
+    assert(r("l1") == 2445000000L)
+    assert(r("l2") == 150000000L && r("l3") == 150000000L)
+  }
+
+  test("dangling node keeps the floor contribution path and surfaces in output") {
+    // b has no out-edges: its mass evaporates (simplified formulation), but
+    // it still receives and reports rank
+    val r = ranks(Seq("a" -> "b"), iters = 3)
+    assert(r.keySet == Set("a", "b"))
+    assert(r("a") == 150000000L) // no in-links after round 1
+    // r1(b) = .15e9+.85e9 = 1e9; r2(b) = .15e9 + 85·r1(a)//100 with
+    // r1(a) = .15e9 → 277500000; r3(b) likewise from r2(a)=.15e9
+    assert(r("b") == 277500000L)
+  }
+
+  test("duplicate edges collapse before degree computation") {
+    val dup = ranks(Seq("a" -> "b", "a" -> "b", "a" -> "c"), iters = 2)
+    val uni = ranks(Seq("a" -> "b", "a" -> "c"), iters = 2)
+    assert(dup == uni)
+  }
+
+  test("result is identical under different input partitioning") {
+    val edges = (0 until 60).map(i => (s"h${i % 7}", s"h${(i * 3 + 1) % 7}"))
+    assert(ranks(edges, 3, parts = 1) == ranks(edges, 3, parts = 13))
+  }
+}
