@@ -122,6 +122,20 @@ object SparkEntry {
         .selectExpr("parse_url(abs_href, 'HOST') AS host", "anchor")
         .groupBy("host", "anchor").agg(count(lit(1)).as("n_links"))
     }),
+    "q_table_extract" -> ((s, dir) => {
+      // layout parse: structured (table_idx, row_idx, col_idx, text) cells
+      // from the FINAL tree — implied tr/td ends and foster surgery applied.
+      // Same kernel shape as ExtractJob: typed mapPartitions, one reused
+      // sink per partition, zero shuffle.
+      import s.implicits._
+      Pages.synthesizeTablePages(s, dir).mapPartitions { it =>
+        val sink = new graft.dom.ExtractSink
+        it.flatMap { p =>
+          Extractor.extractInto(p.html, sink)
+          sink.collectTables().map { case (t, r, c, tx) => (p.url, t, r, c, tx) }
+        }
+      }.toDF("url", "table_idx", "row_idx", "col_idx", "cell_text")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // host-level PageRank (the Common-Crawl domain-rank artifact): extract
       // → absolute edge list → distinct host graph → 3 fixed-point
@@ -478,6 +492,17 @@ object SparkEntry {
         |  UNION ALL SELECT host, 's' FROM b)
         |SELECT host, anchor, CAST(count(*) AS BIGINT) AS n_links
         |FROM edges GROUP BY host, anchor""".stripMargin,
+    // closed-form cells of the table corpus (sequentially nested unnests —
+    // DuckDB zips parallel unnests, so the cross product must nest)
+    "q_table_extract" ->
+      """SELECT 'https://example.com/tables/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       CAST(0 AS INTEGER) AS table_idx,
+        |       CAST(r AS INTEGER) AS row_idx,
+        |       CAST(c AS INTEGER) AS col_idx,
+        |       'r' || CAST(r AS VARCHAR) || 'c' || CAST(c AS VARCHAR) || 'd' || CAST(doc_id AS VARCHAR) AS cell_text
+        |FROM (SELECT doc_id, r, unnest(generate_series(0, doc_id % 2 + 1)) AS c
+        |      FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS r
+        |            FROM documents))""".stripMargin,
     // PageRank over the closed-form graph-corpus host edges, 3 unrolled
     // fixed-point rounds; `//` (DuckDB floor div) == Spark `div` (trunc)
     // because every operand is positive

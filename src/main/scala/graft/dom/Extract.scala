@@ -1135,6 +1135,108 @@ final class ExtractSink extends TokenSink {
       outSpans.result(), outLinks.toVector, anchors, metaRobots, baseHref, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
+
+  // ---- layout parse: structured table cells -------------------------------
+
+  /** Push `node`'s children onto `stack` in reverse sibling order, so a LIFO
+    * pop visits them in document order.
+    */
+  private def pushChildrenReversed(stack: IntVec, node: Int, tmp: IntVec): Unit = {
+    tmp.clear()
+    var c = arena.firstChild(node)
+    while (c >= 0) { tmp += c; c = arena.nextSibling(c) }
+    var i = tmp.length - 1
+    while (i >= 0) { stack += tmp(i); i -= 1 }
+  }
+
+  /** Span index of an arena text node. Text nodes are created in flush order,
+    * so spText is strictly ascending — binary search, no map allocation.
+    */
+  private def spanIdxOfTextNode(id: Int): Int = {
+    var lo = 0
+    var hi = spText.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = spText(mid)
+      if (v == id) return mid
+      else if (v < id) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** Layout parse (north rule: "PDF/layout parse"): the structured cells of
+    * every table in the FINAL tree — adoption-agency and foster surgery
+    * already applied — as (table_idx, row_idx, col_idx, text), all indices
+    * document-order. Rows are `tr` descendants of the table reached without
+    * crossing a nested table (tbody/thead/tfoot are transparent); cells are
+    * td/th children of their row; cell text concatenates every descendant
+    * text run (nested tables' text included — they also surface again as
+    * their own table_idx). Blacklisted-subtree tables yield empty cell text
+    * (their runs never entered the buffer). Called on demand by the
+    * table-extraction operator AFTER extractInto — never on the roundtrip
+    * hot path. Iterative DFS with explicit stacks: a 10^5-deep pathological
+    * page cannot overflow the task stack.
+    */
+  def collectTables(): Vector[(Int, Int, Int, String)] = {
+    val nNodes = arena.size
+    var hasTable = false
+    var id = 0
+    while (id < nNodes && !hasTable) {
+      if (arena.name(id) == "table") hasTable = true
+      id += 1
+    }
+    if (!hasTable) return Vector.empty
+    val out = Vector.newBuilder[(Int, Int, Int, String)]
+    val rowStack = new IntVec(16)
+    val cellStack = new IntVec(16)
+    val tmp = new IntVec(8)
+    val sb = new java.lang.StringBuilder(32)
+    var tIdx = 0
+    id = 0
+    while (id < nNodes) {
+      if (arena.name(id) == "table") {
+        var rIdx = 0
+        rowStack.clear()
+        pushChildrenReversed(rowStack, id, tmp)
+        while (rowStack.nonEmpty) {
+          val nd = rowStack(rowStack.length - 1)
+          rowStack.dropRightInPlace(1)
+          val nm = arena.name(nd)
+          if (nm == "tr") {
+            var cIdx = 0
+            var c = arena.firstChild(nd)
+            while (c >= 0) {
+              val cn = arena.name(c)
+              if (cn == "td" || cn == "th") {
+                // cell text: document-order DFS over the cell subtree
+                sb.setLength(0)
+                cellStack.clear()
+                pushChildrenReversed(cellStack, c, tmp)
+                while (cellStack.nonEmpty) {
+                  val t = cellStack(cellStack.length - 1)
+                  cellStack.dropRightInPlace(1)
+                  if (arena.name(t) == null) {
+                    val si = spanIdxOfTextNode(t)
+                    if (si >= 0) sb.append(text, spStart(si), spEnd(si))
+                  } else pushChildrenReversed(cellStack, t, tmp)
+                }
+                out += ((tIdx, rIdx, cIdx, sb.toString))
+                cIdx += 1
+              }
+              c = arena.nextSibling(c)
+            }
+            rIdx += 1
+          } else if (nm != null && nm != "table") {
+            pushChildrenReversed(rowStack, nd, tmp)
+          }
+        }
+        tIdx += 1
+      }
+      id += 1
+    }
+    out.result()
+  }
 }
 
 /** Per-document extraction entry point: html bytes → extracted text + spans.

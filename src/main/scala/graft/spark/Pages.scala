@@ -198,6 +198,46 @@ object Pages {
       }
   }
 
+  /** Deterministic table page: one (doc_id % 3 + 1) × (doc_id % 2 + 2) table
+    * with closed-form cell text, written with IMPLIED tr/td ends — the
+    * layout-parse (structured table extraction) oracle input drives the
+    * tree-construction machinery, not just the tokenizer.
+    */
+  def renderTable(docId: Long): String = {
+    val rows = (docId % 3 + 1).toInt
+    val cols = (docId % 2 + 2).toInt
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("<!DOCTYPE html><html><head><title>T").append(docId)
+      .append("</title></head><body><p>intro ").append(docId).append("</p><table>")
+    var r = 0
+    while (r < rows) {
+      sb.append("<tr>")
+      var c = 0
+      while (c < cols) {
+        sb.append("<td>r").append(r).append("c").append(c).append("d").append(docId)
+        c += 1
+      }
+      r += 1
+    }
+    sb.append("</table></body></html>")
+    sb.toString
+  }
+
+  /** The deterministic table-page corpus (layout-parse-oracle input). */
+  def synthesizeTablePages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val html = renderTable(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(s"https://example.com/tables/doc$docId",
+          new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** The deterministic link-page corpus (link-graph-oracle input). */
   def synthesizeLinkPages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._
