@@ -136,6 +136,20 @@ object SparkEntry {
         }
       }.toDF("url", "table_idx", "row_idx", "col_idx", "cell_text")
     }),
+    "q_headings" -> ((s, dir) => {
+      // layout parse: the h1–h6 document outline off the FINAL tree —
+      // implied heading ends (the h1–h6 pop rule) applied. Same kernel
+      // shape as q_table_extract: typed mapPartitions, one reused sink per
+      // partition, zero shuffle.
+      import s.implicits._
+      Pages.synthesizeOutlinePages(s, dir).mapPartitions { it =>
+        val sink = new graft.dom.ExtractSink
+        it.flatMap { p =>
+          Extractor.extractInto(p.html, sink)
+          sink.collectHeadings().map { case (h, l, tx) => (p.url, h, l, tx) }
+        }
+      }.toDF("url", "h_idx", "level", "h_text")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // host-level PageRank (the Common-Crawl domain-rank artifact): extract
       // → absolute edge list → distinct host graph → 3 fixed-point
@@ -503,6 +517,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, r, unnest(generate_series(0, doc_id % 2 + 1)) AS c
         |      FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS r
         |            FROM documents))""".stripMargin,
+    // closed-form outline of the heading corpus: h1, then doc_id%3+1 h2
+    // sections (implied ends), then (odd ids) one h3
+    "q_headings" ->
+      """WITH u AS (SELECT doc_id, 'https://example.com/outline/doc' || CAST(doc_id AS VARCHAR) AS url
+        |           FROM documents)
+        |SELECT url, CAST(0 AS INTEGER) AS h_idx, CAST(1 AS INTEGER) AS level,
+        |       't' || CAST(doc_id AS VARCHAR) AS h_text
+        |FROM u
+        |UNION ALL
+        |SELECT url, CAST(s + 1 AS INTEGER), CAST(2 AS INTEGER),
+        |       's' || CAST(s AS VARCHAR) || 'd' || CAST(doc_id AS VARCHAR)
+        |FROM (SELECT doc_id, url, unnest(generate_series(0, doc_id % 3)) AS s FROM u)
+        |UNION ALL
+        |SELECT url, CAST(doc_id % 3 + 2 AS INTEGER), CAST(3 AS INTEGER),
+        |       'x' || CAST(doc_id AS VARCHAR)
+        |FROM u WHERE doc_id % 2 = 1""".stripMargin,
     // PageRank over the closed-form graph-corpus host edges, 3 unrolled
     // fixed-point rounds; `//` (DuckDB floor div) == Spark `div` (trunc)
     // because every operand is positive

@@ -829,6 +829,14 @@ final class ExtractSink extends TokenSink {
         // a table start inside a table closes the outer one (§ "in table")
         val j = lastIndexWithin("table", STableEnd)
         if (j > 0) popTo(j)
+      } else if (isHeadingName(name)) {
+        // §"in body" h1–h6 start: if the CURRENT node is a heading, pop it
+        // (parse error per spec) — headings never nest directly, so
+        // `<h1>a<h2>b` yields siblings. Spec-exact: only the current node is
+        // tested; an open formatting element in between keeps the outer
+        // heading open.
+        if (isHeadingName(stkName(stkName.length - 1)))
+          popTo(stkName.length - 1)
       }
     } else if ((f & FTablePart) != 0) {
       // §13.2.6.4.9/4.13/4.14 "clear the stack back to a table/body/row
@@ -1163,6 +1171,49 @@ final class ExtractSink extends TokenSink {
       else hi = mid - 1
     }
     -1
+  }
+
+  /** h1–h6 name test (null-safe: arena text nodes have name == null). */
+  private def isHeadingName(nm: String): Boolean =
+    nm != null && nm.length == 2 && nm.charAt(0) == 'h' &&
+      nm.charAt(1) >= '1' && nm.charAt(1) <= '6'
+
+  /** Document outline (layout parse): every h1–h6 element of the FINAL tree
+    * in document order as (heading_idx, level, text). Heading text
+    * concatenates every descendant text run (formatting children, adopted
+    * content); blacklisted-subtree headings yield empty text. Same on-demand
+    * contract as collectTables: called by the outline operator AFTER
+    * extractInto, never on the roundtrip hot path; iterative DFS with
+    * explicit stacks so pathological depth cannot overflow.
+    */
+  def collectHeadings(): Vector[(Int, Int, String)] = {
+    val nNodes = arena.size
+    val out = Vector.newBuilder[(Int, Int, String)]
+    val stack = new IntVec(16)
+    val tmp = new IntVec(8)
+    val sb = new java.lang.StringBuilder(32)
+    var hIdx = 0
+    var id = 0
+    while (id < nNodes) {
+      val nm = arena.name(id)
+      if (isHeadingName(nm)) {
+        sb.setLength(0)
+        stack.clear()
+        pushChildrenReversed(stack, id, tmp)
+        while (stack.nonEmpty) {
+          val t = stack(stack.length - 1)
+          stack.dropRightInPlace(1)
+          if (arena.name(t) == null) {
+            val si = spanIdxOfTextNode(t)
+            if (si >= 0) sb.append(text, spStart(si), spEnd(si))
+          } else pushChildrenReversed(stack, t, tmp)
+        }
+        out += ((hIdx, nm.charAt(1) - '0', sb.toString))
+        hIdx += 1
+      }
+      id += 1
+    }
+    out.result()
   }
 
   /** Layout parse (north rule: "PDF/layout parse"): the structured cells of

@@ -223,6 +223,40 @@ object Pages {
     sb.toString
   }
 
+  /** Deterministic outline page: an h1 + (doc_id % 3 + 1) h2 sections + (odd
+    * ids) one h3, written with IMPLIED heading ends (`<h1>t5<h2>s0d5<h2>…`) so
+    * the heading-pop tree-construction rule — not just the tokenizer — drives
+    * the closed-form oracle.
+    */
+  def renderOutline(docId: Long): String = {
+    val k = (docId % 3 + 1).toInt
+    val sb = new java.lang.StringBuilder(192)
+    sb.append("<!DOCTYPE html><html><head><title>O").append(docId)
+      .append("</title></head><body><h1>t").append(docId)
+    var s = 0
+    while (s < k) { sb.append("<h2>s").append(s).append("d").append(docId); s += 1 }
+    sb.append("</h2><p>intro ").append(docId).append("</p>")
+    if (docId % 2 == 1)
+      sb.append("<h3>x").append(docId).append("</h3><p>tail ").append(docId).append("</p>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** The deterministic outline-page corpus (heading-oracle input). */
+  def synthesizeOutlinePages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val html = renderOutline(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(s"https://example.com/outline/doc$docId",
+          new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** The deterministic table-page corpus (layout-parse-oracle input). */
   def synthesizeTablePages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._
