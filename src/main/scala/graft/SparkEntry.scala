@@ -332,6 +332,12 @@ object SparkEntry {
       // (pairwise keeper logic mishandles A~B~C chains)
       Dedup.connectedComponents(Dedup.minhashLsh(docs(s, dir)))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "q_substring_dedup" -> ((s, dir) =>
+      // exact substring-range dedup (Lee et al. 2022 shape): maximal word
+      // ranges covered by 8-word grams occurring >1 time in the corpus —
+      // one gram-hash shuffle (windowed count, spill-safe on hot grams) +
+      // one doc-keyed merge
+      Dedup.substringRanges(docs(s, dir))),
     "q_decontaminate" -> ((s, dir) =>
       // benchmark decontamination: flag training docs sharing an 8-word
       // n-gram with the eval slice (doc_id % 50 == 0); eval grams broadcast
@@ -819,6 +825,28 @@ object SparkEntry {
     // and joins train-side against the eval slice exhaustively; Spark joins
     // xxhash64 gram keys instead — per-doc hit counts agree unless a 64-bit
     // collision occurs (minhash-oracle convention, vanishing at test SFs).
+    // exhaustive-enumeration oracle: every duplicated 8-gram's positions,
+    // merged into islands (merge when pos <= prev_pos + 8 — the prev range
+    // always ends at prev_pos + 8); agrees with the Spark 64-bit gram
+    // hashes modulo collisions (the established convention)
+    "q_substring_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gx AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i + 1, i + 8), ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 8)) AS i
+        |             FROM w WHERE len(w) >= 8)),
+        |d AS (SELECT g FROM gx GROUP BY g HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, pos FROM gx JOIN d USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM hits),
+        |grp AS (SELECT doc_id, pos,
+        |               sum(coalesce(brk, 1)) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM isl)
+        |SELECT doc_id, CAST(gid - 1 AS INTEGER) AS range_idx,
+        |       CAST(min(pos) AS INTEGER) AS start_word,
+        |       CAST(max(pos) + 8 AS INTEGER) AS end_word
+        |FROM grp GROUP BY doc_id, gid""".stripMargin,
     "q_decontaminate" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

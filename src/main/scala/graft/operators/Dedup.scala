@@ -131,39 +131,113 @@ object Dedup {
     * Distinct-preserving modulo 64-bit collisions (oracle convention).
     */
   private val gramBase = 0x100000001b3L // FNV prime; odd → invertible mod 2^64
+
+  /** Rolling n-gram hashes with positions over a pre-split word array:
+    * per-word hash64 once, then an O(1) wrapping polynomial roll per gram —
+    * no gram string or slice array is ever materialized. `tp` = B^(n-1).
+    */
+  private def rollIter(ws: Array[String], n: Int, tp: Long): Iterator[(Int, Long)] = {
+    val m = ws.length
+    val H = new Array[Long](m)
+    var i = 0
+    while (i < m) { H(i) = hash64(ws(i)); i += 1 }
+    var h0 = 0L
+    i = 0
+    while (i < n) { h0 = h0 * gramBase + H(i); i += 1 }
+    val hInit = h0
+    new Iterator[(Int, Long)] {
+      private var w = 0 // gram start
+      private var h = hInit
+      def hasNext: Boolean = w <= m - n
+      def next(): (Int, Long) = {
+        val out = (w, h)
+        if (w < m - n) h = (h - H(w) * tp) * gramBase + H(w + n)
+        w += 1
+        out
+      }
+    }
+  }
+
+  private def topPow(n: Int): Long = {
+    var p = 1L
+    var k = 1
+    while (k < n) { p *= gramBase; k += 1 }
+    p
+  }
+
+  /** (doc_id, n-gram hash). Docs shorter than n words hash whole (the
+    * decontamination contract: a short doc can still match an eval row).
+    * Distinct-preserving modulo 64-bit collisions (oracle convention).
+    */
   private def gramHashes(df: DataFrame, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // B^(n-1) for the rolling subtract, wrapping
-    var topPow = 1L
-    var k = 1
-    while (k < n) { topPow *= gramBase; k += 1 }
-    val tp = topPow
+    val tp = topPow(n)
     df.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = text.split(' ')
         if (ws.length < n) Iterator.single((id, hash64(text)))
-        else {
-          val m = ws.length
-          val H = new Array[Long](m)
-          var i = 0
-          while (i < m) { H(i) = hash64(ws(i)); i += 1 }
-          var h = 0L
-          i = 0
-          while (i < n) { h = h * gramBase + H(i); i += 1 }
-          new Iterator[(Long, Long)] {
-            private var w = 0 // gram start
-            def hasNext: Boolean = w <= m - n
-            def next(): (Long, Long) = {
-              val out = (id, h)
-              if (w < m - n) h = (h - H(w) * tp) * gramBase + H(w + n)
-              w += 1
-              out
-            }
-          }
-        }
+        else rollIter(ws, n, tp).map { case (_, h) => (id, h) }
       }
       .toDF("doc_id", "gh")
+  }
+
+  /** (doc_id, pos, n-gram hash); docs shorter than n words emit nothing
+    * (substring dedup leaves them to exact dedup).
+    */
+  private def gramHashesPos(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tp = topPow(n)
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(' ')
+        if (ws.length < n) Iterator.empty
+        else rollIter(ws, n, tp).map { case (p, h) => (id, p, h) }
+      }
+      .toDF("doc_id", "pos", "gh")
+  }
+
+  /** Exact substring-range dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" shape, word-granular):
+    * every maximal word range covered by n-word grams occurring MORE THAN
+    * ONCE anywhere in the corpus — cross-document or repeated within one
+    * document. Output (doc_id, range_idx, start_word, end_word) — end
+    * exclusive — is what a curation pass cuts (or flags) per doc.
+    *
+    * Scale shape: the gram stream is shuffled ONCE, keyed by the 8-byte
+    * gram hash; the duplication test is a windowed count, which sorts and
+    * SPILLS per key group instead of materializing a hot gram's occurrence
+    * list (template boilerplate repeats one gram 10^6+ times at crawl
+    * scale). Survivors — the rare duplicated positions — then shuffle once
+    * more, keyed by doc_id, where the island merge sorts positions in-task
+    * (bounded by one doc's word count, the same per-row bound as the
+    * extraction kernel itself).
+    */
+  def substringRanges(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    val dupPos = gramHashesPos(docsDf.select(col("doc_id"), col("text")), n)
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("cnt") > 1)
+      .select(col("doc_id"), col("pos"))
+    dupPos.groupBy("doc_id").agg(sort_array(collect_list("pos")).as("ps"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (id, ps) =>
+        val out = Vector.newBuilder[(Long, Int, Int, Int)]
+        var idx = 0
+        var s = ps.head
+        var e = ps.head + n
+        val it = ps.iterator.drop(1)
+        while (it.hasNext) {
+          val p = it.next()
+          if (p <= e) e = p + n // overlapping or adjacent gram: extend
+          else { out += ((id, idx, s, e)); idx += 1; s = p; e = p + n }
+        }
+        out += ((id, idx, s, e))
+        out.result()
+      }
+      .toDF("doc_id", "range_idx", "start_word", "end_word")
   }
 
   /** Connected components over a near-dup pair set (id_a, id_b) — the

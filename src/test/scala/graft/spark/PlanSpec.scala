@@ -133,6 +133,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"word counts not partial:\n$plan")
   }
 
+  test("substring dedup plans two shuffles: gram-hash window + doc-keyed merge") {
+    val plan = graft.SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 2, s"expected gh + doc_id shuffles only, got $exchanges:\n$plan")
+    // duplication test is a windowed count (spills per key group), never a
+    // collect_list of a hot gram's occurrence set
+    assert(plan.contains("Window"), s"gram duplication not a window:\n$plan")
+  }
+
   test("sessionize plans exactly one shuffle (the user_id repartition)") {
     val plan = graft.SparkEntry.queries("q_sessionize")(spark, sfDir)
       .queryExecution.executedPlan.toString
