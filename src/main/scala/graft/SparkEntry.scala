@@ -176,6 +176,16 @@ object SparkEntry {
         .selectExpr("parse_url(abs_href, 'HOST') AS host")
         .groupBy("host").agg(count(lit(1)).as("n_inlinks"))
     }),
+    "q_img_extract" -> ((s, dir) => {
+      // image-caption capture (img2dataset shape): every <img src> rides
+      // the output row with its alt text; src-less lazy-load placeholders
+      // are skipped at the kernel
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeMediaPages(s, dir), "media", n)
+        .toDF().selectExpr("url", "posexplode(arrays_zip(img_srcs, img_alts)) AS (idx, ia)")
+        .selectExpr("url", "CAST(idx AS INT) AS idx",
+          "ia.img_srcs AS src", "ia.img_alts AS alt")
+    }),
     "q_meta_robots" -> ((s, dir) => {
       // noindex compliance: first <meta name=robots> content rides the
       // output row; corpora drop noindex pages before training
@@ -370,6 +380,10 @@ object SparkEntry {
       // zero-shuffle redaction projection (counts from the original text)
       TextOps.redactPii(docs(s, dir).selectExpr("doc_id",
         "concat('contact doc', CAST(doc_id AS STRING), '@mail.example.com or 555-867-530', CAST(doc_id % 10 AS STRING), ' ', text) AS text"))),
+    "q_tfidf_top" -> ((s, dir) =>
+      // per-doc top distinctive term (rational-idf tf/df — exact ordering
+      // across engines; ties break on word)
+      TextOps.tfidfTop(docs(s, dir))),
     "q_sample_strata" -> ((s, dir) =>
       // deterministic per-language training-mixture sampling (zero-shuffle)
       TextOps.stratifiedSample(docs(s, dir))),
@@ -578,6 +592,17 @@ object SparkEntry {
         |  UNION ALL SELECT host FROM b)
         |SELECT host, CAST(count(*) AS BIGINT) AS n_inlinks
         |FROM edges GROUP BY host""".stripMargin,
+    // closed-form (src, alt) pairs of the media corpus; k = doc_id % 4
+    // images, alt on even indices, the src-less placeholder never captured
+    "q_img_extract" ->
+      """SELECT 'https://example.com/media/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       CAST(i AS INTEGER) AS idx,
+        |       'https://img.example.org/i' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '.jpg' AS src,
+        |       CASE WHEN i % 2 = 0
+        |            THEN 'pic ' || CAST(i AS VARCHAR) || ' of ' || CAST(doc_id AS VARCHAR)
+        |            ELSE '' END AS alt
+        |FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4 - 1)) AS i
+        |      FROM documents WHERE doc_id % 4 > 0)""".stripMargin,
     "q_meta_robots" ->
       """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
         |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots
@@ -825,6 +850,18 @@ object SparkEntry {
     // and joins train-side against the eval slice exhaustively; Spark joins
     // xxhash64 gram keys instead — per-doc hit counts agree unless a 64-bit
     // collision occurs (minhash-oracle convention, vanishing at test SFs).
+    // tf/df rational idf: identical correctly-rounded double from one
+    // division in both engines; row_number ties break on word ASC
+    "q_tfidf_top" ->
+      """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM wx GROUP BY doc_id, word),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |j AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |             CAST(tf.tf AS DOUBLE) / df.df AS score
+        |      FROM tf JOIN df USING (word)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rn
+        |      FROM j)
+        |SELECT doc_id, word, tf, df, score FROM r WHERE rn = 1""".stripMargin,
     // exhaustive-enumeration oracle: every duplicated 8-gram's positions,
     // merged into islands (merge when pos <= prev_pos + 8 — the prev range
     // always ends at prev_pos + 8); agrees with the Spark 64-bit gram

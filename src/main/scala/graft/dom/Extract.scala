@@ -19,6 +19,11 @@ final case class ExtractResult(
     // footer, ...) keep "" — the engine judges content text, and boilerplate
     // anchors carry no content.
     anchors: Vector[String],
+    // every <img src> in document order + its alt text ("" when absent) —
+    // the caption-pair capture an image-text corpus build (img2dataset
+    // shape) starts from; like links, boilerplate images are included
+    imgSrcs: Vector[String],
+    imgAlts: Vector[String],
     metaRobots: String, // first <meta name=robots> content ("" if absent)
     baseHref: String, // first <base href> ("" if absent) — link-resolution base
     nTokens: Long,
@@ -368,6 +373,8 @@ final class ExtractSink extends TokenSink {
 
   private val outLinks = ArrayBuffer.empty[String] // a-href outlinks, document order
   private var pendingLinkIdx = -1 // outLinks idx of the <a> start being opened
+  private val imgSrcs = ArrayBuffer.empty[String] // img src, document order
+  private val imgAlts = ArrayBuffer.empty[String] // img alt per src ("" absent)
   private var metaRobots: String = "" // first <meta name=robots> content
   private var baseHref: String = "" // first <base href>
 
@@ -416,6 +423,7 @@ final class ExtractSink extends TokenSink {
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); activeFmtLink.clear(); fmtMarkers.clear()
     text.setLength(0)
     outLinks.clear(); metaRobots = ""; baseHref = ""; pendingLinkIdx = -1
+    imgSrcs.clear(); imgAlts.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
     pathMemo.clear()
@@ -749,6 +757,20 @@ final class ExtractSink extends TokenSink {
           if (attrs(i)._1 == "href") { outLinks += attrs(i)._2; pendingLinkIdx = outLinks.length - 1 }
           i += 1
         }
+      } else if (name == "img" && attrs.nonEmpty) {
+        // image capture: (src, alt) pairs ride the output row — the
+        // caption-pair source an image-text corpus build joins on. src-less
+        // imgs (lazy-load placeholders) are skipped.
+        var src: String = null
+        var alt: String = null
+        var i = 0
+        while (i < attrs.length) {
+          val k = attrs(i)._1
+          if (k == "src") { if (src == null) src = attrs(i)._2 }
+          else if (k == "alt" && alt == null) alt = attrs(i)._2
+          i += 1
+        }
+        if (src != null) { imgSrcs += src; imgAlts += (if (alt == null) "" else alt) }
       } else if (name == "base" && baseHref.isEmpty && attrs.nonEmpty) {
         // <base href>: the document's link-resolution base; first wins
         var i = 0
@@ -1140,7 +1162,8 @@ final class ExtractSink extends TokenSink {
       if (anch == null) Vector.empty[String]
       else Vector.tabulate(anch.length)(i => if (anch(i) == null) "" else anch(i).toString)
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
-      outSpans.result(), outLinks.toVector, anchors, metaRobots, baseHref, nTokens,
+      outSpans.result(), outLinks.toVector, anchors, imgSrcs.toVector,
+      imgAlts.toVector, metaRobots, baseHref, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 

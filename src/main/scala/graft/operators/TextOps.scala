@@ -151,6 +151,34 @@ object TextOps {
         "CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac")
   }
 
+  /** Per-document top distinctive term by TF-IDF (rational-idf variant:
+    * score = tf / df, the linear form chosen so the cross-engine ordering is
+    * exact — both engines produce the identical correctly-rounded double
+    * from ONE division, and ties break on word order; ln(N/df) would make
+    * the oracle compare transcendentals). The topical-keyword signal a
+    * curation pass uses for domain filtering.
+    *
+    * Scale shape: tf is one partial-agged shuffle on (doc_id, word); df
+    * aggregates the ALREADY-DISTINCT tf pairs (partial-agged, vocab-sized
+    * output); the tf⋈df join shuffles on the word key (df is vocab-sized —
+    * ~10^7 rows at crawl scale, too big to broadcast safely, small to
+    * shuffle); the final top-1 is a row_number window on doc_id. No
+    * collect, no cross product, every agg map-side partial.
+    */
+  def tfidfTop(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word").asc)
+    tf.join(dfreq, "word")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("doc_id", "word", "tf", "df", "score")
+  }
+
   /** Compression-ratio quality signal (Dolma/RedPajama-style gibberish
     * detector): deflate(text).length / utf8(text).length. Highly repetitive
     * boilerplate compresses far below ~0.3; random gibberish sits near 1.0.

@@ -21,6 +21,8 @@ final case class Extracted(
     spans: Seq[graft.dom.Span],
     links: Seq[String],
     anchors: Seq[String], // anchor text per link (parallel to links)
+    img_srcs: Seq[String], // img src, document order
+    img_alts: Seq[String], // img alt per src ("" absent; parallel to img_srcs)
     meta_robots: String,
     base_href: String,
     errors: Seq[String],
@@ -92,7 +94,7 @@ object ExtractJob {
     */
   def extractRow(p: PageRow): Extracted = {
     val r = Extractor.extract(p.html)
-    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links, r.anchors, r.metaRobots, r.baseHref, r.errors,
+    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links, r.anchors, r.imgSrcs, r.imgAlts, r.metaRobots, r.baseHref, r.errors,
       r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
       p.html.length.toLong)
   }
@@ -216,12 +218,12 @@ object ExtractJob {
         if (p.html == null) {
           // real crawl tables carry null bodies (fetch failures, truncated
           // records): an error row, never an NPE'd task at 100 TB
-          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, "", "", Seq("NULL_HTML"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, "", "", Seq("NULL_HTML"),
             0, 0L, 0L, 1, truncated = false, 0L)
         } else if (bytes >= maxTaskBytes) {
           capped += 1
           bytes += p.html.length
-          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, "", "", Seq("TASK_BYTE_CAP"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, "", "", Seq("TASK_BYTE_CAP"),
             0, 0L, 0L, 1, truncated = true, p.html.length.toLong)
         } else {
           val r = Extractor.extractInto(p.html, sink)
@@ -232,7 +234,7 @@ object ExtractJob {
           // spans still index it, and main_text == full_text on pages whose
           // spans are all kept) — schema stays contract-identical
           Extracted(p.url, p.lang, r.mainText, if (lean) "" else r.text,
-            r.title, r.spans, r.links, r.anchors, r.metaRobots, r.baseHref, r.errors, r.spans.length, r.nTokens, r.nTags,
+            r.title, r.spans, r.links, r.anchors, r.imgSrcs, r.imgAlts, r.metaRobots, r.baseHref, r.errors, r.spans.length, r.nTokens, r.nTags,
             r.nErrors, r.truncated, p.html.length.toLong)
         }
       }

@@ -242,6 +242,43 @@ object Pages {
     sb.toString
   }
 
+  /** Deterministic media page: (doc_id % 4) figures each carrying an
+    * <img src> (alt on even indices only) + one src-less lazy-load
+    * placeholder that must NOT be captured — the image-caption-pair oracle
+    * input.
+    */
+  def renderMedia(docId: Long): String = {
+    val k = (docId % 4).toInt
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("<!DOCTYPE html><html><head><title>M").append(docId)
+      .append("</title></head><body><p>media doc ").append(docId).append("</p>")
+    var i = 0
+    while (i < k) {
+      sb.append("<figure><img src=\"https://img.example.org/i").append(docId)
+        .append("_").append(i).append(".jpg\"")
+      if (i % 2 == 0) sb.append(" alt=\"pic ").append(i).append(" of ").append(docId).append("\"")
+      sb.append("><figcaption>cap ").append(i).append("</figcaption></figure>")
+      i += 1
+    }
+    sb.append("<img alt=\"lazy placeholder\"></body></html>")
+    sb.toString
+  }
+
+  /** The deterministic media-page corpus (image-capture-oracle input). */
+  def synthesizeMediaPages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val html = renderMedia(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(s"https://example.com/media/doc$docId",
+          new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** The deterministic outline-page corpus (heading-oracle input). */
   def synthesizeOutlinePages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._
