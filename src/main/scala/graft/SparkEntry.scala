@@ -162,6 +162,20 @@ object SparkEntry {
       Graph.pageRank(edges, iters = 3)
         .select(col("node").as("host"), col("r").as("rank_fp"))
     }),
+    "q_robots_filter" -> ((s, dir) => {
+      // crawl-compliance gate (RFC 9309): the distinct frontier from the
+      // graph corpus's extracted links, filtered against per-host
+      // robots.txt — rules parsed ONCE per host in a narrow map, host-keyed
+      // join, longest-match decision per url
+      import s.implicits._
+      val n = s.sparkContext.defaultParallelism
+      val frontier = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "robots_f", n)
+        .toDF().selectExpr("explode(links) AS url").distinct()
+      val robots = s.range(11).as[Long]
+        .map(h => (s"site$h.example.com", Pages.renderRobots(h.toInt)))
+        .toDF("host", "robots_txt")
+      graft.operators.Robots.robotsFilter(frontier, robots, "graftbot")
+    }),
     "q_host_stats" -> ((s, dir) => {
       // domain-graph aggregation: in-link counts per target host over the
       // RESOLVED edge list (parse_url is codegen'd; one partial-agged
@@ -578,6 +592,20 @@ object SparkEntry {
         |r3 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node AS host, r AS rank_fp FROM r3""".stripMargin,
+    // the robots longest-match decision, hand-derived as a closed-form CASE
+    // over the rule set renderRobots(h) emits: graftbot group (h%5=0) denies
+    // all; Disallow /g/ (h%2=0) denies unless the longer Allow /g/x1
+    // (h%3=0, path x1) re-allows; otherwise allowed
+    "q_robots_filter" ->
+      """WITH e AS (
+        |  SELECT DISTINCT (doc_id * 3 + i * 5) % 11 AS h, i
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents))
+        |SELECT 'https://site' || CAST(h AS VARCHAR) || '.example.com/g/x' || CAST(i AS VARCHAR) AS url,
+        |       'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |       CAST(CASE WHEN h % 5 = 0 THEN 0
+        |                 WHEN h % 2 = 0 THEN (CASE WHEN h % 3 = 0 AND i = 1 THEN 1 ELSE 0 END)
+        |                 ELSE 1 END AS INTEGER) AS allowed
+        |FROM e""".stripMargin,
     // host in-degree over the SAME resolved edge set as q_link_resolve
     "q_host_stats" ->
       """WITH b AS (SELECT doc_id,

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) parsing + crawl-frontier filtering —
+  * the compliance gate every crawl pipeline runs before fetch scheduling.
+  *
+  * Parser semantics implemented (all RFC 9309):
+  *   - groups: one or more `User-agent:` lines followed by Allow/Disallow
+  *     rules; consecutive UA lines share one group; groups with the same
+  *     selected specificity merge.
+  *   - group selection: longest matching product-token prefix of the
+  *     caller's agent wins; `*` matches any agent at specificity 0; no
+  *     matching group → everything allowed.
+  *   - rule match: byte-wise path prefix with `*` wildcards and a `$`
+  *     end anchor.
+  *   - decision: the longest (octet-length) matching pattern wins; on a
+  *     tie Allow wins; no matching rule → allowed. Empty patterns match
+  *     nothing (an empty `Disallow:` allows everything).
+  *   - unknown fields (crawl-delay, sitemap, …) and `#` comments ignored.
+  */
+object Robots {
+
+  final case class Rule(allow: Boolean, pattern: String)
+
+  /** Rules of the group(s) selected for `agent` (case-insensitive). */
+  def rulesFor(txt: String, agent: String): Vector[Rule] = {
+    // (specificity, rules) per group; groups keyed by best matching UA
+    final case class Group(var spec: Int, val rules: scala.collection.mutable.ArrayBuffer[Rule])
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var cur: Group = null
+    var inUa = false // currently accumulating consecutive UA lines
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    txt.split('\n').foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!inUa) {
+                cur = Group(-1, scala.collection.mutable.ArrayBuffer.empty)
+                groups += cur
+                inUa = true
+              }
+              val uaLc = value.toLowerCase(java.util.Locale.ROOT)
+              val s =
+                if (uaLc == "*") 0
+                else if (agentLc.startsWith(uaLc)) uaLc.length
+                else -1
+              if (s > cur.spec) cur.spec = s
+            case "allow" | "disallow" =>
+              inUa = false
+              if (cur != null && value.nonEmpty)
+                cur.rules += Rule(field == "allow", value)
+            case _ => inUa = false // crawl-delay, sitemap, unknown: ignored
+          }
+        }
+      }
+    }
+    val best = groups.foldLeft(-1)((m, g) => math.max(m, g.spec))
+    if (best < 0) Vector.empty
+    else groups.filter(_.spec == best).flatMap(_.rules).toVector
+  }
+
+  /** RFC 9309 path match: literal prefix with `*` wildcards, `$` anchor.
+    * Middle segments match greedy-leftmost; the final segment matches
+    * anywhere after them (unanchored) or exactly at the end (`$`).
+    */
+  def matches(pattern: String, path: String): Boolean = {
+    if (pattern.isEmpty) return false
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val parts = pat.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var idx = parts(0).length
+    val lastIdx = parts.length - 1
+    var k = 1
+    while (k < lastIdx) {
+      val part = parts(k)
+      if (part.nonEmpty) {
+        val at = path.indexOf(part, idx)
+        if (at < 0) return false
+        idx = at + part.length
+      }
+      k += 1
+    }
+    if (lastIdx == 0) { if (anchored) path.length == idx else true }
+    else {
+      val last = parts(lastIdx)
+      if (last.isEmpty) true // trailing '*': any suffix, anchored or not
+      else if (anchored) path.endsWith(last) && path.length - last.length >= idx
+      else path.indexOf(last, idx) >= 0
+    }
+  }
+
+  /** Most-specific-rule decision over a parsed rule set. */
+  def allowed(rules: Seq[(Boolean, String)], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    var i = 0
+    while (i < rules.length) {
+      val (al, pat) = rules(i)
+      if (matches(pat, path)) {
+        val l = pat.length
+        if (l > bestLen || (l == bestLen && al)) { bestLen = l; bestAllow = al }
+      }
+      i += 1
+    }
+    bestAllow
+  }
+
+  /** Frontier filter: `frontier(url)` ⋈ `robots(host, robots_txt)` →
+    * (url, host, allowed 0/1).
+    *
+    * Scale shape: robots are parsed ONCE per host row in a narrow typed map
+    * (the compiled rule set — not the text — flows into the join); the join
+    * is keyed by host (the robots side is host-cardinality — ~10^8 rows at
+    * crawl scale, far too big to broadcast safely — so both sides shuffle
+    * on the key once). Hosts with no robots row default to allowed (RFC:
+    * unreachable robots.txt on a 2xx-less host ⇒ no restrictions).
+    */
+  def robotsFilter(frontier: DataFrame, robots: DataFrame, agent: String): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val parsed = robots.select(col("host"), col("robots_txt")).as[(String, String)]
+      .map { case (h, t) => (h, rulesFor(t, agent).map(r => (r.allow, r.pattern))) }
+      .toDF("host", "rules")
+    frontier
+      .selectExpr("url", "parse_url(url, 'HOST') AS host", "parse_url(url, 'PATH') AS path")
+      .join(parsed, Seq("host"), "left")
+      .as[(String, String, String, Option[Seq[(Boolean, String)]])]
+      .map { case (host, url, path, rules) =>
+        val ok = rules match {
+          case Some(rs) => allowed(rs, if (path == null) "/" else path)
+          case None => true
+        }
+        (url, host, if (ok) 1 else 0)
+      }
+      .toDF("url", "host", "allowed")
+  }
+}

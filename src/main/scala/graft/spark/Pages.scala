@@ -242,6 +242,25 @@ object Pages {
     sb.toString
   }
 
+  /** Deterministic robots.txt for host site{h}.example.com — closed-form
+    * rules whose longest-match decision the q_robots_filter oracle encodes
+    * as a CASE: `*` group disallows /g/ on even hosts, re-allows the longer
+    * /g/x1 on multiples of 3; a graftbot-specific group disallows everything
+    * on multiples of 5 (specific group beats `*`). Noise lines (comments,
+    * crawl-delay, mixed-case fields, empty disallow) exercise the parser.
+    */
+  def renderRobots(h: Int): String = {
+    val sb = new java.lang.StringBuilder(128)
+    sb.append("# robots for site").append(h).append("\n")
+    sb.append("User-AGENT: *\n")
+    sb.append("Crawl-delay: 5\n") // unknown field: ignored
+    if (h % 2 == 0) sb.append("Disallow: /g/\n")
+    if (h % 3 == 0) sb.append("Allow: /g/x1\n")
+    sb.append("Disallow:\n") // empty pattern: matches nothing
+    if (h % 5 == 0) sb.append("\nUser-agent: graftbot\nDisallow: /\n")
+    sb.toString
+  }
+
   /** Deterministic media page: (doc_id % 4) figures each carrying an
     * <img src> (alt on even indices only) + one src-less lazy-load
     * placeholder that must NOT be captured — the image-caption-pair oracle

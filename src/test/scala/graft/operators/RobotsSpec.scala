@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 9309 parser/matcher vectors: group selection, longest-match
+  * precedence, wildcard + anchor matching, noise tolerance.
+  */
+class RobotsSpec extends AnyFunSuite {
+
+  private def decide(txt: String, agent: String, path: String): Boolean =
+    Robots.allowed(Robots.rulesFor(txt, agent).map(r => (r.allow, r.pattern)), path)
+
+  test("simple disallow prefix") {
+    val txt = "User-agent: *\nDisallow: /private/\n"
+    assert(!decide(txt, "anybot", "/private/x"))
+    assert(decide(txt, "anybot", "/public/x"))
+  }
+
+  test("longest match wins: longer Allow overrides shorter Disallow") {
+    val txt = "User-agent: *\nDisallow: /a/\nAllow: /a/b/\n"
+    assert(!decide(txt, "bot", "/a/x"))
+    assert(decide(txt, "bot", "/a/b/x"))
+  }
+
+  test("tie between Allow and Disallow of equal length: Allow wins") {
+    val txt = "User-agent: *\nDisallow: /dir/\nAllow: /dir/\n"
+    assert(decide(txt, "bot", "/dir/x"))
+  }
+
+  test("specific agent group beats the * group") {
+    val txt = "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\nAllow: /\n"
+    assert(decide(txt, "graftbot", "/anything"))
+    assert(decide(txt, "GraftBot/1.2", "/anything")) // product-token prefix, case-insensitive
+    assert(!decide(txt, "otherbot", "/anything"))
+  }
+
+  test("consecutive UA lines share one group") {
+    val txt = "User-agent: abot\nUser-agent: bbot\nDisallow: /x/\n"
+    assert(!decide(txt, "abot", "/x/1"))
+    assert(!decide(txt, "bbot", "/x/1"))
+    assert(decide(txt, "cbot", "/x/1")) // no matching group → all allowed
+  }
+
+  test("a UA line after rules starts a NEW group") {
+    val txt = "User-agent: abot\nDisallow: /a/\nUser-agent: bbot\nDisallow: /b/\n"
+    assert(!decide(txt, "abot", "/a/1"))
+    assert(decide(txt, "abot", "/b/1"))
+    assert(!decide(txt, "bbot", "/b/1"))
+  }
+
+  test("empty Disallow matches nothing (allows everything)") {
+    val txt = "User-agent: *\nDisallow:\n"
+    assert(decide(txt, "bot", "/any"))
+  }
+
+  test("comments and unknown fields are ignored") {
+    val txt = "# header\nUser-agent: * # inline\nCrawl-delay: 10\nSitemap: https://x/s.xml\nDisallow: /q/\n"
+    assert(!decide(txt, "bot", "/q/1"))
+    assert(decide(txt, "bot", "/r/1"))
+  }
+
+  test("wildcard * in the middle of a pattern") {
+    val txt = "User-agent: *\nDisallow: /a/*/c\n"
+    assert(!decide(txt, "bot", "/a/bb/c"))
+    assert(!decide(txt, "bot", "/a/bb/cd")) // unanchored: prefix-of-longer still matches
+    assert(decide(txt, "bot", "/a/bb/d"))
+  }
+
+  test("$ anchor requires an end match") {
+    val txt = "User-agent: *\nDisallow: /*.pdf$\n"
+    assert(!decide(txt, "bot", "/docs/x.pdf"))
+    assert(decide(txt, "bot", "/docs/x.pdfs"))
+    assert(decide(txt, "bot", "/docs/x.html"))
+  }
+
+  test("$ anchor without wildcard: exact path only") {
+    val txt = "User-agent: *\nDisallow: /exact$\n"
+    assert(!decide(txt, "bot", "/exact"))
+    assert(decide(txt, "bot", "/exact/sub"))
+  }
+
+  test("anchored last segment must sit after the middle segments") {
+    val txt = "User-agent: *\nDisallow: /a*b*c$\n"
+    assert(!decide(txt, "bot", "/a-b-c"))
+    assert(!decide(txt, "bot", "/a-b-x-c"))
+    assert(decide(txt, "bot", "/a-c-b")) // c before b: middle order violated
+  }
+
+  test("groups with equal specificity merge") {
+    val txt = "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
+    assert(!decide(txt, "bot", "/a/1"))
+    assert(!decide(txt, "bot", "/b/1"))
+  }
+
+  test("corpus hosts match the oracle CASE") {
+    // graftbot agent: h%5==0 denied everywhere; even h denied on /g/ except
+    // h%3==0 re-allows /g/x1; odd non-multiples allowed
+    for (h <- 0 until 11; i <- 0 until 4) {
+      val expect =
+        if (h % 5 == 0) false
+        else if (h % 2 == 0) h % 3 == 0 && i == 1
+        else true
+      val got = decide(graft.spark.Pages.renderRobots(h), "graftbot", s"/g/x$i")
+      assert(got == expect, s"h=$h i=$i expect=$expect got=$got")
+    }
+  }
+}
