@@ -394,6 +394,9 @@ object SparkEntry {
       // zero-shuffle redaction projection (counts from the original text)
       TextOps.redactPii(docs(s, dir).selectExpr("doc_id",
         "concat('contact doc', CAST(doc_id AS STRING), '@mail.example.com or 555-867-530', CAST(doc_id % 10 AS STRING), ' ', text) AS text"))),
+    "q_inverted_index" -> ((s, dir) =>
+      // capped posting lists (8 lowest doc_ids per word) + true df
+      TextOps.invertedIndex(docs(s, dir))),
     "q_tfidf_top" -> ((s, dir) =>
       // per-doc top distinctive term (rational-idf tf/df — exact ordering
       // across engines; ties break on word)
@@ -878,6 +881,15 @@ object SparkEntry {
     // and joins train-side against the eval slice exhaustively; Spark joins
     // xxhash64 gram keys instead — per-doc hit counts agree unless a 64-bit
     // collision occurs (minhash-oracle convention, vanishing at test SFs).
+    "q_inverted_index" ->
+      """WITH wx0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |wx AS (SELECT DISTINCT doc_id, word FROM wx0),
+        |r AS (SELECT word, doc_id,
+        |             row_number() OVER (PARTITION BY word ORDER BY doc_id) - 1 AS rank_idx,
+        |             CAST(count(*) OVER (PARTITION BY word) AS BIGINT) AS df
+        |      FROM wx)
+        |SELECT word, CAST(rank_idx AS INTEGER) AS rank_idx, doc_id, df
+        |FROM r WHERE rank_idx < 8""".stripMargin,
     // tf/df rational idf: identical correctly-rounded double from one
     // division in both engines; row_number ties break on word ASC
     "q_tfidf_top" ->

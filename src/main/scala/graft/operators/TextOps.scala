@@ -179,6 +179,29 @@ object TextOps {
       .select("doc_id", "word", "tf", "df", "score")
   }
 
+  /** Capped inverted-index build: per-word posting list of the `cap`
+    * lowest doc_ids plus the word's TRUE document frequency — the
+    * retrieval-corpus artifact, capped so a stopword's posting list never
+    * materializes unbounded at crawl scale (the full list for "the" is
+    * corpus-sized; the cap bounds every key's output while df still reports
+    * the real count). One (doc_id, word)-distinct shuffle, then one
+    * word-keyed window — row_number and the df count share the same
+    * partition, so the cap costs no extra shuffle.
+    */
+  def invertedIndex(docs: DataFrame, cap: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val w = Window.partitionBy("word").orderBy("doc_id")
+    val wAll = Window.partitionBy("word")
+    words
+      .withColumn("rank_idx", row_number().over(w) - 1)
+      .withColumn("df", count(lit(1)).over(wAll))
+      .where(col("rank_idx") < cap)
+      .select("word", "rank_idx", "doc_id", "df")
+  }
+
   /** Compression-ratio quality signal (Dolma/RedPajama-style gibberish
     * detector): deflate(text).length / utf8(text).length. Highly repetitive
     * boilerplate compresses far below ~0.3; random gibberish sits near 1.0.
