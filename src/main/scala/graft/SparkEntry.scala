@@ -389,6 +389,9 @@ object SparkEntry {
     "q_rep_quality" -> ((s, dir) =>
       // Gopher-style repetition filters: top-word / top-bigram frequency
       TextOps.repetitionStats(docs(s, dir))),
+    "q_gopher_rules" -> ((s, dir) =>
+      // Gopher-style doc-quality rule conjunction (integer-exact subset)
+      TextOps.gopherRules(docs(s, dir))),
     "q_redact_pii" -> ((s, dir) =>
       // PII scrub: deterministic planted email+phone per doc, then the
       // zero-shuffle redaction projection (counts from the original text)
@@ -955,6 +958,24 @@ object SparkEntry {
         |       CAST(coalesce(ba.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
         |       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac
         |FROM wa LEFT JOIN ba ON ba.doc_id = wa.doc_id""".stripMargin,
+    // integer-exact Gopher rule subset: every comparison is an integer
+    // cross-product (no division), so the conjunction is bit-exact across
+    // engines; n_ellipsis's /3 is exact (the length delta is a multiple of 3)
+    "q_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+        |  FROM documents)
+        |SELECT doc_id, n_words, word_chars, n_hash, n_ellipsis, n_alpha_words,
+        |       CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |                  AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        |                  AND 10 * n_hash < n_words AND 10 * n_ellipsis < n_words
+        |                  AND 10 * n_alpha_words >= 8 * n_words
+        |             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+        |FROM m""".stripMargin,
     // oracle builds the canonical form directly from doc_id parts; the
     // Spark side runs the real generic canonicalizer on the messy input
     "q_url_canon" ->

@@ -179,6 +179,33 @@ object TextOps {
       .select("doc_id", "word", "tf", "df", "score")
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, Appendix A —
+    * the rule subset whose arithmetic is integer-exact cross-engine): word
+    * count bounds, mean-word-length bounds (as integer cross-products — no
+    * division), symbol-to-word ratios for '#' and '…'-as-'...', and the
+    * alphabetic-word fraction. `gopher_pass` is the conjunction a curation
+    * pass filters on. Pure codegen'd projection — zero shuffles.
+    */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"$tokensExpr AS n_words",
+      "CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars",
+      "CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash",
+      "CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis",
+      "CAST(size(filter(split(text, ' '), w -> w rlike '[A-Za-z]')) AS BIGINT) AS n_alpha_words"
+    ).selectExpr(
+      "doc_id", "n_words", "word_chars", "n_hash", "n_ellipsis", "n_alpha_words",
+      // 50 ≤ words ≤ 100000; 3 ≤ mean word len ≤ 10 (word_chars vs 3·n and
+      // 10·n); #/word < 0.1; .../word < 0.1; alpha-word fraction ≥ 0.8 —
+      // all as integer cross-products
+      """CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |           AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        |           AND 10 * n_hash < n_words AND 10 * n_ellipsis < n_words
+        |           AND 10 * n_alpha_words >= 8 * n_words
+        |      THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass""".stripMargin
+    )
+
   /** Capped inverted-index build: per-word posting list of the `cap`
     * lowest doc_ids plus the word's TRUE document frequency — the
     * retrieval-corpus artifact, capped so a stopword's posting list never

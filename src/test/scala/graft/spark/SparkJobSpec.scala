@@ -417,6 +417,28 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((1L, 1L, 1L, 0L, 1.0)))
   }
 
+  test("gopher rules: bounds, symbol ratios and alpha fraction gate as a conjunction") {
+    val s = spark
+    import s.implicits._
+    val good = (0 until 60).map(i => s"word${i % 7}").mkString(" ") // 60 words, all alpha, len 5-6
+    val docs = Seq(
+      (1L, good),                                        // passes every rule
+      (2L, "too short to pass"),                         // n_words < 50
+      (3L, good + " " + Seq.fill(10)("#").mkString(" ")), // 70 words, 10 '#' → ratio 1/7 ≥ 0.1
+      (4L, good + " " + Seq.fill(10)("...").mkString(" ")), // ellipsis ratio ≥ 0.1
+      (5L, (0 until 60).map(i => s"$i").mkString(" ")),  // digits only → alpha frac 0
+      (6L, Seq.fill(60)("ab").mkString(" "))             // mean word len 2 < 3
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(out == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0, 5L -> 0, 6L -> 0), s"got $out")
+    // spot-check the metric columns on the crafted doc
+    val r1 = graft.operators.TextOps.gopherRules(docs.filter($"doc_id" === 3L)).collect()(0)
+    assert(r1.getLong(1) == 70L, "n_words")
+    assert(r1.getLong(3) == 10L, "n_hash")
+    assert(r1.getLong(5) == 60L, "n_alpha_words")
+  }
+
   test("compression ratio separates repetitive boilerplate from diverse text") {
     val s = spark
     import s.implicits._
