@@ -392,6 +392,27 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, dir) =>
       // Gopher-style doc-quality rule conjunction (integer-exact subset)
       TextOps.gopherRules(docs(s, dir))),
+    "q_recrawl_dedup" -> ((s, dir) =>
+      // CDX-style re-crawl dedup: each url synthesized with 1-3 captures
+      // (ts strides a day apart); only the newest survives, with the
+      // capture count riding the keeper row
+      Dedup.latestVersion(docs(s, dir)
+        .selectExpr("doc_id", "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS k")
+        .selectExpr(
+          "concat('https://example.com/doc', CAST(doc_id AS STRING)) AS url",
+          "doc_id * 10 + k AS version_id",
+          "CAST(doc_id + k * 86400 AS BIGINT) AS ts"))),
+    "q_line_dedup" -> ((s, dir) =>
+      // CCNet-style per-host repeated-line boilerplate removal: planted
+      // nav/footer chrome on every doc of a host gets dropped; the doc's
+      // own text and the low-frequency promo line survive in order
+      TextOps.removeBoilerplateLines(docs(s, dir).selectExpr(
+        "doc_id",
+        "concat('h', CAST(doc_id % 7 AS STRING)) AS host",
+        "concat('nav home about h', CAST(doc_id % 7 AS STRING), chr(10), " +
+          "text, chr(10), " +
+          "'deal of day ', CAST(doc_id % 50 AS STRING), chr(10), " +
+          "'copyright footer h', CAST(doc_id % 7 AS STRING)) AS text"))),
     "q_redact_pii" -> ((s, dir) =>
       // PII scrub: deterministic planted email+phone per doc, then the
       // zero-shuffle redaction projection (counts from the original text)
@@ -976,6 +997,38 @@ object SparkEntry {
         |                  AND 10 * n_alpha_words >= 8 * n_words
         |             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
         |FROM m""".stripMargin,
+    "q_recrawl_dedup" ->
+      """WITH v AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS k FROM documents),
+        |p AS (SELECT 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |             doc_id * 10 + k AS version_id, doc_id + k * 86400 AS ts FROM v)
+        |SELECT url, CAST(version_id AS BIGINT) AS version_id, CAST(ts AS BIGINT) AS ts,
+        |       CAST(n AS BIGINT) AS n_versions
+        |FROM (SELECT url, version_id, ts,
+        |             row_number() OVER (PARTITION BY url ORDER BY ts DESC, version_id DESC) AS rn,
+        |             count(*) OVER (PARTITION BY url) AS n FROM p)
+        |WHERE rn = 1""".stripMargin,
+    // same line-frequency computation (count DISTINCT docs per (host, line),
+    // threshold 3) — planted duplicates in the corpus make some text lines
+    // cross the threshold too; both engines compute the identical df so the
+    // kept set agrees exactly
+    "q_line_dedup" ->
+      """WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        |  'nav home about h' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+        |  text || chr(10) ||
+        |  'deal of day ' || CAST(doc_id % 50 AS VARCHAR) || chr(10) ||
+        |  'copyright footer h' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |ws AS (SELECT doc_id, host, string_split(text, chr(10)) AS ls FROM d),
+        |l AS (SELECT doc_id, host, CAST(i AS INTEGER) AS idx, ls[i + 1] AS line
+        |      FROM (SELECT doc_id, host, ls, unnest(generate_series(0, len(ls) - 1)) AS i FROM ws)),
+        |f AS (SELECT host, line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY host, line),
+        |k AS (SELECT l.doc_id, l.idx, l.line, f.line_df < 3 AS keep
+        |      FROM l JOIN f ON l.host = f.host AND l.line = f.line)
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list(line ORDER BY idx) FILTER (WHERE keep), chr(10)), '') AS clean_text,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+        |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
     // oracle builds the canonical form directly from doc_id parts; the
     // Spark side runs the real generic canonicalizer on the messy input
     "q_url_canon" ->

@@ -476,4 +476,23 @@ object Dedup {
         (col("n_a") + col("n_b") - col("inter")).as("uni"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
+
+  /** Re-crawl version dedup (the CDX "latest capture per url" pass every
+    * multi-drop crawl corpus needs): each url keeps only its newest capture,
+    * ties broken by highest version id for determinism; `n_versions` reports
+    * the capture count dropped behind it. One url-keyed shuffle — row_number
+    * and the count share the same window partition, so picking the keeper
+    * costs nothing beyond the shuffle a per-url reduce needs anyway. Hot
+    * urls (a homepage captured every drop) are single window keys: sorted
+    * streams, never materialized lists.
+    */
+  def latestVersion(pages: DataFrame, urlCol: String = "url",
+                    tsCol: String = "ts", idCol: String = "version_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(urlCol).orderBy(col(tsCol).desc, col(idCol).desc)
+    val wAll = Window.partitionBy(urlCol)
+    pages.withColumn("rn", row_number().over(w))
+      .withColumn("n_versions", count(lit(1)).over(wAll))
+      .where(col("rn") === 1).drop("rn")
+  }
 }

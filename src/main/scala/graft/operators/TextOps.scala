@@ -206,6 +206,35 @@ object TextOps {
         |      THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass""".stripMargin
     )
 
+  /** CCNet-style repeated-line boilerplate removal: a line occurring in
+    * ≥ `minDocs` DISTINCT documents of the same host is navigation/footer
+    * chrome, not content — drop it; surviving lines reassemble in document
+    * order. Input: (doc_id, host, text) with '\n'-separated lines.
+    *
+    * Plan shape at crawl scale: one (host, line) partial-agged distinct
+    * count (the line-frequency table CCNet §4.1 builds per shard), one
+    * keyed join back onto the line stream, one doc_id groupBy to
+    * reassemble — every stage partial-aggregates, no per-host
+    * materialization, hot boilerplate lines ("Home | About") are single
+    * agg keys, never occurrence lists. Docs whose every line is chrome
+    * survive with empty clean_text (the downstream length floor drops
+    * them — lineage stays visible).
+    */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = docs.select(col("doc_id"), col("host"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val freq = lines.groupBy("host", "line")
+      .agg(countDistinct("doc_id").as("line_df"))
+    val flagged = lines.join(freq, Seq("host", "line"))
+      .withColumn("keep", col("line_df") < minDocs)
+    flagged.groupBy("doc_id").agg(
+      concat_ws("\n", expr(
+        "transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, line) END)), s -> s.line)"))
+        .as("clean_text"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_lines_kept"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("n_lines_dropped"))
+  }
+
   /** Capped inverted-index build: per-word posting list of the `cap`
     * lowest doc_ids plus the word's TRUE document frequency — the
     * retrieval-corpus artifact, capped so a stopword's posting list never

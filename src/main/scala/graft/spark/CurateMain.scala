@@ -13,6 +13,8 @@ import graft.operators.{Dedup, TextOps}
   *       strip; narrow mapPartitions, lineage rows on the side)
   *     → text features (token count, language ID)
   *     → quality floor (n_tokens ≥ minTokens)
+  *     → Gopher rule gate (word-count/word-length bounds, symbol ratios,
+  *       alphabetic-word fraction — the integer-exact conjunction)
   *     → repetition floor (Gopher-style: top-word fraction ≤ maxTopWordFrac)
   *     → PII scrub (emails/phones → typed placeholders; a byte-level no-op
   *       on clean text — the content contract survives)
@@ -75,11 +77,18 @@ object CurateMain {
     val quality = feats.where(col("n_tokens") >= minTokens)
     val nQuality = quality.count()
 
+    // 4a. Gopher rule gate: zero-shuffle projection, joined on doc_id so the
+    // gate composes with the other keeper sets
+    val gopherOk = TextOps.gopherRules(docs)
+      .where(col("gopher_pass") === 1).select("doc_id")
+    val qualityGopher = quality.join(gopherOk, "doc_id")
+    val nGopher = qualityGopher.count()
+
     // 4b. repetition floor (Gopher-style): pages dominated by one token go
     val repOk = TextOps.repetitionStats(docs)
       .where(col("top_word_frac") <= maxTopWordFrac)
       .select("doc_id")
-    val qualityRep = quality.join(repOk, "doc_id")
+    val qualityRep = qualityGopher.join(repOk, "doc_id")
     val nRep = qualityRep.count()
 
     // 4c. PII scrub: text becomes the redacted clean_text (byte-identical
@@ -116,6 +125,6 @@ object CurateMain {
     val nOut = spark.read.parquet(s"$outDir/curated.parquet").count()
     extracted.unpersist()
     val wall = (System.nanoTime() - t0) / 1e9
-    f"""{"metric":"curate","docs_in":$nIn,"after_quality":$nQuality,"after_repetition":$nRep,"pii_docs":$nPii,"near_dup_losers":$nLosers,"contaminated":$nContam,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
+    f"""{"metric":"curate","docs_in":$nIn,"after_quality":$nQuality,"after_gopher":$nGopher,"after_repetition":$nRep,"pii_docs":$nPii,"near_dup_losers":$nLosers,"contaminated":$nContam,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
   }
 }

@@ -34,6 +34,7 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline runs end-to-end and reports sane stage counts") {
     assert(report.contains("\"metric\":\"curate\""))
     assert(report.contains("\"docs_in\":500"))
+    assert(report.contains("\"after_gopher\":"))
     assert(report.contains("\"after_repetition\":"))
     assert(report.contains("\"contaminated\":"))
     // the synthetic corpus carries no emails/phone shapes — the PII scrub
@@ -47,6 +48,7 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n > 0 && n <= 500)
     assert(out.select("text").distinct().count() === n, "exact duplicates survived")
     assert(out.where(col("n_tokens") < 20).count() === 0L, "quality floor violated")
+    assert(out.where(col("n_tokens") < 50).count() === 0L, "gopher word floor violated")
     // curated text must be the extraction output verbatim (content contract)
     val bad = out.join(
       spark.read.parquet(s"$sfDir/documents.parquet").select(col("text").as("orig")),

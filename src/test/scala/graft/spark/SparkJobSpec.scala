@@ -439,6 +439,27 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getLong(5) == 60L, "n_alpha_words")
   }
 
+  test("line dedup: host-frequent lines drop, rare lines keep document order") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "NAV\nunique one\nFOOT"),
+      (2L, "a", "NAV\nunique two\nFOOT"),
+      (3L, "a", "NAV\nunique three\nFOOT\nNAV"), // repeated line in ONE doc counts once
+      (4L, "b", "NAV\nother host"),              // df(NAV@b)=2 < 3 → kept
+      (5L, "b", "NAV"),                          // all lines chrome? no — kept on host b
+      (6L, "a", "NAV\nFOOT")                     // every line chrome → empty clean_text
+    ).toDF("doc_id", "host", "text")
+    val out = graft.operators.TextOps.removeBoilerplateLines(docs, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("unique one", 1L, 2L)))
+    assert(out(2L) == (("unique two", 1L, 2L)))
+    assert(out(3L) == (("unique three", 1L, 3L)), "within-doc repeat must count one doc, both copies dropped")
+    assert(out(4L) == (("NAV\nother host", 2L, 0L)), "frequency is per host")
+    assert(out(5L) == (("NAV", 1L, 0L)))
+    assert(out(6L) == (("", 0L, 2L)), "all-chrome doc survives with empty text")
+  }
+
   test("compression ratio separates repetitive boilerplate from diverse text") {
     val s = spark
     import s.implicits._
@@ -457,6 +478,22 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = graft.operators.TextOps.compressionRatio(docs)
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(again == out)
+  }
+
+  test("recrawl dedup: newest capture per url wins, ties break on version id") {
+    val s = spark
+    import s.implicits._
+    val pages = Seq(
+      ("u1", 10L, 100L), ("u1", 11L, 300L), ("u1", 12L, 200L), // newest ts wins
+      ("u2", 20L, 100L), ("u2", 21L, 100L),                    // ts tie → max version_id
+      ("u3", 30L, 50L)                                         // single capture
+    ).toDF("url", "version_id", "ts")
+    val out = graft.operators.Dedup.latestVersion(pages)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "u1" -> ((11L, 300L, 3L)),
+      "u2" -> ((21L, 100L, 2L)),
+      "u3" -> ((30L, 50L, 1L))), s"got $out")
   }
 
   test("connected components: chains collapse to one cluster, islands stay apart") {
