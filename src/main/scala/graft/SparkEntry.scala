@@ -392,6 +392,14 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, dir) =>
       // Gopher-style doc-quality rule conjunction (integer-exact subset)
       TextOps.gopherRules(docs(s, dir))),
+    "q_oov_rate" -> ((s, dir) =>
+      // OOV fraction vs the corpus top-100 vocab (broadcast join) — the
+      // gibberish / encoding-damage curation signal
+      TextOps.oovRate(docs(s, dir))),
+    "q_seq_pack" -> ((s, dir) =>
+      // sequence packing: per-source prefix-sum binning into 256-token
+      // context windows (the pre-training batch-prep step)
+      TextOps.packSequences(docs(s, dir))),
     "q_recrawl_dedup" -> ((s, dir) =>
       // CDX-style re-crawl dedup: each url synthesized with 1-3 captures
       // (ts strides a day apart); only the newest survives, with the
@@ -997,6 +1005,27 @@ object SparkEntry {
         |                  AND 10 * n_alpha_words >= 8 * n_words
         |             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
         |FROM m""".stripMargin,
+    // vocab = top-100 by (count desc, word asc) — a total order, so the
+    // boundary cut is deterministic on both engines (the q_vocab_topk idiom)
+    "q_oov_rate" ->
+      """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, count(*) AS n FROM wx GROUP BY w
+        |                     ORDER BY n DESC, w LIMIT 100))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_known,
+        |       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM wx LEFT JOIN v ON wx.w = v.w
+        |GROUP BY doc_id""".stripMargin,
+    // integer division (// vs Spark's div) and % — exact on both engines
+    "q_seq_pack" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens,
+        |       CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS bin_idx,
+        |       CAST((cum_tokens - n_tokens) % 256 AS BIGINT) AS bin_offset
+        |FROM (SELECT doc_id, source,
+        |             CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |             CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+        |                  OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |      FROM documents)""".stripMargin,
     "q_recrawl_dedup" ->
       """WITH v AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS k FROM documents),
         |p AS (SELECT 'https://example.com/doc' || CAST(doc_id AS VARCHAR) AS url,

@@ -235,6 +235,48 @@ object TextOps {
       sum(when(col("keep"), 0L).otherwise(1L)).as("n_lines_dropped"))
   }
 
+  /** Out-of-vocabulary rate — the gibberish/encoding-damage signal a
+    * curation pass thresholds: fraction of a doc's tokens NOT in the
+    * corpus top-`vocabSize` vocabulary (count desc, word asc — a TOTAL
+    * order, so the vocab boundary is deterministic). The vocab build is
+    * one partial-agged shuffle + a tiny top-k; the per-doc scoring join
+    * BROADCASTS the vocab (vocabSize rows — 50k in production, still
+    * broadcast-sized). The token explode is recomputed per branch rather
+    * than cached: stateless and ~1× corpus text, the same
+    * recompute-beats-cache trade as the shingle stage.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 100): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_known"))
+      .select(col("doc_id"), col("n_tokens"), col("n_known"),
+        ((col("n_tokens") - col("n_known")).cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  /** Sequence packing (the pre-training batch-prep step): docs in doc_id
+    * order within a shard (`source` is the shard key) pack into fixed
+    * `ctxLen`-token context windows by prefix sum — each doc reports the
+    * window it starts in and its offset there. One shard-keyed window
+    * shuffle; the prefix sum streams sorted input (no materialization).
+    * At 100 TB the shard key is the input split, exactly this plan with
+    * more partitions; a single 10⁹-doc shard would need the two-pass
+    * partial-sum + broadcast-offset variant instead.
+    */
+  def packSequences(docs: DataFrame, ctxLen: Long = 256L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.selectExpr("doc_id", "source", s"$tokensExpr AS n_tokens")
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .selectExpr("doc_id", "source", "n_tokens", "cum_tokens",
+        s"(cum_tokens - n_tokens) div $ctxLen AS bin_idx",
+        s"(cum_tokens - n_tokens) % $ctxLen AS bin_offset")
+  }
+
   /** Capped inverted-index build: per-word posting list of the `cap`
     * lowest doc_ids plus the word's TRUE document frequency — the
     * retrieval-corpus artifact, capped so a stopword's posting list never

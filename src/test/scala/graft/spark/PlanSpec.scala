@@ -46,6 +46,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"region join not broadcast:\n$p")
   }
 
+  test("oov-rate vocab join broadcasts the vocab side") {
+    val p = formatted("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+  }
+
   test("aggregations are map-side partial") {
     val p = formatted("q1_agg")
     // partial + final HashAggregate pair around one Exchange

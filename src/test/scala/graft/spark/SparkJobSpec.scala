@@ -480,6 +480,40 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("oov rate: tokens outside the top-k vocab count as OOV") {
+    val s = spark
+    import s.implicits._
+    // vocab (k=2) = {"aa" ×4, "bb" ×3}; "zz"/"qq" are OOV
+    val docs = Seq(
+      (1L, "aa aa bb zz"),
+      (2L, "aa aa bb bb qq zz")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.oovRate(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 3L, 0.25)))
+    assert(out(2L) == ((6L, 4L, 2.0 / 6.0)))
+  }
+
+  test("sequence packing: per-source prefix sums, bin boundaries at ctxLen") {
+    val s = spark
+    import s.implicits._
+    // source "a": docs of 100 tokens start at 0, 100, 200 → all bin 0
+    // (ctx 256); source "b" restarts its own prefix sum and its second doc
+    // starts at 300 → bin 1, offset 44
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, "a", words(100)), (2L, "a", words(100)), (3L, "a", words(100)),
+      (10L, "b", words(300)), (11L, "b", words(10))
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextOps.packSequences(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((100L, 0L, 0L)))
+    assert(out(2L) == ((200L, 0L, 100L)))
+    assert(out(3L) == ((300L, 0L, 200L)))
+    assert(out(10L) == ((300L, 0L, 0L)), "source b restarts")
+    assert(out(11L) == ((310L, 1L, 44L)))
+  }
+
   test("recrawl dedup: newest capture per url wins, ties break on version id") {
     val s = spark
     import s.implicits._
