@@ -436,6 +436,12 @@ object SparkEntry {
     "q_sample_strata" -> ((s, dir) =>
       // deterministic per-language training-mixture sampling (zero-shuffle)
       TextOps.stratifiedSample(docs(s, dir))),
+    "q_mix_sample" -> ((s, dir) =>
+      // temperature-flattened mixture sampling: rate = sqrt(n_min/n_src)
+      // per source, applied through the md5 bucket (broadcast rate join);
+      // sources remapped 6:3:1 so the flattening actually filters
+      TextOps.temperatureSample(docs(s, dir).selectExpr("doc_id",
+        "CASE WHEN doc_id % 10 < 6 THEN 'web' WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source"))),
     "q_url_canon" -> ((s, dir) => {
       // crawl-frontier URL canonicalization: mixed-case host, default port,
       // dot segments, unsorted query, fragment — all normalized per doc
@@ -1087,6 +1093,25 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '${TextOps.emailPattern}')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(text, '${TextOps.phonePattern}')) AS BIGINT) AS n_phones
         |FROM d""".stripMargin,
+    // same α=0.5 rate arithmetic (one division + sqrt + multiply + floor,
+    // each correctly rounded IEEE) over the shared md5 nibble-sum bucket
+    "q_mix_sample" -> {
+      val bucketTerms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id,
+        |             CASE WHEN doc_id % 10 < 6 THEN 'web'
+        |                  WHEN doc_id % 10 < 9 THEN 'books'
+        |                  ELSE 'code' END AS source FROM documents),
+        |c AS (SELECT source, count(*) AS n_src FROM d GROUP BY source),
+        |r AS (SELECT source, n_src,
+        |             CAST(floor(100 * sqrt(CAST(min(n_src) OVER () AS DOUBLE) / n_src)) AS BIGINT) AS keep_rate
+        |      FROM c),
+        |b AS (SELECT doc_id, source, ($bucketTerms) % 100 AS bucket
+        |      FROM (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m FROM d))
+        |SELECT b.doc_id, b.source, CAST(b.bucket AS BIGINT) AS bucket, r.keep_rate
+        |FROM b JOIN r ON b.source = r.source WHERE b.bucket < r.keep_rate""".stripMargin
+    },
     "q_sample_strata" -> {
       // the md5 bucket recomputed as an 8-nibble positional sum (the proven
       // simhash-oracle idiom); rates/CASE shared with the Spark side

@@ -398,6 +398,31 @@ object TextOps {
       .where(expr(s"bucket < $rateCase"))
   }
 
+  /** Temperature-flattened mixture sampling (the Pile/DoReMi-style
+    * source-balancing step): source s with n_s docs keeps
+    * rate = (n_min/n_s)^(1-α); α=1 keeps natural proportions, α=0
+    * flattens to uniform counts. Shipped α=0.5 ⇒ rate = √(n_min/n_s),
+    * realized as floor(100·√(n_min/n_s)) over the md5 bucket — ONE
+    * correctly-rounded IEEE division, sqrt, multiply, floor, so the kept
+    * set is bit-exact cross-engine (no double sums anywhere). Plan: one
+    * tiny partial-agged source-count agg, a global min over that
+    * source-sized table (unpartitioned window — fine at any corpus size,
+    * the table is |sources| rows), a BROADCAST rate join, then the
+    * zero-shuffle bucket filter.
+    */
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val rates = counts
+      .withColumn("n_min", min("n_src").over(Window.partitionBy()))
+      .selectExpr("source", "n_src",
+        "CAST(floor(100 * sqrt(CAST(n_min AS DOUBLE) / n_src)) AS BIGINT) AS keep_rate")
+    docs.selectExpr("doc_id", "source", s"$sampleBucketExpr AS bucket")
+      .join(broadcast(rates), "source")
+      .where(col("bucket") < col("keep_rate"))
+      .select("doc_id", "source", "bucket", "keep_rate")
+  }
+
   /** Multimodal-column plumbing: treat a binary payload column as an opaque
     * blob with typed metadata. The decode step is a clearly-marked
     * deterministic STUB (image/audio codecs are not in this container —

@@ -514,6 +514,31 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(11L) == ((310L, 1L, 44L)))
   }
 
+  test("temperature sampling: rates flatten toward the smallest source, min source keeps all") {
+    val s = spark
+    import s.implicits._
+    val docs = ((0L until 400L).map(i => (i, "big")) ++ (1000L until 1100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = graft.operators.TextOps.temperatureSample(docs)
+    val rates = out.select("source", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("big" -> 50L, "small" -> 100L), s"got $rates") // floor(100*sqrt(100/400)) = 50
+    val kept = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 100L, "the smallest source must keep every doc")
+    assert(kept("big") > 140 && kept("big") < 260, s"big-source keep count off: ${kept("big")}")
+  }
+
+  test("line dedup: one line repeated across 10^5 docs of a host stays an agg key") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 100000L).map(i => (i, "h", s"CHROME EVERYWHERE\nunique $i"))
+      .toDF("doc_id", "host", "text")
+    val out = graft.operators.TextOps.removeBoilerplateLines(docs, minDocs = 3)
+    assert(out.count() == 100000L)
+    val r = out.where(col("doc_id") === 42L).collect()(0)
+    assert(r.getString(1) == "unique 42" && r.getLong(2) == 1L && r.getLong(3) == 1L)
+  }
+
   test("recrawl dedup: newest capture per url wins, ties break on version id") {
     val s = spark
     import s.implicits._
