@@ -176,6 +176,38 @@ object SparkEntry {
         .toDF("host", "robots_txt")
       graft.operators.Robots.robotsFilter(frontier, robots, "graftbot")
     }),
+    "q_sitemap" -> ((s, dir) => {
+      // crawl-frontier discovery: per-host sitemap XML (urlset or
+      // sitemapindex, with entities, CDATA locs, attributes, optional
+      // lastmod) parsed into (kind, loc, lastmod) entries in document
+      // order — a narrow zero-shuffle scan whose output feeds the robots
+      // gate in a real fetch scheduler
+      import s.implicits._
+      val xmls = docs(s, dir).select("doc_id").as[Long].map { id =>
+        val host = s"h${id % 7}.example.org"
+        val xml =
+          if (id % 4 == 0) {
+            val items = (0 until 2).map(k =>
+              s"  <sitemap>\n    <loc>https://$host/sitemap$k.xml</loc>\n" +
+                s"    <lastmod>2024-02-0${k + 1}</lastmod>\n  </sitemap>").mkString("\n")
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              s"<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n$items\n</sitemapindex>"
+          } else {
+            val n = (id % 3 + 1).toInt
+            val items = (0 until n).map { k =>
+              val loc =
+                if (id % 5 == 0) s"<![CDATA[https://$host/p/$id/$k?a=1&b=2]]>"
+                else s"https://$host/p/$id/$k?a=1&amp;b=2"
+              val lm = if (k == 0) "\n    <lastmod>2024-01-15</lastmod>" else ""
+              s"  <url>\n    <loc> $loc </loc>$lm\n  </url>"
+            }.mkString("\n")
+            "<?xml version=\"1.0\"?>\n" +
+              s"<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n$items\n</urlset>"
+          }
+        (id, host, xml)
+      }.toDF("doc_id", "host", "xml")
+      graft.operators.Sitemap.parseSitemaps(xmls)
+    }),
     "q_host_stats" -> ((s, dir) => {
       // domain-graph aggregation: in-link counts per target host over the
       // RESOLVED edge list (parse_url is codegen'd; one partial-agged
@@ -199,6 +231,17 @@ object SparkEntry {
         .toDF().selectExpr("url", "posexplode(arrays_zip(img_srcs, img_alts)) AS (idx, ia)")
         .selectExpr("url", "CAST(idx AS INT) AS idx",
           "ia.img_srcs AS src", "ia.img_alts AS alt")
+    }),
+    "q_og_meta" -> ((s, dir) => {
+      // Open Graph capture: (og:* property, content) pairs in document
+      // order — property case-folded, char-refs in content decoded,
+      // repeats kept (sites emit multiple og:image), non-og properties
+      // and content-less tags skipped at the kernel
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeMediaPages(s, dir), "og", n)
+        .toDF().selectExpr("url", "posexplode(arrays_zip(og_props, og_vals)) AS (idx, pv)")
+        .selectExpr("url", "CAST(idx AS INT) AS idx",
+          "pv.og_props AS prop", "pv.og_vals AS content")
     }),
     "q_meta_robots" -> ((s, dir) => {
       // noindex compliance: first <meta name=robots> content rides the
@@ -672,6 +715,34 @@ object SparkEntry {
         |            ELSE '' END AS alt
         |FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4 - 1)) AS i
         |      FROM documents WHERE doc_id % 4 > 0)""".stripMargin,
+    // closed-form reconstruction of the synthesized sitemaps' DECODED
+    // entries: index docs (id%4=0) carry 2 nested-sitemap entries; the rest
+    // carry id%3+1 url entries whose &amp;/CDATA forms both decode to the
+    // same plain loc; lastmod only on the first url entry
+    "q_sitemap" ->
+      """WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host FROM documents),
+        |idx AS (SELECT doc_id, host, unnest(generate_series(0, 1)) AS k FROM d WHERE doc_id % 4 = 0),
+        |urls AS (SELECT doc_id, host, unnest(generate_series(0, doc_id % 3)) AS k FROM d WHERE doc_id % 4 <> 0)
+        |SELECT doc_id, host, CAST(k AS INTEGER) AS entry_idx, 'sitemap' AS kind,
+        |       'https://' || host || '/sitemap' || CAST(k AS VARCHAR) || '.xml' AS loc,
+        |       '2024-02-0' || CAST(k + 1 AS VARCHAR) AS lastmod
+        |FROM idx
+        |UNION ALL
+        |SELECT doc_id, host, CAST(k AS INTEGER), 'url',
+        |       'https://' || host || '/p/' || CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR) || '?a=1&b=2',
+        |       CASE WHEN k = 0 THEN '2024-01-15' ELSE '' END
+        |FROM urls""".stripMargin,
+    // closed-form og pairs: og:title (case-folded property, decoded '&')
+    // always at idx 0; two og:image entries follow on doc_id%3==0; the
+    // twitter:card and content-less og tags never appear
+    "q_og_meta" ->
+      """WITH d AS (SELECT doc_id, 'https://example.com/media/doc' || CAST(doc_id AS VARCHAR) AS url FROM documents)
+        |SELECT url, 0 AS idx, 'og:title' AS prop,
+        |       'M ' || CAST(doc_id AS VARCHAR) || ' & co' AS content FROM d
+        |UNION ALL
+        |SELECT url, CAST(k + 1 AS INTEGER), 'og:image',
+        |       'https://img.example.org/og' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR) || '.jpg'
+        |FROM (SELECT doc_id, url, unnest(generate_series(0, 1)) AS k FROM d WHERE doc_id % 3 = 0)""".stripMargin,
     "q_meta_robots" ->
       """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
         |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots

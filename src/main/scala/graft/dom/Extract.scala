@@ -24,6 +24,12 @@ final case class ExtractResult(
     // shape) starts from; like links, boilerplate images are included
     imgSrcs: Vector[String],
     imgAlts: Vector[String],
+    // Open Graph pairs (<meta property="og:*" content=...>) in document
+    // order, property lowercased — og:title/og:image/og:description are the
+    // preview/caption metadata a multimodal corpus build keys on; repeats
+    // (multiple og:image) are kept
+    ogProps: Vector[String],
+    ogVals: Vector[String],
     metaRobots: String, // first <meta name=robots> content ("" if absent)
     baseHref: String, // first <base href> ("" if absent) — link-resolution base
     nTokens: Long,
@@ -375,6 +381,8 @@ final class ExtractSink extends TokenSink {
   private var pendingLinkIdx = -1 // outLinks idx of the <a> start being opened
   private val imgSrcs = ArrayBuffer.empty[String] // img src, document order
   private val imgAlts = ArrayBuffer.empty[String] // img alt per src ("" absent)
+  private val ogProps = ArrayBuffer.empty[String] // og:* meta property names, document order
+  private val ogVals = ArrayBuffer.empty[String] // og:* content per property (parallel)
   private var metaRobots: String = "" // first <meta name=robots> content
   private var baseHref: String = "" // first <base href>
 
@@ -423,7 +431,7 @@ final class ExtractSink extends TokenSink {
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); activeFmtLink.clear(); fmtMarkers.clear()
     text.setLength(0)
     outLinks.clear(); metaRobots = ""; baseHref = ""; pendingLinkIdx = -1
-    imgSrcs.clear(); imgAlts.clear()
+    imgSrcs.clear(); imgAlts.clear(); ogProps.clear(); ogVals.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
     pathMemo.clear()
@@ -779,15 +787,28 @@ final class ExtractSink extends TokenSink {
           if (attrs(i)._1 == "href") { baseHref = attrs(i)._2; done = true }
           i += 1
         }
-      } else if (name == "meta" && metaRobots.isEmpty && attrs.nonEmpty) {
-        // <meta name=robots content=...>: corpora respect noindex; first wins
+      } else if (name == "meta" && attrs.nonEmpty) {
+        // <meta name=robots content=...>: corpora respect noindex; first
+        // wins. <meta property="og:*" content=...>: Open Graph pairs (the
+        // og:image/og:title caption+preview metadata) accumulate in
+        // document order — sites legitimately repeat og:image.
         var nm: String = null
+        var prop: String = null
         var ct: String = null
         attrs.foreach { case (k, v) =>
           if (k == "name" && nm == null) nm = v
+          else if (k == "property" && prop == null) prop = v
           else if (k == "content" && ct == null) ct = v
         }
-        if (nm != null && ct != null && nm.equalsIgnoreCase("robots")) metaRobots = ct
+        if (ct != null) {
+          if (metaRobots.isEmpty && nm != null && nm.equalsIgnoreCase("robots")) metaRobots = ct
+          if (prop != null && prop.length > 3 &&
+            (prop.charAt(0) == 'o' || prop.charAt(0) == 'O') &&
+            (prop.charAt(1) == 'g' || prop.charAt(1) == 'G') && prop.charAt(2) == ':') {
+            ogProps += prop.toLowerCase(java.util.Locale.ROOT)
+            ogVals += ct
+          }
+        }
       }
       startTag(name, selfClosing)
       // spec (13.2.6.4.7): a newline IMMEDIATELY after these start tags is
@@ -1163,7 +1184,7 @@ final class ExtractSink extends TokenSink {
       else Vector.tabulate(anch.length)(i => if (anch(i) == null) "" else anch(i).toString)
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
       outSpans.result(), outLinks.toVector, anchors, imgSrcs.toVector,
-      imgAlts.toVector, metaRobots, baseHref, nTokens,
+      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 

@@ -269,8 +269,18 @@ object Pages {
   def renderMedia(docId: Long): String = {
     val k = (docId % 4).toInt
     val sb = new java.lang.StringBuilder(256)
-    sb.append("<!DOCTYPE html><html><head><title>M").append(docId)
-      .append("</title></head><body><p>media doc ").append(docId).append("</p>")
+    sb.append("<!DOCTYPE html><html><head><title>M").append(docId).append("</title>")
+    // Open Graph block: title always; og:image on docId%3==0 (TWICE — sites
+    // repeat og:image and the capture must keep both); content attr carries
+    // a char-ref so the attribute-decode path is exercised
+    sb.append("<meta property=\"OG:title\" content=\"M ").append(docId).append(" &amp; co\">")
+    if (docId % 3 == 0) {
+      sb.append("<meta property=\"og:image\" content=\"https://img.example.org/og").append(docId).append("_0.jpg\">")
+      sb.append("<meta property=\"og:image\" content=\"https://img.example.org/og").append(docId).append("_1.jpg\">")
+    }
+    sb.append("<meta property=\"twitter:card\" content=\"summary\">") // non-og: ignored
+    sb.append("<meta property=\"og:nocontent\">") // content-less: skipped
+    sb.append("</head><body><p>media doc ").append(docId).append("</p>")
     var i = 0
     while (i < k) {
       sb.append("<figure><img src=\"https://img.example.org/i").append(docId)

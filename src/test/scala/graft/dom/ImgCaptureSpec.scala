@@ -52,4 +52,40 @@ class ImgCaptureSpec extends AnyFunSuite {
     val (s, a) = imgs(graft.spark.Pages.renderMedia(4L))
     assert(s.isEmpty && a.isEmpty)
   }
+
+  private def og(html: String): (Vector[String], Vector[String]) = {
+    val r = Extractor.extractString(html)
+    (r.ogProps, r.ogVals)
+  }
+
+  test("og pairs captured in document order, property case-folded, char-refs decoded") {
+    val (p, v) = og("<head><meta property=\"OG:Title\" content=\"A &amp; B\">" +
+      "<meta property=\"og:image\" content=\"/i.jpg\"></head><p>x</p>")
+    assert(p == Vector("og:title", "og:image"))
+    assert(v == Vector("A & B", "/i.jpg"))
+  }
+
+  test("og repeats kept; non-og property and content-less og skipped") {
+    val (p, v) = og("<meta property=\"og:image\" content=\"/1.jpg\">" +
+      "<meta property=\"twitter:card\" content=\"summary\">" +
+      "<meta property=\"og:nope\">" +
+      "<meta property=\"og:image\" content=\"/2.jpg\">")
+    assert(p == Vector("og:image", "og:image"))
+    assert(v == Vector("/1.jpg", "/2.jpg"))
+  }
+
+  test("og capture does not steal the robots capture on the same page") {
+    val r = Extractor.extractString("<meta property=\"og:title\" content=\"t\">" +
+      "<meta name=\"robots\" content=\"noindex\"><p>x</p>")
+    assert(r.metaRobots == "noindex" && r.ogProps == Vector("og:title"))
+  }
+
+  test("corpus og block: title always, two og:image on doc_id % 3 == 0") {
+    val (p0, v0) = og(graft.spark.Pages.renderMedia(6L))
+    assert(p0 == Vector("og:title", "og:image", "og:image"))
+    assert(v0 == Vector("M 6 & co",
+      "https://img.example.org/og6_0.jpg", "https://img.example.org/og6_1.jpg"))
+    val (p1, _) = og(graft.spark.Pages.renderMedia(7L))
+    assert(p1 == Vector("og:title"))
+  }
 }
