@@ -435,6 +435,28 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, dir) =>
       // Gopher-style doc-quality rule conjunction (integer-exact subset)
       TextOps.gopherRules(docs(s, dir))),
+    "q_crawl_diff" -> ((s, dir) => {
+      // two simulated crawl drops: id%7==0 pages vanish (their urls return
+      // as fresh ones), id%5==0 pages change content, the rest are stable —
+      // digest-compare full-outer join classifies every url
+      val old = docs(s, dir).selectExpr("concat('u', CAST(doc_id AS STRING)) AS url", "text")
+      val neu = docs(s, dir).where("doc_id % 7 <> 0")
+        .selectExpr("concat('u', CAST(doc_id AS STRING)) AS url",
+          "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v2') ELSE text END AS text")
+        .unionAll(docs(s, dir).where("doc_id % 7 = 0")
+          .selectExpr("concat('u', CAST(doc_id AS STRING), 'b') AS url", "text"))
+      graft.operators.Crawl.crawlDiff(old, neu)
+    }),
+    "q_fetch_schedule" -> ((s, dir) => {
+      // politeness scheduling: 7 hosts with crawl delays 1..7 s; each url
+      // gets its in-host slot and absolute fetch offset
+      val frontier = docs(s, dir).selectExpr(
+        "concat('h', CAST(doc_id % 7 AS STRING)) AS host",
+        "concat('https://h', CAST(doc_id % 7 AS STRING), '.example.org/p', CAST(doc_id AS STRING)) AS url")
+      val policies = s.range(7).selectExpr("concat('h', CAST(id AS STRING)) AS host",
+        "id + 1 AS crawl_delay_s")
+      graft.operators.Crawl.fetchSchedule(frontier, policies)
+    }),
     "q_oov_rate" -> ((s, dir) =>
       // OOV fraction vs the corpus top-100 vocab (broadcast join) — the
       // gibberish / encoding-damage curation signal
@@ -1082,6 +1104,28 @@ object SparkEntry {
         |                  AND 10 * n_alpha_words >= 8 * n_words
         |             THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
         |FROM m""".stripMargin,
+    // closed-form statuses from the planted drop arithmetic (id%7 removed +
+    // readded under a fresh url, id%5 changed, rest unchanged)
+    "q_crawl_diff" ->
+      """SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, 'removed' AS status
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'u' || CAST(doc_id AS VARCHAR) || 'b', 'added'
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT 'u' || CAST(doc_id AS VARCHAR),
+        |       CASE WHEN doc_id % 5 = 0 THEN 'changed' ELSE 'unchanged' END
+        |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+    // byte-wise url order within host on both engines → identical slots
+    "q_fetch_schedule" ->
+      """WITH f AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        |                  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR) AS url,
+        |                  doc_id % 7 + 1 AS delay_s
+        |           FROM documents)
+        |SELECT host, url,
+        |       CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS BIGINT) AS slot,
+        |       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) * delay_s AS BIGINT) AS fetch_at_s
+        |FROM f""".stripMargin,
     // vocab = top-100 by (count desc, word asc) — a total order, so the
     // boundary cut is deterministic on both engines (the q_vocab_topk idiom)
     "q_oov_rate" ->

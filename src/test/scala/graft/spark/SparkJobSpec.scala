@@ -539,6 +539,29 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) == "unique 42" && r.getLong(2) == 1L && r.getLong(3) == 1L)
   }
 
+  test("crawl diff: added/removed/changed/unchanged classification") {
+    val s = spark
+    import s.implicits._
+    val old = Seq(("u1", "same"), ("u2", "before"), ("u3", "gone")).toDF("url", "text")
+    val neu = Seq(("u1", "same"), ("u2", "after"), ("u4", "fresh")).toDF("url", "text")
+    val out = graft.operators.Crawl.crawlDiff(old, neu)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("u1" -> "unchanged", "u2" -> "changed", "u3" -> "removed", "u4" -> "added"))
+  }
+
+  test("fetch schedule: per-host slots by url order, delays from policy with default") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(("a", "u2"), ("a", "u1"), ("a", "u3"), ("b", "v1"), ("b", "v2"))
+      .toDF("host", "url")
+    val policies = Seq(("a", 5L)).toDF("host", "crawl_delay_s") // b falls back to 1s
+    val out = graft.operators.Crawl.fetchSchedule(frontier, policies)
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "u1" -> ((0L, 0L)), "u2" -> ((1L, 5L)), "u3" -> ((2L, 10L)),
+      "v1" -> ((0L, 0L)), "v2" -> ((1L, 1L))), s"got $out")
+  }
+
   test("recrawl dedup: newest capture per url wins, ties break on version id") {
     val s = spark
     import s.implicits._
