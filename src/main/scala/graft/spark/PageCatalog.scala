@@ -171,6 +171,77 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     expired
   }
 
+  /** Commit + per-FILE column stats (Iceberg manifest zone maps): after the
+    * data lands, one aggregation pass keyed by `input_file_name()` records
+    * (min, max) per stats column per file into a `v<N>.stats.tsv` sidecar.
+    * O(files) rows reach the driver — never data. At 100 TB these zone maps
+    * are what lets a warc_ts- or doc_id-ranged query open 0.1% of the
+    * files instead of all of them (the writer-side stats Iceberg collects
+    * in its manifests; the emulation pays one extra scan instead of
+    * hooking the parquet writer).
+    */
+  def commitWithStats(df: DataFrame, table: String, statsCols: Seq[String]): Long = {
+    val snap = commit(df, table)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax, col}
+    val files = manifestFiles(table, snap)
+    val aggs = statsCols.flatMap(c => Seq(fmin(col(c)).cast("string").as(s"min_$c"),
+      fmax(col(c)).cast("string").as(s"max_$c")))
+    val rows = spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      // input_file_name returns a URI (file:/... or file:///...); normalize
+      // to the plain absolute path the manifest stores
+      val f = "/" + r.getString(0).stripPrefix("file:").dropWhile(_ == '/')
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        sb.append(f).append('\t').append(c).append('\t')
+          .append(r.getString(1 + 2 * i)).append('\t').append(r.getString(2 + 2 * i)).append('\n')
+      }
+    }
+    Files.writeString(manifestDir(table).resolve(s"v$snap.stats.tsv"), sb.toString)
+    snap
+  }
+
+  /** File-level zone-map pruning: the current snapshot's files whose
+    * [min, max] range for `column` overlaps [lo, hi] (numeric compare when
+    * both bounds parse as longs, byte-wise string compare otherwise).
+    * Files without stats — no sidecar, or a null min/max from an
+    * all-null file — are conservatively KEPT: pruning is an optimization;
+    * the reader still applies the real filter, so correctness never
+    * depends on the zone maps.
+    */
+  def pruneFiles(table: String, column: String, lo: String, hi: String): Seq[String] = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val all = manifestFiles(table, snap)
+    val sidecar = manifestDir(table).resolve(s"v$snap.stats.tsv")
+    if (!Files.exists(sidecar)) return all
+    val stats = Files.readString(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+      .collect { case Array(f, c, mn, mx) if c == column => f -> (mn, mx) }.toMap
+    def overlaps(mn: String, mx: String): Boolean = {
+      if (mn == "null" || mx == "null") return true
+      (scala.util.Try(lo.toLong).toOption, scala.util.Try(hi.toLong).toOption,
+        scala.util.Try(mn.toLong).toOption, scala.util.Try(mx.toLong).toOption) match {
+        case (Some(l), Some(h), Some(fmn), Some(fmx)) => fmx >= l && fmn <= h
+        case _ => mx >= lo && mn <= hi
+      }
+    }
+    all.filter(f => stats.get(f).forall { case (mn, mx) => overlaps(mn, mx) })
+  }
+
+  /** Ranged read through the zone maps: only overlapping files are opened;
+    * the caller still applies (and Spark pushes down) the actual predicate.
+    */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: String, hi: String): DataFrame = {
+    val files = pruneFiles(table, column, lo, hi)
+    if (files.isEmpty) read(spark, table).limit(0)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
   private def writeManifest(table: String, snap: Long, files: Seq[String]): Unit = {
     Files.createDirectories(manifestDir(table))
     val manifest = files.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]")

@@ -139,6 +139,33 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sharedFiles.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f))))
   }
 
+  test("catalog zone maps: ranged reads open only overlapping files; stats-less snapshots keep all") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark
+    import ss.implicits._
+    // range-partitioned write → disjoint per-file doc_id ranges, so the
+    // zone maps can actually skip
+    val df = spark.range(0, 1000).selectExpr("id AS doc_id", "CAST(id AS STRING) AS t")
+      .repartitionByRange(8, col("doc_id"))
+    cat.commitWithStats(df, "t", Seq("doc_id"))
+    val all = cat.pruneFiles("t", "doc_id", "-1", "10000")
+    assert(all.size >= 8, s"expected >=8 files, got ${all.size}")
+    val pruned = cat.pruneFiles("t", "doc_id", "100", "220")
+    assert(pruned.nonEmpty && pruned.size <= 3,
+      s"zone maps did not skip: ${pruned.size} of ${all.size} files")
+    // the pruned read still returns exactly the filtered rows
+    val n = cat.readPruned(spark, "t", "doc_id", "100", "220")
+      .where("doc_id BETWEEN 100 AND 220").count()
+    assert(n === 121L)
+    // an out-of-range scan opens nothing and reads empty
+    assert(cat.pruneFiles("t", "doc_id", "5000", "6000").isEmpty)
+    assert(cat.readPruned(spark, "t", "doc_id", "5000", "6000").count() === 0L)
+    // a stats-less commit (plain commit) falls back to keeping every file
+    cat.commit(df, "t")
+    assert(cat.pruneFiles("t", "doc_id", "100", "220").size >= 8)
+  }
+
   test("catalog schema evolution: a metadata commit mixing old and new file schemas reads merged") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
