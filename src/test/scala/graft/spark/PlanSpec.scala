@@ -51,6 +51,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
   }
 
+  // formatted mode prints each node in the tree AND the details section;
+  // count the "(N) Exchange" detail headers so each shuffle counts once
+  // (BroadcastExchange deliberately excluded — broadcasts are not shuffles)
+  private def exchanges(p: String): Int = raw"\(\d+\) Exchange".r.findAllIn(p).size
+
+  test("recrawl dedup: row_number and the version count share ONE url-keyed exchange") {
+    val p = formatted("q_recrawl_dedup")
+    assert(exchanges(p) == 1, s"latest-capture window must shuffle once:\n$p")
+    assert(raw"\(\d+\) Window".r.findAllIn(p).size == 2, "both windows expected on the shared shuffle")
+  }
+
+  test("fetch schedule: policy join and slot window share the host shuffle") {
+    // one exchange for the frontier host key; the policy side broadcasts at
+    // this scale (and at web scale sort-merges on the SAME host key) — the
+    // window itself must not add another
+    val p = formatted("q_fetch_schedule")
+    assert(exchanges(p) <= 2, s"window added an extra shuffle:\n$p")
+  }
+
+  test("line dedup: distinct-count, join and reassembly stay within four exchanges") {
+    // (host,line,doc) distinct partial + (host,line) count + doc_id
+    // reassembly (+ a possible join shuffle at scale; broadcast here)
+    val p = formatted("q_line_dedup")
+    assert(exchanges(p) <= 4, s"boilerplate removal shuffle count grew:\n$p")
+    assert(raw"\(\d+\) HashAggregate".r.findAllIn(p).size >= 4, "line-frequency count not partial-agged")
+  }
+
   test("aggregations are map-side partial") {
     val p = formatted("q1_agg")
     // partial + final HashAggregate pair around one Exchange
