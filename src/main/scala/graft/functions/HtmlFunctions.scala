@@ -89,6 +89,40 @@ object HtmlSpans {
     StructField("kept", BooleanType, nullable = false))), containsNull = false)
 }
 
+case class HtmlLinks(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ex(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      r.links.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks = copy(child = newChild)
+  override def prettyName: String = "html_links"
+}
+
+/** Open Graph pairs as array<struct<prop,content>> — array, not map, so
+  * repeated properties (multiple og:image) and document order survive.
+  */
+case class HtmlOg(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = HtmlOg.ogArrayType
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ex(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      r.ogProps.indices.map(i => org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(r.ogProps(i)), UTF8String.fromString(r.ogVals(i)))).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlOg = copy(child = newChild)
+  override def prettyName: String = "html_og"
+}
+
+object HtmlOg {
+  import org.apache.spark.sql.types._
+  val ogArrayType: DataType = ArrayType(StructType(Seq(
+    StructField("prop", StringType, nullable = false),
+    StructField("content", StringType, nullable = false))), containsNull = false)
+}
+
 case class HtmlErrors(child: Expression) extends HtmlKernelExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -108,7 +142,9 @@ object HtmlFunctions {
     "html_title" -> (args => HtmlTitle(args.head)),
     "html_tag_count" -> (args => HtmlTagCount(args.head)),
     "html_spans" -> (args => HtmlSpans(args.head)),
-    "html_errors" -> (args => HtmlErrors(args.head))
+    "html_errors" -> (args => HtmlErrors(args.head)),
+    "html_links" -> (args => HtmlLinks(args.head)),
+    "html_og" -> (args => HtmlOg(args.head))
   )
 
   /** Imperative registration — works on any live session (no config needed). */
@@ -128,7 +164,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("html_title", (args: Seq[Expression]) => HtmlTitle(args.head)),
     ("html_tag_count", (args: Seq[Expression]) => HtmlTagCount(args.head)),
     ("html_spans", (args: Seq[Expression]) => HtmlSpans(args.head)),
-    ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head))
+    ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head)),
+    ("html_links", (args: Seq[Expression]) => HtmlLinks(args.head)),
+    ("html_og", (args: Seq[Expression]) => HtmlOg(args.head))
   ).foreach { case (name, builder) =>
     ext.injectFunction((FunctionIdentifier(name),
       new ExpressionInfo("graft.functions.HtmlFunctions", name), builder))

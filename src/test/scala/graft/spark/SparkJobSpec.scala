@@ -216,6 +216,14 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sp.where(size(col("sp")) =!= 1).count() === 0)
     assert(sp.where(size(col("er")) =!= 0).count() === 0)
     assert(sp.selectExpr("sp[0].path AS p").where(not(col("p").startsWith("/html/body/"))).count() === 0)
+    // link + Open Graph captures from pure SQL: the media corpus plants an
+    // og:title on every page and a pair of og:image on doc_id % 3 == 0
+    Pages.synthesizeMediaPages(spark, sfDir).toDF().createOrReplaceTempView("media_v")
+    val og = spark.sql(
+      """SELECT url, html_og(html) AS og, html_links(html) AS lk FROM media_v""")
+    assert(og.where(size(col("og")) < 1).count() === 0, "og:title missing somewhere")
+    assert(og.selectExpr("og[0].prop AS p").where(col("p") =!= "og:title").count() === 0)
+    assert(og.where(size(col("og")) === 3).count() > 0, "no page carries the og:image pair")
   }
 
   test("file-backed lineage records input files and row ranges") {
