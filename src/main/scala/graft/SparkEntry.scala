@@ -435,6 +435,16 @@ object SparkEntry {
     "q_gopher_rules" -> ((s, dir) =>
       // Gopher-style doc-quality rule conjunction (integer-exact subset)
       TextOps.gopherRules(docs(s, dir))),
+    "q_dup_fraction" -> ((s, dir) =>
+      // per-doc duplicated-text share (Lee et al. corpus-health metric):
+      // rides the substring-dedup gram shuffle; clean docs report 0.0
+      Dedup.dupFraction(docs(s, dir))),
+    "q_script_mix" -> ((s, dir) =>
+      // script detection over planted cyrillic/CJK runs (repeat lengths
+      // keyed by doc_id so some docs flip their dominant script)
+      TextOps.scriptMix(docs(s, dir).selectExpr("doc_id",
+        "concat(CASE WHEN doc_id % 11 = 0 THEN '' ELSE substring(text, 1, 40) END, " +
+          "repeat('д', CAST(doc_id % 7 AS INT) * 8), repeat('中', CAST(doc_id % 5 AS INT) * 6)) AS text"))),
     "q_crawl_diff" -> ((s, dir) => {
       // two simulated crawl drops: id%7==0 pages vanish (their urls return
       // as fresh ones), id%5==0 pages change content, the rest are stable —
@@ -1055,6 +1065,49 @@ object SparkEntry {
         |       CAST(min(pos) AS INTEGER) AS start_word,
         |       CAST(max(pos) + 8 AS INTEGER) AS end_word
         |FROM grp GROUP BY doc_id, gid""".stripMargin,
+    // same gram-island aggregation as q_substring_dedup, reduced to the
+    // per-doc covered-word share; LEFT JOIN keeps clean docs at 0.0, and
+    // the single n_words division matches bit-exactly
+    "q_dup_fraction" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gx AS (SELECT doc_id, i AS pos, array_to_string(list_slice(w, i + 1, i + 8), ' ') AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(0, len(w) - 8)) AS i
+        |             FROM w WHERE len(w) >= 8)),
+        |d AS (SELECT g FROM gx GROUP BY g HAVING count(*) > 1),
+        |hits AS (SELECT doc_id, pos FROM gx JOIN d USING (g)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos <= lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM hits),
+        |grp AS (SELECT doc_id, pos,
+        |               sum(coalesce(brk, 1)) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM isl),
+        |r AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 8 AS e FROM grp GROUP BY doc_id, gid),
+        |a AS (SELECT doc_id, sum(e - s) AS dw FROM r GROUP BY doc_id)
+        |SELECT dd.doc_id,
+        |       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |       CAST(coalesce(a.dw, 0) AS BIGINT) AS dup_words,
+        |       CAST(coalesce(a.dw, 0) AS DOUBLE) / (length(text) - length(replace(text, ' ', '')) + 1) AS dup_frac
+        |FROM documents dd LEFT JOIN a ON a.doc_id = dd.doc_id""".stripMargin,
+    // literal BMP ranges behave identically in RE2 and Java regex; counts
+    // are code points on both engines
+    "q_script_mix" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 11 = 0 THEN '' ELSE substring(text, 1, 40) END) ||
+        |  repeat('д', CAST(doc_id % 7 AS INTEGER) * 8) ||
+        |  repeat('中', CAST(doc_id % 5 AS INTEGER) * 6) AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '${TextOps.latinClass}', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(text) - length(regexp_replace(text, '${TextOps.cyrillicClass}', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '${TextOps.cjkClass}', '', 'g')) AS BIGINT) AS n_cjk
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk,
+        |       CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |            WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+        |            ELSE 'cjk' END AS main_script
+        |FROM m""".stripMargin,
     "q_decontaminate" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -477,6 +477,24 @@ object Dedup {
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Per-doc duplicated-text fraction (Lee et al. 2022's corpus-health
+    * metric): the share of a doc's words covered by substring-dedup ranges
+    * (8-word grams occurring >1 time anywhere). Rides `substringRanges`'
+    * single gram-hash shuffle, adds one doc-keyed partial agg + a left
+    * join back so clean docs report 0.0 — the number a curation report
+    * tracks drop-over-drop.
+    */
+  def dupFraction(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    val dupWords = substringRanges(docsDf, n)
+      .groupBy("doc_id")
+      .agg(sum(col("end_word") - col("start_word")).as("dw"))
+    docsDf.selectExpr("doc_id", s"${TextOps.tokensExpr} AS n_words")
+      .join(dupWords, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_words",
+        "CAST(coalesce(dw, 0) AS BIGINT) AS dup_words",
+        "CAST(coalesce(dw, 0) AS DOUBLE) / n_words AS dup_frac")
+  }
+
   /** Re-crawl version dedup (the CDX "latest capture per url" pass every
     * multi-drop crawl corpus needs): each url keeps only its newest capture,
     * ties broken by highest version id for determinism; `n_versions` reports

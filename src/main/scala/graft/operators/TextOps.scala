@@ -398,6 +398,30 @@ object TextOps {
       .where(expr(s"bucket < $rateCase"))
   }
 
+  /** Unicode script classes for `scriptMix` (BMP ranges — identical
+    * semantics as literal character ranges in Java regex and RE2).
+    */
+  val latinClass = "[A-Za-z]"
+  val cyrillicClass = "[Ѐ-ӿ]"
+  val cjkClass = "[一-鿿]"
+
+  /** Script-mix detection — the multilingual-curation signal language-ID
+    * models key on: per-doc counts of latin/cyrillic/CJK characters (the
+    * length-after-removal trick, codegen'd) and the dominant script with
+    * a deterministic tie order latin→cyrillic→cjk. Zero shuffles.
+    */
+  def scriptMix(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "CAST(length(text) AS BIGINT) AS n_chars",
+      s"CAST(length(text) - length(regexp_replace(text, '$latinClass', '')) AS BIGINT) AS n_latin",
+      s"CAST(length(text) - length(regexp_replace(text, '$cyrillicClass', '')) AS BIGINT) AS n_cyrillic",
+      s"CAST(length(text) - length(regexp_replace(text, '$cjkClass', '')) AS BIGINT) AS n_cjk"
+    ).selectExpr("doc_id", "n_chars", "n_latin", "n_cyrillic", "n_cjk",
+      """CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |     WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+        |     ELSE 'cjk' END AS main_script""".stripMargin)
+
   /** Temperature-flattened mixture sampling (the Pile/DoReMi-style
     * source-balancing step): source s with n_s docs keeps
     * rate = (n_min/n_s)^(1-α); α=1 keeps natural proportions, α=0

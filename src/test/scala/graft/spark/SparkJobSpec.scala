@@ -574,6 +574,37 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) == "unique 42" && r.getLong(2) == 1L && r.getLong(3) == 1L)
   }
 
+  test("dup fraction: covered-word share per doc, clean docs report zero") {
+    val s = spark
+    import s.implicits._
+    val shared = (0 until 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (0 until 8).map(i => s"a$i").mkString(" ")), // 16 words, 8 dup
+      (2L, shared + " " + (0 until 8).map(i => s"b$i").mkString(" ")), // 16 words, 8 dup
+      (3L, (0 until 16).map(i => s"c$i").mkString(" "))                // clean
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupFraction(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((16L, 8L, 0.5)))
+    assert(out(2L) == ((16L, 8L, 0.5)))
+    assert(out(3L) == ((16L, 0L, 0.0)))
+  }
+
+  test("script mix: per-script counts and dominant script with deterministic ties") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "abc де" + "中中中"),  // latin 3, cyr 2, cjk 3 → tie latin/cjk → latin
+      (2L, "яяяя ab"),            // cyr 4 > latin 2
+      (3L, "中中中 a")             // cjk 3 > latin 1
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.scriptMix(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out(1L) == ((3L, 2L, 3L, "latin")))
+    assert(out(2L) == ((2L, 4L, 0L, "cyrillic")))
+    assert(out(3L) == ((1L, 0L, 3L, "cjk")))
+  }
+
   test("crawl diff: added/removed/changed/unchanged classification") {
     val s = spark
     import s.implicits._
