@@ -429,6 +429,14 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.langIdSelect: _*)),
     "q_token_count" -> ((s, dir) => docs(s, dir).selectExpr(TextOps.tokenCountSelect: _*)),
     "q_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "q_winnow" -> ((s, dir) =>
+      // winnowing (MOSS) fingerprint selection: min gram hash per window,
+      // rightmost ties — the per-doc similarity sketch
+      TextOps.winnow(docs(s, dir))),
+    "q_len_quantiles" -> ((s, dir) =>
+      // exact per-lang length quantiles via rank arithmetic (the corpus
+      // report distribution row), interpolation shared with the oracle
+      TextOps.lenQuantiles(docs(s, dir))),
     "q_rep_quality" -> ((s, dir) =>
       // Gopher-style repetition filters: top-word / top-bigram frequency
       TextOps.repetitionStats(docs(s, dir))),
@@ -445,6 +453,18 @@ object SparkEntry {
       TextOps.scriptMix(docs(s, dir).selectExpr("doc_id",
         "concat(CASE WHEN doc_id % 11 = 0 THEN '' ELSE substring(text, 1, 40) END, " +
           "repeat('д', CAST(doc_id % 7 AS INT) * 8), repeat('中', CAST(doc_id % 5 AS INT) * 6)) AS text"))),
+    "q_frontier" -> ((s, dir) => {
+      // frontier expansion: candidate links mix seen urls (doc_id+1,
+      // doc_id%50 chrome links, doc_id*7 partially beyond the id range)
+      // with never-seen ones (the 'x' suffix); the bloom-split anti-join
+      // must emit exactly the unseen urls with their in-degree
+      val seen = docs(s, dir).selectExpr("concat('u', CAST(doc_id AS STRING)) AS url")
+      val cand = docs(s, dir).selectExpr("concat('u', CAST(doc_id + 1 AS STRING)) AS url")
+        .unionAll(docs(s, dir).selectExpr("concat('u', CAST(doc_id % 50 AS STRING)) AS url"))
+        .unionAll(docs(s, dir).selectExpr("concat('u', CAST(doc_id * 7 AS STRING)) AS url"))
+        .unionAll(docs(s, dir).selectExpr("concat('u', CAST(doc_id AS STRING), 'x') AS url"))
+      graft.operators.Crawl.frontier(cand, seen)
+    }),
     "q_crawl_diff" -> ((s, dir) => {
       // two simulated crawl drops: id%7==0 pages vanish (their urls return
       // as fresh ones), id%5==0 pages change content, the rest are stable —
@@ -1159,6 +1179,17 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // closed-form statuses from the planted drop arithmetic (id%7 removed +
     // readded under a fresh url, id%5 changed, rest unchanged)
+    // plain anti-join + in-degree: the bloom split is invisible to the
+    // answer (negatives are definitively unseen, positives exact-verified)
+    "q_frontier" ->
+      """WITH c AS (SELECT 'u' || CAST(doc_id + 1 AS VARCHAR) AS url FROM documents
+        |           UNION ALL SELECT 'u' || CAST(doc_id % 50 AS VARCHAR) FROM documents
+        |           UNION ALL SELECT 'u' || CAST(doc_id * 7 AS VARCHAR) FROM documents
+        |           UNION ALL SELECT 'u' || CAST(doc_id AS VARCHAR) || 'x' FROM documents),
+        |s AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url FROM documents),
+        |d AS (SELECT url, count(*) AS in_degree FROM c GROUP BY url)
+        |SELECT url, CAST(in_degree AS BIGINT) AS in_degree
+        |FROM d WHERE url NOT IN (SELECT url FROM s)""".stripMargin,
     "q_crawl_diff" ->
       """SELECT 'u' || CAST(doc_id AS VARCHAR) AS url, 'removed' AS status
         |FROM documents WHERE doc_id % 7 = 0
@@ -1312,6 +1343,47 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(min(($terms) % ${graft.operators.TextOps.fpMod}) AS BIGINT) AS fingerprint
         |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 15)) AS i FROM documents)
         |GROUP BY doc_id""".stripMargin
+    },
+    // the selection key gh*2^31 + (2^31-1-pos) is exact BIGINT arithmetic
+    // on both engines (gh < 2^32 from 8 md5 nibbles, pos < 2^31), so the
+    // windowed min — including the rightmost-tie rule — matches bit-exactly
+    "q_winnow" -> {
+      val nib = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |gx AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i + 1, i + 4), ' ') AS g
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 4)) AS i
+        |             FROM w WHERE len(ws) >= 4)),
+        |h AS (SELECT doc_id, pos, ($nib) AS gh
+        |      FROM (SELECT doc_id, pos, md5(g) AS m FROM gx)),
+        |s AS (SELECT DISTINCT doc_id,
+        |             min(gh * 2147483648 + (2147483647 - pos)) OVER
+        |               (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |      FROM h)
+        |SELECT doc_id, CAST(2147483647 - (sel % 2147483648) AS INTEGER) AS pos,
+        |       CAST(sel // 2147483648 AS BIGINT) AS gh FROM s""".stripMargin
+    },
+    // rank arithmetic + interpolation written EXACTLY as the Spark side
+    // (floor((cnt-1)*q) positions, lo + (hi-lo)*frac) — same IEEE doubles;
+    // DuckDB's round-on-cast is harmless because floor() is integral
+    "q_len_quantiles" -> {
+      val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)
+      val aggs = qs.zipWithIndex.map { case ((_, q), i) =>
+        val qd = s"CAST($q AS DOUBLE)" // bare 0.25 is DECIMAL on both engines
+        val lo = s"CAST(floor((cnt - 1) * $qd) AS BIGINT)"
+        s"""max(CASE WHEN rn - 1 = $lo THEN n END) AS lo$i,
+          |  max(CASE WHEN rn - 1 = least($lo + 1, cnt - 1) THEN n END) AS hi$i,
+          |  max((cnt - 1) * $qd - floor((cnt - 1) * $qd)) AS fr$i""".stripMargin
+      }.mkString(",\n  ")
+      val outs = qs.zipWithIndex.map { case ((nm, _), i) => s"lo$i + (hi$i - lo$i) * fr$i AS $nm" }
+        .mkString(", ")
+      s"""WITH r AS (SELECT lang, CAST(length(text) AS BIGINT) AS n,
+        |                  CAST(row_number() OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS BIGINT) AS rn,
+        |                  count(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents),
+        |a AS (SELECT lang, $aggs FROM r GROUP BY lang)
+        |SELECT lang, $outs FROM a""".stripMargin
     },
     "q_ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -44,4 +44,47 @@ object Crawl {
       .select(col("host"), col("url"), col("slot"),
         (col("slot") * col("delay_s")).as("fetch_at_s"))
   }
+
+  /** Frontier expansion with a Bloom-filter seen-set split: from the
+    * candidate-link stream, emit the urls NOT already in the corpus with
+    * their in-degree (the crawl-priority signal). The seen set at crawl
+    * scale is 10¹²-rows — too big to broadcast as a join side — but its
+    * Bloom filter at 1% fpp is ~1.2 bytes/url, so the split goes:
+    *
+    *   1. dedupe candidates + count in-degree (one url-keyed shuffle with
+    *      map-side partial aggregation);
+    *   2. probe the broadcast Bloom filter (narrow): NEGATIVES are
+    *      definitively unseen (no false negatives) and bypass the join
+    *      entirely — at steady crawl state most candidates are seen and
+    *      most emitted urls are bloom-negative fresh ones;
+    *   3. only bloom-POSITIVES (seen urls + the fpp sliver) pay the exact
+    *      left-anti join against the seen set, on the same url key the
+    *      in-degree agg already partitioned by.
+    *
+    * The exact verify makes the output identical to a plain anti-join —
+    * the bloom only moves rows off the shuffle, never changes the answer
+    * (Spark's own runtime row-level bloom filters play the same trick).
+    * The flagged aggregate is persisted (memory-and-disk) because both
+    * union branches consume it — without it the candidate scan and
+    * in-degree agg would run twice.
+    */
+  def frontier(candidates: DataFrame, seen: DataFrame,
+               expectedSeen: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val bloom = seen.stat.bloomFilter("url", expectedSeen, fpp)
+    val b = spark.sparkContext.broadcast(bloom)
+    val flagged = candidates.groupBy("url").agg(count(lit(1)).as("in_degree"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val f = b.value
+        it.map { case (u, d) => (u, d, f.mightContainString(u)) }
+      }
+      .toDF("url", "in_degree", "maybe_seen")
+      .persist()
+    val fresh = flagged.where(!col("maybe_seen")).drop("maybe_seen")
+    val verified = flagged.where(col("maybe_seen")).drop("maybe_seen")
+      .join(seen.select("url"), Seq("url"), "left_anti")
+    fresh.unionAll(verified)
+  }
 }

@@ -117,6 +117,87 @@ object TextOps {
     }.toDF("doc_id", "fingerprint").orderBy("doc_id")
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): from every window of `w` consecutive `k`-word
+    * grams, select the minimal gram hash, rightmost position on ties
+    * ("robust winnowing"), which guarantees any shared run of ≥ w+k-1
+    * words between two documents shares a selected fingerprint. Output
+    * (doc_id, pos, gh) is the per-doc sketch a similarity index stores
+    * instead of all grams (expected density 2/(w+1)).
+    *
+    * Cross-engine exactness: gram hash = first 8 md5 hex digits as an
+    * integer (the proven nibble-sum oracle idiom); the (hash asc, pos
+    * desc) selection order packs into ONE exact BIGINT key
+    * `gh·2³¹ + (2³¹−1−pos)` (gh < 2³², pos ≤ 2³¹−1 ⇒ key < 2⁶³), so a
+    * plain windowed `min` realizes the rightmost-tie rule identically on
+    * both engines. Trailing windows shorter than `w` at the doc tail add
+    * selections (frame clipped), which only strengthens coverage.
+    *
+    * Scale shape: gram build + md5 are codegen'd narrow projections
+    * (posexplode over slice — no UDF, gram strings never shuffle); ONE
+    * doc_id-keyed exchange feeds the sliding-window min, and the
+    * selection dedup is a collect_set on the SAME key, so the groupBy
+    * reuses the window's partitioning — no second exchange (plan guard).
+    * Per-task memory is bounded by one doc's gram count, the kernel's own
+    * per-row bound.
+    */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1L)
+    docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .where(s"size(ws) >= $k")
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, size(ws) - $k), i -> concat_ws(' ', slice(ws, i + 1, $k)))) AS (pos, g)")
+      .selectExpr("doc_id", "pos",
+        "CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT) AS gh")
+      .withColumn("sel", min(expr("gh * 2147483648 + (2147483647 - pos)")).over(win))
+      .groupBy("doc_id").agg(collect_set(col("sel")).as("sels"))
+      .select(col("doc_id"), explode(col("sels")).as("sel"))
+      .selectExpr("doc_id",
+        "CAST(2147483647 - (sel % 2147483648) AS INT) AS pos",
+        "CAST(sel div 2147483648 AS BIGINT) AS gh")
+  }
+
+  /** Exact corpus length quantiles per language (p25/p50/p75/p90/p99 of
+    * character counts, Hyndman-Fan type-7 linear interpolation — what
+    * quantile_cont and numpy compute) via explicit rank arithmetic rather
+    * than Spark's `percentile` aggregate: the exact aggregate buffers a
+    * whole group's values in one task (a straggler per hot language at
+    * corpus scale), while rank picking rides a per-lang window sort
+    * (external — spills) plus a partial-agged conditional max, the
+    * distributed-exact shape. The interpolation `lo + (hi−lo)·frac` and
+    * the rank math `floor((cnt−1)·q)` are written identically in the
+    * oracle SQL, so every output is the same two-rounding IEEE double on
+    * both engines (no double sums anywhere).
+    */
+  def lenQuantiles(docs: DataFrame,
+                   qs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+                     "p75" -> 0.75, "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.selectExpr("lang", "doc_id", "CAST(length(text) AS BIGINT) AS n")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy("n", "doc_id")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+    val aggs = qs.zipWithIndex.flatMap { case ((_, q), i) =>
+      // the quantile literal must be DOUBLE on both engines — a bare 0.25
+      // parses as DECIMAL in Spark SQL and DuckDB alike, changing the
+      // rounding path
+      val qd = s"CAST($q AS DOUBLE)"
+      val lo = s"CAST(floor((cnt - 1) * $qd) AS BIGINT)"
+      Seq(
+        max(expr(s"CASE WHEN rn - 1 = $lo THEN n END")).as(s"lo$i"),
+        max(expr(s"CASE WHEN rn - 1 = least($lo + 1, cnt - 1) THEN n END")).as(s"hi$i"),
+        max(expr(s"(cnt - 1) * $qd - floor((cnt - 1) * $qd)")).as(s"fr$i"))
+    }
+    val outs = qs.zipWithIndex.map { case ((name, _), i) =>
+      expr(s"lo$i + (hi$i - lo$i) * fr$i").as(name)
+    }
+    ranked.groupBy("lang").agg(aggs.head, aggs.tail: _*)
+      .select(col("lang") +: outs: _*)
+  }
+
   /** Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1): per
     * doc, total/distinct word counts, the count of the most frequent word,
     * and the count of the most frequent adjacent bigram. High

@@ -62,6 +62,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw"\(\d+\) Window".r.findAllIn(p).size == 2, "both windows expected on the shared shuffle")
   }
 
+  test("winnow: window min and selection dedup share ONE doc-keyed exchange") {
+    // gram build + md5 keys are narrow codegen'd projections; the sliding
+    // window shuffles once on doc_id, and the collect_set groupBy reuses
+    // that partitioning — a second exchange means the dedup regressed to
+    // a (doc_id, sel)-keyed distinct
+    val p = formatted("q_winnow")
+    assert(exchanges(p) == 1, s"winnow must shuffle exactly once:\n$p")
+  }
+
+  test("len quantiles: rank windows and conditional agg share the lang exchange") {
+    // row_number + per-lang count ride one lang-keyed shuffle; the
+    // conditional-max groupBy on the same key adds at most the final
+    // single-partition agg exchange
+    val p = formatted("q_len_quantiles")
+    assert(exchanges(p) <= 2, s"quantile rank picking grew a shuffle:\n$p")
+    assert(raw"\(\d+\) HashAggregate".r.findAllIn(p).size >= 2, "conditional max not partial-agged")
+  }
+
   test("fetch schedule: policy join and slot window share the host shuffle") {
     // one exchange for the frontier host key; the policy side broadcasts at
     // this scale (and at web scale sort-merges on the SAME host key) — the

@@ -605,6 +605,85 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((1L, 0L, 3L, "cjk")))
   }
 
+  test("winnow: selections cover every window, hashes verifiable, rightmost ties") {
+    val s = spark
+    import s.implicits._
+    val k = 4; val w = 4
+    // doc 1: 20 distinct words; doc 2: one word repeated (all gram hashes
+    // equal -> every window's min is its RIGHTMOST position); doc 3: too short
+    val docs = Seq(
+      (1L, (0 until 20).map(i => s"w${i * 7 % 13}x$i").mkString(" ")),
+      (2L, Array.fill(10)("same").mkString(" ")),
+      (3L, "only three words")
+    ).toDF("doc_id", "text")
+    val sel = graft.operators.TextOps.winnow(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(!sel.exists(_._1 == 3L))
+    // recompute gram hashes the oracle way and check selected (pos, gh) pairs
+    def gh32(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    for ((id, text) <- Seq(1L -> (0 until 20).map(i => s"w${i * 7 % 13}x$i").mkString(" "),
+                           2L -> Array.fill(10)("same").mkString(" "))) {
+      val ws = text.split(' ')
+      val grams = (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+      val keys = grams.zipWithIndex.map { case (g, p) =>
+        gh32(g) * 2147483648L + (2147483647L - p)
+      }
+      val expect = (0 until grams.length).map { i =>
+        keys.slice(i, math.min(i + w, keys.length)).min
+      }.distinct.map(kk => (id, (2147483647L - kk % 2147483648L).toInt, kk / 2147483648L)).toSet
+      val got = sel.filter(_._1 == id).toSet
+      assert(got == expect, s"doc $id: $got vs $expect")
+      // coverage: every full window of w gram positions holds a selection
+      val ps = got.map(_._2)
+      for (i <- 0 to grams.length - w)
+        assert((i until i + w).exists(ps.contains), s"window $i uncovered")
+    }
+    // all-equal hashes -> rightmost of each window: positions w-1..n_grams-1
+    assert(sel.filter(_._1 == 2L).map(_._2).sorted.toSeq == (k - 1 until 7).toSeq)
+  }
+
+  test("frontier: bloom split emits exactly the unseen urls, exact under forced FPs") {
+    val s = spark
+    import s.implicits._
+    val seen = (0 until 300).map(i => s"u$i").toDF("url")
+    val cand = ((0 until 300).map(i => s"u${i * 2}") ++ // half seen, half beyond
+      (0 until 100).map(i => s"fresh$i") ++ (0 until 100).map(i => s"fresh$i")).toDF("url")
+    // expectedSeen=8 drastically undersizes the bloom -> heavy false
+    // positives; the exact verify join must keep the answer identical
+    val out = graft.operators.Crawl.frontier(cand, seen, expectedSeen = 8, fpp = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = ((150 until 300).map(i => s"u${i * 2}" -> 1L) ++
+      (0 until 100).map(i => s"fresh$i" -> 2L)).toMap
+    assert(out == expect)
+  }
+
+  test("len quantiles: type-7 interpolation matches hand computation") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 5).map(n => (n.toLong, "en", "x" * n)) :+ ((6L, "de", "yy"))
+    val out = graft.operators.TextOps.lenQuantiles(
+      docs.toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // en lengths [1,2,3,4,5]; expected via the identical two-rounding
+    // IEEE sequence: r=(n-1)*q, lo+(hi-lo)*(r-floor(r))
+    def q7(vals: IndexedSeq[Long], q: Double): Double = {
+      val r = (vals.length - 1L) * q
+      val lo = math.floor(r).toInt
+      val hi = math.min(lo + 1, vals.length - 1)
+      vals(lo) + (vals(hi) - vals(lo)) * (r - math.floor(r))
+    }
+    val en = IndexedSeq(1L, 2L, 3L, 4L, 5L)
+    assert(out("en") == ((q7(en, 0.25), q7(en, 0.5), q7(en, 0.75), q7(en, 0.9), q7(en, 0.99))))
+    assert(out("en")._2 == 3.0 && out("en")._1 == 2.0)
+    val de = out("de")
+    assert(de == ((2.0, 2.0, 2.0, 2.0, 2.0))) // single-value group: all quantiles = value
+  }
+
   test("crawl diff: added/removed/changed/unchanged classification") {
     val s = spark
     import s.implicits._
