@@ -437,6 +437,11 @@ object SparkEntry {
       // exact per-lang length quantiles via rank arithmetic (the corpus
       // report distribution row), interpolation shared with the oracle
       TextOps.lenQuantiles(docs(s, dir))),
+    "q_sentences" -> ((s, dir) =>
+      // rule-based sentence split over planted terminal punctuation
+      // (multi-delimiter: '.', '!', '?' all exercised per doc)
+      TextOps.sentences(docs(s, dir).selectExpr("doc_id",
+        "concat('Heads up. ', substring(text, 1, 60), '! Is this it? ', 'tail') AS text"))),
     "q_rep_quality" -> ((s, dir) =>
       // Gopher-style repetition filters: top-word / top-bigram frequency
       TextOps.repetitionStats(docs(s, dir))),
@@ -453,6 +458,19 @@ object SparkEntry {
       TextOps.scriptMix(docs(s, dir).selectExpr("doc_id",
         "concat(CASE WHEN doc_id % 11 = 0 THEN '' ELSE substring(text, 1, 40) END, " +
           "repeat('д', CAST(doc_id % 7 AS INT) * 8), repeat('中', CAST(doc_id % 5 AS INT) * 6)) AS text"))),
+    "q_bucketed_join" -> ((s, dir) => {
+      // both sides written bucketBy(8, doc_id) → the equi-join reads
+      // bucket i against bucket i with ZERO shuffle exchanges (plan
+      // guard); the result is the plain features join, oracle-identical
+      val base = "/tmp/graft_bucketed"
+      graft.spark.Bucketing.writeBucketed(
+        docs(s, dir).selectExpr("doc_id", "lang", "CAST(length(text) AS BIGINT) AS n_chars"),
+        "b_docs", s"$base/b_docs", "doc_id")
+      graft.spark.Bucketing.writeBucketed(
+        docs(s, dir).selectExpr("doc_id", s"${TextOps.tokensExpr} AS n_tokens"),
+        "b_tok", s"$base/b_tok", "doc_id")
+      s.table("b_docs").join(s.table("b_tok"), "doc_id")
+    }),
     "q_frontier" -> ((s, dir) => {
       // frontier expansion: candidate links mix seen urls (doc_id+1,
       // doc_id%50 chrome links, doc_id*7 partially beyond the id range)
@@ -1179,6 +1197,12 @@ object SparkEntry {
         |FROM m""".stripMargin,
     // closed-form statuses from the planted drop arithmetic (id%7 removed +
     // readded under a fresh url, id%5 changed, rest unchanged)
+    // the bucketed layout is invisible to the answer — the oracle is the
+    // plain projection the join reconstructs
+    "q_bucketed_join" ->
+      s"""SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |       ${TextOps.tokensExpr} AS n_tokens
+        |FROM documents""".stripMargin,
     // plain anti-join + in-degree: the bloom split is invisible to the
     // answer (negatives are definitively unseen, positives exact-verified)
     "q_frontier" ->
@@ -1364,6 +1388,18 @@ object SparkEntry {
         |SELECT doc_id, CAST(2147483647 - (sel % 2147483648) AS INTEGER) AS pos,
         |       CAST(sel // 2147483648 AS BIGINT) AS gh FROM s""".stripMargin
     },
+    // pre-filter ordinality (i over the full split array) matches Spark's
+    // posexplode index; the '[.!?] +' literal class splits identically in
+    // Java regex and RE2
+    "q_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |             'Heads up. ' || substring(text, 1, 60) || '! Is this it? ' || 'tail' AS text
+        |           FROM documents),
+        |x AS (SELECT doc_id, regexp_split_to_array(text, '[.!?] +') AS l FROM t),
+        |u AS (SELECT doc_id, l, unnest(generate_series(0, len(l) - 1)) AS i FROM x)
+        |SELECT doc_id, CAST(i AS INTEGER) AS sent_idx, l[i + 1] AS sentence,
+        |       CAST(length(l[i + 1]) - length(replace(l[i + 1], ' ', '')) + 1 AS BIGINT) AS n_words
+        |FROM u WHERE l[i + 1] <> ''""".stripMargin,
     // rank arithmetic + interpolation written EXACTLY as the Spark side
     // (floor((cnt-1)*q) positions, lo + (hi-lo)*frac) — same IEEE doubles;
     // DuckDB's round-on-cast is harmless because floor() is integral

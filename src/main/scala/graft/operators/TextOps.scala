@@ -160,6 +160,20 @@ object TextOps {
         "CAST(sel div 2147483648 AS BIGINT) AS gh")
   }
 
+  /** Rule-based sentence segmentation: split on terminal punctuation
+    * followed by spaces (`[.!?] +` — a literal class with identical
+    * semantics in Java regex and RE2), emitting (doc_id, sent_idx,
+    * sentence, n_words) with the pre-filter index so empty segments drop
+    * without renumbering. The passage-granular unit for per-sentence
+    * dedup / packing / quality stats. Zero shuffles — a codegen'd
+    * posexplode projection, no UDF.
+    */
+  def sentences(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "posexplode(split(text, '[.!?] +')) AS (sent_idx, sentence)")
+      .where("sentence <> ''")
+      .selectExpr("doc_id", "sent_idx", "sentence",
+        "CAST(length(sentence) - length(replace(sentence, ' ', '')) + 1 AS BIGINT) AS n_words")
+
   /** Exact corpus length quantiles per language (p25/p50/p75/p90/p99 of
     * character counts, Hyndman-Fan type-7 linear interpolation — what
     * quantile_cont and numpy compute) via explicit rank arithmetic rather

@@ -62,6 +62,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(raw"\(\d+\) Window".r.findAllIn(p).size == 2, "both windows expected on the shared shuffle")
   }
 
+  test("bucketed join: co-located tables join with ZERO shuffle exchanges") {
+    // broadcast disabled so the guard proves the BUCKET co-location (a
+    // broadcast would also hide the shuffle, but only below the threshold)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = formatted("q_bucketed_join")
+      assert(exchanges(p) == 0, s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join over buckets:\n$p")
+      // aggregation on the bucket key rides the same layout
+      val g = spark.table("b_docs").groupBy("doc_id").count()
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(exchanges(g) == 0, s"bucketed groupBy must not shuffle:\n$g")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("winnow: window min and selection dedup share ONE doc-keyed exchange") {
     // gram build + md5 keys are narrow codegen'd projections; the sliding
     // window shuffles once on doc_id, and the collect_set groupBy reuses

@@ -684,6 +684,38 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(de == ((2.0, 2.0, 2.0, 2.0, 2.0))) // single-value group: all quantiles = value
   }
 
+  test("sentences: multi-delimiter split, pre-filter index, word counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "One two. Three! Four five six? Tail"),
+      (2L, "no punctuation here"),
+      (3L, "ends with bang! ")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.sentences(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 0, "One two", 2L), (1L, 1, "Three", 1L),
+      (1L, 2, "Four five six", 3L), (1L, 3, "Tail", 1L),
+      (2L, 0, "no punctuation here", 3L),
+      (3L, 0, "ends with bang", 3L))) // trailing '! ' is a delimiter -> empty tail segment filtered
+  }
+
+  test("bucketed tables: roundtrip preserves rows, join result exact") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 100L).map(i => (i, s"l$i")).toDF("doc_id", "lang")
+    val right = (1L to 100L).map(i => (i, i * 2)).toDF("doc_id", "n_tokens")
+    graft.spark.Bucketing.writeBucketed(left, "bt_l", "/tmp/graft_bucketed_spec/l", "doc_id", 4)
+    graft.spark.Bucketing.writeBucketed(right, "bt_r", "/tmp/graft_bucketed_spec/r", "doc_id", 4)
+    val joined = s.table("bt_l").join(s.table("bt_r"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(joined == (1L to 100L).map(i => (i, s"l$i", i * 2)).toSet)
+    // overwrite is idempotent (the contract-query path rewrites per run)
+    graft.spark.Bucketing.writeBucketed(left, "bt_l", "/tmp/graft_bucketed_spec/l", "doc_id", 4)
+    assert(s.table("bt_l").count() == 100L)
+  }
+
   test("crawl diff: added/removed/changed/unchanged classification") {
     val s = spark
     import s.implicits._
