@@ -250,6 +250,16 @@ object SparkEntry {
       ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "robots", n)
         .toDF().select("url", "meta_robots")
     }),
+    "q_canonical_dedup" -> ((s, dir) => {
+      // canonical-URL dedup over the links corpus: every 4th page declares
+      // <link rel=canonical> (two rel spellings), pairs share one target
+      // (docId div 8) — clusters collapse on the declaration, no content
+      // comparison
+      val n = s.sparkContext.defaultParallelism
+      Dedup.canonicalDedup(
+        ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "canon", n)
+          .toDF().select("url", "canonical"))
+    }),
     "q_pipeline_quality" -> ((s, dir) =>
       // composition: extraction kernel → token/char features → per-lang agg
       extracted(s, dir).toDF()
@@ -817,6 +827,17 @@ object SparkEntry {
       """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
         |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots
         |FROM documents""".stripMargin,
+    // replicates the planted canonical arithmetic (doc_id%4==0 declares,
+    // pairs share doc_id//8) — both rel spellings must have captured
+    "q_canonical_dedup" ->
+      """WITH p AS (SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |                  CASE WHEN doc_id % 4 = 0
+        |                       THEN 'https://example.com/links/canon' || CAST(doc_id // 8 AS VARCHAR)
+        |                       ELSE '' END AS canonical
+        |           FROM documents)
+        |SELECT CASE WHEN canonical <> '' THEN canonical ELSE url END AS canon,
+        |       min(url) AS keeper_url, CAST(count(*) AS BIGINT) AS n_aliases
+        |FROM p GROUP BY 1""".stripMargin,
     "q_link_graph" ->
       """WITH b AS (SELECT doc_id, 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url FROM documents)
         |SELECT url, CAST(i AS INTEGER) AS idx,

@@ -32,6 +32,11 @@ final case class ExtractResult(
     ogVals: Vector[String],
     metaRobots: String, // first <meta name=robots> content ("" if absent)
     baseHref: String, // first <base href> ("" if absent) — link-resolution base
+    // first <link rel=canonical href> ("" if absent) — the duplicate-cluster
+    // key crawl dedup groups on (mirrors/recrawls/tracking-param variants of
+    // one page all declare the same canonical); rel is a space-separated
+    // token list matched case-insensitively
+    canonical: String,
     nTokens: Long,
     nTags: Long,
     nErrors: Int,
@@ -385,6 +390,7 @@ final class ExtractSink extends TokenSink {
   private val ogVals = ArrayBuffer.empty[String] // og:* content per property (parallel)
   private var metaRobots: String = "" // first <meta name=robots> content
   private var baseHref: String = "" // first <base href>
+  private var canonicalHref: String = "" // first <link rel=canonical href>
 
   private val text = new java.lang.StringBuilder
   // first <title> content (metadata every curation pipeline wants; captured
@@ -430,7 +436,7 @@ final class ExtractSink extends TokenSink {
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); activeFmtLink.clear(); fmtMarkers.clear()
     text.setLength(0)
-    outLinks.clear(); metaRobots = ""; baseHref = ""; pendingLinkIdx = -1
+    outLinks.clear(); metaRobots = ""; baseHref = ""; canonicalHref = ""; pendingLinkIdx = -1
     imgSrcs.clear(); imgAlts.clear(); ogProps.clear(); ogVals.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
@@ -787,6 +793,21 @@ final class ExtractSink extends TokenSink {
           if (attrs(i)._1 == "href") { baseHref = attrs(i)._2; done = true }
           i += 1
         }
+      } else if (name == "link" && canonicalHref.isEmpty && attrs.nonEmpty) {
+        // <link rel=canonical href>: the page's self-declared duplicate-
+        // cluster key. rel is a space-separated token list ("alternate
+        // canonical" counts), matched case-insensitively; first wins.
+        var rel: String = null
+        var href: String = null
+        var i = 0
+        while (i < attrs.length) {
+          val k = attrs(i)._1
+          if (k == "rel" && rel == null) rel = attrs(i)._2
+          else if (k == "href" && href == null) href = attrs(i)._2
+          i += 1
+        }
+        if (rel != null && href != null && hasLinkToken(rel, "canonical"))
+          canonicalHref = href
       } else if (name == "meta" && attrs.nonEmpty) {
         // <meta name=robots content=...>: corpora respect noindex; first
         // wins. <meta property="og:*" content=...>: Open Graph pairs (the
@@ -819,6 +840,24 @@ final class ExtractSink extends TokenSink {
       dropNl = false
     }
   }
+
+  /** True when the space-separated token list `rel` contains `token`
+    * (ASCII-case-insensitively) — the HTML link-type matching rule.
+    */
+  private def hasLinkToken(rel: String, token: String): Boolean = {
+    val n = rel.length
+    var i = 0
+    while (i < n) {
+      while (i < n && relWs(rel.charAt(i))) i += 1
+      var j = i
+      while (j < n && !relWs(rel.charAt(j))) j += 1
+      if (j - i == token.length && rel.regionMatches(true, i, token, 0, token.length)) return true
+      i = j
+    }
+    false
+  }
+  private def relWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
   private def startTag(name: String, selfClosing: Boolean): Unit = {
     val f = flagsOf(name) // the ONE name-hash of the per-tag hot path
@@ -1184,7 +1223,7 @@ final class ExtractSink extends TokenSink {
       else Vector.tabulate(anch.length)(i => if (anch(i) == null) "" else anch(i).toString)
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
       outSpans.result(), outLinks.toVector, anchors, imgSrcs.toVector,
-      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, nTokens,
+      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, canonicalHref, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 

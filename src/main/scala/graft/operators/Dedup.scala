@@ -495,6 +495,19 @@ object Dedup {
         "CAST(coalesce(dw, 0) AS DOUBLE) / n_words AS dup_frac")
   }
 
+  /** Canonical-URL dedup (the crawl-side duplicate-cluster pass): pages
+    * declaring `<link rel=canonical>` group on the declared target, so
+    * mirrors, recrawls and tracking-param variants of one page collapse
+    * WITHOUT comparing content at all — the cheapest dedup signal in the
+    * stack, applied before any text hashing. Pages without a declaration
+    * are their own cluster. ONE url-keyed shuffle with map-side partial
+    * aggregation; keeper = byte-wise min url for determinism.
+    */
+  def canonicalDedup(pages: DataFrame): DataFrame =
+    pages.selectExpr("CASE WHEN canonical <> '' THEN canonical ELSE url END AS canon", "url")
+      .groupBy("canon")
+      .agg(min("url").as("keeper_url"), count(lit(1)).as("n_aliases"))
+
   /** Re-crawl version dedup (the CDX "latest capture per url" pass every
     * multi-drop crawl corpus needs): each url keeps only its newest capture,
     * ties broken by highest version id for determinism; `n_versions` reports

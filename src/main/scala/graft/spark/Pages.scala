@@ -148,6 +148,17 @@ object Pages {
     // against it instead of the page url
     if (docId % 3 == 0)
       sb.append("<base href=\"https://cdn").append(docId % 5).append(".example.org/dir/\">")
+    // every fourth page declares a canonical; pairs of pages share one
+    // (docId div 8), so canonical dedup has real clusters. Spelling varies:
+    // docId%8==0 plain; docId%8==4 href-first + multi-token uppercase rel
+    // (the link-type token rule) — both must capture
+    if (docId % 4 == 0) {
+      val canon = s"https://example.com/links/canon${docId / 8}"
+      if (docId % 8 == 0)
+        sb.append("<link rel=\"canonical\" href=\"").append(canon).append("\">")
+      else
+        sb.append("<link href=\"").append(canon).append("\" rel=\"alternate CANONICAL\">")
+    }
     sb.append("</head><body><p>intro text for doc ").append(docId).append("</p>")
     var i = 0
     while (i < k) {
