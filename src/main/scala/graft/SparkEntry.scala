@@ -565,6 +565,15 @@ object SparkEntry {
       // sources remapped 6:3:1 so the flattening actually filters
       TextOps.temperatureSample(docs(s, dir).selectExpr("doc_id",
         "CASE WHEN doc_id % 10 < 6 THEN 'web' WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source"))),
+    "q_dsir_weights" -> ((s, dir) =>
+      // DSIR-style importance weights: hashed-bigram bucket ratio of an
+      // en-language target corpus vs the full raw stream, integer-scaled
+      // (the resampling ORDER is what DSIR consumes — preserved bit-exact);
+      // bucket tables ≤256 rows broadcast onto the zero-shuffle bigram
+      // stream, one doc-keyed partial-agged sum
+      TextOps.dsirWeights(
+        docs(s, dir).select("doc_id", "text"),
+        docs(s, dir).where(col("lang") === "en").select("text"))),
     "q_url_canon" -> ((s, dir) => {
       // crawl-frontier URL canonicalization: mixed-case host, default port,
       // dot segments, unsorted query, fragment — all normalized per doc
@@ -572,6 +581,18 @@ object SparkEntry {
       UrlOps.canonicalizeUrls(docs(s, dir).selectExpr("doc_id",
         "concat('HTTPS://WWW.', upper(lang), '.Example.COM:443/', source, '/./x/../doc', CAST(doc_id AS STRING), '?z=1&a=', CAST(doc_id % 7 AS STRING), '#frag') AS url"))
     }),
+    "q_blocklist" -> ((s, dir) =>
+      // UT1-style URL blocklist gate: registrable-domain rules ride a
+      // BROADCAST join (public lists are MBs; the 10^12-row crawl never
+      // shuffles), path keywords a codegen'd CASE; precedence domain >
+      // keyword > keep. Hosts spread over 4 registrable domains and every
+      // 7th doc carries a /track/ path so all three verdict paths fire.
+      UrlOps.blocklistGate(
+        docs(s, dir).selectExpr("doc_id",
+          "concat('https://', source, '.example', CAST(doc_id % 4 AS STRING), '.com/', lang, '/page', CAST(doc_id AS STRING), CASE WHEN doc_id % 7 = 0 THEN '/track/click' ELSE '' END) AS url"),
+        domainRules = s.createDataFrame(Seq(
+          ("example0.com", "ads"), ("example2.com", "adult"))).toDF("reg_domain", "category"),
+        pathKeywords = Seq("/track/" -> "tracker"))),
     "q_text_normalize" -> ((s, dir) =>
       // C4-style cleanup over text with planted controls/ws runs
       TextOps.normalizeText(docs(s, dir).selectExpr("doc_id",
@@ -587,6 +608,20 @@ object SparkEntry {
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("w")).limit(100)),
+    "q_heavy_hitters" -> ((s, dir) =>
+      // Count-Min sketch heavy hitters (custom TypedImperativeAggregate —
+      // the vocabulary NEVER shuffles: one partial-agged sketch pass, a
+      // broadcast-literal probe, distinct over survivors only). The word
+      // stream replants skew a uniform word-soup corpus lacks: positions
+      // %10<3 become two hot tokens (~15% of the stream each); threshold =
+      // 10% of the stream, derived from the sketch's own row-0 sum (no
+      // extra count job). md5 bucketing keeps JVM / Spark SQL / DuckDB in
+      // bit-exact lock-step — even hash-collision overestimates reproduce.
+      graft.operators.Sketch.heavyHittersFrac(
+        docs(s, dir)
+          .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+          .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
+        denom = 10)),
     "q_json_props" -> ((s, dir) =>
       // semi-structured operator family: JSON extraction + aggregation over
       // the events.props payload column
@@ -1021,6 +1056,44 @@ object SparkEntry {
         |       CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref,
         |       regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain
         |FROM u""".stripMargin,
+    // DSIR surrogate replayed: hashed-bigram buckets (md5 nibble idiom),
+    // target=en counts vs raw counts, per-occurrence floor-div ratio summed
+    // per doc — all-integer, so the sum is order-independent and bit-exact
+    "q_dsir_weights" -> {
+      val terms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS bg
+        |       FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i FROM ws)),
+        |b AS (SELECT doc_id, lang, ($terms) % ${TextOps.dsirBuckets} AS bkt
+        |      FROM (SELECT doc_id, lang, md5(bg) AS m FROM bg)),
+        |t AS (SELECT bkt, count(*) AS t_cnt FROM b WHERE lang = 'en' GROUP BY bkt),
+        |r AS (SELECT bkt, count(*) AS r_cnt FROM b GROUP BY bkt)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum((${TextOps.dsirScale} * coalesce(t.t_cnt, 0)) // r.r_cnt) AS BIGINT) AS score
+        |FROM b JOIN r USING (bkt) LEFT JOIN t USING (bkt)
+        |GROUP BY b.doc_id""".stripMargin
+    },
+    // blocklist verdicts re-derived with the independent regexp host/path
+    // reconstruction (the q_url_parse recipe) + an inline CASE mirroring
+    // the Spark side's domain > keyword > keep precedence
+    "q_blocklist" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || source || '.example' || CAST(doc_id % 4 AS VARCHAR) || '.com/' || lang || '/page' || CAST(doc_id AS VARCHAR) ||
+        |         CASE WHEN doc_id % 7 = 0 THEN '/track/click' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |             regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain,
+        |             regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path
+        |      FROM u)
+        |SELECT doc_id, url, reg_domain,
+        |       CASE WHEN reg_domain = 'example0.com' THEN 'ads'
+        |            WHEN reg_domain = 'example2.com' THEN 'adult'
+        |            WHEN path LIKE '%/track/%' THEN 'tracker'
+        |            ELSE 'keep' END AS verdict
+        |FROM p""".stripMargin,
     // Oracle = exhaustive enumeration of pairs with 3-word-shingle Jaccard
     // >= 0.6 (shingle *strings*; Spark compares 64-bit shingle hashes —
     // equal counts unless a 64-bit collision occurs). The LSH candidate
@@ -1328,6 +1401,30 @@ object SparkEntry {
       """SELECT w, CAST(count(*) AS BIGINT) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY n DESC, w LIMIT 100""".stripMargin,
+    // the Count-Min sketch replayed exhaustively: per-(row,bucket) cell
+    // sums, estimate = min over rows per word, threshold = stream // 10 —
+    // the same md5-first-4-bytes bucket as the JVM aggregate, spelled with
+    // the proven nibble-positional-sum idiom; CMS error is one-sided and
+    // deterministic given the hashes, so even collision overestimates
+    // reproduce bit-for-bit
+    "q_heavy_hitters" -> {
+      val terms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH x AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |u AS (SELECT l, unnest(generate_series(0, len(l) - 1)) AS i FROM x),
+        |wx AS (SELECT CASE WHEN i % 10 < 3 THEN 'hot' || CAST(i % 2 AS VARCHAR)
+        |                   ELSE l[i + 1] END AS w FROM u),
+        |b AS (SELECT w, r, ($terms) % 64 AS bkt
+        |      FROM (SELECT w, r, md5(CAST(r AS VARCHAR) || ':' || w) AS m
+        |            FROM wx CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) rs)),
+        |cell AS (SELECT r, bkt, count(*) AS c FROM b GROUP BY r, bkt),
+        |est AS (SELECT w, min(c) AS est
+        |        FROM (SELECT DISTINCT w, r, bkt FROM b) dw
+        |        JOIN cell USING (r, bkt) GROUP BY w),
+        |n AS (SELECT count(*) AS nn FROM wx)
+        |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
+    },
     "q_redact_pii" ->
       s"""WITH d AS (SELECT doc_id,
         |  'contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || ' ' || text AS text

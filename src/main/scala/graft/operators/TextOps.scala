@@ -577,6 +577,47 @@ object TextOps {
       .toDF("doc_id", "frame_idx", "frame_offset", "frame_bytes")
   }
 
+  /** DSIR-style hashed-ngram importance weights (Xie et al. 2023, "Data
+    * Selection via Importance Resampling"): score each raw document by how
+    * much its hashed-bigram distribution resembles a target corpus.
+    *
+    * DSIR proper weights log p_target(bucket) − log p_raw(bucket); floats
+    * across engines are not bit-stable, so the score here is the
+    * integer-scaled ratio Σ floor(SCALE · t_cnt / r_cnt) over the doc's
+    * bigram occurrences — a monotone-per-bucket surrogate that keeps the
+    * resampling ORDER (what DSIR consumes) while staying bit-exact in the
+    * DuckDB oracle.
+    *
+    * Plan: bigrams are a zero-shuffle transform/explode; the two bucket
+    * tables are ≤ B rows (B=256) built with partial aggregation, then
+    * BROADCAST back onto the occurrence stream; the per-doc sum is one
+    * doc-keyed partial-agged shuffle. The 10^12-doc side never shuffles
+    * for the joins — at 100 TB the bucket tables are still 256 rows.
+    */
+  val dsirBuckets = 256
+  val dsirScale = 1000000L
+
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val bucket = s"CAST(conv(substr(md5(bg), 1, 8), 16, 10) AS BIGINT) % $dsirBuckets"
+    def bigrams(df: DataFrame, cols: String*) = df
+      .selectExpr((cols :+ "split(text, ' ') AS ws"): _*)
+      .selectExpr((cols :+
+        "CASE WHEN size(ws) < 2 THEN array() ELSE transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1])) END AS bgs"): _*)
+      .selectExpr((cols :+ "explode(bgs) AS bg"): _*)
+      .selectExpr((cols :+ s"$bucket AS bkt"): _*)
+    val rawB = bigrams(raw, "doc_id")
+    val t = bigrams(target).groupBy("bkt").agg(count(lit(1)).as("t_cnt"))
+    val r = rawB.groupBy("bkt").agg(count(lit(1)).as("r_cnt"))
+    rawB
+      .join(broadcast(r), Seq("bkt"))
+      .join(broadcast(t), Seq("bkt"), "left")
+      .selectExpr("doc_id", s"($dsirScale * coalesce(t_cnt, 0)) div r_cnt AS contrib")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("contrib").as("score"))
+      .selectExpr("doc_id", "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+        "CAST(score AS BIGINT) AS score")
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** URL canonicalization — the crawl-frontier / url-dedup key every
   * CC-scale pipeline needs before url-level dedup and politeness
@@ -84,5 +85,41 @@ object UrlOps {
     df.select("doc_id", "url").as[(Long, String)]
       .mapPartitions(_.map { case (id, u) => (id, canonicalize(u)) })
       .toDF("doc_id", "canon_url")
+  }
+
+  /** UT1-style URL blocklist gate — the curation stage every public web
+    * pipeline (C4, RefinedWeb, FineWeb) runs before touching page content:
+    * drop documents whose URL matches a category blocklist.
+    *
+    * The public lists are keyed at the REGISTRABLE-DOMAIN level (UT1 ships
+    * `domains` files per category), so matching is one equi-join on the
+    * last-two-labels domain — and the list (a few million rows ≈ tens of
+    * MB) is exactly the broadcast-side shape: the 10^12-row crawl never
+    * shuffles. Path-keyword rules (the lists' `urls` files reduced to
+    * substring patterns) are a codegen'd CASE over the parsed path — zero
+    * extra plan cost. Precedence mirrors UT1 usage: domain rule beats
+    * keyword rule beats keep.
+    *
+    * Output: (doc_id, url, reg_domain, verdict) where verdict is the
+    * blocking category or 'keep'.
+    */
+  def blocklistGate(
+      urls: DataFrame,
+      domainRules: DataFrame, // (reg_domain, category)
+      pathKeywords: Seq[(String, String)]): DataFrame = {
+    val parsed = urls.selectExpr(
+      "doc_id", "url",
+      "parse_url(url, 'HOST') AS host",
+      "parse_url(url, 'PATH') AS path")
+      .withColumn("reg_domain",
+        expr("array_join(slice(split(host, '[.]'), -2, 2), '.')"))
+    val kwVerdict = pathKeywords.reverse.foldLeft(lit(null).cast("string")) {
+      case (els, (kw, cat)) => when(col("path").contains(kw), lit(cat)).otherwise(els)
+    }
+    parsed
+      .join(broadcast(domainRules.withColumnRenamed("category", "dom_cat")),
+        Seq("reg_domain"), "left")
+      .select(col("doc_id"), col("url"), col("reg_domain"),
+        coalesce(col("dom_cat"), kwVerdict, lit("keep")).as("verdict"))
   }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch invariants: hash parity across the three spellings
+  * (JVM aggregate / Spark SQL probe / oracle recipe), the one-sided error
+  * guarantee (no heavy hitter is ever lost), partitioning-independence
+  * (partial-buffer merge + serde exercised through real shuffles), and the
+  * plan shape (ObjectHashAggregate partial/final, never per-word rows on
+  * the sketch exchange).
+  */
+class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Skewed word stream with known exact counts: two hot words, a warm
+    * word, and a long unique tail.
+    */
+  private def corpus(parts: Int) = {
+    val words =
+      Seq.fill(100)("alpha") ++ Seq.fill(60)("beta") ++ Seq.fill(9)("warm") ++
+        (0 until 200).map(i => s"tail$i")
+    spark.createDataFrame(words.map(Tuple1(_))).toDF("w").repartition(parts)
+  }
+
+  test("JVM bucket matches the Spark SQL conv() bucket for every row") {
+    val words = Seq("alpha", "beta", "the", "züge", "漢字", "a:b", "")
+    val df = spark.createDataFrame(words.map(Tuple1(_))).toDF("w")
+    for (r <- 0 until Sketch.cmsDepth) {
+      val got = df
+        .selectExpr("w", Sketch.bucketSql(r, "w", Sketch.cmsWidth) + " AS b")
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      for (w <- words)
+        assert(got(w) == Sketch.bucket(r, w, Sketch.cmsWidth), s"row $r word '$w'")
+    }
+  }
+
+  test("estimates are one-sided and no true heavy hitter is lost") {
+    val df = corpus(4)
+    val exact = df.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hh = Sketch.heavyHitters(df, minCount = 50).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-sided: every reported estimate dominates the true count
+    for ((w, est) <- hh) assert(est >= exact(w), s"$w est=$est exact=${exact(w)}")
+    // superset: every word with exact count >= threshold is present
+    for ((w, c) <- exact if c >= 50) assert(hh.contains(w), s"lost heavy hitter $w ($c)")
+    assert(hh.contains("alpha") && hh.contains("beta"))
+  }
+
+  test("partitioning-independent: 1 partition and 7 partitions agree exactly") {
+    val a = Sketch.heavyHitters(corpus(1), 50).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sketch.heavyHitters(corpus(7), 50).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("every sketch row sums to the stream length (buffer merge across partitions)") {
+    val df = corpus(5)
+    val n = df.count()
+    val sk = Sketch.sketchOf(df)
+    for (r <- 0 until Sketch.cmsDepth)
+      assert(sk.slice(r * Sketch.cmsWidth, (r + 1) * Sketch.cmsWidth).sum == n, s"row $r")
+  }
+
+  test("fractional threshold self-calibrates from the sketch (no count job)") {
+    // hot words are ~27% / 16% of a 369-word stream; denom=5 (20%) keeps
+    // only alpha; denom=10 (10%) keeps alpha+beta (plus any tail word whose
+    // three buckets ALL collide into hot mass — impossible here: tail
+    // estimates are bounded by row sums below threshold, asserted one-sided)
+    val top5 = Sketch.heavyHittersFrac(corpus(4), denom = 5)
+      .collect().map(_.getString(0)).toSet
+    assert(top5.contains("alpha") && !top5.contains("warm"))
+    val top10 = Sketch.heavyHittersFrac(corpus(4), denom = 10)
+      .collect().map(_.getString(0)).toSet
+    assert(top10.contains("alpha") && top10.contains("beta") && !top10.contains("warm"))
+  }
+
+  test("plan: sketch pass is ObjectHashAggregate partial+final — the exchange carries buffers, not words") {
+    Sketch.register(spark)
+    val plan = corpus(4).agg(expr("cms_sketch(w)")).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
+    // partial + final: the aggregate appears on both sides of the exchange
+    val aggCount = "(?i)(objecthashaggregate|sortaggregate)".r.findAllIn(plan).size
+    assert(aggCount >= 2, s"expected partial+final aggregate, got:\n$plan")
+  }
+}

@@ -157,6 +157,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project"), s"url projection left codegen:\n$plan")
   }
 
+  test("blocklist gate broadcasts the rules — the crawl side never shuffles") {
+    val p = formatted("q_blocklist")
+    assert(p.contains("BroadcastExchange"), s"domain rules not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"crawl side shuffles:\n$p")
+  }
+
+  test("dsir weights broadcast both bucket tables — the occurrence stream shuffles once (doc sum)") {
+    val p = formatted("q_dsir_weights")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, s"bucket tables not broadcast:\n$p")
+  }
+
   test("as-of join is union + window, not a range theta-join") {
     val plan = graft.SparkEntry.queries("q_asof_join")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -791,6 +791,45 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "duplicate keys keep stable order; sort is byte-wise")
   }
 
+  test("blocklist gate: domain rule beats keyword beats keep; unknown hosts pass") {
+    import org.apache.spark.sql.functions.col
+    val urls = spark.createDataFrame(Seq(
+      (1L, "https://a.bad.com/x/track/click"), // domain AND keyword → domain wins
+      (2L, "https://b.bad.com/clean"),         // domain only
+      (3L, "https://c.fine.org/x/track/y"),    // keyword only
+      (4L, "https://d.fine.org/clean"),        // keep
+      (5L, "https://sub.deep.fine.org/p")      // registrable domain = fine.org
+    )).toDF("doc_id", "url")
+    val rules = spark.createDataFrame(Seq(("bad.com", "ads"))).toDF("reg_domain", "category")
+    val out = graft.operators.UrlOps
+      .blocklistGate(urls, rules, Seq("/track/" -> "tracker"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out(1L) == ("bad.com", "ads"), "domain rule must beat keyword")
+    assert(out(2L) == ("bad.com", "ads"))
+    assert(out(3L) == ("fine.org", "tracker"))
+    assert(out(4L) == ("fine.org", "keep"))
+    assert(out(5L) == ("fine.org", "keep"), "subdomains collapse to the registrable domain")
+  }
+
+  test("dsir weights: target-aligned docs outscore disjoint docs; integer-exact and partition-independent") {
+    import graft.operators.TextOps
+    // buckets precomputed collision-free: 'a b'→77, 'b c'→253, 'x y'→146, 'y z'→45
+    val raw = spark.createDataFrame(Seq(
+      (1L, "a b c"),  // both bigrams in target → contrib (1e6·1)/1 each = 2e6
+      (2L, "x y z"),  // no target bigram → 0
+      (3L, "solo")    // 1 word → no bigrams → absent from output
+    )).toDF("doc_id", "text")
+    val target = spark.createDataFrame(Seq(Tuple1("a b c"))).toDF("text")
+    val out = TextOps.dsirWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (2L, 2000000L), s"aligned doc: ${out.get(1L)}")
+    assert(out(2L) == (2L, 0L), "disjoint doc must score 0")
+    assert(!out.contains(3L), "one-word doc has no bigrams")
+    val repart = TextOps.dsirWeights(raw.repartition(7), target).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(repart == out, "partitioning must not change integer scores")
+  }
+
   test("url resolution: absolute, scheme-relative, root-relative, path-relative, fragment") {
     import graft.operators.UrlOps.resolve
     val base = "https://h.example.org/a/b?q=1"
