@@ -260,6 +260,17 @@ object SparkEntry {
         ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "canon", n)
           .toDF().select("url", "canonical"))
     }),
+    "q_declared_lang" -> ((s, dir) => {
+      // declared-language capture (<html lang>) through the SQL surface:
+      // attr NAME uppercased (tokenizer case-folds) and value mixed-case
+      // (capture lowercases — BCP-47 compares case-insensitively); the
+      // declared-vs-detected agreement signal every curation stack keeps
+      graft.functions.HtmlFunctions.register(s)
+      docs(s, dir)
+        .selectExpr("doc_id",
+          """CAST(concat('<html LANG="', upper(lang), '-Web"><head><title>t</title></head><body><p>', text, '</p></body></html>') AS BINARY) AS html""")
+        .selectExpr("doc_id", "html_lang(html) AS declared_lang")
+    }),
     "q_pipeline_quality" -> ((s, dir) =>
       // composition: extraction kernel → token/char features → per-lang agg
       extracted(s, dir).toDF()
@@ -565,6 +576,19 @@ object SparkEntry {
       // sources remapped 6:3:1 so the flattening actually filters
       TextOps.temperatureSample(docs(s, dir).selectExpr("doc_id",
         "CASE WHEN doc_id % 10 < 6 THEN 'web' WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source"))),
+    "q_quality_model" -> ((s, dir) =>
+      // model-based quality filtering (fastText/FineWeb-Edu inference
+      // shape): per-lang integer weight vectors BROADCAST onto a codegen'd
+      // feature projection; stub weights (honest — no trained model in the
+      // container), real inference plumbing
+      TextOps.qualityModelScore(
+        docs(s, dir),
+        s.createDataFrame(Seq(
+          ("en", 100L, 3L, 1L, 50L), ("de", 200L, 2L, 1L, 40L),
+          ("es", 150L, 3L, 1L, 30L), ("fr", 120L, 2L, 1L, 35L),
+          ("zh", 80L, 4L, 1L, 20L)))
+          .toDF("lang", "w_bias", "w_tokens", "w_chars", "w_stop"),
+        threshold = 700L)),
     "q_dsir_weights" -> ((s, dir) =>
       // DSIR-style importance weights: hashed-bigram bucket ratio of an
       // en-language target corpus vs the full raw stream, integer-scaled
@@ -900,6 +924,9 @@ object SparkEntry {
         |SELECT url, CAST(k AS INTEGER), host || '/rel/' || CAST(doc_id AS VARCHAR) FROM b
         |UNION ALL
         |SELECT url, CAST(k + 1 AS INTEGER), host || dir || 'sub/page' || CAST(doc_id AS VARCHAR) FROM b""".stripMargin,
+    // the planted declaration round-trips: upper(lang)-Web in, lowercase out
+    "q_declared_lang" ->
+      "SELECT doc_id, lang || '-web' AS declared_lang FROM documents",
     "q_pipeline_quality" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
@@ -1056,6 +1083,21 @@ object SparkEntry {
         |       CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref,
         |       regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain
         |FROM u""".stripMargin,
+    // the linear model replayed over an inline VALUES weight table — the
+    // same all-integer dot product, joined on lang
+    "q_quality_model" ->
+      s"""WITH w(lang, w_bias, w_tokens, w_chars, w_stop) AS (VALUES
+        |  ('en', 100, 3, 1, 50), ('de', 200, 2, 1, 40), ('es', 150, 3, 1, 30),
+        |  ('fr', 120, 2, 1, 35), ('zh', 80, 4, 1, 20)),
+        |f AS (SELECT doc_id, lang, ${TextOps.tokensExpr} AS f_tokens,
+        |             CAST(length(text) AS BIGINT) AS f_chars,
+        |             ${TextOps.markerExpr("the")} AS f_stop
+        |      FROM documents)
+        |SELECT doc_id, f.lang,
+        |       CAST(w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop AS BIGINT) AS score,
+        |       CAST(CASE WHEN w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop >= 700
+        |            THEN 1 ELSE 0 END AS INTEGER) AS pass
+        |FROM f JOIN w ON f.lang = w.lang""".stripMargin,
     // DSIR surrogate replayed: hashed-bigram buckets (md5 nibble idiom),
     // target=en counts vs raw counts, per-occurrence floor-div ratio summed
     // per doc — all-integer, so the sum is order-independent and bit-exact

@@ -37,6 +37,14 @@ final case class ExtractResult(
     // one page all declare the same canonical); rel is a space-separated
     // token list matched case-insensitively
     canonical: String,
+    // declared document language: the first <html> start tag carrying a
+    // lang attribute ("" if none declares one), value ASCII-lowercased —
+    // BCP-47 tags compare case-insensitively and web pipelines compare the
+    // declaration against detected language as a quality signal. Later
+    // <html> tags may still donate the attribute (the spec merges missing
+    // attributes onto the root element), which "first tag WITH lang wins"
+    // realizes exactly.
+    declaredLang: String,
     nTokens: Long,
     nTags: Long,
     nErrors: Int,
@@ -391,6 +399,7 @@ final class ExtractSink extends TokenSink {
   private var metaRobots: String = "" // first <meta name=robots> content
   private var baseHref: String = "" // first <base href>
   private var canonicalHref: String = "" // first <link rel=canonical href>
+  private var declaredLang: String = "" // first <html lang=...>, lowercased
 
   private val text = new java.lang.StringBuilder
   // first <title> content (metadata every curation pipeline wants; captured
@@ -436,7 +445,7 @@ final class ExtractSink extends TokenSink {
     htmlIdx = -1; headIdx = -1; bodyIdx = -1
     activeFmt.clear(); activeFmtOpen.clear(); activeFmtNode.clear(); activeFmtLink.clear(); fmtMarkers.clear()
     text.setLength(0)
-    outLinks.clear(); metaRobots = ""; baseHref = ""; canonicalHref = ""; pendingLinkIdx = -1
+    outLinks.clear(); metaRobots = ""; baseHref = ""; canonicalHref = ""; declaredLang = ""; pendingLinkIdx = -1
     imgSrcs.clear(); imgAlts.clear(); ogProps.clear(); ogVals.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
@@ -785,6 +794,18 @@ final class ExtractSink extends TokenSink {
           i += 1
         }
         if (src != null) { imgSrcs += src; imgAlts += (if (alt == null) "" else alt) }
+      } else if (name == "html" && declaredLang.isEmpty && attrs.nonEmpty) {
+        // <html lang=...>: the declared document language. First html tag
+        // CARRYING lang wins — the spec merges missing attributes from
+        // later <html> tags onto the root, so a lang-less first tag still
+        // picks up a later declaration. BCP-47 compares case-insensitively
+        // → ASCII-lowercased.
+        var i = 0
+        while (i < attrs.length && declaredLang.isEmpty) {
+          if (attrs(i)._1 == "lang" && attrs(i)._2.nonEmpty)
+            declaredLang = attrs(i)._2.toLowerCase(java.util.Locale.ROOT)
+          i += 1
+        }
       } else if (name == "base" && baseHref.isEmpty && attrs.nonEmpty) {
         // <base href>: the document's link-resolution base; first wins
         var i = 0
@@ -1223,7 +1244,7 @@ final class ExtractSink extends TokenSink {
       else Vector.tabulate(anch.length)(i => if (anch(i) == null) "" else anch(i).toString)
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
       outSpans.result(), outLinks.toVector, anchors, imgSrcs.toVector,
-      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, canonicalHref, nTokens,
+      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, canonicalHref, declaredLang, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 

@@ -58,6 +58,14 @@ case class HtmlTitle(child: Expression) extends HtmlKernelExpression {
   override def prettyName: String = "html_title"
 }
 
+case class HtmlLang(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(ex(input.asInstanceOf[Array[Byte]]).declaredLang)
+  override protected def withNewChildInternal(newChild: Expression): HtmlLang = copy(child = newChild)
+  override def prettyName: String = "html_lang"
+}
+
 case class HtmlTagCount(child: Expression) extends HtmlKernelExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
@@ -140,6 +148,7 @@ object HtmlFunctions {
     "html_main_text" -> (args => HtmlMainText(args.head)),
     "html_text" -> (args => HtmlText(args.head)),
     "html_title" -> (args => HtmlTitle(args.head)),
+    "html_lang" -> (args => HtmlLang(args.head)),
     "html_tag_count" -> (args => HtmlTagCount(args.head)),
     "html_spans" -> (args => HtmlSpans(args.head)),
     "html_errors" -> (args => HtmlErrors(args.head)),
@@ -162,6 +171,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("html_main_text", (args: Seq[Expression]) => HtmlMainText(args.head)),
     ("html_text", (args: Seq[Expression]) => HtmlText(args.head)),
     ("html_title", (args: Seq[Expression]) => HtmlTitle(args.head)),
+    ("html_lang", (args: Seq[Expression]) => HtmlLang(args.head)),
     ("html_tag_count", (args: Seq[Expression]) => HtmlTagCount(args.head)),
     ("html_spans", (args: Seq[Expression]) => HtmlSpans(args.head)),
     ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head)),

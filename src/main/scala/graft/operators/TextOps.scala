@@ -618,6 +618,33 @@ object TextOps {
         "CAST(score AS BIGINT) AS score")
   }
 
+  /** Linear quality-classifier inference — the model-based filtering stage
+    * (fastText-style quality classifier / FineWeb-Edu scorer shape): each
+    * doc gets score = w · features with a PER-LANGUAGE weight vector.
+    *
+    * The weights here are a deterministic stub (no trained model ships in
+    * this container — declared honestly, like the multimodal decode); the
+    * Spark-side inference plumbing is the real thing and is what survives a
+    * model swap: integer feature projection (codegen'd, zero shuffle), the
+    * model as a BROADCAST join keyed by language (a real model table is
+    * KBs×langs — never shuffle the corpus for it), dot product as a
+    * codegen'd expression, and a threshold gate. All-integer arithmetic →
+    * the DuckDB oracle reproduces scores bit-exactly.
+    */
+  def qualityModelScore(docs: DataFrame, weights: DataFrame, threshold: Long): DataFrame = {
+    val feats = docs.selectExpr(
+      "doc_id", "lang",
+      s"$tokensExpr AS f_tokens",
+      "CAST(length(text) AS BIGINT) AS f_chars",
+      s"${markerExpr("the")} AS f_stop")
+    feats
+      .join(broadcast(weights), Seq("lang"))
+      .selectExpr("doc_id", "lang",
+        "w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop AS score")
+      .selectExpr("doc_id", "lang", "CAST(score AS BIGINT) AS score",
+        s"CAST(CASE WHEN score >= $threshold THEN 1 ELSE 0 END AS INTEGER) AS pass")
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -164,6 +164,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"crawl side shuffles:\n$p")
   }
 
+  test("quality-model inference broadcasts the weight table — the corpus never shuffles") {
+    val p = formatted("q_quality_model")
+    assert(p.contains("BroadcastExchange"), s"weights not broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"corpus side shuffles:\n$p")
+  }
+
   test("dsir weights broadcast both bucket tables — the occurrence stream shuffles once (doc sum)") {
     val p = formatted("q_dsir_weights")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, s"bucket tables not broadcast:\n$p")

@@ -811,6 +811,21 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) == ("fine.org", "keep"), "subdomains collapse to the registrable domain")
   }
 
+  test("quality-model inference: hand-computed integer scores, per-lang weights, threshold gate") {
+    import graft.operators.TextOps
+    val docs = spark.createDataFrame(Seq(
+      (1L, "en", "the a the"),     // tokens=3 chars=9 stop=2 → 100+9+9+100 = 218
+      (2L, "de", "der kurze satz") // tokens=3 chars=14 stop=0 → 200+6+14+0 = 220
+    )).toDF("doc_id", "lang", "text")
+    val w = spark.createDataFrame(Seq(
+      ("en", 100L, 3L, 1L, 50L), ("de", 200L, 2L, 1L, 40L)))
+      .toDF("lang", "w_bias", "w_tokens", "w_chars", "w_stop")
+    val out = TextOps.qualityModelScore(docs, w, threshold = 220L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L) == (218L, 0), s"en doc: ${out(1L)}")
+    assert(out(2L) == (220L, 1), s"de doc: ${out(2L)}")
+  }
+
   test("dsir weights: target-aligned docs outscore disjoint docs; integer-exact and partition-independent") {
     import graft.operators.TextOps
     // buckets precomputed collision-free: 'a b'→77, 'b c'→253, 'x y'→146, 'y z'→45
