@@ -285,6 +285,19 @@ object SparkEntry {
       Pages.synthesize(s, dir).toDF().createOrReplaceTempView("graft_pages")
       s.sql("SELECT url, html_main_text(html) AS main_text FROM graft_pages")
     }),
+    "q_sql_fused" -> ((s, dir) => {
+      // kernel-call fusion (CollapseHtmlKernelCalls optimizer rule): two
+      // html_* calls over one column rewrite into ONE html_extract_all per
+      // page — Catalyst's subexpression elimination never fires for opaque
+      // CodegenFallback kernels, so the rule is the CSE. Results must equal
+      // the unfused per-call semantics (the oracle doesn't care how many
+      // times the page parsed — FusionSpec asserts the plan shape).
+      graft.functions.HtmlFunctions.register(s)
+      graft.functions.HtmlFunctions.registerRule(s)
+      Pages.synthesize(s, dir).toDF().createOrReplaceTempView("graft_pages_fused")
+      s.sql("""SELECT url, html_main_text(html) AS main_text, html_title(html) AS title
+              |FROM graft_pages_fused""".stripMargin)
+    }),
     "q_tokenize_fidelity" -> ((s, dir) => {
       // reference-semantics (no tree feedback) char-token count over the
       // plain corpus: title text tokenizes in the data state, so
@@ -718,6 +731,12 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_extract_title" ->
       """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title
+        |FROM documents""".stripMargin,
+    // fused SQL surface: per-call semantics must survive the rewrite
+    "q_sql_fused" ->
+      """SELECT 'https://example.com/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '/v0' AS url,
+        |       text AS main_text,
         |       'Doc ' || CAST(doc_id AS VARCHAR) || ' - ' || source AS title
         |FROM documents""".stripMargin,
     "q_warc_charsets" -> {

@@ -143,6 +143,100 @@ case class HtmlErrors(child: Expression) extends HtmlKernelExpression {
   override def prettyName: String = "html_errors"
 }
 
+/** Every scalar capture of one kernel run as a single struct — the fusion
+  * target for [[CollapseHtmlKernelCalls]]: `SELECT html_main_text(h),
+  * html_title(h), html_links(h)` naively parses each page three times;
+  * rewritten through this expression the page parses ONCE. (Spans and og
+  * pairs stay standalone expressions — they are rarely combined and their
+  * nested struct types would bloat every fused row.)
+  */
+case class HtmlExtractAll(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType = HtmlExtractAll.structType
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ex(input.asInstanceOf[Array[Byte]])
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(r.mainText),
+      UTF8String.fromString(r.text),
+      UTF8String.fromString(r.title),
+      UTF8String.fromString(r.declaredLang),
+      r.nTags,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.links.map(UTF8String.fromString).toArray[Any]),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.errors.map(UTF8String.fromString).toArray[Any]))
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtractAll = copy(child = newChild)
+  override def prettyName: String = "html_extract_all"
+}
+
+object HtmlExtractAll {
+  import org.apache.spark.sql.types._
+  val fieldNames: Seq[String] =
+    Seq("main_text", "full_text", "title", "lang", "tag_count", "links", "errors")
+  val structType: StructType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("full_text", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("tag_count", LongType, nullable = false),
+    StructField("links", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("errors", ArrayType(StringType, containsNull = false), nullable = false)))
+}
+
+/** Optimizer rule: common-subexpression elimination for the OPAQUE kernel.
+  * Catalyst's built-in subexpression elimination never fires for
+  * CodegenFallback expressions, so a projection calling k different html_*
+  * functions on the same column parses every page k times. This rule
+  * rewrites any Project carrying ≥2 fusable kernel calls over one child
+  * into a two-level Project: the inner level runs [[HtmlExtractAll]] once
+  * per page, the outer reads struct fields. CollapseProject will not merge
+  * the levels back — the alias is non-cheap and referenced multiple times,
+  * exactly its no-duplication guard.
+  *
+  * Injected via `GraftExtensions` (config path) or
+  * `HtmlFunctions.registerRule` (live-session path, like `register`).
+  */
+object CollapseHtmlKernelCalls
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, GetStructField, NamedExpression}
+
+  /** Struct slot served by [[HtmlExtractAll]] for each fusable call type. */
+  private def fieldOf(e: Expression): Int = e match {
+    case _: HtmlMainText => 0
+    case _: HtmlText => 1
+    case _: HtmlTitle => 2
+    case _: HtmlLang => 3
+    case _: HtmlTagCount => 4
+    case _: HtmlLinks => 5
+    case _: HtmlErrors => 6
+    case _ => -1
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(projectList, child) =>
+      val calls = projectList.flatMap(_.collect {
+        case k: HtmlKernelExpression if fieldOf(k) >= 0 => k
+      })
+      // fuse only when one child expression feeds ≥2 kernel calls — a
+      // single call is already one parse, and distinct children can't share
+      val fusable = calls.groupBy(_.child.canonicalized).filter(_._2.size >= 2)
+      if (fusable.isEmpty) p
+      else {
+        val aliasFor = fusable.map { case (canon, ks) =>
+          canon -> Alias(HtmlExtractAll(ks.head.child), "_html_all")()
+        }
+        val newList = projectList.map(_.transform {
+          case k: HtmlKernelExpression
+              if fieldOf(k) >= 0 && aliasFor.contains(k.child.canonicalized) =>
+            GetStructField(aliasFor(k.child.canonicalized).toAttribute, fieldOf(k),
+              Some(HtmlExtractAll.fieldNames(fieldOf(k))))
+        }.asInstanceOf[NamedExpression])
+        Project(newList, Project(child.output ++ aliasFor.values.toSeq, child))
+      }
+  }
+}
+
 object HtmlFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "html_main_text" -> (args => HtmlMainText(args.head)),
@@ -153,7 +247,8 @@ object HtmlFunctions {
     "html_spans" -> (args => HtmlSpans(args.head)),
     "html_errors" -> (args => HtmlErrors(args.head)),
     "html_links" -> (args => HtmlLinks(args.head)),
-    "html_og" -> (args => HtmlOg(args.head))
+    "html_og" -> (args => HtmlOg(args.head)),
+    "html_extract_all" -> (args => HtmlExtractAll(args.head))
   )
 
   /** Imperative registration — works on any live session (no config needed). */
@@ -163,11 +258,18 @@ object HtmlFunctions {
       new ExpressionInfo("graft.functions.HtmlFunctions", name),
       builder)
   }
+
+  /** Live-session injection of the kernel-call fusion rule (idempotent). */
+  def registerRule(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(CollapseHtmlKernelCalls))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CollapseHtmlKernelCalls
 }
 
 /** Config-based registration: `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = Seq(
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    Seq(
     ("html_main_text", (args: Seq[Expression]) => HtmlMainText(args.head)),
     ("html_text", (args: Seq[Expression]) => HtmlText(args.head)),
     ("html_title", (args: Seq[Expression]) => HtmlTitle(args.head)),
@@ -176,9 +278,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("html_spans", (args: Seq[Expression]) => HtmlSpans(args.head)),
     ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head)),
     ("html_links", (args: Seq[Expression]) => HtmlLinks(args.head)),
-    ("html_og", (args: Seq[Expression]) => HtmlOg(args.head))
+    ("html_og", (args: Seq[Expression]) => HtmlOg(args.head)),
+    ("html_extract_all", (args: Seq[Expression]) => HtmlExtractAll(args.head))
   ).foreach { case (name, builder) =>
     ext.injectFunction((FunctionIdentifier(name),
       new ExpressionInfo("graft.functions.HtmlFunctions", name), builder))
+  }
+    ext.injectOptimizerRule(_ => CollapseHtmlKernelCalls)
   }
 }
