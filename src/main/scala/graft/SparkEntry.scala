@@ -423,6 +423,27 @@ object SparkEntry {
         .select("doc_id", "lang", "n_tokens")
     }),
     // ---- dedup family ----------------------------------------------------
+    "q_incremental_dedup" -> ((s, dir) => {
+      // incremental crawl-drop ingest with cross-snapshot exact dedup:
+      // drop 1 = even docs, drop 2 = ALL texts under fresh doc_ids (+1000)
+      // — the evens are cross-drop duplicates and must not re-land. The
+      // cross-drop check anti-joins the 16-byte digest COMPANION table
+      // (never re-reads page text); drops land as Iceberg-style fast-
+      // appends (metadata-only on existing files).
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir)
+      graft.spark.IncrementalIngest.appendDeduped(s, cat, "pages",
+        d.where("doc_id % 2 = 0").select("doc_id", "text"))
+      graft.spark.IncrementalIngest.appendDeduped(s, cat, "pages",
+        d.selectExpr("doc_id + 1000 AS doc_id", "text"))
+      cat.read(s, "pages").select("doc_id")
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withPlantedDups(docs(s, dir), every = 7, dropWords = 0))),
     "q_dedup_paragraph" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir))),
@@ -1070,6 +1091,17 @@ object SparkEntry {
         |JOIN keepers k ON k.doc_id = d.doc_id
         |WHERE ${graft.operators.TextOps.tokensExpr} >= 20""".stripMargin
     },
+    // first-arrival semantics replayed by TEXT equality (md5 equality modulo
+    // collisions — the q_dedup_exact assumption): drop-1 keepers by min even
+    // id, drop-2 admits only texts drop 1 never saw
+    "q_incremental_dedup" ->
+      """WITH d1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |d1k AS (SELECT text, min(doc_id) AS doc_id FROM d1 GROUP BY text),
+        |d2 AS (SELECT doc_id + 1000 AS doc_id, text FROM documents),
+        |d2k AS (SELECT text, min(doc_id) AS doc_id FROM d2 GROUP BY text),
+        |f2 AS (SELECT d2k.doc_id FROM d2k LEFT JOIN d1k ON d2k.text = d1k.text
+        |       WHERE d1k.text IS NULL)
+        |SELECT doc_id FROM d1k UNION ALL SELECT doc_id FROM f2""".stripMargin,
     "q_dedup_exact" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

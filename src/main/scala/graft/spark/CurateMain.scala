@@ -11,6 +11,8 @@ import graft.operators.{Dedup, TextOps}
   *   WARC ingest (charset-normalized, streaming DSv2 reader)
   *     → extraction kernel (tokenizer + tree construction + boilerplate
   *       strip; narrow mapPartitions, lineage rows on the side)
+  *     → URL blocklist gate (UT1-style category lists, broadcast domain
+  *       rules + codegen'd path keywords — the cheapest filter, first)
   *     → text features (token count, language ID)
   *     → quality floor (n_tokens ≥ minTokens)
   *     → Gopher rule gate (word-count/word-length bounds, symbol ratios,
@@ -67,8 +69,21 @@ object CurateMain {
       .toDF().persist()
     val nIn = extracted.count()
 
+    // 2a. URL blocklist gate (UT1 shape) — the cheapest filter runs FIRST,
+    // before any text touches a shuffle: registrable-domain rules broadcast,
+    // path keywords codegen'd. The stub list blocks one source path; a real
+    // deployment broadcasts the public category lists.
+    val blockRules = spark.createDataFrame(Seq(("blocked.example", "ads")))
+      .toDF("reg_domain", "category")
+    val allowed = graft.operators.UrlOps.blocklistGate(
+      extracted.selectExpr("xxhash64(url) AS doc_id", "url"),
+      blockRules, Seq("/src7/" -> "blocklist"))
+      .where(col("verdict") === "keep").select("doc_id")
+
     // 3. features over the extracted main text
     val docs = extracted.selectExpr("url", "xxhash64(url) AS doc_id", "main_text AS text")
+      .join(allowed, "doc_id")
+    val nAllowed = docs.count()
     val feats = docs
       .selectExpr("url", "doc_id", "text", s"${TextOps.tokensExpr} AS n_tokens")
       .join(docs.selectExpr(TextOps.langIdSelect: _*), "doc_id")
@@ -125,6 +140,6 @@ object CurateMain {
     val nOut = spark.read.parquet(s"$outDir/curated.parquet").count()
     extracted.unpersist()
     val wall = (System.nanoTime() - t0) / 1e9
-    f"""{"metric":"curate","docs_in":$nIn,"after_quality":$nQuality,"after_gopher":$nGopher,"after_repetition":$nRep,"pii_docs":$nPii,"near_dup_losers":$nLosers,"contaminated":$nContam,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
+    f"""{"metric":"curate","docs_in":$nIn,"after_blocklist":$nAllowed,"after_quality":$nQuality,"after_gopher":$nGopher,"after_repetition":$nRep,"pii_docs":$nPii,"near_dup_losers":$nLosers,"contaminated":$nContam,"docs_out":$nOut,"out":"$outDir/curated.parquet","wall_sec":$wall%.2f}"""
   }
 }

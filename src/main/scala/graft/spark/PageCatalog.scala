@@ -21,6 +21,9 @@ import scala.jdk.CollectionConverters._
 trait PageCatalog {
   def read(spark: SparkSession, table: String): DataFrame
   def commit(df: DataFrame, table: String): Long
+  /** Iceberg fast-append: the new snapshot = previous file list + the
+    * delta's files — metadata-only on the existing data, no rewrite. */
+  def append(df: DataFrame, table: String): Long
   def currentSnapshot(table: String): Option[Long]
 }
 
@@ -60,6 +63,22 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
         .map(_.toAbsolutePath.toString).toSeq.sorted
     }
     writeManifest(table, snap, files)
+    snap
+  }
+
+  override def append(df: DataFrame, table: String): Long = {
+    // single-writer append (the claim guards the snapshot id; concurrent
+    // appends would need a manifest-merge retry loop, like Iceberg's)
+    val prev = currentSnapshot(table).map(manifestFiles(table, _)).getOrElse(Seq.empty)
+    val snap = claimSnapshotId(table)
+    val dataDir = Paths.get(root, table, "data", s"snap-$snap")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+    }
+    writeManifest(table, snap, (prev ++ files).sorted)
     snap
   }
 

@@ -34,6 +34,7 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("pipeline runs end-to-end and reports sane stage counts") {
     assert(report.contains("\"metric\":\"curate\""))
     assert(report.contains("\"docs_in\":500"))
+    assert(report.contains("\"after_blocklist\":"))
     assert(report.contains("\"after_gopher\":"))
     assert(report.contains("\"after_repetition\":"))
     assert(report.contains("\"contaminated\":"))
