@@ -345,6 +345,14 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       // stateful-streaming operator family: flatMapGroupsWithState
       graft.streaming.ExtractStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    "q_interval_join" -> ((s, dir) =>
+      // stream-stream-join operator family (batch form; the live two-stream
+      // variant with watermark-bounded state is attributeClicksStream,
+      // MemoryStream-tested): view→click attribution, clicks pair with the
+      // same user's views from the preceding hour — range predicates ride
+      // the user-keyed sort-merge join, never a post-join filter
+      graft.streaming.ExtractStream.attributeClicks(
+        s.read.parquet(s"$dir/events.parquet"))),
     "q_distinct_agg" -> ((s, dir) =>
       // distinct-aggregation family: mixed COUNT(DISTINCT) + plain counts
       // in one aggregate — Catalyst plans this via Expand + two-phase agg
@@ -1004,6 +1012,16 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // gaps-and-islands reformulation of the 30-minute-gap sessionization;
     // microsecond epochs keep every output column an exact BIGINT
+    // the interval join replayed: same equi+range condition, timestamps
+    // microsecond-exact on both engines
+    "q_interval_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT c_user_id AS user_id, click_id, view_id
+        |FROM c JOIN v ON c_user_id = v.user_id
+        |  AND view_ts <= click_ts AND click_ts <= view_ts + INTERVAL 1 HOUR""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

@@ -221,4 +221,37 @@ object ExtractStream {
         sum(round(col("value") * 100).cast("bigint")).as("sum_value_cents"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value_cents"))
+
+  /** View→click attribution as an INTERVAL JOIN: every click pairs with the
+    * same user's views from the preceding `window` — the stream-stream-join
+    * operator family. Batch form: one user-keyed shuffle per side, the
+    * range predicates ride the sort-merge join as join conditions (never a
+    * post-join filter over a cross product).
+    */
+  def attributeClicks(events: DataFrame, window: String = "1 hour"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    clicks
+      .join(views, col("c_user_id") === col("user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** The same attribution over two live streams: both sides watermarked and
+    * the join condition time-bounded in BOTH directions, so Spark can evict
+    * view state once the click-side watermark passes view_ts + window (the
+    * state-bounding contract of stream-stream inner joins — an unbounded
+    * condition would accumulate every view forever).
+    */
+  def attributeClicksStream(views: DataFrame, clicks: DataFrame,
+                            window: String = "1 hour", lateness: String = "1 hour"): DataFrame =
+    clicks
+      .withColumnRenamed("user_id", "c_user_id")
+      .withWatermark("click_ts", lateness)
+      .join(views.withWatermark("view_ts", lateness),
+        expr(s"c_user_id = user_id AND view_ts <= click_ts AND click_ts <= view_ts + INTERVAL $window"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
 }

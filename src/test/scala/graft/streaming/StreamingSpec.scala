@@ -154,6 +154,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_.getAs[Long]("n_events") === 100000L))
   }
 
+  test("stream-stream interval join: two live streams pair across micro-batches, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val t0 = 1700000000000L
+    def ts(offMin: Long) = new java.sql.Timestamp(t0 + offMin * 60000L)
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = ExtractStream.attributeClicksStream(
+      views.toDS().toDF("user_id", "view_id", "view_ts"),
+      clicks.toDS().toDF("user_id", "click_id", "click_ts"))
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    // batch 1: user 1 views v100 at t+0; user 2 views v200 at t+0
+    views.addData((1L, 100L, ts(0)), (2L, 200L, ts(0)))
+    q.processAllAvailable()
+    // batch 2: clicks arrive LATER (cross-batch state): user 1 clicks at
+    // t+30 (within the hour → pairs with v100) and at t+90 (outside → no
+    // pair); user 3 clicks with no view at all
+    clicks.addData((1L, 500L, ts(30)), (1L, 501L, ts(90)), (3L, 502L, ts(10)))
+    q.processAllAvailable()
+    // batch 3: a second view for user 2 then a click matching BOTH views
+    views.addData((2L, 201L, ts(20)))
+    clicks.addData((2L, 600L, ts(40)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 500L, 100L), (2L, 600L, 200L), (2L, 600L, 201L)),
+      s"got $got")
+    // cross-check vs the batch interval join on the union of all events
+    val events = spark.createDataFrame(Seq(
+      (100L, ts(0), 1L, "view", 0.0), (200L, ts(0), 2L, "view", 0.0),
+      (201L, ts(20), 2L, "view", 0.0), (500L, ts(30), 1L, "click", 0.0),
+      (501L, ts(90), 1L, "click", 0.0), (502L, ts(10), 3L, "click", 0.0),
+      (600L, ts(40), 2L, "click", 0.0)
+    )).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = ExtractStream.attributeClicks(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got, s"batch $batch != streaming $got")
+  }
+
   test("watermarked window agg equals the batch groupBy on the events table") {
     val batch = ExtractStream.eventCounts(spark.read.parquet(s"$sfDir/events.parquet"))
       .collect().map(_.toSeq).sortBy(_.toString())
