@@ -618,6 +618,11 @@ object SparkEntry {
       // sources remapped 6:3:1 so the flattening actually filters
       TextOps.temperatureSample(docs(s, dir).selectExpr("doc_id",
         "CASE WHEN doc_id % 10 < 6 THEN 'web' WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source"))),
+    "q_content_filter" -> ((s, dir) =>
+      // C4-style blocked-word gate: one regex-alternation projection,
+      // codegen'd and zero-shuffle; block words chosen FROM the corpus so
+      // both verdict paths fire ('merge'/'vector' are frequent tokens)
+      TextOps.contentFilter(docs(s, dir), Seq("merge", "vector"))),
     "q_quality_model" -> ((s, dir) =>
       // model-based quality filtering (fastText/FineWeb-Edu inference
       // shape): per-lang integer weight vectors BROADCAST onto a codegen'd
@@ -1152,6 +1157,14 @@ object SparkEntry {
         |       CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref,
         |       regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain
         |FROM u""".stripMargin,
+    // the identical alternation pattern (space-padded, no backslash
+    // classes) runs on RE2; leftmost-match parity by the no-prefix rule
+    "q_content_filter" ->
+      """SELECT doc_id,
+        |       regexp_extract(' ' || text || ' ', ' (merge|vector) ', 1) AS matched,
+        |       CAST(CASE WHEN regexp_extract(' ' || text || ' ', ' (merge|vector) ', 1) = ''
+        |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM documents""".stripMargin,
     // the linear model replayed over an inline VALUES weight table — the
     // same all-integer dot product, joined on lang
     "q_quality_model" ->

@@ -645,6 +645,30 @@ object TextOps {
         s"CAST(CASE WHEN score >= $threshold THEN 1 ELSE 0 END AS INTEGER) AS pass")
   }
 
+  /** C4-style blocked-word content filter: drop documents containing any
+    * word from a block list. The list compiles into ONE regex alternation
+    * evaluated as a codegen'd zero-shuffle projection — no UDF, no join;
+    * the pattern is a literal in the plan, so a 10^12-doc scan pays one
+    * compiled automaton per task. Word-boundary semantics via the
+    * space-padding idiom (markerExpr's convention) — no backslash classes,
+    * so the IDENTICAL pattern string runs on Java regex and RE2, and the
+    * leftmost match is the same on both (no block word may prefix another;
+    * require'd).
+    *
+    * Output: (doc_id, matched — first blocked word or '', keep bit).
+    */
+  def contentFilter(docs: DataFrame, blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty && blocked.forall(_.matches("[A-Za-z0-9]+")),
+      "plain alphanumeric block words only (regex-safe on both engines)")
+    require(!blocked.combinations(2).exists(p => p(1).startsWith(p(0)) || p(0).startsWith(p(1))),
+      "no block word may prefix another (leftmost-match parity)")
+    val pat = s" (${blocked.mkString("|")}) "
+    docs.selectExpr(
+      "doc_id",
+      s"regexp_extract(concat(' ', text, ' '), '$pat', 1) AS matched",
+      s"CAST(CASE WHEN regexp_extract(concat(' ', text, ' '), '$pat', 1) = '' THEN 1 ELSE 0 END AS INTEGER) AS keep")
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -811,6 +811,28 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) == ("fine.org", "keep"), "subdomains collapse to the registrable domain")
   }
 
+  test("content filter: leftmost blocked word, clean docs keep, guard rails reject unsafe lists") {
+    import graft.operators.TextOps
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a vector then merge later"), // leftmost = vector
+      (2L, "all clean words here"),
+      (3L, "merge at the start"),
+      (4L, "vectors is not vector")      // 'vectors' must NOT match; bare 'vector' does
+    )).toDF("doc_id", "text")
+    val out = TextOps.contentFilter(docs, Seq("merge", "vector")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == ("vector", 0))
+    assert(out(2L) == ("", 1))
+    assert(out(3L) == ("merge", 0))
+    assert(out(4L) == ("vector", 0), "space-padded boundary must skip 'vectors'")
+    intercept[IllegalArgumentException] {
+      TextOps.contentFilter(docs, Seq("vec", "vector")) // prefix pair breaks parity
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.contentFilter(docs, Seq("a.b")) // regex metachars rejected
+    }
+  }
+
   test("quality-model inference: hand-computed integer scores, per-lang weights, threshold gate") {
     import graft.operators.TextOps
     val docs = spark.createDataFrame(Seq(
