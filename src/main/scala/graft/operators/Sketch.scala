@@ -57,8 +57,13 @@ object Sketch {
     * md5("r:w") as an unsigned 32-bit value, mod width. Must stay in
     * lock-step with [[bucketSql]] and the DuckDB oracle.
     */
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   def bucket(r: Int, w: String, width: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(s"$r:$w".getBytes(StandardCharsets.UTF_8))
     val u = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)

@@ -588,11 +588,15 @@ object TextOps {
     * resampling ORDER (what DSIR consumes) while staying bit-exact in the
     * DuckDB oracle.
     *
-    * Plan: bigrams are a zero-shuffle transform/explode; the two bucket
-    * tables are ≤ B rows (B=256) built with partial aggregation, then
-    * BROADCAST back onto the occurrence stream; the per-doc sum is one
-    * doc-keyed partial-agged shuffle. The 10^12-doc side never shuffles
-    * for the joins — at 100 TB the bucket tables are still 256 rows.
+    * Plan: bigrams are a zero-shuffle posexplode + neighbor concat —
+    * everything codegen'd; the obvious `transform(sequence(…), i -> …)`
+    * spelling evaluates the lambda INTERPRETED per element and measured
+    * 14× slower (tools/DsirDiag) — higher-order functions never enter
+    * whole-stage codegen. The two bucket tables are ≤ B rows (B=256) built
+    * with partial aggregation, then BROADCAST back onto the occurrence
+    * stream; the per-doc sum is one doc-keyed partial-agged shuffle. The
+    * 10^12-doc side never shuffles for the joins — at 100 TB the bucket
+    * tables are still 256 rows.
     */
   val dsirBuckets = 256
   val dsirScale = 1000000L
@@ -601,9 +605,9 @@ object TextOps {
     val bucket = s"CAST(conv(substr(md5(bg), 1, 8), 16, 10) AS BIGINT) % $dsirBuckets"
     def bigrams(df: DataFrame, cols: String*) = df
       .selectExpr((cols :+ "split(text, ' ') AS ws"): _*)
-      .selectExpr((cols :+
-        "CASE WHEN size(ws) < 2 THEN array() ELSE transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1])) END AS bgs"): _*)
-      .selectExpr((cols :+ "explode(bgs) AS bg"): _*)
+      .selectExpr((cols ++ Seq("ws", "posexplode(ws) AS (pos, w1)")): _*)
+      .where("pos < size(ws) - 1")
+      .selectExpr((cols :+ "concat(w1, ' ', ws[pos + 1]) AS bg"): _*)
       .selectExpr((cols :+ s"$bucket AS bkt"): _*)
     val rawB = bigrams(raw, "doc_id")
     val t = bigrams(target).groupBy("bkt").agg(count(lit(1)).as("t_cnt"))
