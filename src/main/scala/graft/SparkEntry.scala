@@ -618,6 +618,16 @@ object SparkEntry {
       // sources remapped 6:3:1 so the flattening actually filters
       TextOps.temperatureSample(docs(s, dir).selectExpr("doc_id",
         "CASE WHEN doc_id % 10 < 6 THEN 'web' WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source"))),
+    "q_token_budget" -> ((s, dir) =>
+      // token-budget selection ("train on the best N tokens"): global
+      // score-ordered greedy fill WITHOUT the single-task window — range
+      // repartition + per-partition prefix sums + broadcast offsets; the
+      // oracle is the naive unpartitioned window, same total order
+      TextOps.selectByTokenBudget(
+        docs(s, dir).selectExpr("doc_id",
+          "CAST(length(text) AS BIGINT) AS score",
+          s"${TextOps.tokensExpr} AS n_tokens"),
+        budget = 8000L)),
     "q_content_filter" -> ((s, dir) =>
       // C4-style blocked-word gate: one regex-alternation projection,
       // codegen'd and zero-shuffle; block words chosen FROM the corpus so
@@ -1157,6 +1167,16 @@ object SparkEntry {
         |       CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref,
         |       regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain
         |FROM u""".stripMargin,
+    // the distributed prefix-sum replayed as the naive window (same total
+    // order score desc, doc_id asc; keep while cum-before < budget)
+    "q_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS score,
+        |                   ${TextOps.tokensExpr} AS n_tokens FROM documents),
+        |s AS (SELECT doc_id, score, n_tokens,
+        |             sum(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+        |      FROM d)
+        |SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM s WHERE cum - n_tokens < 8000""".stripMargin,
     // the identical alternation pattern (space-padded, no backslash
     // classes) runs on RE2; leftmost-match parity by the no-prefix rule
     "q_content_filter" ->

@@ -673,6 +673,63 @@ object TextOps {
       s"CAST(CASE WHEN regexp_extract(concat(' ', text, ' '), '$pat', 1) = '' THEN 1 ELSE 0 END AS INTEGER) AS keep")
   }
 
+  /** Token-budget corpus selection: keep the highest-scored documents until
+    * the cumulative token budget is spent (greedy fill — the last kept doc
+    * may overshoot) — the data-mixing primitive behind "train on the best
+    * N billion tokens".
+    *
+    * The naive spelling is `sum(n_tokens) OVER (ORDER BY score DESC)` — an
+    * unpartitioned window that funnels the whole corpus through ONE task
+    * (Spark even warns). This is the scalable shape: range-repartition on
+    * the sort key, per-partition LOCAL prefix sums, per-partition totals to
+    * the driver (numPartitions longs — bytes), exclusive offsets broadcast
+    * back. Every stage stays parallel; partitions whose offset already
+    * exceeds the budget emit nothing without being consumed. Two passes
+    * over one shuffle (Spark reuses the exchange across the actions).
+    */
+  def selectByTokenBudget(docs: DataFrame, budget: Long, parts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // materialize the sorted layout as ONE RDD lineage: the two passes must
+    // observe the IDENTICAL partitioning, and two separate Dataset actions
+    // are re-planned independently (AQE may coalesce the range shuffle
+    // differently per action, silently misaligning the offsets — observed
+    // at sf0.01). An RDD's partitioning is fixed at definition; this is the
+    // genuinely-imperative-per-partition case where dropping below the
+    // DataFrame API is the correct tool.
+    val rdd = docs
+      .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "CAST(score AS BIGINT) AS score",
+        "CAST(n_tokens AS BIGINT) AS n_tokens")
+      .repartitionByRange(n, col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .as[(Long, Long, Long)]
+      .rdd
+    val nParts = rdd.getNumPartitions
+    // pass 1: per-partition token totals (nParts longs to the driver)
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
+    }.collect().toMap
+    // exclusive prefix offsets: offset(p) = tokens in all partitions before p
+    // (partition 0 holds the highest scores under the desc range order)
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    var p = 0
+    while (p < nParts) { offsets(p) = acc; acc += totals.getOrElse(p, 0L); p += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // pass 2: local prefix sum + broadcast offset; keep while cum-before < budget
+    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      if (cum >= budget) Iterator.empty
+      else it.flatMap { case (id, sc, nt) =>
+        val before = cum
+        cum += nt
+        if (before < budget) Iterator((id, sc, nt, before + nt)) else Iterator.empty
+      }
+    }
+    spark.createDataFrame(kept).toDF("doc_id", "score", "n_tokens", "cum_tokens")
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -811,6 +811,25 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(5L) == ("fine.org", "keep"), "subdomains collapse to the registrable domain")
   }
 
+  test("token-budget selection: greedy fill with overshoot, boundary exact, partition-invariant") {
+    import graft.operators.TextOps
+    // scores force order d3 > d1 > d2 > d4; tokens 5,4,3,2
+    val docs = spark.createDataFrame(Seq(
+      (1L, 50L, 4L), (2L, 40L, 3L), (3L, 60L, 5L), (4L, 30L, 2L)
+    )).toDF("doc_id", "score", "n_tokens")
+    def run(budget: Long, parts: Int) =
+      TextOps.selectByTokenBudget(docs, budget, parts).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // budget 9: d3 fills 5, d1 fills 9 exactly; d2's cum-before=9 → dropped
+    assert(run(9L, 3) == Map(3L -> 5L, 1L -> 9L))
+    // budget 10: d2 starts below budget → kept with overshoot to 12
+    assert(run(10L, 3) == Map(3L -> 5L, 1L -> 9L, 2L -> 12L))
+    // partition-count must not change the selection or the running sums
+    assert(run(10L, 1) == run(10L, 7))
+    // budget larger than the corpus keeps everything
+    assert(run(100L, 2).keySet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("content filter: leftmost blocked word, clean docs keep, guard rails reject unsafe lists") {
     import graft.operators.TextOps
     val docs = spark.createDataFrame(Seq(
