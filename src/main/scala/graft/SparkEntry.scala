@@ -703,6 +703,20 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_hll_distinct" -> ((s, dir) =>
+      // HyperLogLog per-group distinct estimate (second custom
+      // TypedImperativeAggregate): "distinct user-sessions per event type"
+      // with ONE partial-agged pass whose exchange carries 256 longs per
+      // (partition, group) — never the values. Every estimate step is
+      // integer (shift/floor-div/max over md5-derived registers), so the
+      // DuckDB oracle replays raw_est and n_zero bit-for-bit; ~1.5k
+      // distinct per group at sf0.01 puts the raw estimate in its valid
+      // regime (accuracy asserted separately in SketchSpec).
+      graft.operators.Sketch.hllDistinct(
+        s.read.parquet(s"$dir/events.parquet")
+          .selectExpr("event_type",
+            "concat(CAST(user_id AS STRING), ':', CAST(event_id % 20 AS STRING)) AS v"),
+        groupCol = "event_type", valueCol = "v")),
     "q_json_props" -> ((s, dir) =>
       // semi-structured operator family: JSON extraction + aggregation over
       // the events.props payload column
@@ -1568,6 +1582,35 @@ object SparkEntry {
         |        JOIN cell USING (r, bkt) GROUP BY w),
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
+    },
+    // HLL registers replayed exactly: j = first 2 md5 hex digits, tail =
+    // digits 3..10, rho = 33 - bitlen(tail) via length(bin()) — identical
+    // on both engines since bin() strips leading zeros; the estimate is
+    // pure integer shifts and floor divisions, fully parenthesized so the
+    // evaluation order matches Spark's
+    "q_hll_distinct" -> {
+      def nib(from: Int, n: Int): String = (0 until n)
+        .map(k => s"(strpos('0123456789abcdef', substr(m, ${from + k}, 1)) - 1) * ${1L << (4 * (n - 1 - k))}")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_type,
+        |                  md5(CAST(user_id AS VARCHAR) || ':' || CAST(event_id % 20 AS VARCHAR)) AS m
+        |           FROM events),
+        |x AS (SELECT event_type, ${nib(1, 2)} AS j, ${nib(3, 8)} AS tail FROM e),
+        |r AS (SELECT event_type, j,
+        |             max(CASE WHEN tail = 0 THEN 33 ELSE 33 - length(bin(tail)) END) AS mj
+        |      FROM x GROUP BY event_type, j),
+        |a AS (SELECT event_type,
+        |             sum(CAST(1 AS BIGINT) << CAST(33 - mj AS INT)) AS sp,
+        |             count(*) AS np
+        |      FROM r GROUP BY event_type),
+        |f AS (SELECT event_type,
+        |             sp + (256 - np) * (CAST(1 AS BIGINT) << 33) AS s,
+        |             CAST(256 - np AS INTEGER) AS n_zero
+        |      FROM a)
+        |SELECT event_type,
+        |       CAST((((CAST(65536 AS BIGINT) * (CAST(1 AS BIGINT) << 33)) // s) * 718272) // 1000000 AS BIGINT) AS raw_est,
+        |       n_zero
+        |FROM f""".stripMargin
     },
     "q_redact_pii" ->
       s"""WITH d AS (SELECT doc_id,

@@ -134,6 +134,106 @@ object Sketch {
       .distinct()
       .select(col("w"), col("est").cast("long").as("est"))
   }
+
+  // ------------------------------------------------------------------
+  // HyperLogLog distinct-count sketch (Flajolet, Fusy, Gandouet, Meunier
+  // 2007) — the cardinality companion to the Count-Min frequency sketch.
+  //
+  // Exact per-group COUNT(DISTINCT v) shuffles one row per distinct value:
+  // "distinct URLs per host" over a 100 TB crawl moves the URL universe
+  // through the exchange. The HLL path moves 256 longs (2 KB) per
+  // (partition, group) instead, regardless of cardinality, and the merge
+  // is element-wise max — so registers are also STORABLE (e.g. per crawl
+  // drop in the catalog) and unionable later without re-reading data:
+  // incremental distinct counting for free.
+  //
+  // Register hashing is md5-based like the CMS buckets, and every
+  // arithmetic step of the estimate is INTEGER (shift, floor-div, max):
+  //   j    = first 2 hex digits of md5(v)            (256 registers)
+  //   tail = hex digits 3..10 as an unsigned 32-bit value
+  //   rho  = leading zeros of tail within 32 bits + 1 (= 33 - bitlen)
+  //   M[j] = max rho;  S = sum_j 2^(33 - M[j])
+  //   raw_est = ((m^2 * 2^33) div S) * alphaScaled div 10^6
+  // `bitlen` is `length(bin(x))` on BOTH engines, so the DuckDB oracle
+  // replays the whole estimate bit-for-bit (q_hll_distinct) — no "close
+  // enough" comparisons anywhere. The classic small-range linear-counting
+  // correction needs ln() (not bit-exact cross-engine), so the operator
+  // emits `n_zero` alongside `raw_est` and leaves the correction to the
+  // caller; accuracy in the raw regime is asserted in SketchSpec.
+  // ------------------------------------------------------------------
+
+  /** m = 256 registers: standard error 1.04/sqrt(256) ≈ 6.5%. */
+  val hllM = 256
+
+  /** floor(0.7213 / (1 + 1.079/256) * 1e6) — the alpha_m bias correction
+    * as a scaled integer so the estimate stays in integer arithmetic.
+    */
+  val hllAlphaScaled = 718272L
+
+  /** Register index and rho for one value — must stay in lock-step with
+    * the SQL spellings in [[hllRegisterSql]] and the DuckDB oracle.
+    */
+  def hllJ(d: Array[Byte]): Int = d(0) & 0xff
+
+  def hllRho(d: Array[Byte]): Int = {
+    val tail = ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+    if (tail == 0L) 33 else 33 - (64 - java.lang.Long.numberOfLeadingZeros(tail))
+  }
+
+  private[operators] def md5Of(v: String): Array[Byte] = {
+    val md = mdLocal.get()
+    md.reset()
+    md.digest(v.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** (j, rho) of column `col` as Spark SQL — the parity spelling used by
+    * SketchSpec to pin the JVM aggregate against the engine's own md5/bin.
+    */
+  def hllRegisterSql(col: String): (String, String) = {
+    val j = s"CAST(conv(substr(md5($col), 1, 2), 16, 10) AS INT)"
+    val tail = s"CAST(conv(substr(md5($col), 3, 8), 16, 10) AS BIGINT)"
+    (j, s"CASE WHEN $tail = 0 THEN 33 ELSE 33 - length(bin($tail)) END")
+  }
+
+  def registerHll(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo("graft.operators.Sketch", "hll_sketch"),
+      (args: Seq[Expression]) => HllAgg(args.head))
+
+  /** Per-group approximate distinct count: (group, raw_est, n_zero).
+    * ONE partial-agged pass; the exchange carries 256 longs per
+    * (partition, group), never the values. All estimate arithmetic is
+    * integer, so the result is deterministic under any partitioning and
+    * bit-exactly replayable by the DuckDB oracle.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    registerHll(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(expr(s"hll_sketch($valueCol)").as("regs"))
+      .selectExpr(
+        groupCol,
+        // S = sum_j 2^(33 - M[j]); M in [0, 33] so terms are in [1, 2^33]
+        // and S <= 256 * 2^33 = 2^41 — BIGINT-safe
+        """aggregate(regs, CAST(0 AS BIGINT),
+          |  (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 33 - CAST(r AS INT))) AS s""".stripMargin,
+        "CAST(size(filter(regs, r -> r = 0)) AS INT) AS n_zero")
+      .selectExpr(
+        groupCol,
+        // T = (m^2 << 33) div S <= m * 2^33 = 2^41 (S >= m: every term >= 1),
+        // so T * alphaScaled < 2^41 * 2^20 stays under 2^63
+        s"(((CAST(${hllM.toLong * hllM} AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 33)) div s) * $hllAlphaScaled) div 1000000 AS raw_est",
+        "n_zero")
+  }
+
+  /** The raw registers of one un-grouped corpus — exposed for the
+    * mergeability spec (union registers == element-wise max).
+    */
+  def hllRegistersOf(df: DataFrame, valueCol: String): Array[Long] = {
+    registerHll(df.sparkSession)
+    df.agg(expr(s"hll_sketch($valueCol)").as("regs")).head().getSeq[Long](0).toArray
+  }
 }
 
 /** Count-Min sketch as a typed imperative aggregate: buffer = flat
@@ -193,4 +293,60 @@ case class CountMinAgg(
   override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
     copy(child = newChild)
   override def prettyName: String = "cms_sketch"
+}
+
+/** HyperLogLog registers as a typed imperative aggregate: buffer = flat
+  * Array[Long](256), update = max(register, rho) in one register per row,
+  * merge = element-wise max — associative/commutative/idempotent, so the
+  * partial/final split is free AND re-processing a row can never change
+  * the result (exactly-once not required of the input).
+  */
+case class HllAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Sketch.hllM)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = Sketch.md5Of(v.asInstanceOf[UTF8String].toString)
+      val j = Sketch.hllJ(d)
+      val rho = Sketch.hllRho(d).toLong
+      if (rho > buf(j)) buf(j) = rho
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllAgg =
+    copy(child = newChild)
+  override def prettyName: String = "hll_sketch"
 }

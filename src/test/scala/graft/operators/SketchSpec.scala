@@ -98,4 +98,74 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val aggCount = "(?i)(objecthashaggregate|sortaggregate)".r.findAllIn(plan).size
     assert(aggCount >= 2, s"expected partial+final aggregate, got:\n$plan")
   }
+
+  // ---------------------------- HyperLogLog ----------------------------
+
+  /** n distinct values, each repeated `dups` times, split over `parts`
+    * partitions — repetitions must not move any register.
+    */
+  private def hllCorpus(n: Int, dups: Int, parts: Int) = {
+    val vs = (0 until n).flatMap(i => Seq.fill(dups)(s"value-$i"))
+    spark.createDataFrame(vs.map(Tuple1(_))).toDF("v").repartition(parts)
+  }
+
+  test("hll: JVM (j, rho) matches the Spark SQL md5/bin spelling for every value") {
+    val vals = Seq("alpha", "züge", "漢字", "a:b", "", "x" * 500)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("v")
+    val (jSql, rhoSql) = Sketch.hllRegisterSql("v")
+    val got = df.selectExpr("v", s"$jSql AS j", s"$rhoSql AS rho")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    for (v <- vals) {
+      val d = Sketch.md5Of(v)
+      assert(got(v) == ((Sketch.hllJ(d), Sketch.hllRho(d))), s"value '$v'")
+    }
+  }
+
+  test("hll: raw estimate within 10% at 5000 distinct; duplicates change nothing") {
+    val est = Sketch.hllDistinct(hllCorpus(5000, 1, 6).selectExpr("'g' AS g", "v"), "g", "v")
+      .head().getLong(1)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"est=$est")
+    // x3 multiplicity: registers are max-based, estimate must be IDENTICAL
+    val estDup = Sketch.hllDistinct(hllCorpus(5000, 3, 6).selectExpr("'g' AS g", "v"), "g", "v")
+      .head().getLong(1)
+    assert(estDup == est)
+  }
+
+  test("hll: partitioning-independent and per-group (groups never mix registers)") {
+    def run(parts: Int) = Sketch.hllDistinct(
+      hllCorpus(1200, 2, parts).selectExpr("CASE WHEN v LIKE '%0' THEN 'tens' ELSE 'rest' END AS g", "v"),
+      "g", "v").collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val a = run(1)
+    val b = run(13)
+    assert(a == b && a.size == 2)
+    // the 'tens' group holds exactly the 120 values ending in 0 — below
+    // 2.5m the RAW estimate is biased high by design; this is precisely
+    // what the emitted n_zero is for: linear counting m*ln(m/V) recovers
+    // the cardinality (the correction the operator leaves to the caller
+    // because ln() is not bit-exact cross-engine)
+    val (_, tensRaw, tensZero) = a.find(_._1 == "tens").get
+    assert(tensRaw <= (2.5 * 256).toLong, s"raw=$tensRaw should be in the small-range regime")
+    val lc = 256.0 * math.log(256.0 / tensZero)
+    assert(math.abs(lc - 120.0) / 120.0 < 0.2, s"linear count $lc for true 120")
+    // the big group (1080 distinct) is in the raw regime and must be near it
+    val rest = a.find(_._1 == "rest").get._2
+    assert(math.abs(rest - 1080.0) / 1080.0 < 0.15, s"rest=$rest")
+  }
+
+  test("hll: merge is element-wise max — union registers == max(half registers)") {
+    val left = hllCorpus(800, 1, 3)
+    val right = spark.createDataFrame((500 until 1500).map(i => Tuple1(s"value-$i"))).toDF("v")
+    val u = Sketch.hllRegistersOf(left.union(right), "v")
+    val l = Sketch.hllRegistersOf(left, "v")
+    val r = Sketch.hllRegistersOf(right, "v")
+    assert(u.toSeq == l.zip(r).map { case (a, b) => math.max(a, b) }.toSeq)
+  }
+
+  test("hll: plan is partial+final aggregate — the exchange carries 256 longs per group, not values") {
+    Sketch.registerHll(spark)
+    val plan = hllCorpus(100, 1, 4).selectExpr("'g' AS g", "v")
+      .groupBy("g").agg(expr("hll_sketch(v)")).queryExecution.executedPlan.toString
+    val aggCount = "(?i)(objecthashaggregate|sortaggregate)".r.findAllIn(plan).size
+    assert(aggCount >= 2, s"expected partial+final aggregate, got:\n$plan")
+  }
 }
