@@ -703,6 +703,12 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_lm_perplexity" -> ((s, dir) =>
+      // CCNet-style bigram-LM quality signal: add-one-smoothed surprisal
+      // in whole bits, model pruned to count>=2 then BROADCAST onto the
+      // zero-shuffle bigram stream; integer-exact so the oracle replays
+      // every document's nll bit-for-bit
+      TextOps.lmPerplexity(docs(s, dir))),
     "q_hll_distinct" -> ((s, dir) =>
       // HyperLogLog per-group distinct estimate (second custom
       // TypedImperativeAggregate): "distinct user-sessions per event type"
@@ -1583,6 +1589,26 @@ object SparkEntry {
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
     },
+    // the bigram LM replayed exactly: same pruned model (HAVING >= 2),
+    // same add-one smoothing, surprisal via length(bin()) on the identical
+    // shifted floor-division — whole pipeline integer, so nll matches
+    // bit-for-bit per document
+    "q_lm_perplexity" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2
+        |      FROM (SELECT doc_id, l, unnest(generate_series(0, len(l) - 2)) AS i FROM ws)),
+        |m2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2 HAVING count(*) >= 2),
+        |m1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(l) AS w FROM ws)),
+        |s AS (SELECT doc_id,
+        |             length(bin(((coalesce(c1, CAST(0 AS BIGINT)) + v) << 20)
+        |                        // (coalesce(c12, CAST(0 AS BIGINT)) + 1))) - 21 AS bits
+        |      FROM b LEFT JOIN m2 USING (w1, w2) LEFT JOIN m1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bits) AS BIGINT) AS nll_bits,
+        |       CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_milli
+        |FROM s GROUP BY doc_id""".stripMargin,
     // HLL registers replayed exactly: j = first 2 md5 hex digits, tail =
     // digits 3..10, rho = 33 - bitlen(tail) via length(bin()) — identical
     // on both engines since bin() strips leading zeros; the estimate is

@@ -622,6 +622,61 @@ object TextOps {
         "CAST(score AS BIGINT) AS score")
   }
 
+  /** Bigram-LM perplexity quality signal — the CCNet-style language-model
+    * filter: score each document by how surprising its bigrams are under a
+    * corpus-trained bigram model with add-one smoothing,
+    * p(w2|w1) = (c12 + 1) / (c1 + V). CCNet ranks documents by LM
+    * perplexity and keeps the head/middle terciles; this is that signal
+    * with every arithmetic step INTEGER so the DuckDB oracle replays it
+    * bit-for-bit.
+    *
+    * Surprisal per bigram in WHOLE bits:
+    *   q    = ((c1 + V) << 20) div (c12 + 1)   — q >= 2^20 since c12 <= c1
+    *   bits = floor(log2 q) - 20 = length(bin(q)) - 21   — >= 0
+    * Whole-bit granularity is coarse per bigram but the per-doc MEAN over
+    * ~100+ bigrams (bits_milli = nll*1000 div n) resolves ~0.01 bits — far
+    * finer than the tercile cut CCNet needs. bin()/shift/floor-div are
+    * bit-identical on JVM, Spark SQL and DuckDB.
+    *
+    * Scale shape: the bigram stream is the zero-shuffle codegen'd
+    * posexplode build (dsirWeights' spelling); the MODEL is trained with
+    * two partial-agged count shuffles (counts, never occurrences, cross
+    * the wire) and pruned to count >= minCount BEFORE broadcasting — the
+    * web-scale LM-filter layout where the pruned model is MBs against a
+    * corpus of TBs; scoring is two BROADCAST joins + one broadcast scalar
+    * (V) on the unshuffled stream, then ONE doc-keyed partial-agged sum.
+    * Overflow headroom: (c1 + V) << 20 stays under 2^63 until c1 + V
+    * exceeds 8.7e12 occurrences of one prefix word.
+    */
+  def lmPerplexity(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws", "posexplode(ws) AS (pos, w1)")
+      .where("pos < size(ws) - 1")
+      .selectExpr("doc_id", "w1", "ws[pos + 1] AS w2")
+    val bigramModel = b.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c12")).where(s"c12 >= $minCount")
+    val prefixModel = b.groupBy("w1")
+      .agg(count(lit(1)).as("c1")).where(s"c1 >= $minCount")
+    // V = distinct words of the full stream, as a broadcast 1-row side so
+    // the plan stays a single job (no eager driver-side count action)
+    val vocabSize = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .agg(countDistinct($"w").as("v"))
+    b.join(broadcast(bigramModel), Seq("w1", "w2"), "left")
+      .join(broadcast(prefixModel), Seq("w1"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .selectExpr("doc_id",
+        "length(bin(shiftleft(coalesce(c1, CAST(0 AS BIGINT)) + v, 20) div (coalesce(c12, CAST(0 AS BIGINT)) + 1))) - 21 AS bits")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("nll_bits"))
+      .selectExpr("doc_id",
+        "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+        "CAST(nll_bits AS BIGINT) AS nll_bits",
+        "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_bigrams AS BIGINT) AS bits_milli")
+  }
+
   /** Linear quality-classifier inference — the model-based filtering stage
     * (fastText-style quality classifier / FineWeb-Edu scorer shape): each
     * doc gets score = w · features with a PER-LANGUAGE weight vector.

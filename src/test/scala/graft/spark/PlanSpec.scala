@@ -51,6 +51,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
   }
 
+  test("lm-perplexity scores via broadcast model joins on the unshuffled bigram stream") {
+    val p = formatted("q_lm_perplexity")
+    // both model joins (bigram + prefix counts) must broadcast — the
+    // corpus-side bigram stream never shuffles for scoring
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"expected 2 broadcast model joins, got $bhj:\n$p")
+    // V arrives as a broadcast scalar, not a driver-side collect
+    assert(p.contains("BroadcastNestedLoopJoin"), s"vocab scalar not broadcast:\n$p")
+  }
+
   // formatted mode prints each node in the tree AND the details section;
   // count the "(N) Exchange" detail headers so each shuffle counts once
   // (BroadcastExchange deliberately excluded — broadcasts are not shuffles)

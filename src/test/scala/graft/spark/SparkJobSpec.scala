@@ -830,6 +830,24 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(100L, 2).keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("lm perplexity: hand-computed add-one bigram surprisal, pruned model, 1-word docs absent") {
+    import graft.operators.TextOps
+    // corpus bigrams: (a,b)x3, (b,a), (b,c), (b,x); prefixes a:3 b:3;
+    // model at minCount=2 keeps only (a,b) and both prefixes; V = 5
+    // distinct words {a,b,c,x,z}. Surprisal q = ((c1+V)<<20) div (c12+1):
+    // (a,b) -> (8<<20)/4 = 2^21 -> 1 bit (true -log2(4/8));
+    // unseen bigrams with prefix b -> (8<<20)/1 = 2^23 -> 3 bits (1/8).
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b a b c"), (2L, "a b x"), (3L, "z")
+    )).toDF("doc_id", "text")
+    val out = TextOps.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((4L, 8L, 2000L)),  // bits 1+3+1+3
+      2L -> ((2L, 4L, 2000L))   // bits 1+3; doc 3 has no bigrams
+    ))
+  }
+
   test("content filter: leftmost blocked word, clean docs keep, guard rails reject unsafe lists") {
     import graft.operators.TextOps
     val docs = spark.createDataFrame(Seq(
