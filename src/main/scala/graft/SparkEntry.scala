@@ -703,6 +703,26 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_stats_agg" -> ((s, dir) => {
+      // metadata-only aggregation: commit documents into a snapshot catalog
+      // table with per-file zone maps + row counts, then answer
+      // min/max/count(*) from the manifest sidecar alone — ZERO data files
+      // opened (CatalogSpec proves it by deleting the data first). The
+      // 100 TB shape of "SELECT min(ts), max(ts), count(*)".
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_statsagg_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      cat.commitWithStats(
+        docs(s, dir).select("doc_id", "n_chars").repartitionByRange(8, col("doc_id")),
+        "docs", Seq("doc_id", "n_chars"))
+      cat.statsAggDF(s, "docs", "doc_id")
+        .selectExpr("CAST(min_v AS BIGINT) AS min_v", "CAST(max_v AS BIGINT) AS max_v",
+          "CAST(n_rows AS BIGINT) AS n_rows")
+    }),
     "q_lm_perplexity" -> ((s, dir) =>
       // CCNet-style bigram-LM quality signal: add-one-smoothed surprisal
       // in whole bits, model pruned to count>=2 then BROADCAST onto the
@@ -1589,6 +1609,12 @@ object SparkEntry {
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
     },
+    // the metadata path must EQUAL the scan the sidecar summarizes
+    "q_stats_agg" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS min_v,
+        |       CAST(max(doc_id) AS BIGINT) AS max_v,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents""".stripMargin,
     // the bigram LM replayed exactly: same pruned model (HAVING >= 2),
     // same add-one smoothing, surprisal via length(bin()) on the identical
     // shifted floor-division — whole pipeline integer, so nll matches

@@ -202,26 +202,90 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def commitWithStats(df: DataFrame, table: String, statsCols: Seq[String]): Long = {
     val snap = commit(df, table)
     val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax, col}
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax, count => fcount, col, lit}
     val files = manifestFiles(table, snap)
     val aggs = statsCols.flatMap(c => Seq(fmin(col(c)).cast("string").as(s"min_$c"),
-      fmax(col(c)).cast("string").as(s"max_$c")))
+      fmax(col(c)).cast("string").as(s"max_$c"))) :+ fcount(lit(1)).as("n_rows")
     val rows = spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val sb = new StringBuilder
+    val seen = scala.collection.mutable.Set.empty[String]
     rows.foreach { r =>
       // input_file_name returns a URI (file:/... or file:///...); normalize
       // to the plain absolute path the manifest stores
       val f = "/" + r.getString(0).stripPrefix("file:").dropWhile(_ == '/')
+      seen += f
       statsCols.zipWithIndex.foreach { case (c, i) =>
         sb.append(f).append('\t').append(c).append('\t')
           .append(r.getString(1 + 2 * i)).append('\t').append(r.getString(2 + 2 * i)).append('\n')
       }
+      // per-file row count under the reserved __count pseudo-column — what
+      // makes count(*) a metadata-only query (statsAgg below)
+      val n = r.getLong(1 + 2 * statsCols.length)
+      sb.append(f).append('\t').append("__count").append('\t')
+        .append(n).append('\t').append(n).append('\n')
+    }
+    // an empty writer partition still lands a 0-row parquet file the
+    // input_file_name agg never sees; record it so completeness checks pass
+    files.filterNot(seen).foreach { f =>
+      sb.append(f).append('\t').append("__count").append('\t').append(0L).append('\t').append(0L).append('\n')
     }
     Files.writeString(manifestDir(table).resolve(s"v$snap.stats.tsv"), sb.toString)
     snap
+  }
+
+  /** Metadata-only aggregation (Iceberg's manifest-stats answer path):
+    * global (min, max, count) of `column` for the CURRENT snapshot computed
+    * purely from the `v<N>.stats.tsv` sidecar — O(files) driver work, ZERO
+    * data files opened. At 100 TB this turns `SELECT min(ts), max(ts),
+    * count(*)` — the first query every pipeline dashboard runs — from a
+    * full scan into a metadata lookup.
+    *
+    * Soundness contract: answers ONLY when the sidecar is complete — every
+    * manifest file must carry a `__count` row, and every file with rows
+    * must carry a stats row for `column` (a fast-append / compaction /
+    * plain-commit snapshot has no sidecar → None; callers fall back to the
+    * real scan). min/max skip all-null files (per SQL semantics) while
+    * count(*) still includes their rows; a column whose every file is
+    * all-null yields (None, None, count).
+    */
+  def statsAgg(table: String, column: String): Option[(Option[String], Option[String], Long)] = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val all = manifestFiles(table, snap)
+    val sidecar = manifestDir(table).resolve(s"v$snap.stats.tsv")
+    if (!Files.exists(sidecar)) return None
+    val lines = Files.readString(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+    val counts = lines.collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
+    val stats = lines.collect { case Array(f, c, mn, mx) if c == column => f -> (mn, mx) }.toMap
+    // completeness: every file counted; every file WITH rows has column stats
+    if (!all.forall(counts.contains)) return None
+    if (!all.forall(f => counts(f) == 0L || stats.contains(f))) return None
+    val present = all.filter(f => counts(f) > 0L)
+      .map(stats).filter { case (mn, mx) => mn != "null" && mx != "null" }
+    val numeric = present.forall { case (mn, mx) =>
+      scala.util.Try(mn.toLong).isSuccess && scala.util.Try(mx.toLong).isSuccess }
+    def lt(a: String, b: String): Boolean =
+      if (numeric) a.toLong < b.toLong else a < b
+    val mins = present.map(_._1)
+    val maxs = present.map(_._2)
+    Some((
+      mins.reduceOption((a, b) => if (lt(a, b)) a else b),
+      maxs.reduceOption((a, b) => if (lt(a, b)) b else a),
+      all.map(counts).sum))
+  }
+
+  /** `statsAgg` as a 1-row DataFrame (min_v, max_v, n_rows — strings so any
+    * column type round-trips; cast at the call site). Throws if the sidecar
+    * cannot answer — the contract surface wants the metadata path PROVEN,
+    * not silently degraded to a scan.
+    */
+  def statsAggDF(spark: SparkSession, table: String, column: String): DataFrame = {
+    val (mn, mx, n) = statsAgg(table, column).getOrElse(
+      throw new IllegalStateException(s"stats sidecar cannot answer for $table.$column"))
+    spark.createDataFrame(Seq((mn.orNull, mx.orNull, n))).toDF("min_v", "max_v", "n_rows")
   }
 
   /** File-level zone-map pruning: the current snapshot's files whose

@@ -166,6 +166,32 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.pruneFiles("t", "doc_id", "100", "220").size >= 8)
   }
 
+  test("catalog metadata-only aggregation: answers after data deletion; refuses incomplete sidecars") {
+    import java.nio.file.{Files, Paths}
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val df = spark.range(0, 1000).selectExpr("id + 5 AS doc_id",
+      // one all-null file: ids 0..124 land in the first range partition
+      "CASE WHEN id < 125 THEN CAST(NULL AS BIGINT) ELSE id END AS v")
+      .repartitionByRange(8, col("doc_id"))
+    cat.commitWithStats(df, "t", Seq("doc_id", "v"))
+    // equality with the real scan while the data still exists
+    assert(cat.statsAgg("t", "doc_id") === Some((Some("5"), Some("1004"), 1000L)))
+    // min skips the all-null file (SQL min/max semantics) but count(*) keeps it
+    assert(cat.statsAgg("t", "v") === Some((Some("125"), Some("999"), 1000L)))
+    // the proof the path is metadata-only: delete every data file — the
+    // sidecar must still answer, because it never opens them
+    val dataFiles = cat.read(spark, "t").inputFiles.map(_.stripPrefix("file:"))
+    dataFiles.foreach(f => Files.delete(Paths.get(f)))
+    assert(cat.statsAgg("t", "doc_id") === Some((Some("5"), Some("1004"), 1000L)))
+    // a stats-less append advances CURRENT without a sidecar → the catalog
+    // refuses the metadata answer rather than returning stale totals
+    val df2 = spark.range(2000, 2100).selectExpr("id AS doc_id", "id AS v")
+    cat.append(df2, "t")
+    assert(cat.statsAgg("t", "doc_id").isEmpty)
+    intercept[IllegalStateException](cat.statsAggDF(spark, "t", "doc_id"))
+  }
+
   test("catalog schema evolution: a metadata commit mixing old and new file schemas reads merged") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
