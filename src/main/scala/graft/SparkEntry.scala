@@ -703,6 +703,25 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_stream_dedup" -> ((s, dir) => {
+      // GENUINELY STREAMING-EXECUTED contract query: a two-micro-batch
+      // MemoryStream drive of the watermark-bounded exact dedup. Batch 1 =
+      // the corpus (distinct texts at the gate sf); batch 2 = every text
+      // again under fresh ids (must ALL drop against batch-1 state) plus
+      // ' v2'-suffixed news for doc_id%7==0 (must ALL survive). Lateness
+      // 1 day >> the ts spread, so no state evicts mid-run; the eviction
+      // trade has its own spec. Oracle replays first-arrival by text.
+      import graft.streaming.ExtractStream
+      val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+      def ev(id: Long, text: String) =
+        ExtractStream.DocEvent(id, new java.sql.Timestamp(base + id * 1000L), text)
+      val d = docs(s, dir).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val b1 = d.map { case (id, t) => ev(id, t) }.toSeq
+      val b2 = d.map { case (id, t) => ev(id + 1000000L, t) }.toSeq ++
+        d.collect { case (id, t) if id % 7 == 0 => ev(id + 2000000L, t + " v2") }.toSeq
+      ExtractStream.dedupStreamDriven(s, Seq(b1, b2))
+    }),
     "q_stats_agg" -> ((s, dir) => {
       // metadata-only aggregation: commit documents into a snapshot catalog
       // table with per-file zone maps + row counts, then answer
@@ -1609,6 +1628,13 @@ object SparkEntry {
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
     },
+    // first-arrival per digest across the two batches: all originals
+    // survive, every +1000000 copy drops, every ' v2' variant survives
+    "q_stream_dedup" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |UNION ALL
+        |SELECT doc_id + 2000000, md5(text || ' v2') FROM documents
+        |WHERE doc_id % 7 = 0""".stripMargin,
     // the metadata path must EQUAL the scan the sidecar summarizes
     "q_stats_agg" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS min_v,

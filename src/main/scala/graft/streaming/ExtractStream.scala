@@ -93,6 +93,49 @@ object ExtractStream {
       .dropDuplicatesWithinWatermark("text_md5")
   }
 
+  /** One document arriving on the ingest stream (ts drives the watermark). */
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming exact dedup as a standalone operator: first arrival per text
+    * digest survives, later copies drop, and the dedup STATE is bounded by
+    * the watermark horizon — `dropDuplicatesWithinWatermark` evicts a
+    * digest once the watermark passes its event time + `lateness`, so state
+    * size tracks the dedup window instead of growing with the crawl.
+    * The trade is explicit and tested: a duplicate arriving AFTER its
+    * original's state expired is re-admitted (exact-dedup-forever is the
+    * batch job / digest-companion path; this is the continuous-ingest
+    * form). Only the 16-byte digest is keyed — page text never enters
+    * state.
+    */
+  def dedupStream(docs: DataFrame, lateness: String = "1 day"): DataFrame =
+    docs.withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("text_md5")
+      .select(col("doc_id"), col("text_md5"))
+
+  /** Deterministic multi-batch MemoryStream drive of [[dedupStream]] — the
+    * harness behind the ORACLE-CHECKED streaming query (q_stream_dedup):
+    * the caller supplies batches such that no two rows of the SAME batch
+    * share a digest (within-batch keeper choice is partition-order
+    * dependent; cross-batch it is state-deterministic), so the surviving
+    * set is exactly reproducible by SQL. Production ingest replaces the
+    * MemoryStream with the file/WARC source — the transform is identical.
+    */
+  def dedupStreamDriven(spark: SparkSession, batches: Seq[Seq[DocEvent]],
+      lateness: String = "1 day"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[DocEvent]
+    val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = dedupStream(mem.toDF(), lateness)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
   /** Gap-based sessionization (batch). Sessions = per-user event groups
     * where consecutive events are ≤ `gapUs` apart; output is one row per
     * session with exact microsecond bounds (BIGINT — bit-stable for the

@@ -46,6 +46,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() === 500)
   }
 
+  test("streaming dedup: cross-batch drop within the horizon; expired state re-admits (bounded-state trade)") {
+    import ExtractStream.DocEvent
+    val t0 = 1700000000000L
+    def ev(id: Long, tsMs: Long, text: String) = DocEvent(id, new java.sql.Timestamp(tsMs), text)
+    // lateness 10 s. batch 1 plants 'aaa' at t0; batch 2 (t0+5s) duplicates
+    // it INSIDE the horizon -> dropped; batch 3 advances the watermark far
+    // past t0+10s; batch 4 duplicates 'aaa' again AFTER its state expired ->
+    // re-admitted. That is the documented trade of watermark-bounded state:
+    // dedup-forever is the batch/digest-companion path.
+    val out = ExtractStream.dedupStreamDriven(spark, Seq(
+      Seq(ev(1, t0, "aaa"), ev(2, t0, "bbb")),
+      Seq(ev(3, t0 + 5000, "aaa"), ev(4, t0 + 5000, "ccc")),
+      Seq(ev(5, t0 + 600000, "ddd")),
+      Seq(ev(6, t0 + 601000, "aaa"))
+    ), lateness = "10 seconds").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 2L, 4L, 5L, 6L),
+      s"expected in-horizon dup 3 dropped and post-expiry dup 6 re-admitted; got ${out.mkString(",")}")
+  }
+
   test("streaming curation: quality floor + cross-batch dedup within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val ss = spark
