@@ -703,6 +703,12 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_dd_quantiles" -> ((s, dir) =>
+      // DDSketch-style mergeable per-lang token-count quantiles: integer
+      // base-2 buckets (top-4-significant-bit reps), histogram shuffle
+      // instead of distribution shuffle, ≤11.1% one-sided error — and
+      // bit-exact replayable, unlike approx_percentile
+      TextOps.ddQuantiles(docs(s, dir))),
     "q_stream_dedup" -> ((s, dir) => {
       // GENUINELY STREAMING-EXECUTED contract query: a two-micro-batch
       // MemoryStream drive of the watermark-bounded exact dedup. Batch 1 =
@@ -1628,6 +1634,26 @@ object SparkEntry {
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
     },
+    // the identical integer bucket collapse, window cumsum and ceil-rank
+    // pick — the sketch replays bit-for-bit
+    "q_dd_quantiles" ->
+      s"""WITH d AS (SELECT lang,
+        |                  greatest(CAST(1 AS BIGINT),
+        |                           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS v
+        |           FROM documents),
+        |b AS (SELECT lang,
+        |             (v >> greatest(length(bin(v)) - 4, 0)) << greatest(length(bin(v)) - 4, 0) AS rep
+        |      FROM d),
+        |c AS (SELECT lang, rep, count(*) AS c FROM b GROUP BY lang, rep),
+        |w AS (SELECT lang, rep, c,
+        |             sum(c) OVER (PARTITION BY lang ORDER BY rep) AS cum,
+        |             sum(c) OVER (PARTITION BY lang) AS n
+        |      FROM c)
+        |SELECT lang,
+        |       CAST(min(CASE WHEN cum >= (500 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p500,
+        |       CAST(min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p900,
+        |       CAST(min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p990
+        |FROM w GROUP BY lang""".stripMargin,
     // first-arrival per digest across the two batches: all originals
     // survive, every +1000000 copy drops, every ' v2' variant survives
     "q_stream_dedup" ->

@@ -622,6 +622,46 @@ object TextOps {
         "CAST(score AS BIGINT) AS score")
   }
 
+  /** DDSketch-style mergeable quantiles with INTEGER base-2 buckets — the
+    * bounded-state companion to [[lenQuantiles]] (exact, but rank
+    * arithmetic still orders the full distribution). Here each value
+    * collapses to the bucket that keeps its top 4 significant bits:
+    *
+    *   s = max(bitlen(v) - 4, 0);  rep = (v >> s) << s
+    *
+    * rep is the bucket's lower bound AND its key — ~8 buckets per octave,
+    * so a BIGINT range fits in ≤ ~480 buckets and a per-group sketch is a
+    * few KB regardless of corpus size. The quantile answer is the first
+    * rep whose cumulative count reaches rank = ceil(q·n), an UNDERESTIMATE
+    * by at most one bucket width: true·(8/9) < answer ≤ true (≤ 11.1%
+    * relative error, asserted in the spec). Every step — shifts, bitlen
+    * via length(bin()), ceil as (q·n + 999) div 1000, window cumsum over
+    * the distinct-rep order — is integer and deterministic, so the DuckDB
+    * oracle replays the answers bit-for-bit (no approx_percentile
+    * hand-waving).
+    *
+    * Scale/merge story: the sketch IS the (group, rep) count table —
+    * partial-agged (counts cross the wire, never values), trivially
+    * mergeable across crawl drops by adding counts, and the final window
+    * runs over ≤ ~480 rows per group. Exact quantiles at 100 TB shuffle
+    * the distribution; this shuffles a histogram.
+    */
+  def ddQuantiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rep =
+      "shiftleft(shiftright(v, greatest(length(bin(v)) - 4, 0)), greatest(length(bin(v)) - 4, 0))"
+    val counts = docs
+      .selectExpr("lang", s"greatest(CAST(1 AS BIGINT), $tokensExpr) AS v")
+      .selectExpr("lang", s"$rep AS rep")
+      .groupBy("lang", "rep").agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("rep")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    def at(qMilli: Int) =
+      min(when(expr(s"cum >= ($qMilli * n + 999) div 1000"), col("rep"))).as(s"p$qMilli")
+    cum.groupBy("lang").agg(at(500), at(900), at(990))
+  }
+
   /** Bigram-LM perplexity quality signal — the CCNet-style language-model
     * filter: score each document by how surprising its bigrams are under a
     * corpus-trained bigram model with add-one smoothing,

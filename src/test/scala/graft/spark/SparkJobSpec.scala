@@ -856,6 +856,22 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(100L, 2).keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("dd quantiles: deterministic bucket collapse, <=11.1% one-sided error, partition-invariant") {
+    import graft.operators.TextOps
+    // token counts 1..1000 per lang; ceil ranks 500/900/990 hit values
+    // 500/900/990, whose top-4-bit bucket lower bounds are 480/896/960 —
+    // the EXACT deterministic outputs (and each within the 8/9 bound)
+    def corpus(parts: Int) = spark.createDataFrame(
+      (1 to 1000).map(k => (k.toLong, "xx", Seq.fill(k)("w").mkString(" ")))
+    ).toDF("doc_id", "lang", "text").repartition(parts)
+    def run(parts: Int) = TextOps.ddQuantiles(corpus(parts)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = run(4)
+    assert(a === Set(("xx", 480L, 896L, 960L)), s"got $a")
+    assert(480.0 / 500 > 8.0 / 9 && 896.0 / 900 > 8.0 / 9 && 960.0 / 990 > 8.0 / 9)
+    assert(run(1) === a && run(13) === a)
+  }
+
   test("lm perplexity: hand-computed add-one bigram surprisal, pruned model, 1-word docs absent") {
     import graft.operators.TextOps
     // corpus bigrams: (a,b)x3, (b,a), (b,c), (b,x); prefixes a:3 b:3;
