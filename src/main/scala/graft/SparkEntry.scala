@@ -484,6 +484,18 @@ object SparkEntry {
       // q_ann_lsh it is approximate by design → rows-only driver check,
       // recall asserted vs brute force in SparkJobSpec
       Ann.ivfTopK(embeddings(s, dir), nHint = embCount(s, dir))),
+    "q_semdedup" -> ((s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means the embedding space, kill
+      // cosine>=0.95 near-identicals within each cluster (min-id keeper).
+      // Planted exact-duplicate vectors (+1,000,000 for vec_id % 10 == 0)
+      // guarantee the kill path fires at every sf. Rows-only like
+      // q_ann_ivf (float k-means means are not SQL-replayable); the
+      // planted-dup kill, determinism and cluster bounds are spec-pinned.
+      Ann.semDedup(
+        embeddings(s, dir).select(col("vec_id"), col("embedding"))
+          .unionAll(embeddings(s, dir).where(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))),
+        nHint = embCount(s, dir))),
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"))),

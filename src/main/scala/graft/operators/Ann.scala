@@ -274,6 +274,48 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication — k-means the
+    * embedding space into `nlist` clusters, then remove near-identical
+    * vectors WITHIN each cluster (cosine ≥ `thr`), keeping the smallest
+    * vec_id of every duplicate neighborhood. The clustering is what makes
+    * the pairwise step tractable at 10^9+ vectors: candidate pairs exist
+    * only inside a cluster, so the self-join is keyed by cluster id with
+    * per-cluster populations ~n/nlist (capped at `maxCluster` — the same
+    * degenerate-bucket guard as every bucketed self-join here); pairs
+    * crossing a cluster boundary are missed by design — the
+    * recall/tractability trade the paper makes.
+    *
+    * Output: (vec_id, cluster, keep) for EVERY input vector — keep = 0 iff
+    * a same-cluster neighbor with cosine ≥ thr and a smaller id exists.
+    * Rows-only at the oracle gate (k-means means are float — not
+    * SQL-replayable); determinism + planted-duplicate kill + cluster
+    * bounds are spec-pinned instead.
+    */
+  def semDedup(embeddings: DataFrame, thr: Double = 0.95, nlist: Int = 0,
+      maxCluster: Int = 4096, iters: Int = 3, nHint: Long = 0L): DataFrame = {
+    val n = if (nHint > 0) nHint else embeddings.count()
+    val nl = if (nlist > 0) nlist
+    else math.max(4, math.min(1024, math.sqrt(n.toDouble).toInt))
+    val assigned = ivfAssign(embeddings, nl, iters).toDF()
+    val small = assigned.groupBy("cluster").agg(count(lit(1)).as("cn"))
+      .where(col("cn") <= maxCluster).select("cluster")
+    val c = assigned.join(small, Seq("cluster"))
+    val a = c.select(col("cluster"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("norm").as("norm_a"))
+    val b = c.select(col("cluster"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    val dot = aggregate(zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val losers = a.join(b, Seq("cluster")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (dot / (col("norm_a") * col("norm_b"))).as("cos"))
+      .where(col("cos") >= thr)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select("vec_id", "cluster")
+      .join(losers.withColumn("lost", lit(1)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cluster",
+        "CAST(CASE WHEN lost IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep")
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ `thr`
     * among same-bucket candidates (the near-dup-by-embedding dedup operator).
     * Output is the integer pair set only (the cosine is a float whose last

@@ -353,6 +353,35 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.size < 5000, s"degenerate bucket not capped: ${pairs.size} pairs")
   }
 
+  test("semDedup: planted twins lose to min-id keepers, originals keep, deterministic, clusters bounded") {
+    val s = spark
+    import s.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val m = new graft.spark.Mix(seed)
+      Array.fill(64)((m.next() >>> 11).toFloat / (1L << 53).toFloat - 0.5f)
+    }
+    // 40 well-separated base vectors; every 4th gets an exact twin at
+    // +1,000,000 — identical vectors share a nearest centroid, so every
+    // twin must be killed and every original kept
+    val rows = (0L until 40L).map(i => (i, vec(7 + i))) ++
+      (0L until 40L by 4).map(i => (i + 1000000L, vec(7 + i)))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run() = graft.operators.Ann.semDedup(emb, nlist = 8, nHint = 50L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val out = run()
+    assert(out.length === 50)
+    val keep = out.map(r => r._1 -> r._3).toMap
+    for (i <- 0L until 40L by 4) {
+      assert(keep(i + 1000000L) === 0, s"twin of $i not killed")
+      assert(keep(i) === 1, s"original $i wrongly killed")
+    }
+    // separated non-twin vectors all keep
+    assert(out.count(_._3 == 1) === 40)
+    // clusters bounded by nlist; rerun is bit-identical (deterministic k-means)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(run().toSeq === out.toSeq)
+  }
+
   test("IVF ANN recall against brute-force ground truth") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = graft.operators.Ann.bruteForceTopK(emb).collect()
