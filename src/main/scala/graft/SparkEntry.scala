@@ -715,6 +715,14 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_host_split" -> ((s, dir) =>
+      // leakage-safe train/val split: a pure function of the host, so a
+      // site can never straddle the split boundary; valPermille=300 keeps
+      // both splits populated over the ~15 synthetic hosts
+      graft.operators.UrlOps.hostSplit(
+        docs(s, dir).selectExpr("doc_id",
+          "concat(lang, '.', source, '.example.com') AS host"),
+        valPermille = 300)),
     "q_dd_quantiles" -> ((s, dir) =>
       // DDSketch-style mergeable per-lang token-count quantiles: integer
       // base-2 buckets (top-4-significant-bit reps), histogram shuffle
@@ -1645,6 +1653,18 @@ object SparkEntry {
         |        JOIN cell USING (r, bkt) GROUP BY w),
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
+    },
+    // the standard nibble-positional md5 bucket replay
+    "q_host_split" -> {
+      val terms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(md5(host), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, lang || '.' || source || '.example.com' AS host
+        |           FROM documents),
+        |b AS (SELECT doc_id, host, ($terms) % 1000 AS bucket FROM h)
+        |SELECT doc_id, host, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE WHEN bucket < 300 THEN 'val' ELSE 'train' END AS split
+        |FROM b""".stripMargin
     },
     // the identical integer bucket collapse, window cumsum and ceil-rank
     // pick — the sketch replays bit-for-bit

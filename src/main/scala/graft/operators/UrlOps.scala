@@ -122,4 +122,25 @@ object UrlOps {
       .select(col("doc_id"), col("url"), col("reg_domain"),
         coalesce(col("dom_cat"), kwVerdict, lit("keep")).as("verdict"))
   }
+
+  /** Leakage-safe train/validation split by HOST: every document of a host
+    * lands in the same split, so template near-duplicates, mirrored pages
+    * and boilerplate shared within a site can never leak from train into
+    * validation — the split-by-source rule every web-corpus eval setup
+    * needs (split by row and your held-out loss is contaminated by
+    * same-site near-dups). Production keys on the registrable domain
+    * (blocklistGate's extraction); any key column works.
+    *
+    * The split is a pure function of the host — md5 bucket ∈ [0, 1000),
+    * 'val' below `valPermille` — so it is reproducible across runs,
+    * engines and corpus growth (a host keeps its split as new pages
+    * arrive). Codegen'd zero-shuffle projection; the md5 spelling is the
+    * repo's standard cross-engine bucket (Sketch.bucketSql idiom), so the
+    * oracle replays it bit-exactly.
+    */
+  def hostSplit(urls: DataFrame, hostCol: String = "host", valPermille: Int = 100): DataFrame =
+    urls.withColumn("bucket",
+        expr(s"CAST(conv(substr(md5($hostCol), 1, 8), 16, 10) AS BIGINT) % 1000"))
+      .withColumn("split",
+        expr(s"CASE WHEN bucket < $valPermille THEN 'val' ELSE 'train' END"))
 }

@@ -885,6 +885,23 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(100L, 2).keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("host split: a host never straddles the boundary; split is stable under corpus growth") {
+    import graft.operators.UrlOps
+    def corpus(n: Long) = spark.createDataFrame(
+      (0L until n).map(i => (i, s"host${i % 20}.example.com"))).toDF("doc_id", "host")
+    val out = UrlOps.hostSplit(corpus(200), valPermille = 300).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    // host-disjoint: every host maps to exactly one split, both splits live
+    val perHost = out.groupBy(_._2).map { case (h, rs) => h -> rs.map(_._3).toSet }
+    assert(perHost.values.forall(_.size == 1), "a host straddles the split boundary")
+    assert(out.map(_._3).toSet === Set("train", "val"))
+    // stability: doubling the corpus must not move any host's split —
+    // the property that keeps yesterday's validation set valid tomorrow
+    val grown = UrlOps.hostSplit(corpus(400), valPermille = 300).collect()
+      .map(r => (r.getString(1), r.getString(3))).toMap
+    assert(perHost.forall { case (h, s) => grown(h) == s.head })
+  }
+
   test("dd quantiles: deterministic bucket collapse, <=11.1% one-sided error, partition-invariant") {
     import graft.operators.TextOps
     // token counts 1..1000 per lang; ceil ranks 500/900/990 hit values
