@@ -741,11 +741,16 @@ object SparkEntry {
       val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
       def ev(id: Long, text: String) =
         ExtractStream.DocEvent(id, new java.sql.Timestamp(base + id * 1000L), text)
-      val d = docs(s, dir).select("doc_id", "text").collect()
-        .map(r => (r.getLong(0), r.getString(1)))
-      val b1 = d.map { case (id, t) => ev(id, t) }.toSeq
-      val b2 = d.map { case (id, t) => ev(id + 1000000L, t) }.toSeq ++
-        d.collect { case (id, t) if id % 7 == 0 => ev(id + 2000000L, t + " v2") }.toSeq
+      // the driver ships DIGESTS, never page text: identity is md5(text)
+      // computed distributed, so the collect and every micro-batch carry
+      // 32 hex chars per doc (md5 of distinct digests stays distinct; the
+      // oracle replays the double hash)
+      val d = docs(s, dir)
+        .selectExpr("doc_id", "md5(text) AS h", "md5(concat(text, ' v2')) AS h2")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val b1 = d.map { case (id, h, _) => ev(id, h) }.toSeq
+      val b2 = d.map { case (id, h, _) => ev(id + 1000000L, h) }.toSeq ++
+        d.collect { case (id, _, h2) if id % 7 == 0 => ev(id + 2000000L, h2) }.toSeq
       ExtractStream.dedupStreamDriven(s, Seq(b1, b2))
     }),
     "q_stats_agg" -> ((s, dir) => {
@@ -1687,11 +1692,13 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p990
         |FROM w GROUP BY lang""".stripMargin,
     // first-arrival per digest across the two batches: all originals
-    // survive, every +1000000 copy drops, every ' v2' variant survives
+    // survive, every +1000000 copy drops, every ' v2' variant survives;
+    // the stream carries pre-computed digests, so the emitted key is the
+    // DOUBLE hash md5(md5(text))
     "q_stream_dedup" ->
-      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+      """SELECT doc_id, md5(md5(text)) AS text_md5 FROM documents
         |UNION ALL
-        |SELECT doc_id + 2000000, md5(text || ' v2') FROM documents
+        |SELECT doc_id + 2000000, md5(md5(text || ' v2')) FROM documents
         |WHERE doc_id % 7 = 0""".stripMargin,
     // the metadata path must EQUAL the scan the sidecar summarizes
     "q_stats_agg" ->

@@ -123,9 +123,16 @@ object ExtractStream {
     */
   def dedupStreamDriven(spark: SparkSession, batches: Seq[Seq[DocEvent]],
       lateness: String = "1 day"): DataFrame = {
-    import spark.implicits._
+    // a cloned session (shared SparkContext, own conf) pins the state-store
+    // shuffle width low: every micro-batch of a stateful query pays one
+    // task per state partition REGARDLESS of data volume, and the width is
+    // frozen into the checkpoint at query start — 32 partitions cost ~4x
+    // the wall time of 8 on a MemoryStream-sized drive for zero benefit
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
     val mem = MemoryStream[DocEvent]
     val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = dedupStream(mem.toDF(), lateness)
@@ -133,7 +140,7 @@ object ExtractStream {
     try {
       batches.foreach { b => mem.addData(b); q.processAllAvailable() }
     } finally q.stop()
-    spark.table(name)
+    s2.table(name)
   }
 
   /** Gap-based sessionization (batch). Sessions = per-user event groups
