@@ -715,6 +715,11 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_bpe_merges" -> ((s, dir) =>
+      // distributed BPE vocabulary induction: first 5 merges learned over
+      // the vocab-sized word-frequency table; argmax and greedy leftmost
+      // merge application replay bit-exactly in the oracle's unrolled CTEs
+      TextOps.bpeMerges(docs(s, dir), k = 5)),
     "q_host_split" -> ((s, dir) =>
       // leakage-safe train/val split: a pure function of the host, so a
       // site can never straddle the split boundary; valPermille=300 keeps
@@ -1658,6 +1663,33 @@ object SparkEntry {
         |        JOIN cell USING (r, bkt) GROUP BY w),
         |n AS (SELECT count(*) AS nn FROM wx)
         |SELECT w, CAST(est AS BIGINT) AS est FROM est, n WHERE est >= nn // 10""".stripMargin
+    },
+    // 5 unrolled BPE iterations: each stage re-counts weighted adjacent
+    // pairs, picks the argmax (c desc, a, b — byte order on [a-z]+
+    // symbols), and applies the merge via the SAME leftmost-non-overlap
+    // replace() on the interpunct string; scalar subqueries thread the
+    // chosen pair into the next stage
+    "q_bpe_merges" -> {
+      def stage(i: Int): String =
+        s"""p$i AS (SELECT a, b, sum(cnt) AS c FROM (
+           |  SELECT l[i + 1] AS a, l[i + 2] AS b, cnt FROM (
+           |    SELECT cnt, l, unnest(generate_series(0, len(l) - 2)) AS i FROM (
+           |      SELECT cnt, list_filter(string_split(s, '·'), x -> x <> '') AS l FROM w${i - 1})))
+           |  GROUP BY a, b),
+           |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+           |w$i AS (SELECT cnt,
+           |  replace(s, '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
+           |             '·' || (SELECT a || b FROM m$i) || '·') AS s FROM w${i - 1})""".stripMargin
+      val stages = (1 to 5).map(stage).mkString(",\n")
+      val finals = (1 to 5)
+        .map(i => s"SELECT $i AS iter, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS cnt FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+        |  SELECT count(*) AS cnt, '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+        |$stages
+        |$finals""".stripMargin
     },
     // the standard nibble-positional md5 bucket replay
     "q_host_split" -> {

@@ -622,6 +622,60 @@ object TextOps {
         "CAST(score AS BIGINT) AS score")
   }
 
+  /** Distributed BPE vocabulary induction — learn the first `k` byte-pair
+    * merges of a BPE tokenizer from the corpus (Sennrich et al. 2016), the
+    * step that turns a curated corpus into a tokenizer.
+    *
+    * Scale shape: BPE's standard preprocessing collapse — the corpus-sized
+    * token stream reduces ONCE to the vocab-sized (word, cnt) table
+    * (partial-agged shuffle; counts cross the wire), and every merge
+    * iteration then runs over vocab-sized data: adjacent-symbol pairs
+    * weighted by word count (the zero-shuffle posexplode neighbor build),
+    * one pair-keyed agg, a 1-row argmax to the driver (the Lloyd-style
+    * legitimate small driver state), and the merge applied as a codegen'd
+    * `replace` over the interpunct-separated symbol string — leftmost
+    * non-overlapping, exactly BPE's greedy application, and identical in
+    * Spark and DuckDB so the ORACLE replays all k merges bit-for-bit as
+    * unrolled CTE stages with scalar-subquery merges.
+    *
+    * Symbols are '·'-delimited ('·a·b·c·'), so a merged symbol can never
+    * false-match across a boundary, and the [a-z]+ word guard keeps every
+    * symbol injection-safe and byte-comparable across engines. Argmax tie
+    * order: count desc, then (left, right) ascending. Stops early when no
+    * adjacent pair remains. Output: (iter, lhs, rhs, cnt).
+    */
+  def bpeMerges(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .where("word RLIKE '^[a-z]+$'")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .selectExpr("cnt", "concat('·', regexp_replace(word, '(.)', '$1·')) AS s")
+      .persist()
+    var words = base
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 1
+    var done = false
+    while (i <= k && !done) {
+      val top = words
+        .selectExpr("cnt", "filter(split(s, '·'), x -> x != '') AS ws")
+        .selectExpr("cnt", "ws", "posexplode(ws) AS (pos, a)")
+        .where("pos < size(ws) - 1")
+        .selectExpr("a", "ws[pos + 1] AS b", "cnt")
+        .groupBy("a", "b").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((i, a, b, c))
+        words = words.selectExpr("cnt", s"replace(s, '·${a}·${b}·', '·${a}${b}·') AS s")
+        i += 1
+      }
+    }
+    base.unpersist()
+    spark.createDataFrame(out.toSeq).toDF("iter", "lhs", "rhs", "cnt")
+  }
+
   /** DDSketch-style mergeable quantiles with INTEGER base-2 buckets — the
     * bounded-state companion to [[lenQuantiles]] (exact, but rank
     * arithmetic still orders the full distribution). Here each value

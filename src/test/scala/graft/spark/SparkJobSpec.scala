@@ -885,6 +885,20 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(100L, 2).keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("bpe merges: classic low/lower run — tie order, greedy re-merge, early stop") {
+    import graft.operators.TextOps
+    // words: low x2, lower x1. pairs: (l,o)=3 ties (o,w)=3 -> 'l'<'o' picks
+    // (l,o). then (lo,w)=3. then (low,e)=1 ties (e,r)=1 -> 'e'<'low' picks
+    // (e,r). then (low,er)=1. then NO pairs remain -> stops at 4 of k=5.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "low low"), (2L, "lower")
+    )).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(docs, k = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out === Seq(
+      (1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "r", 1L), (4, "low", "er", 1L)))
+  }
+
   test("host split: a host never straddles the boundary; split is stable under corpus growth") {
     import graft.operators.UrlOps
     def corpus(n: Long) = spark.createDataFrame(
