@@ -20,6 +20,30 @@ object SparkEntry {
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** DuckDB CTE chain replaying `k` BPE merge iterations (w0 = the word-
+    * frequency table as interpunct symbol strings; each stage re-counts
+    * weighted adjacent pairs, argmaxes (c desc, a, b), and applies the
+    * merge with the same leftmost-non-overlap replace() Spark runs).
+    * Shared by the q_bpe_merges and q_bpe_encode oracles.
+    */
+  private def bpeCtes(k: Int): String = {
+    def stage(i: Int): String =
+      s"""p$i AS (SELECT a, b, sum(cnt) AS c FROM (
+         |  SELECT l[i + 1] AS a, l[i + 2] AS b, cnt FROM (
+         |    SELECT cnt, l, unnest(generate_series(0, len(l) - 2)) AS i FROM (
+         |      SELECT cnt, list_filter(string_split(s, '·'), x -> x <> '') AS l FROM w${i - 1})))
+         |  GROUP BY a, b),
+         |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT cnt,
+         |  replace(s, '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
+         |             '·' || (SELECT a || b FROM m$i) || '·') AS s FROM w${i - 1})""".stripMargin
+    s"""w0 AS (
+      |  SELECT count(*) AS cnt, '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      |${(1 to k).map(stage).mkString(",\n")}""".stripMargin
+  }
+
   /** Corpus count per sf dir, computed once per JVM — feeds the ANN
     * operators' autoBits/nlist sizing without an extra eager count() job per
     * query (round-2 verdict: q_embed_near_dups paid 3 Spark jobs).
@@ -715,6 +739,11 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_bpe_encode" -> ((s, dir) =>
+      // apply the learned tokenizer: per-doc token counts after 5 merges;
+      // the oracle joins ITS post-merge vocab table, so the greedy merge
+      // application is validated over the entire vocabulary
+      TextOps.bpeEncode(docs(s, dir), k = 5)),
     "q_bpe_merges" -> ((s, dir) =>
       // distributed BPE vocabulary induction: first 5 merges learned over
       // the vocab-sized word-frequency table; argmax and greedy leftmost
@@ -1670,27 +1699,24 @@ object SparkEntry {
     // replace() on the interpunct string; scalar subqueries thread the
     // chosen pair into the next stage
     "q_bpe_merges" -> {
-      def stage(i: Int): String =
-        s"""p$i AS (SELECT a, b, sum(cnt) AS c FROM (
-           |  SELECT l[i + 1] AS a, l[i + 2] AS b, cnt FROM (
-           |    SELECT cnt, l, unnest(generate_series(0, len(l) - 2)) AS i FROM (
-           |      SELECT cnt, list_filter(string_split(s, '·'), x -> x <> '') AS l FROM w${i - 1})))
-           |  GROUP BY a, b),
-           |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-           |w$i AS (SELECT cnt,
-           |  replace(s, '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
-           |             '·' || (SELECT a || b FROM m$i) || '·') AS s FROM w${i - 1})""".stripMargin
-      val stages = (1 to 5).map(stage).mkString(",\n")
       val finals = (1 to 5)
         .map(i => s"SELECT $i AS iter, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS cnt FROM m$i")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-        |  SELECT count(*) AS cnt, '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS s
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
-        |$stages
-        |$finals""".stripMargin
+      s"WITH ${bpeCtes(5)}\n$finals"
     },
+    // the encode oracle joins the post-merge vocab table w5 (a symbol
+    // string rebuilds its word by dropping the separators), checking the
+    // greedy merge application over the ENTIRE vocabulary
+    "q_bpe_encode" ->
+      s"""WITH ${bpeCtes(5)},
+        |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT doc_id, word FROM d WHERE regexp_matches(word, '^[a-z]+$$')),
+        |v AS (SELECT replace(s, '·', '') AS word,
+        |             len(list_filter(string_split(s, '·'), x -> x <> '')) AS toks
+        |      FROM w5)
+        |SELECT doc_id, CAST(sum(toks) AS BIGINT) AS bpe_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_words
+        |FROM f JOIN v USING (word) GROUP BY doc_id""".stripMargin,
     // the standard nibble-positional md5 bucket replay
     "q_host_split" -> {
       val terms = (1 to 8)

@@ -676,6 +676,34 @@ object TextOps {
     spark.createDataFrame(out.toSeq).toDF("iter", "lhs", "rhs", "cnt")
   }
 
+  /** Apply the learned BPE tokenizer: per-document token counts after the
+    * first `k` merges — the "how many tokens is my corpus under this
+    * tokenizer" question every data-mixing budget needs ([[bpeMerges]]
+    * learns; this encodes). The merge chain compiles into k nested
+    * codegen'd `replace` calls over the interpunct symbol string — a
+    * zero-shuffle projection on the exploded word stream, then ONE
+    * doc-keyed partial-agged sum. (At production k in the hundreds you
+    * materialize the post-merge vocab table ONCE — it is exactly the
+    * trainer's final word table — and broadcast-join it; the oracle
+    * validates that equivalence by joining its w_k table, which checks the
+    * merge application over the ENTIRE vocabulary, a far stronger check
+    * than the k argmax rows alone.)
+    */
+  def bpeEncode(docs: DataFrame, k: Int = 5): DataFrame = {
+    val merges = bpeMerges(docs, k).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val chain = merges.foldLeft("concat('·', regexp_replace(word, '(.)', '$1·'))") {
+      case (e, (a, b)) => s"replace($e, '·${a}·${b}·', '·${a}${b}·')"
+    }
+    docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .where("word RLIKE '^[a-z]+$'")
+      .selectExpr("doc_id", s"size(filter(split($chain, '·'), x -> x != '')) AS toks")
+      .groupBy("doc_id")
+      .agg(sum("toks").as("bpe_tokens"), count(lit(1)).as("n_words"))
+      .selectExpr("doc_id", "CAST(bpe_tokens AS BIGINT) AS bpe_tokens",
+        "CAST(n_words AS BIGINT) AS n_words")
+  }
+
   /** DDSketch-style mergeable quantiles with INTEGER base-2 buckets — the
     * bounded-state companion to [[lenQuantiles]] (exact, but rank
     * arithmetic still orders the full distribution). Here each value

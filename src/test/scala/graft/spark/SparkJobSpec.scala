@@ -899,6 +899,19 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1, "l", "o", 3L), (2, "lo", "w", 3L), (3, "e", "r", 1L), (4, "low", "er", 1L)))
   }
 
+  test("bpe encode: token counts under the learned merges") {
+    import graft.operators.TextOps
+    // k=3 merges on this corpus: (l,o), (lo,w), (e,r) — 'low' is 1 token,
+    // 'lower' is [low, er] = 2 (the 4th merge would fuse it; stopping at 3
+    // keeps the partial segmentation visible); '42' is outside the vocab
+    val docs = spark.createDataFrame(Seq(
+      (1L, "low low"), (2L, "lower low 42")
+    )).toDF("doc_id", "text")
+    val out = TextOps.bpeEncode(docs, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((2L, 2L)), 2L -> ((3L, 2L))))
+  }
+
   test("host split: a host never straddles the boundary; split is stable under corpus growth") {
     import graft.operators.UrlOps
     def corpus(n: Long) = spark.createDataFrame(
