@@ -739,6 +739,11 @@ object SparkEntry {
           .select(posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
           .selectExpr("CASE WHEN pos % 10 < 3 THEN concat('hot', CAST(pos % 2 AS STRING)) ELSE w0 END AS w"),
         denom = 10)),
+    "q_bm25" -> ((s, dir) =>
+      // integer-exact BM25 top-20 for the 3 most discriminative corpus
+      // terms (df nearest N/2 — language-specific words at this sf);
+      // every score replays bit-for-bit in the oracle
+      TextOps.bm25TopDocs(docs(s, dir))),
     "q_bpe_encode" -> ((s, dir) =>
       // apply the learned tokenizer: per-doc token counts after 5 merges;
       // the oracle joins ITS post-merge vocab table, so the greedy merge
@@ -1698,6 +1703,24 @@ object SparkEntry {
     // symbols), and applies the merge via the SAME leftmost-non-overlap
     // replace() on the interpunct string; scalar subqueries thread the
     // chosen pair into the next stage
+    // BM25 replay: same fraction-cleared Robertson constants, same
+    // whole-bit idf, same one-division tf component, same tie orders
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n, (100 * sum(dl)) // count(*) AS avgdl_centi FROM dl),
+        |dfx AS (SELECT w, count(DISTINCT doc_id) AS df FROM w GROUP BY w),
+        |terms AS (SELECT w, df FROM dfx, st ORDER BY abs(2 * df - n), w LIMIT 3),
+        |tf AS (SELECT doc_id, w.w AS w, count(*) AS tf, max(df) AS df
+        |       FROM w JOIN terms USING (w) GROUP BY doc_id, w.w),
+        |sc AS (SELECT doc_id,
+        |         (length(bin(((n - df) * 1024) // (df + 1) + 1)) - 1) *
+        |         ((1000 * 44 * avgdl_centi * tf) // (20 * avgdl_centi * tf + 6 * avgdl_centi + 1800 * dl)) AS s
+        |       FROM tf JOIN dl USING (doc_id), st),
+        |tot AS (SELECT doc_id, sum(s) AS score_milli FROM sc GROUP BY doc_id)
+        |SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli,
+        |       CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id) AS INT) AS rank
+        |FROM tot ORDER BY score_milli DESC, doc_id LIMIT 20""".stripMargin,
     "q_bpe_merges" -> {
       val finals = (1 to 5)
         .map(i => s"SELECT $i AS iter, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS cnt FROM m$i")

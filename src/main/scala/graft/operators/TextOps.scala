@@ -676,6 +676,52 @@ object TextOps {
     spark.createDataFrame(out.toSeq).toDF("iter", "lhs", "rhs", "cnt")
   }
 
+  /** BM25 document ranking with fully INTEGER arithmetic — the retrieval
+    * scorer completing the index family (inverted index → TF-IDF → BM25).
+    * Query terms are self-selected for the demo: the `nTerms` most
+    * discriminative words by |2·df − N| (df nearest N/2 — an all-docs word
+    * has idf 0 and ranks nothing), ties by word. Scoring uses Robertson's
+    * k1=6/5, b=3/4 cleared of fractions:
+    *
+    *   tf_comp  = (1000·44·avgdl_c·tf) div (20·avgdl_c·tf + 6·avgdl_c + 1800·dl)
+    *   idf_bits = bitlen(((N−df)·1024) div (df+1) + 1) − 1   (whole-bit idf,
+    *              the LM-surprisal trick — ln() is not bit-exact cross-engine)
+    *   score    = Σ_terms idf_bits · tf_comp
+    *
+    * avgdl_c = (100·Σdl) div N. ONE floor division per component → the
+    * DuckDB oracle replays every score bit-for-bit. Overflow headroom:
+    * 44000·avgdl_c·tf stays under 2^63 to avgdl_c·tf ≈ 2·10^14.
+    *
+    * Scale shape: dl and df are partial-agged count shuffles (the index
+    * build the engine already pays); the query-term filter BROADCASTS
+    * before the tf aggregation so only matching postings are counted; N
+    * and avgdl arrive as a broadcast 1-row side (no driver action); final
+    * ranking is a distributed top-k.
+    */
+  def bm25TopDocs(docs: DataFrame, nTerms: Int = 3, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      expr("(100 * sum(dl)) div count(1)").as("avgdl_centi"))
+    val dfTab = words.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    val terms = dfTab.crossJoin(broadcast(stats.select("n")))
+      .orderBy(expr("abs(2 * df - n)"), col("w")).limit(nTerms)
+      .select("w", "df")
+    val tf = words.join(broadcast(terms), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"), max("df").as("df"))
+    val scored = tf.join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        "length(bin(((n - df) * 1024) div (df + 1) + 1)) - 1 AS idf_bits",
+        "(1000 * 44 * avgdl_centi * tf) div (20 * avgdl_centi * tf + 6 * avgdl_centi + 1800 * dl) AS tfc_milli")
+      .selectExpr("doc_id", "idf_bits * tfc_milli AS s")
+      .groupBy("doc_id").agg(sum("s").as("score_milli"))
+    scored.orderBy(col("score_milli").desc, col("doc_id")).limit(topK)
+      .selectExpr("doc_id", "CAST(score_milli AS BIGINT) AS score_milli")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_milli").desc, col("doc_id"))))
+  }
+
   /** Apply the learned BPE tokenizer: per-document token counts after the
     * first `k` merges — the "how many tokens is my corpus under this
     * tokenizer" question every data-mixing budget needs ([[bpeMerges]]

@@ -885,6 +885,25 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(100L, 2).keySet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("bm25: hand-computed integer scores — discriminative terms, idf 0 for every-doc words") {
+    import graft.operators.TextOps
+    // N=4, avgdl_centi=400. df: x=2 (|2df-N|=0), y=1 (2), common=4 (4) —
+    // all 3 selected; 'common' idf_bits=0 so it scores nothing.
+    // idf_bits: x -> bitlen(2048/3+1)-1 = 9; y -> bitlen(1537)-1 = 10.
+    // tf comp (dl=4): tf=1 -> 17.6e6/17600 = 1000; tf=2 -> 35.2e6/25600 = 1375.
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x x common common"), (2L, "x common common common"),
+      (3L, "common common common common"), (4L, "y common common common")
+    )).toDF("doc_id", "text")
+    val out = TextOps.bm25TopDocs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out === Seq((1L, 12375L, 1), (4L, 10000L, 2), (2L, 9000L, 3), (3L, 0L, 4)))
+    // partitioning must not move a single score
+    val out13 = TextOps.bm25TopDocs(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out13 === out)
+  }
+
   test("bpe merges: classic low/lower run — tie order, greedy re-merge, early stop") {
     import graft.operators.TextOps
     // words: low x2, lower x1. pairs: (l,o)=3 ties (o,w)=3 -> 'l'<'o' picks
