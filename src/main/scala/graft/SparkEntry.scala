@@ -768,6 +768,27 @@ object SparkEntry {
       // instead of distribution shuffle, ≤11.1% one-sided error — and
       // bit-exact replayable, unlike approx_percentile
       TextOps.ddQuantiles(docs(s, dir))),
+    "q_catalog_stream" -> ((s, dir) => {
+      // exactly-once streaming ingest into the snapshot catalog: batch 0
+      // commits, batch 1 first CRASHES mid-append (orphan data dir, no
+      // manifest) and is then re-delivered, batch 0 is re-delivered after
+      // success — the table must hold every row exactly once
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_catstream_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "md5(text) AS text_md5")
+      cat.appendBatch(d.where("doc_id % 2 = 0"), "t", 0L)
+      // mid-append crash: data landed, manifest swap never happened
+      d.where("doc_id % 2 = 1").limit(10)
+        .write.mode("overwrite").parquet(s"$root/t/data/batch-1")
+      cat.appendBatch(d.where("doc_id % 2 = 1"), "t", 1L)  // re-delivery commits once
+      cat.appendBatch(d.where("doc_id % 2 = 0"), "t", 0L)  // post-success replay skips
+      cat.read(s, "t")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // GENUINELY STREAMING-EXECUTED contract query: a two-micro-batch
       // MemoryStream drive of the watermark-bounded exact dedup. Batch 1 =
@@ -1772,6 +1793,10 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p900,
         |       CAST(min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p990
         |FROM w GROUP BY lang""".stripMargin,
+    // exactly-once: despite the crash + two re-deliveries, the table is
+    // simply the corpus
+    "q_catalog_stream" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     // first-arrival per digest across the two batches: all originals
     // survive, every +1000000 copy drops, every ' v2' variant survives;
     // the stream carries pre-computed digests, so the emitted key is the

@@ -144,6 +144,42 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Exactly-once streaming append (the foreachBatch sink contract):
+    * micro-batch `batchId`'s data lands in a batch-addressed directory and
+    * is committed by the atomic manifest swap — the manifest itself IS the
+    * idempotence marker, so Spark's replay-after-failure semantics (a
+    * batch may be re-delivered, never skipped) compose to exactly-once:
+    *
+    *   - crash AFTER the data write, BEFORE the manifest commit → the
+    *     replay overwrites the orphan directory and commits once;
+    *   - crash AFTER the commit → the replay sees the batch referenced by
+    *     the CURRENT manifest and skips without touching storage.
+    *
+    * Returns true iff this call committed the batch.
+    */
+  def appendBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
+    if (batchCommitted(table, batchId)) return false
+    val dataDir = Paths.get(root, table, "data", s"batch-$batchId")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath.toString).toSeq.sorted
+    }
+    val prev = currentSnapshot(table).map(manifestFiles(table, _)).getOrElse(Seq.empty)
+    val snap = claimSnapshotId(table)
+    writeManifest(table, snap, (prev ++ files).sorted)
+    true
+  }
+
+  /** A batch is committed iff the CURRENT manifest references its
+    * batch-addressed directory (data present without a manifest reference
+    * is an orphan from a mid-append crash — NOT committed).
+    */
+  def batchCommitted(table: String, batchId: Long): Boolean =
+    currentSnapshot(table).exists(s =>
+      manifestFiles(table, s).exists(_.contains(s"/batch-$batchId/")))
+
   /** Metadata-only commit: a new snapshot whose manifest references data
     * files already on storage (e.g. the chunk outputs of a resumable run) —
     * the Iceberg-style O(files) commit, no data copy.

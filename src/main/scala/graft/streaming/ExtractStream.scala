@@ -143,6 +143,24 @@ object ExtractStream {
     s2.table(name)
   }
 
+  /** Continuous ingest INTO the snapshot catalog with exactly-once
+    * semantics: every micro-batch lands via [[graft.spark.ParquetSnapshotCatalog.appendBatch]]
+    * (batch-addressed data + atomic manifest swap = the idempotence
+    * marker), so a batch re-delivered after a failure commits zero
+    * duplicate rows while time travel and the fast-append metadata
+    * economics are preserved. This is the streaming half of the 100 TB
+    * ingest story — ExtractMain's chunked resume is the batch half.
+    */
+  def catalogSink(docs: DataFrame, cat: graft.spark.ParquetSnapshotCatalog,
+      table: String, checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        cat.appendBatch(batch.toDF(), table, batchId): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Gap-based sessionization (batch). Sessions = per-user event groups
     * where consecutive events are ≤ `gapUs` apart; output is one row per
     * session with exact microsecond bounds (BIGINT — bit-stable for the

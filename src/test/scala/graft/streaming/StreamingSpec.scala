@@ -46,6 +46,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() === 500)
   }
 
+  test("catalog sink: exactly-once across checkpoint restart and mid-append crash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("cat_sink").toString
+    val ckpt = s"$root/_ckpt"
+    val cat = new graft.spark.ParquetSnapshotCatalog(root)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q1 = ExtractStream.catalogSink(mem.toDF().toDF("id", "v"), cat, "t", ckpt)
+    q1.awaitTermination(60000)
+    assert(cat.read(spark, "t").count() === 2)
+    // restart on the SAME checkpoint with more data: AvailableNow resumes
+    // from the committed offset — old rows must not re-land even though
+    // the source still holds them
+    mem.addData((3L, "c"))
+    val q2 = ExtractStream.catalogSink(mem.toDF().toDF("id", "v"), cat, "t", ckpt)
+    q2.awaitTermination(60000)
+    assert(cat.read(spark, "t").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // mid-append crash: orphan batch-99 data exists but was never
+    // committed — batchCommitted must say so, and the re-delivery commits
+    // exactly once, overwriting the orphan
+    Seq((9L, "x")).toDF("id", "v").write.mode("overwrite").parquet(s"$root/t/data/batch-99")
+    assert(!cat.batchCommitted("t", 99L))
+    assert(cat.appendBatch(Seq((9L, "x")).toDF("id", "v"), "t", 99L))
+    assert(!cat.appendBatch(Seq((9L, "x")).toDF("id", "v"), "t", 99L), "post-success replay must skip")
+    assert(cat.read(spark, "t").count() === 4)
+  }
+
   test("streaming dedup: cross-batch drop within the horizon; expired state re-admits (bounded-state trade)") {
     import ExtractStream.DocEvent
     val t0 = 1700000000000L
