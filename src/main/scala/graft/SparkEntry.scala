@@ -28,16 +28,18 @@ object SparkEntry {
     */
   private def bpeCtes(k: Int): String = {
     def stage(i: Int): String =
-      s"""p$i AS (SELECT a, b, sum(cnt) AS c FROM (
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(cnt) AS c FROM (
          |  SELECT l[i + 1] AS a, l[i + 2] AS b, cnt FROM (
          |    SELECT cnt, l, unnest(generate_series(0, len(l) - 2)) AS i FROM (
          |      SELECT cnt, list_filter(string_split(s, '·'), x -> x <> '') AS l FROM w${i - 1})))
          |  GROUP BY a, b),
-         |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-         |w$i AS (SELECT cnt,
-         |  replace(s, '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
-         |             '·' || (SELECT a || b FROM m$i) || '·') AS s FROM w${i - 1})""".stripMargin
-    s"""w0 AS (
+         |m$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT cnt,
+         |  replace(replace(s, '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
+         |                     '·' || (SELECT a || b FROM m$i) || '·'),
+         |          '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
+         |          '·' || (SELECT a || b FROM m$i) || '·') AS s FROM w${i - 1})""".stripMargin
+    s"""w0 AS MATERIALIZED (
       |  SELECT count(*) AS cnt, '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS s
       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),

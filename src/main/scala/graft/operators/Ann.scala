@@ -296,7 +296,10 @@ object Ann {
     val n = if (nHint > 0) nHint else embeddings.count()
     val nl = if (nlist > 0) nlist
     else math.max(4, math.min(1024, math.sqrt(n.toDouble).toInt))
-    val assigned = ivfAssign(embeddings, nl, iters).toDF()
+    // localCheckpoint materializes the k-means assignment ONCE — it feeds
+    // four plan branches (cluster counts, both self-join sides, the final
+    // left join), which would otherwise each re-scan + re-assign
+    val assigned = ivfAssign(embeddings, nl, iters).toDF().localCheckpoint()
     val small = assigned.groupBy("cluster").agg(count(lit(1)).as("cn"))
       .where(col("cn") <= maxCluster).select("cluster")
     val c = assigned.join(small, Seq("cluster"))

@@ -211,7 +211,10 @@ object Sketch {
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     registerHll(df.sparkSession)
     df.groupBy(col(groupCol))
-      .agg(expr(s"hll_sketch($valueCol)").as("regs"))
+      // the aggregate hashes the UTF8String representation; the CAST makes
+      // any value type legal and pins the cross-engine spelling (DuckDB's
+      // CAST AS VARCHAR) for non-string keys
+      .agg(expr(s"hll_sketch(CAST($valueCol AS STRING))").as("regs"))
       .selectExpr(
         groupCol,
         // S = sum_j 2^(33 - M[j]); M in [0, 33] so terms are in [1, 2^33]
@@ -232,7 +235,8 @@ object Sketch {
     */
   def hllRegistersOf(df: DataFrame, valueCol: String): Array[Long] = {
     registerHll(df.sparkSession)
-    df.agg(expr(s"hll_sketch($valueCol)").as("regs")).head().getSeq[Long](0).toArray
+    df.agg(expr(s"hll_sketch(CAST($valueCol AS STRING))").as("regs"))
+      .head().getSeq[Long](0).toArray
   }
 }
 

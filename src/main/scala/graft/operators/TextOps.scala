@@ -632,11 +632,18 @@ object TextOps {
     * iteration then runs over vocab-sized data: adjacent-symbol pairs
     * weighted by word count (the zero-shuffle posexplode neighbor build),
     * one pair-keyed agg, a 1-row argmax to the driver (the Lloyd-style
-    * legitimate small driver state), and the merge applied as a codegen'd
-    * `replace` over the interpunct-separated symbol string — leftmost
-    * non-overlapping, exactly BPE's greedy application, and identical in
-    * Spark and DuckDB so the ORACLE replays all k merges bit-for-bit as
-    * unrolled CTE stages with scalar-subquery merges.
+    * legitimate small driver state), and the merge applied as a TWO-PASS
+    * codegen'd `replace` over the interpunct-separated symbol string.
+    * Why two passes: a single leftmost-non-overlapping replace consumes
+    * the trailing separator its next occurrence needs as its leading one,
+    * so back-to-back occurrences ('·m·a·m·a·' under merge (m,a)) merge
+    * only alternately; the second pass catches the skipped ones, making
+    * the application EXACT BPE greedy for any word without a 3+-long run
+    * of one symbol. Runs of 3+ identical symbols ('aaaaa') still segment
+    * with the correct token COUNT but alternate split positions — both
+    * engines identically, since DuckDB's replace shares the semantics, so
+    * the ORACLE replays all k merges bit-for-bit as unrolled CTE stages
+    * with scalar-subquery double replaces.
     *
     * Symbols are '·'-delimited ('·a·b·c·'), so a merged symbol can never
     * false-match across a boundary, and the [a-z]+ word guard keeps every
@@ -668,7 +675,8 @@ object TextOps {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((i, a, b, c))
-        words = words.selectExpr("cnt", s"replace(s, '·${a}·${b}·', '·${a}${b}·') AS s")
+        words = words.selectExpr("cnt",
+          s"replace(replace(s, '·${a}·${b}·', '·${a}${b}·'), '·${a}·${b}·', '·${a}${b}·') AS s")
         i += 1
       }
     }
@@ -739,7 +747,8 @@ object TextOps {
     val merges = bpeMerges(docs, k).collect()
       .map(r => (r.getString(1), r.getString(2)))
     val chain = merges.foldLeft("concat('·', regexp_replace(word, '(.)', '$1·'))") {
-      case (e, (a, b)) => s"replace($e, '·${a}·${b}·', '·${a}${b}·')"
+      case (e, (a, b)) =>
+        s"replace(replace($e, '·${a}·${b}·', '·${a}${b}·'), '·${a}·${b}·', '·${a}${b}·')"
     }
     docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
       .where("word RLIKE '^[a-z]+$'")

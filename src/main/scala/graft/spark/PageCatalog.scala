@@ -53,15 +53,21 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     spark.read.option("mergeSchema", "true").parquet(manifestFiles(table, snap): _*)
   }
 
-  override def commit(df: DataFrame, table: String): Long = {
-    val snap = claimSnapshotId(table)
-    val dataDir = Paths.get(root, table, "data", s"snap-$snap")
+  /** Write `df` into `dataDir` and return the sorted parquet file list —
+    * the shared first half of every data-writing commit path.
+    */
+  private def writeSnapshotData(df: DataFrame, dataDir: Path): Seq[String] = {
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
+    scala.util.Using.resource(Files.list(dataDir)) { s =>
       s.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .map(_.toAbsolutePath.toString).toSeq.sorted
     }
+  }
+
+  override def commit(df: DataFrame, table: String): Long = {
+    val snap = claimSnapshotId(table)
+    val files = writeSnapshotData(df, Paths.get(root, table, "data", s"snap-$snap"))
     writeManifest(table, snap, files)
     snap
   }
@@ -71,13 +77,7 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     // appends would need a manifest-merge retry loop, like Iceberg's)
     val prev = currentSnapshot(table).map(manifestFiles(table, _)).getOrElse(Seq.empty)
     val snap = claimSnapshotId(table)
-    val dataDir = Paths.get(root, table, "data", s"snap-$snap")
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
-      s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-    }
+    val files = writeSnapshotData(df, Paths.get(root, table, "data", s"snap-$snap"))
     writeManifest(table, snap, (prev ++ files).sorted)
     snap
   }
@@ -153,32 +153,51 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     *   - crash AFTER the data write, BEFORE the manifest commit → the
     *     replay overwrites the orphan directory and commits once;
     *   - crash AFTER the commit → the replay sees the batch referenced by
-    *     the CURRENT manifest and skips without touching storage.
+    *     a manifest and skips without touching storage.
     *
-    * Returns true iff this call committed the batch.
+    * CONTRACT: batch ids must come from ONE checkpoint lineage per table.
+    * A fresh checkpoint re-numbering from 0 against an existing table
+    * makes its early batches indistinguishable from replays — they are
+    * skipped (loudly, on stderr), never silently merged. Returns true iff
+    * this call committed the batch.
     */
   def appendBatch(df: DataFrame, table: String, batchId: Long): Boolean = {
-    if (batchCommitted(table, batchId)) return false
-    val dataDir = Paths.get(root, table, "data", s"batch-$batchId")
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val files = scala.util.Using.resource(Files.list(dataDir)) { s =>
-      s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
+    if (batchCommitted(table, batchId)) {
+      System.err.println(s"[catalog] appendBatch skip: batch $batchId already committed " +
+        s"to '$table' (replay). Batch ids must come from one checkpoint lineage per table; " +
+        "a new checkpoint reusing ids against an existing table is skipped here, not merged.")
+      return false
     }
+    val files = writeSnapshotData(df, Paths.get(root, table, "data", s"batch-$batchId"))
     val prev = currentSnapshot(table).map(manifestFiles(table, _)).getOrElse(Seq.empty)
     val snap = claimSnapshotId(table)
     writeManifest(table, snap, (prev ++ files).sorted)
     true
   }
 
-  /** A batch is committed iff the CURRENT manifest references its
-    * batch-addressed directory (data present without a manifest reference
-    * is an orphan from a mid-append crash — NOT committed).
+  /** A batch is committed iff ANY retained manifest references its
+    * batch-addressed directory, or the expired-batch ledger records it
+    * (data present without either is an orphan from a mid-append crash —
+    * NOT committed). Scanning all manifests — not just CURRENT — keeps the
+    * marker durable across compact()/rollback, whose new snapshots
+    * reference rewritten files; expireSnapshots preserves the ids of
+    * batches its deleted manifests referenced in the ledger, so even full
+    * snapshot expiry cannot resurrect a committed batch.
     */
-  def batchCommitted(table: String, batchId: Long): Boolean =
-    currentSnapshot(table).exists(s =>
-      manifestFiles(table, s).exists(_.contains(s"/batch-$batchId/")))
+  def batchCommitted(table: String, batchId: Long): Boolean = {
+    val marker = s"/batch-$batchId/"
+    snapshots(table).exists(s => manifestFiles(table, s).exists(_.contains(marker))) ||
+      expiredBatches(table).contains(batchId)
+  }
+
+  /** Batch ids whose manifests were expired — the durable half of the
+    * exactly-once marker (see [[batchCommitted]]).
+    */
+  def expiredBatches(table: String): Set[Long] = {
+    val p = manifestDir(table).resolve("batches.expired.tsv")
+    if (!Files.exists(p)) Set.empty
+    else Files.readString(p).split('\n').filter(_.nonEmpty).map(_.toLong).toSet
+  }
 
   /** Metadata-only commit: a new snapshot whose manifest references data
     * files already on storage (e.g. the chunk outputs of a resumable run) —
@@ -218,6 +237,18 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snaps = snapshots(table)
     val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++ currentSnapshot(table)
     val expired = snaps.filterNot(keep)
+    // preserve the exactly-once markers of streaming batches whose
+    // manifests are about to disappear (see batchCommitted)
+    val batchRe = "/batch-(\\d+)/".r
+    val expiredIds = expired.flatMap(s => manifestFiles(table, s))
+      .flatMap(f => batchRe.findFirstMatchIn(f).map(_.group(1).toLong)).toSet
+    if (expiredIds.nonEmpty) {
+      val ledger = expiredBatches(table) ++ expiredIds
+      val tmp = manifestDir(table).resolve(".batches.expired.tmp")
+      Files.writeString(tmp, ledger.toSeq.sorted.mkString("", "\n", "\n"))
+      Files.move(tmp, manifestDir(table).resolve("batches.expired.tsv"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     val liveFiles = keep.flatMap(s => manifestFiles(table, s))
     expired.flatMap(s => manifestFiles(table, s)).distinct
       .filterNot(liveFiles)
@@ -255,7 +286,8 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       seen += f
       statsCols.zipWithIndex.foreach { case (c, i) =>
         sb.append(f).append('\t').append(c).append('\t')
-          .append(r.getString(1 + 2 * i)).append('\t').append(r.getString(2 + 2 * i)).append('\n')
+          .append(escStat(r.getString(1 + 2 * i))).append('\t')
+          .append(escStat(r.getString(2 + 2 * i))).append('\n')
       }
       // per-file row count under the reserved __count pseudo-column — what
       // makes count(*) a metadata-only query (statsAgg below)
@@ -295,16 +327,27 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     if (!Files.exists(sidecar)) return None
     val lines = Files.readString(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
     val counts = lines.collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
-    val stats = lines.collect { case Array(f, c, mn, mx) if c == column => f -> (mn, mx) }.toMap
+    val stats = lines.collect { case Array(f, c, mn, mx) if c == column =>
+      f -> ((unescStat(mn), unescStat(mx))) }.toMap
     // completeness: every file counted; every file WITH rows has column stats
     if (!all.forall(counts.contains)) return None
     if (!all.forall(f => counts(f) == 0L || stats.contains(f))) return None
-    val present = all.filter(f => counts(f) > 0L)
-      .map(stats).filter { case (mn, mx) => mn != "null" && mx != "null" }
-    val numeric = present.forall { case (mn, mx) =>
+    // all-null files (escaped-null bounds) are skipped for min/max per SQL
+    // semantics; their rows still count
+    val present = all.filter(f => counts(f) > 0L).map(stats)
+      .collect { case (Some(mn), Some(mx)) => (mn, mx) }
+    // compare tier: exact longs > exact doubles > byte-wise strings — a
+    // DOUBLE column must never fall back to lexicographic order ("10.2" <
+    // "9.5" byte-wise)
+    def longs = present.forall { case (mn, mx) =>
       scala.util.Try(mn.toLong).isSuccess && scala.util.Try(mx.toLong).isSuccess }
-    def lt(a: String, b: String): Boolean =
-      if (numeric) a.toLong < b.toLong else a < b
+    def doubles = present.forall { case (mn, mx) =>
+      scala.util.Try(mn.toDouble).toOption.exists(d => !d.isNaN) &&
+        scala.util.Try(mx.toDouble).toOption.exists(d => !d.isNaN) }
+    val lt: (String, String) => Boolean =
+      if (longs) (a, b) => a.toLong < b.toLong
+      else if (doubles) (a, b) => a.toDouble < b.toDouble
+      else (a, b) => a < b
     val mins = present.map(_._1)
     val maxs = present.map(_._2)
     Some((
@@ -339,14 +382,16 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val sidecar = manifestDir(table).resolve(s"v$snap.stats.tsv")
     if (!Files.exists(sidecar)) return all
     val stats = Files.readString(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
-      .collect { case Array(f, c, mn, mx) if c == column => f -> (mn, mx) }.toMap
-    def overlaps(mn: String, mx: String): Boolean = {
-      if (mn == "null" || mx == "null") return true
-      (scala.util.Try(lo.toLong).toOption, scala.util.Try(hi.toLong).toOption,
-        scala.util.Try(mn.toLong).toOption, scala.util.Try(mx.toLong).toOption) match {
-        case (Some(l), Some(h), Some(fmn), Some(fmx)) => fmx >= l && fmn <= h
-        case _ => mx >= lo && mn <= hi
-      }
+      .collect { case Array(f, c, mn, mx) if c == column =>
+        f -> ((unescStat(mn), unescStat(mx))) }.toMap
+    def overlaps(mnO: Option[String], mxO: Option[String]): Boolean = (mnO, mxO) match {
+      case (Some(mn), Some(mx)) =>
+        (scala.util.Try(lo.toLong).toOption, scala.util.Try(hi.toLong).toOption,
+          scala.util.Try(mn.toLong).toOption, scala.util.Try(mx.toLong).toOption) match {
+          case (Some(l), Some(h), Some(fmn), Some(fmx)) => fmx >= l && fmn <= h
+          case _ => mx >= lo && mn <= hi
+        }
+      case _ => true // all-null stats: conservatively keep
     }
     all.filter(f => stats.get(f).forall { case (mn, mx) => overlaps(mn, mx) })
   }
@@ -359,6 +404,34 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val files = pruneFiles(table, column, lo, hi)
     if (files.isEmpty) read(spark, table).limit(0)
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Sidecar value escaping: SQL NULL → `\N` (distinct from the 4-char
+    * string "null"), and backslash/tab/newline/CR escaped so the TSV parse
+    * can never be corrupted by data values.
+    */
+  private def escStat(v: String): String =
+    if (v == null) "\\N"
+    else v.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+
+  private def unescStat(v: String): Option[String] = {
+    if (v == "\\N") return None
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 't' => sb.append('\t')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case '\\' => sb.append('\\')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    Some(sb.toString)
   }
 
   private def writeManifest(table: String, snap: Long, files: Seq[String]): Unit = {

@@ -931,6 +931,56 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Map(1L -> ((2L, 2L)), 2L -> ((3L, 2L))))
   }
 
+  test("bpe: back-to-back pair occurrences both merge (two-pass application)") {
+    import graft.operators.TextOps
+    // 'mama' = ·m·a·m·a·: a single-pass replace of (m,a) consumes the
+    // separator the second occurrence needs and leaves [ma, m, a]; the
+    // two-pass application yields BPE's true [ma, ma]
+    val docs = spark.createDataFrame(Seq((1L, "mama mama"))).toDF("doc_id", "text")
+    val enc = TextOps.bpeEncode(docs, k = 1).collect().head
+    assert(enc.getLong(1) === 4L, "expected [ma, ma] per word (4 total), not [ma, m, a] (6)")
+    // and the 2nd learned merge is then (ma, ma) -> whole-word 'mama'
+    val merges = TextOps.bpeMerges(docs, k = 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges === Seq(("m", "a"), ("ma", "ma")))
+  }
+
+  test("stats sidecar: DOUBLE bounds compare numerically; 'null'-string and tab values survive") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    // 10.2 > 9.5 numerically but "10.2" < "9.5" byte-wise
+    val dbl = spark.createDataFrame(Seq((1L, 9.5), (2L, 10.25), (3L, 0.5)))
+      .toDF("id", "score").repartition(3)
+    cat.commitWithStats(dbl, "d", Seq("score"))
+    assert(cat.statsAgg("d", "score") === Some((Some("0.5"), Some("10.25"), 3L)))
+    // a literal "null" string value must not be conflated with SQL NULL,
+    // and a tab inside a value must not corrupt the TSV parse
+    val str = spark.createDataFrame(Seq((1L, "null"), (2L, "zz"), (3L, "a\tb")))
+      .toDF("id", "v").repartition(1)
+    cat.commitWithStats(str, "s", Seq("v"))
+    assert(cat.statsAgg("s", "v") === Some((Some("a\tb"), Some("zz"), 3L)))
+  }
+
+  test("appendBatch idempotence marker survives compaction and snapshot expiry") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val b0 = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("id", "v")
+    assert(cat.appendBatch(b0, "t", 0L))
+    // compact rewrites data into snap-addressed files — the CURRENT
+    // manifest no longer mentions batch-0, but older manifests do
+    cat.compact(spark, "t")
+    assert(cat.batchCommitted("t", 0L), "marker lost after compaction")
+    assert(!cat.appendBatch(b0, "t", 0L), "replay after compaction must skip")
+    assert(cat.read(spark, "t").count() === 2)
+    // expire everything but the compacted snapshot: the deleted manifests'
+    // batch ids move to the ledger and the marker still holds
+    cat.expireSnapshots("t", keepLast = 1)
+    assert(cat.expiredBatches("t") === Set(0L))
+    assert(cat.batchCommitted("t", 0L), "marker lost after snapshot expiry")
+    assert(!cat.appendBatch(b0, "t", 0L))
+    assert(cat.read(spark, "t").count() === 2)
+  }
+
   test("host split: a host never straddles the boundary; split is stable under corpus growth") {
     import graft.operators.UrlOps
     def corpus(n: Long) = spark.createDataFrame(
