@@ -770,6 +770,25 @@ object SparkEntry {
       // instead of distribution shuffle, ≤11.1% one-sided error — and
       // bit-exact replayable, unlike approx_percentile
       TextOps.ddQuantiles(docs(s, dir))),
+    "q_hll_incremental" -> ((s, dir) => {
+      // incremental distinct counting in the catalog: two overlapping
+      // crawl drops roll cumulative HLL registers forward in snapshot
+      // sidecars; "distinct texts across all drops" is then a 2 KB
+      // sidecar read, and HLL's duplicate-insensitive union means the
+      // oracle just replays the registers over the concatenated stream
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_hllinc_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).select("doc_id", "text")
+      cat.appendWithHll(d.where("doc_id % 2 = 0"), "t", "text")
+      cat.appendWithHll(d, "t", "text")
+      val (est, nz) = cat.hllDistinctStat("t", "text").get
+      s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
+    }),
     "q_catalog_stream" -> ((s, dir) => {
       // exactly-once streaming ingest into the snapshot catalog: batch 0
       // commits, batch 1 first CRASHES mid-append (orphan data dir, no
@@ -1795,6 +1814,25 @@ object SparkEntry {
         |       CAST(min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p900,
         |       CAST(min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p990
         |FROM w GROUP BY lang""".stripMargin,
+    // the cumulative sidecar equals the registers of the concatenated
+    // drop stream (HLL is duplicate-insensitive) — same nibble recipe,
+    // same integer estimate
+    "q_hll_incremental" -> {
+      def nib(from: Int, n: Int): String = (0 until n)
+        .map(k => s"(strpos('0123456789abcdef', substr(m, ${from + k}, 1)) - 1) * ${1L << (4 * (n - 1 - k))}")
+        .mkString(" + ")
+      s"""WITH u AS (SELECT md5(text) AS m FROM documents WHERE doc_id % 2 = 0
+        |           UNION ALL SELECT md5(text) FROM documents),
+        |x AS (SELECT ${nib(1, 2)} AS j, ${nib(3, 8)} AS tail FROM u),
+        |r AS (SELECT j, max(CASE WHEN tail = 0 THEN 33 ELSE 33 - length(bin(tail)) END) AS mj
+        |      FROM x GROUP BY j),
+        |a AS (SELECT sum(CAST(1 AS BIGINT) << CAST(33 - mj AS INT)) AS sp, count(*) AS np FROM r),
+        |f AS (SELECT sp + (256 - np) * (CAST(1 AS BIGINT) << 33) AS s,
+        |             CAST(256 - np AS INTEGER) AS n_zero FROM a)
+        |SELECT CAST((((CAST(65536 AS BIGINT) * (CAST(1 AS BIGINT) << 33)) // s) * 718272) // 1000000 AS BIGINT) AS raw_est,
+        |       n_zero
+        |FROM f""".stripMargin
+    },
     // exactly-once: despite the crash + two re-deliveries, the table is
     // simply the corpus
     "q_catalog_stream" ->

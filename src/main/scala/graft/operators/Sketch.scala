@@ -231,12 +231,32 @@ object Sketch {
   }
 
   /** The raw registers of one un-grouped corpus — exposed for the
-    * mergeability spec (union registers == element-wise max).
+    * mergeability spec (union registers == element-wise max) and the
+    * catalog's incremental distinct sidecars.
     */
   def hllRegistersOf(df: DataFrame, valueCol: String): Array[Long] = {
     registerHll(df.sparkSession)
     df.agg(expr(s"hll_sketch(CAST($valueCol AS STRING))").as("regs"))
       .head().getSeq[Long](0).toArray
+  }
+
+  /** (raw_est, n_zero) from a register array — the IDENTICAL integer
+    * arithmetic as the SQL spelling in [[hllDistinct]] (shifts and floor
+    * divisions over longs), so a JVM-side consumer of stored registers
+    * (the catalog sidecar path) agrees bit-for-bit with the SQL/oracle
+    * path.
+    */
+  def hllEstimate(regs: Array[Long]): (Long, Int) = {
+    var s = 0L
+    var zeros = 0
+    var j = 0
+    while (j < regs.length) {
+      s += 1L << (33 - regs(j).toInt)
+      if (regs(j) == 0L) zeros += 1
+      j += 1
+    }
+    val t = (hllM.toLong * hllM * (1L << 33)) / s
+    ((t * hllAlphaScaled) / 1000000L, zeros)
   }
 }
 

@@ -406,6 +406,64 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
+  /** Append a crawl drop AND roll the table's cumulative HyperLogLog
+    * registers for `col` forward into a snapshot sidecar — incremental
+    * distinct counting at 100 TB: each drop pays one small register pass
+    * over ITS rows only, the merge is element-wise max (HLL's exact union,
+    * duplicate-insensitive), and "distinct values across ALL drops"
+    * becomes a 2 KB sidecar read ([[hllDistinctStat]]) instead of a
+    * table-wide COUNT(DISTINCT) shuffle.
+    *
+    * Chain integrity: the cumulative state is only written when the table
+    * is empty OR the previous snapshot carries the sidecar — an append
+    * that bypassed this method poisons the chain, later snapshots get no
+    * sidecar, and the estimate path refuses (None) rather than
+    * understating. (A compaction snapshot rewrites data, not content —
+    * carry the sidecar forward by re-appending through this method or
+    * recommitting; the refusal is the safe default.)
+    */
+  def appendWithHll(df: DataFrame, table: String, col: String): Long = {
+    val prev = currentSnapshot(table)
+    val prevRegs = prev.flatMap(readHllSidecar(table, _, col))
+    val chainOk = prev.isEmpty || prevRegs.isDefined
+    val delta = graft.operators.Sketch.hllRegistersOf(df, col)
+    val snap = append(df, table)
+    if (chainOk) {
+      val merged = prevRegs match {
+        case Some(p) => p.zip(delta).map { case (a, b) => math.max(a, b) }
+        case None => delta
+      }
+      val bb = java.nio.ByteBuffer.allocate(merged.length * 8)
+      bb.asLongBuffer().put(merged)
+      val tmp = manifestDir(table).resolve(s".hll.$col.tmp$snap")
+      Files.write(tmp, bb.array())
+      Files.move(tmp, manifestDir(table).resolve(s"v$snap.hll.$col.bin"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    snap
+  }
+
+  private def readHllSidecar(table: String, snap: Long, col: String): Option[Array[Long]] = {
+    val p = manifestDir(table).resolve(s"v$snap.hll.$col.bin")
+    if (!Files.exists(p)) None
+    else {
+      val bytes = Files.readAllBytes(p)
+      val out = new Array[Long](bytes.length / 8)
+      java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+      Some(out)
+    }
+  }
+
+  /** (raw_est, n_zero) for `col` across every drop of the CURRENT
+    * snapshot, from the cumulative register sidecar alone — zero data
+    * files opened; None when the chain is broken (see [[appendWithHll]]).
+    */
+  def hllDistinctStat(table: String, col: String): Option[(Long, Int)] = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    readHllSidecar(table, snap, col).map(graft.operators.Sketch.hllEstimate)
+  }
+
   /** Sidecar value escaping: SQL NULL → `\N` (distinct from the 4-char
     * string "null"), and backslash/tab/newline/CR escaped so the TSV parse
     * can never be corrupted by data values.

@@ -961,6 +961,31 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.statsAgg("s", "v") === Some((Some("a\tb"), Some("zz"), 3L)))
   }
 
+  test("catalog incremental HLL: cumulative sidecar == union registers; data-free; broken chain refuses") {
+    import java.nio.file.{Files, Paths}
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    def drop(lo: Long, hi: Long) = spark.range(lo, hi).selectExpr("id", "concat('v', id) AS v")
+    cat.appendWithHll(drop(0, 600), "t", "v")
+    cat.appendWithHll(drop(400, 1000), "t", "v") // 200-value overlap
+    // the rolled-forward sidecar must equal the registers of the union
+    val direct = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegistersOf(drop(0, 600).union(drop(400, 1000)), "v"))
+    assert(cat.hllDistinctStat("t", "v") === Some(direct))
+    // ~1000 true distinct: estimate in the raw regime, within 10%
+    assert(math.abs(direct._1 - 1000.0) / 1000.0 < 0.10, s"est=${direct._1}")
+    // zero data files opened: delete everything, the sidecar still answers
+    cat.read(spark, "t").inputFiles.map(_.stripPrefix("file:"))
+      .foreach(f => Files.delete(Paths.get(f)))
+    assert(cat.hllDistinctStat("t", "v") === Some(direct))
+    // an append that bypasses the HLL path poisons the chain: later
+    // estimates refuse rather than understate
+    cat.append(drop(2000, 2100), "t")
+    assert(cat.hllDistinctStat("t", "v").isEmpty)
+    cat.appendWithHll(drop(2100, 2200), "t", "v")
+    assert(cat.hllDistinctStat("t", "v").isEmpty, "poisoned chain must not self-heal silently")
+  }
+
   test("appendBatch idempotence marker survives compaction and snapshot expiry") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
