@@ -8,11 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-Min sketch heavy hitters — the streaming-sketch shape of
@@ -271,7 +271,12 @@ case class CountMinAgg(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  // declared input type so `cms_sketch(int_col)` coerces (or is rejected) at
+  // ANALYSIS time instead of a raw ClassCastException at execution
+  override def inputTypes = Seq(StringType)  // inferred: AbstractDataType is private[sql]
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -329,7 +334,11 @@ case class HllAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  // see CountMinAgg.inputTypes — analysis-time coercion, not runtime CCE
+  override def inputTypes = Seq(StringType)  // inferred: AbstractDataType is private[sql]
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](Sketch.hllM)
 

@@ -31,10 +31,14 @@ object IncrementalIngest {
                     table: String, docs: DataFrame): (Long, Long) = {
     val digTable = table + "__digests"
     val withDig = docs.withColumn("digest", md5(col("text")))
-    // within-drop: first arrival (min doc_id) per digest
+    // within-drop: first arrival (min doc_id) per digest. The join-back side
+    // is deduped on (digest, doc_id) first: a drop carrying two IDENTICAL
+    // (doc_id, text) rows would otherwise fan the keeper join out and append
+    // a same-snapshot exact duplicate the digest companion can never reject
+    // later (it only guards ACROSS drops).
     val inDrop = withDig
       .groupBy("digest").agg(min("doc_id").as("doc_id"))
-      .join(withDig, Seq("digest", "doc_id"))
+      .join(withDig.dropDuplicates("digest", "doc_id"), Seq("digest", "doc_id"))
     val fresh = cat.currentSnapshot(table) match {
       case None => inDrop
       case Some(_) =>

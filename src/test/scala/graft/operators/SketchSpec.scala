@@ -50,6 +50,22 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("non-string inputs coerce at analysis time (no runtime ClassCastException)") {
+    // cms_sketch/hll_sketch declare StringType via ImplicitCastInputTypes, so
+    // an INT column is cast during analysis — the sketch of the ints equals
+    // the sketch of their string spellings, and nothing throws at execution.
+    Sketch.register(spark); Sketch.registerHll(spark)
+    val ints = spark.createDataFrame((1 to 50).map(i => Tuple1(i % 7))).toDF("v")
+    val viaInt = ints.agg(expr("cms_sketch(v)")).head().getSeq[Long](0)
+    val viaStr = ints.selectExpr("CAST(v AS STRING) AS v")
+      .agg(expr("cms_sketch(v)")).head().getSeq[Long](0)
+    assert(viaInt === viaStr)
+    val hllInt = ints.agg(expr("hll_sketch(v)")).head().getSeq[Long](0)
+    val hllStr = ints.selectExpr("CAST(v AS STRING) AS v")
+      .agg(expr("hll_sketch(v)")).head().getSeq[Long](0)
+    assert(hllInt === hllStr)
+  }
+
   test("estimates are one-sided and no true heavy hitter is lost") {
     val df = corpus(4)
     val exact = df.groupBy("w").count().collect()
