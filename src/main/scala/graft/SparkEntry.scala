@@ -810,6 +810,30 @@ object SparkEntry {
       cat.appendBatch(d.where("doc_id % 2 = 0"), "t", 0L)  // post-success replay skips
       cat.read(s, "t")
     }),
+    "q_takedown" -> ((s, dir) => {
+      // row-level takedown (the DMCA/GDPR shape): commit the corpus into a
+      // snapshot-catalog table, equality-delete a url list as a METADATA-
+      // ONLY snapshot (Iceberg delete-file style — tombstone sidecar, zero
+      // of the 100 TB rewritten), read back through the broadcast anti-
+      // join. Time travel to the pre-delete snapshot stays complete and
+      // compaction materializes tombstones — both spec-pinned in
+      // CatalogR4Spec; the oracle here is the anti-filter itself.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_takedown_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url",
+        "doc_id", "md5(text) AS text_md5")
+      cat.commit(d, "t")
+      val takedown = d.where("doc_id % 17 = 3").select("url")
+        .collect().map(_.getString(0)).toSeq
+      cat.deleteWhere("t", "url", takedown)
+      cat.read(s, "t")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // GENUINELY STREAMING-EXECUTED contract query: a two-micro-batch
       // MemoryStream drive of the watermark-bounded exact dedup. Batch 1 =
@@ -1837,6 +1861,12 @@ object SparkEntry {
     // simply the corpus
     "q_catalog_stream" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // equality-delete takedown: the surviving table is exactly the
+    // anti-filter — deleted urls absent, everything else untouched
+    "q_takedown" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
+        |       doc_id, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
     // first-arrival per digest across the two batches: all originals
     // survive, every +1000000 copy drops, every ' v2' variant survives;
     // the stream carries pre-computed digests, so the emitted key is the

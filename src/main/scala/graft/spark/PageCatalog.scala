@@ -1,159 +1,293 @@
 package graft.spark
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
-import java.nio.file.{Files, Paths, Path, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import java.nio.charset.StandardCharsets.UTF_8
 
 /** Iceberg-semantics table emulation over parquet: immutable snapshots, each
-  * committed by an atomic manifest swap. No Iceberg runtime jar ships in this
+  * committed by an atomic pointer swap. No Iceberg runtime jar ships in this
   * sandbox (/opt/spark/jars has none — SURVEY.md §2.3), so the catalog is a
   * trait; `iceberg-spark-runtime` drops in behind the same calls via config
   * when available.
   *
-  * Layout:  <root>/data/snap-<id>/part-*.parquet
-  *          <root>/_manifests/v<N>.json   (file list of the CURRENT snapshot)
-  *          <root>/_manifests/CURRENT     (atomic pointer, rename-swapped)
+  * Layout:  <root>/data/snap-<id>/part-*.parquet   (or batch-<id>/ for streams)
+  *          <root>/_manifests/m<N>.json      (DELTA manifest: only snapshot
+  *                                            N's new files — O(delta) bytes)
+  *          <root>/_manifests/v<N>.json      (MANIFEST LIST: one entry per
+  *                                            delta manifest / delete file)
+  *          <root>/_manifests/d<N>.<col>.tsv (equality-delete file: values
+  *                                            of <col> removed at snapshot N)
+  *          <root>/_manifests/CURRENT        (atomic pointer)
   *
-  * Readers resolve CURRENT → manifest → file list; a writer prepares a full
-  * new snapshot directory, writes v<N+1>.json, then renames a temp pointer
-  * onto CURRENT (atomic on POSIX) — readers never observe a partial commit.
+  * The two-level metadata (manifest list → delta manifests) is Iceberg's:
+  * an append writes O(delta) file paths plus O(#manifests) small refs, never
+  * the table's full file list — at 10^5 incremental crawl-drop commits the
+  * old flat-manifest shape was O(n²) metadata bytes and is gone. Manifest-
+  * list entries are one of:
+  *   `@m<N>.json`        delta-manifest ref (expanded to its file list)
+  *   `!d<N>.<col>.tsv`   equality-delete ref (applied as an anti-join)
+  *   anything else       a raw data-file path (legacy flat manifests keep
+  *                       reading — migration is implicit)
+  *
+  * ALL metadata I/O goes through `org.apache.hadoop.fs.FileSystem`, so any
+  * Hadoop-addressable store (hdfs://, s3a://, file:/) works. The ONLY two
+  * places that need stronger-than-PUT semantics are isolated and overridable:
+  * [[atomicCreateNew]] (the snapshot-id CAS) and [[atomicSwap]] (the CURRENT
+  * pointer commit). Defaults: O_EXCL create / POSIX rename for file:, and
+  * FileContext create-no-overwrite / rename-OVERWRITE elsewhere (atomic on
+  * HDFS). An eventually-consistent object store must override them with its
+  * conditional-PUT primitive — exactly the contract Iceberg pushes onto its
+  * catalog layer.
   */
 trait PageCatalog {
   def read(spark: SparkSession, table: String): DataFrame
   def commit(df: DataFrame, table: String): Long
-  /** Iceberg fast-append: the new snapshot = previous file list + the
-    * delta's files — metadata-only on the existing data, no rewrite. */
+  /** Iceberg fast-append: the new snapshot = previous manifests + one delta
+    * manifest — metadata-only on the existing data, no rewrite. */
   def append(df: DataFrame, table: String): Long
   def currentSnapshot(table: String): Option[Long]
 }
 
-final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
+class ParquetSnapshotCatalog(root: String) extends PageCatalog {
 
-  private def manifestDir(table: String): Path = Paths.get(root, table, "_manifests")
+  // ------------------------------------------------------------------
+  // Hadoop-FS I/O layer. One private FileSystem instance per scheme
+  // (FileSystem.newInstance, NOT the process-wide cache) so disabling
+  // checksum sidecars here cannot leak into other components' fs handles.
+  // ------------------------------------------------------------------
+  private val conf = new Configuration()
+  private val fsCache = scala.collection.mutable.Map.empty[String, FileSystem]
 
-  override def currentSnapshot(table: String): Option[Long] = {
-    val cur = manifestDir(table).resolve("CURRENT")
-    if (Files.exists(cur)) Some(Files.readString(cur).trim.toLong) else None
+  private def fsOf(p: HPath): FileSystem = synchronized {
+    val u = p.toUri
+    val key = Option(u.getScheme).getOrElse("") + "//" + Option(u.getAuthority).getOrElse("")
+    fsCache.getOrElseUpdate(key, {
+      val f = FileSystem.newInstance(u, conf)
+      f.setWriteChecksum(false); f.setVerifyChecksum(false)
+      f
+    })
   }
 
-  private def manifestFiles(table: String, snap: Long): Seq[String] = {
-    val m = manifestDir(table).resolve(s"v$snap.json")
-    // one absolute parquet path per line inside a trivial JSON array
-    val s = Files.readString(m)
-    s.split('\n').map(_.trim.stripPrefix("[").stripSuffix("]").stripPrefix("\"").stripSuffix(",").stripSuffix("\""))
+  private def isLocal(p: HPath): Boolean = {
+    val s = p.toUri.getScheme; s == null || s == "file"
+  }
+
+  /** Manifests store plain absolute paths for local roots (byte-compatible
+    * with pre-round-4 tables) and full URIs for remote schemes. */
+  private def pathStr(p: HPath): String =
+    if (isLocal(p)) p.toUri.getPath else p.toString
+
+  private def readStr(p: HPath): String = {
+    val in = fsOf(p).open(p)
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
+  }
+
+  private def writeStr(p: HPath, s: String): Unit = {
+    val out = fsOf(p).create(p, true)
+    try out.write(s.getBytes(UTF_8)) finally out.close()
+  }
+
+  private def fsExists(p: HPath): Boolean = fsOf(p).exists(p)
+  private def fsDelete(p: HPath): Unit = { val f = fsOf(p); if (f.exists(p)) f.delete(p, false) }
+  private def listNames(dir: HPath): Seq[String] = {
+    val f = fsOf(dir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+  }
+
+  /** Atomic create-if-absent — the optimistic-concurrency primitive (claims,
+    * batch markers). file:/ uses O_EXCL via java.nio (LocalFileSystem's
+    * create(overwrite=false) is check-then-act, not atomic); other schemes
+    * use FileContext CREATE without overwrite (atomic on HDFS). Object
+    * stores MUST override with a conditional PUT (If-None-Match). Returns
+    * true iff this call created the file.
+    */
+  protected def atomicCreateNew(p: HPath): Boolean =
+    if (isLocal(p)) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+          Array.empty[Byte], java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        fc.create(p, java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+          org.apache.hadoop.fs.Options.CreateOpts.createParent()).close()
+        true
+      } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    }
+
+  /** Atomic replace-rename — the CURRENT pointer commit. file:/ uses POSIX
+    * rename(2) via java.nio; other schemes use FileContext rename-OVERWRITE
+    * (atomic on HDFS). Object stores without atomic rename MUST override
+    * (e.g. a versioned conditional PUT of the pointer object).
+    */
+  protected def atomicSwap(tmp: HPath, dest: HPath): Unit =
+    if (isLocal(tmp)) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+      fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+  // ------------------------------------------------------------------
+  // Metadata model: manifest lists, delta manifests, delete files.
+  // ------------------------------------------------------------------
+  private def manifestDir(table: String): HPath = new HPath(root, table + "/_manifests")
+
+  override def currentSnapshot(table: String): Option[Long] = {
+    val cur = new HPath(manifestDir(table), "CURRENT")
+    if (fsExists(cur)) Some(readStr(cur).trim.toLong) else None
+  }
+
+  private def parseJsonArray(s: String): Seq[String] =
+    s.split('\n').map(_.trim.stripPrefix("[").stripSuffix("]")
+      .stripPrefix("\"").stripSuffix(",").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
+
+  /** Raw manifest-list entries of a snapshot (refs + legacy paths). */
+  private def entriesOf(table: String, snap: Long): Seq[String] =
+    parseJsonArray(readStr(new HPath(manifestDir(table), s"v$snap.json")))
+
+  /** The snapshot's data-file list: manifest-list entries with `@` refs
+    * expanded, `!` delete refs skipped, legacy raw paths passed through.
+    * `.distinct` makes a double-committed delta (zombie-writer replay of a
+    * streaming batch) harmless: the same file can never be scanned twice.
+    */
+  protected def manifestFiles(table: String, snap: Long): Seq[String] =
+    entriesOf(table, snap).flatMap { e =>
+      if (e.startsWith("@")) parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@"))))
+      else if (e.startsWith("!")) Nil
+      else Seq(e)
+    }.distinct
+
+  private def deleteRefsOf(table: String, snap: Long): Seq[String] =
+    entriesOf(table, snap).filter(_.startsWith("!")).map(_.stripPrefix("!"))
+
+  /** Write snapshot `snap`'s delta manifest (its own new files only) and
+    * return the manifest-list entry referencing it. */
+  private def writeDeltaManifest(table: String, snap: Long, files: Seq[String]): String = {
+    val body = files.distinct.sorted.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]")
+    writeStr(new HPath(manifestDir(table), s"m$snap.json"), body)
+    s"@m$snap.json"
+  }
+
+  /** Commit snapshot `snap` with the given manifest-list entries: write the
+    * list, swap CURRENT atomically, GC this snapshot's id claim. Readers
+    * never observe a partial commit — the list and every ref in it are fully
+    * written before the pointer moves.
+    */
+  private def commitSnapshot(table: String, snap: Long, entries: Seq[String]): Unit = {
+    val dir = manifestDir(table)
+    fsOf(dir).mkdirs(dir)
+    writeStr(new HPath(dir, s"v$snap.json"),
+      entries.map(e => "\"" + e + "\"").mkString("[\n", ",\n", "\n]"))
+    val tmp = new HPath(dir, s".CURRENT.tmp$snap")
+    writeStr(tmp, snap.toString)
+    atomicSwap(tmp, new HPath(dir, "CURRENT"))
+    // claim GC: the manifest now exists, so snapshots() covers this id for
+    // future claimers — the marker has done its job
+    fsDelete(new HPath(dir, s".claim-v$snap"))
   }
 
   override def read(spark: SparkSession, table: String): DataFrame = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    // mergeSchema: Iceberg-style ADD-column evolution — a metadata-only
-    // commit may reference data files written before and after a schema
-    // widened; old files surface nulls for the new columns
-    spark.read.option("mergeSchema", "true").parquet(manifestFiles(table, snap): _*)
+    readSnapshot(spark, table, snap)
   }
 
   /** Write `df` into `dataDir` and return the sorted parquet file list —
     * the shared first half of every data-writing commit path.
     */
-  private def writeSnapshotData(df: DataFrame, dataDir: Path): Seq[String] = {
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    scala.util.Using.resource(Files.list(dataDir)) { s =>
-      s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath.toString).toSeq.sorted
-    }
+  private def writeSnapshotData(df: DataFrame, dataDir: HPath): Seq[String] = {
+    df.write.mode(SaveMode.Overwrite).parquet(pathStr(dataDir))
+    fsOf(dataDir).listStatus(dataDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(pathStr).sorted
   }
 
   override def commit(df: DataFrame, table: String): Long = {
     val snap = claimSnapshotId(table)
-    val files = writeSnapshotData(df, Paths.get(root, table, "data", s"snap-$snap"))
-    writeManifest(table, snap, files)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, files)))
     snap
   }
 
   override def append(df: DataFrame, table: String): Long = {
     // single-writer append (the claim guards the snapshot id; concurrent
     // appends would need a manifest-merge retry loop, like Iceberg's)
-    val prev = currentSnapshot(table).map(manifestFiles(table, _)).getOrElse(Seq.empty)
+    val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
     val snap = claimSnapshotId(table)
-    val files = writeSnapshotData(df, Paths.get(root, table, "data", s"snap-$snap"))
-    writeManifest(table, snap, (prev ++ files).sorted)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
     snap
   }
 
-  /** Optimistic snapshot-id claim: atomically CREATE_NEW a claim marker so
-    * two concurrent committers can never write the same manifest version
-    * (the Iceberg-catalog CAS, filesystem edition). Claims are separate
-    * from manifests, so a half-done commit is invisible to readers and
-    * time travel. The CURRENT pointer still advances last-swap-wins; both
-    * snapshots stay addressable either way.
+  /** Optimistic snapshot-id claim: atomically create a claim marker so two
+    * concurrent committers can never write the same manifest version (the
+    * Iceberg-catalog CAS, filesystem edition). Claims are separate from
+    * manifests, so a half-done commit is invisible to readers and time
+    * travel; [[commitSnapshot]] deletes the claim once its manifest lands,
+    * keeping the directory O(in-flight commits), not O(history).
     */
   private def claimSnapshotId(table: String): Long = {
     val dir = manifestDir(table)
-    Files.createDirectories(dir)
-    val claimed = scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith(".claim-v"))
-        .map(_.stripPrefix(".claim-v").toLong).toSeq
-    }
+    fsOf(dir).mkdirs(dir)
+    val claimed = listNames(dir).filter(_.startsWith(".claim-v"))
+      .map(_.stripPrefix(".claim-v").toLong)
     var snap = (snapshots(table) ++ claimed :+ 0L).max + 1L
-    while (true) {
-      try {
-        Files.writeString(dir.resolve(s".claim-v$snap"), "",
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        return snap
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => snap += 1L
-      }
-    }
-    snap // unreachable
+    while (!atomicCreateNew(new HPath(dir, s".claim-v$snap"))) snap += 1L
+    snap
   }
 
   /** Iceberg-style TIME TRAVEL: read the table as of a past snapshot.
-    * Manifests are immutable and never deleted, so every committed version
-    * stays addressable.
+    * Manifest lists are immutable, so every committed version stays
+    * addressable (until expired); equality deletes committed at or before
+    * `snap` are applied, later ones are not — a pre-takedown snapshot still
+    * reads complete.
     */
   def readSnapshot(spark: SparkSession, table: String, snap: Long): DataFrame = {
-    require(Files.exists(manifestDir(table).resolve(s"v$snap.json")),
+    require(fsExists(new HPath(manifestDir(table), s"v$snap.json")),
       s"no snapshot $snap for $table")
-    spark.read.option("mergeSchema", "true").parquet(manifestFiles(table, snap): _*)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(manifestFiles(table, snap): _*)
+    applyDeletes(spark, table, snap, df)
   }
 
   /** All committed snapshot ids, ascending. */
-  def snapshots(table: String): Seq[Long] = {
-    val dir = manifestDir(table)
-    if (!Files.exists(dir)) return Nil
-    scala.util.Using.resource(Files.list(dir)) { s =>
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("v") && n.endsWith(".json"))
-        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-        .toSeq.sorted
-    }
-  }
+  def snapshots(table: String): Seq[Long] =
+    listNames(manifestDir(table))
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
 
   /** Roll the table back (or forward) to an existing snapshot — a
     * metadata-only atomic pointer swap, like Iceberg's rollback_to_snapshot.
     */
   def rollbackTo(table: String, snap: Long): Unit = {
-    require(Files.exists(manifestDir(table).resolve(s"v$snap.json")),
+    require(fsExists(new HPath(manifestDir(table), s"v$snap.json")),
       s"no snapshot $snap for $table")
-    val tmp = manifestDir(table).resolve(s".CURRENT.rb$snap")
-    Files.writeString(tmp, snap.toString)
-    Files.move(tmp, manifestDir(table).resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new HPath(manifestDir(table), s".CURRENT.rb$snap")
+    writeStr(tmp, snap.toString)
+    atomicSwap(tmp, new HPath(manifestDir(table), "CURRENT"))
   }
 
   /** Exactly-once streaming append (the foreachBatch sink contract):
     * micro-batch `batchId`'s data lands in a batch-addressed directory and
-    * is committed by the atomic manifest swap — the manifest itself IS the
-    * idempotence marker, so Spark's replay-after-failure semantics (a
+    * is committed by the atomic manifest swap, then recorded in an O(1)
+    * per-batch marker file — Spark's replay-after-failure semantics (a
     * batch may be re-delivered, never skipped) compose to exactly-once:
     *
     *   - crash AFTER the data write, BEFORE the manifest commit → the
     *     replay overwrites the orphan directory and commits once;
-    *   - crash AFTER the commit → the replay sees the batch referenced by
-    *     a manifest and skips without touching storage.
+    *   - crash AFTER the commit, BEFORE the marker → the replay finds the
+    *     batch via the manifest-scan fallback and backfills the marker;
+    *   - crash AFTER the marker → the replay reads ONE file and skips.
     *
     * CONTRACT: batch ids must come from ONE checkpoint lineage per table.
     * A fresh checkpoint re-numbering from 0 against an existing table
@@ -168,35 +302,50 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
         "a new checkpoint reusing ids against an existing table is skipped here, not merged.")
       return false
     }
-    val files = writeSnapshotData(df, Paths.get(root, table, "data", s"batch-$batchId"))
-    val prev = currentSnapshot(table).map(manifestFiles(table, _)).getOrElse(Seq.empty)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/batch-$batchId"))
+    val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
     val snap = claimSnapshotId(table)
-    writeManifest(table, snap, (prev ++ files).sorted)
+    commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    // marker LAST: it asserts "committed", so it must never exist without
+    // the manifest (the reverse — manifest without marker — self-heals in
+    // batchCommitted). Two racing duplicate deliveries are also harmless at
+    // the data level: the batch-addressed dir gives both the same paths and
+    // manifestFiles dedups, so rows can never be read twice.
+    writeStr(batchMarker(table, batchId), "")
     true
   }
 
-  /** A batch is committed iff ANY retained manifest references its
-    * batch-addressed directory, or the expired-batch ledger records it
-    * (data present without either is an orphan from a mid-append crash —
-    * NOT committed). Scanning all manifests — not just CURRENT — keeps the
-    * marker durable across compact()/rollback, whose new snapshots
-    * reference rewritten files; expireSnapshots preserves the ids of
-    * batches its deleted manifests referenced in the ledger, so even full
-    * snapshot expiry cannot resurrect a committed batch.
+  private def batchMarker(table: String, batchId: Long): HPath =
+    new HPath(manifestDir(table), s"batch-$batchId.committed")
+
+  /** A batch is committed iff its O(1) marker file exists, the expired-batch
+    * ledger records it, or (migration fallback for pre-marker tables) any
+    * retained manifest references its batch-addressed directory — data
+    * present without any of these is an orphan from a mid-append crash,
+    * NOT committed. A fallback hit backfills the marker so the next check
+    * reads one file instead of scanning manifests: the long-running-stream
+    * steady state is O(1) metadata per micro-batch, independent of table
+    * history (the round-3 all-manifest scan was O(n²) over the stream's
+    * lifetime).
     */
   def batchCommitted(table: String, batchId: Long): Boolean = {
+    if (fsExists(batchMarker(table, batchId))) return true
+    if (expiredBatches(table).contains(batchId)) return true
     val marker = s"/batch-$batchId/"
-    snapshots(table).exists(s => manifestFiles(table, s).exists(_.contains(marker))) ||
-      expiredBatches(table).contains(batchId)
+    val hit = snapshots(table).exists(s => manifestFiles(table, s).exists(_.contains(marker)))
+    if (hit) writeStr(batchMarker(table, batchId), "") // self-heal to O(1)
+    hit
   }
 
-  /** Batch ids whose manifests were expired — the durable half of the
-    * exactly-once marker (see [[batchCommitted]]).
+  /** Batch ids whose manifests were expired — the durable legacy half of the
+    * exactly-once marker (see [[batchCommitted]]; marker files are never
+    * deleted, so post-round-4 batches don't need the ledger, but pre-marker
+    * tables migrating through expiry still do).
     */
   def expiredBatches(table: String): Set[Long] = {
-    val p = manifestDir(table).resolve("batches.expired.tsv")
-    if (!Files.exists(p)) Set.empty
-    else Files.readString(p).split('\n').filter(_.nonEmpty).map(_.toLong).toSet
+    val p = new HPath(manifestDir(table), "batches.expired.tsv")
+    if (!fsExists(p)) Set.empty
+    else readStr(p).split('\n').filter(_.nonEmpty).map(_.toLong).toSet
   }
 
   /** Metadata-only commit: a new snapshot whose manifest references data
@@ -205,55 +354,108 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     */
   def commitFiles(files: Seq[String], table: String): Long = {
     val snap = claimSnapshotId(table)
-    writeManifest(table, snap, files.sorted)
+    commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, files)))
     snap
   }
 
+  /** Iceberg-style equality delete (row-level takedown — DMCA/GDPR "remove
+    * these urls everywhere"): commits a tombstone file of `column` values as
+    * a NEW snapshot whose manifest list carries the same data files plus a
+    * `!` delete ref — ZERO data rewritten at 100 TB. Readers apply the
+    * tombstones as a broadcast anti-join; [[compact]] materializes them
+    * (its rewrite reads through the delete-applying path, and the rewritten
+    * snapshot carries no tombstones). Time travel to a pre-delete snapshot
+    * still reads complete — takedowns are snapshots, not mutations.
+    *
+    * Values are matched against `CAST(column AS STRING)`; the per-snapshot
+    * HLL sidecar chain is intentionally NOT carried forward (HLL cannot
+    * unlearn — the chain-integrity gate refuses rather than overcounting).
+    */
+  def deleteWhere(table: String, column: String, values: Seq[String]): Long = {
+    require(!column.contains('.') && !column.contains('/') && !column.contains('\t'),
+      s"unsupported delete column name: $column")
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val prev = entriesOf(table, cur)
+    val snap = claimSnapshotId(table)
+    val del = s"d$snap.$column.tsv"
+    writeStr(new HPath(manifestDir(table), del),
+      values.map(escStat).mkString("", "\n", "\n"))
+    commitSnapshot(table, snap, prev :+ ("!" + del))
+    snap
+  }
+
+  /** Apply a snapshot's equality-delete files: one broadcast anti-join per
+    * tombstone (the delete sets are takedown-sized — thousands of keys, not
+    * table-sized — so the join never shuffles the data side).
+    */
+  private def applyDeletes(spark: SparkSession, table: String, snap: Long,
+                           df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    deleteRefsOf(table, snap).foldLeft(df) { (d, ref) =>
+      // ref = d<snap>.<col>.tsv (delete columns cannot contain '.')
+      val column = ref.stripPrefix("d").split('.')(1)
+      val vals = readStr(new HPath(manifestDir(table), ref))
+        .split('\n').filter(_.nonEmpty).flatMap(unescStat).toSeq
+      val delDf = spark.createDataFrame(vals.map(Tuple1(_))).toDF("__del_key")
+      d.join(broadcast(delDf), d(column).cast("string") === delDf("__del_key"), "left_anti")
+    }
+  }
+
   /** Iceberg-style rewrite_data_files (bin-packing compaction): coalesce
-    * the current snapshot's files into ~targetBytes outputs, committed as a
+    * the current snapshot's rows into ~targetBytes outputs, committed as a
     * NEW snapshot — old versions stay time-travelable, CURRENT advances
     * atomically. `coalesce` (not `repartition`) keeps the rewrite a
     * shuffle-free narrow pass: adjacent scan splits merge into one writer
-    * task each. At 100 TB this is the maintenance op that keeps scan task
-    * counts bounded after many incremental/streaming commits (thousands of
-    * small files → file-open overhead dominates the scan).
+    * task each. Reads through [[readSnapshot]], so pending equality deletes
+    * are MATERIALIZED here (the rewritten snapshot carries no tombstones).
+    * At 100 TB this is the maintenance op that keeps scan task counts
+    * bounded after many incremental/streaming commits.
     */
   def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): Long = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val files = manifestFiles(table, snap)
-    val totalBytes = files.map(f => Files.size(Paths.get(f))).sum
+    val totalBytes = files.map { f =>
+      val p = new HPath(f); fsOf(p).getFileStatus(p).getLen
+    }.sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    commit(spark.read.parquet(files: _*).coalesce(nOut), table)
+    commit(readSnapshot(spark, table, snap).coalesce(nOut), table)
   }
 
   /** Iceberg-style expire_snapshots: drop all but the last `keepLast`
-    * snapshots (CURRENT always survives) and delete the data files that
-    * are referenced ONLY by expired manifests — metadata-only snapshots
-    * sharing files with a live version keep those files on disk.
+    * snapshots (CURRENT always survives) and delete the data files, delta
+    * manifests and delete files referenced ONLY by expired manifest lists —
+    * snapshots sharing metadata with a live version keep it on disk.
     * Returns the expired snapshot ids.
     */
   def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
     val snaps = snapshots(table)
     val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++ currentSnapshot(table)
     val expired = snaps.filterNot(keep)
-    // preserve the exactly-once markers of streaming batches whose
-    // manifests are about to disappear (see batchCommitted)
+    // preserve the exactly-once markers of pre-marker streaming batches
+    // whose manifests are about to disappear (see batchCommitted)
     val batchRe = "/batch-(\\d+)/".r
     val expiredIds = expired.flatMap(s => manifestFiles(table, s))
       .flatMap(f => batchRe.findFirstMatchIn(f).map(_.group(1).toLong)).toSet
     if (expiredIds.nonEmpty) {
       val ledger = expiredBatches(table) ++ expiredIds
-      val tmp = manifestDir(table).resolve(".batches.expired.tmp")
-      Files.writeString(tmp, ledger.toSeq.sorted.mkString("", "\n", "\n"))
-      Files.move(tmp, manifestDir(table).resolve("batches.expired.tsv"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      val tmp = new HPath(manifestDir(table), ".batches.expired.tmp")
+      writeStr(tmp, ledger.toSeq.sorted.mkString("", "\n", "\n"))
+      atomicSwap(tmp, new HPath(manifestDir(table), "batches.expired.tsv"))
     }
+    // reference-counted GC at both levels: data files, then metadata refs
     val liveFiles = keep.flatMap(s => manifestFiles(table, s))
     expired.flatMap(s => manifestFiles(table, s)).distinct
       .filterNot(liveFiles)
-      .foreach(f => Files.deleteIfExists(Paths.get(f)))
-    expired.foreach(s => Files.deleteIfExists(manifestDir(table).resolve(s"v$s.json")))
+      .foreach(f => fsDelete(new HPath(f)))
+    val liveRefs = keep.flatMap(s => entriesOf(table, s)).filter(e =>
+      e.startsWith("@") || e.startsWith("!"))
+    expired.flatMap(s => entriesOf(table, s)).distinct
+      .filter(e => e.startsWith("@") || e.startsWith("!"))
+      .filterNot(liveRefs)
+      .foreach(e => fsDelete(new HPath(manifestDir(table), e.drop(1))))
+    expired.foreach(s => fsDelete(new HPath(manifestDir(table), s"v$s.json")))
     expired
   }
 
@@ -300,8 +502,22 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     files.filterNot(seen).foreach { f =>
       sb.append(f).append('\t').append("__count").append('\t').append(0L).append('\t').append(0L).append('\n')
     }
-    Files.writeString(manifestDir(table).resolve(s"v$snap.stats.tsv"), sb.toString)
+    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"), sb.toString)
     snap
+  }
+
+  /** Comparator tier for stringified stats bounds: exact longs, then exact
+    * doubles, then byte-wise strings. Shared by [[statsAgg]] and
+    * [[pruneFiles]] — a DOUBLE column must never fall back to lexicographic
+    * order ("10.2" < "9.5" byte-wise).
+    */
+  private def statCmp(vals: Seq[String]): (String, String) => Int = {
+    def longs = vals.forall(v => scala.util.Try(v.toLong).isSuccess)
+    def doubles = vals.forall(v =>
+      scala.util.Try(v.toDouble).toOption.exists(d => !d.isNaN))
+    if (longs) (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+    else if (doubles) (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    else (a, b) => a.compareTo(b)
   }
 
   /** Metadata-only aggregation (Iceberg's manifest-stats answer path):
@@ -314,18 +530,18 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * Soundness contract: answers ONLY when the sidecar is complete — every
     * manifest file must carry a `__count` row, and every file with rows
     * must carry a stats row for `column` (a fast-append / compaction /
-    * plain-commit snapshot has no sidecar → None; callers fall back to the
-    * real scan). min/max skip all-null files (per SQL semantics) while
-    * count(*) still includes their rows; a column whose every file is
-    * all-null yields (None, None, count).
+    * plain-commit / delete snapshot has no sidecar → None; callers fall
+    * back to the real scan). min/max skip all-null files (per SQL
+    * semantics) while count(*) still includes their rows; a column whose
+    * every file is all-null yields (None, None, count).
     */
   def statsAgg(table: String, column: String): Option[(Option[String], Option[String], Long)] = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val all = manifestFiles(table, snap)
-    val sidecar = manifestDir(table).resolve(s"v$snap.stats.tsv")
-    if (!Files.exists(sidecar)) return None
-    val lines = Files.readString(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+    val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
+    if (!fsExists(sidecar)) return None
+    val lines = readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
     val counts = lines.collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
     val stats = lines.collect { case Array(f, c, mn, mx) if c == column =>
       f -> ((unescStat(mn), unescStat(mx))) }.toMap
@@ -336,23 +552,12 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     // semantics; their rows still count
     val present = all.filter(f => counts(f) > 0L).map(stats)
       .collect { case (Some(mn), Some(mx)) => (mn, mx) }
-    // compare tier: exact longs > exact doubles > byte-wise strings — a
-    // DOUBLE column must never fall back to lexicographic order ("10.2" <
-    // "9.5" byte-wise)
-    def longs = present.forall { case (mn, mx) =>
-      scala.util.Try(mn.toLong).isSuccess && scala.util.Try(mx.toLong).isSuccess }
-    def doubles = present.forall { case (mn, mx) =>
-      scala.util.Try(mn.toDouble).toOption.exists(d => !d.isNaN) &&
-        scala.util.Try(mx.toDouble).toOption.exists(d => !d.isNaN) }
-    val lt: (String, String) => Boolean =
-      if (longs) (a, b) => a.toLong < b.toLong
-      else if (doubles) (a, b) => a.toDouble < b.toDouble
-      else (a, b) => a < b
+    val cmp = statCmp(present.flatMap(p => Seq(p._1, p._2)))
     val mins = present.map(_._1)
     val maxs = present.map(_._2)
     Some((
-      mins.reduceOption((a, b) => if (lt(a, b)) a else b),
-      maxs.reduceOption((a, b) => if (lt(a, b)) b else a),
+      mins.reduceOption((a, b) => if (cmp(a, b) < 0) a else b),
+      maxs.reduceOption((a, b) => if (cmp(a, b) < 0) b else a),
       all.map(counts).sum))
   }
 
@@ -368,9 +573,9 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   }
 
   /** File-level zone-map pruning: the current snapshot's files whose
-    * [min, max] range for `column` overlaps [lo, hi] (numeric compare when
-    * both bounds parse as longs, byte-wise string compare otherwise).
-    * Files without stats — no sidecar, or a null min/max from an
+    * [min, max] range for `column` overlaps [lo, hi] (compared at the
+    * numeric tier the bounds support — long, then double, then byte-wise
+    * string). Files without stats — no sidecar, or a null min/max from an
     * all-null file — are conservatively KEPT: pruning is an optimization;
     * the reader still applies the real filter, so correctness never
     * depends on the zone maps.
@@ -379,18 +584,15 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val all = manifestFiles(table, snap)
-    val sidecar = manifestDir(table).resolve(s"v$snap.stats.tsv")
-    if (!Files.exists(sidecar)) return all
-    val stats = Files.readString(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+    val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
+    if (!fsExists(sidecar)) return all
+    val stats = readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
       .collect { case Array(f, c, mn, mx) if c == column =>
         f -> ((unescStat(mn), unescStat(mx))) }.toMap
     def overlaps(mnO: Option[String], mxO: Option[String]): Boolean = (mnO, mxO) match {
       case (Some(mn), Some(mx)) =>
-        (scala.util.Try(lo.toLong).toOption, scala.util.Try(hi.toLong).toOption,
-          scala.util.Try(mn.toLong).toOption, scala.util.Try(mx.toLong).toOption) match {
-          case (Some(l), Some(h), Some(fmn), Some(fmx)) => fmx >= l && fmn <= h
-          case _ => mx >= lo && mn <= hi
-        }
+        val cmp = statCmp(Seq(lo, hi, mn, mx))
+        cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
       case _ => true // all-null stats: conservatively keep
     }
     all.filter(f => stats.get(f).forall { case (mn, mx) => overlaps(mn, mx) })
@@ -398,12 +600,17 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
 
   /** Ranged read through the zone maps: only overlapping files are opened;
     * the caller still applies (and Spark pushes down) the actual predicate.
+    * Pending equality deletes are applied on top — pruning never resurrects
+    * a taken-down row.
     */
   def readPruned(spark: SparkSession, table: String, column: String,
                  lo: String, hi: String): DataFrame = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
     val files = pruneFiles(table, column, lo, hi)
     if (files.isEmpty) read(spark, table).limit(0)
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    else applyDeletes(spark, table, snap,
+      spark.read.option("mergeSchema", "true").parquet(files: _*))
   }
 
   /** Append a crawl drop AND roll the table's cumulative HyperLogLog
@@ -414,20 +621,30 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * becomes a 2 KB sidecar read ([[hllDistinctStat]]) instead of a
     * table-wide COUNT(DISTINCT) shuffle.
     *
+    * The delta registers are computed from the parquet files the append
+    * ACTUALLY WROTE, not from the input plan: a non-deterministic input
+    * (rand()-derived columns, fresh sampling) re-evaluated for the register
+    * pass would silently diverge the sidecar from the data. One extra read
+    * of the delta — same cost shape, no divergence window.
+    *
     * Chain integrity: the cumulative state is only written when the table
     * is empty OR the previous snapshot carries the sidecar — an append
     * that bypassed this method poisons the chain, later snapshots get no
     * sidecar, and the estimate path refuses (None) rather than
-    * understating. (A compaction snapshot rewrites data, not content —
-    * carry the sidecar forward by re-appending through this method or
-    * recommitting; the refusal is the safe default.)
+    * understating. (A compaction/delete snapshot rewrites table state, not
+    * drop content — carry the sidecar forward by re-appending through this
+    * method or recommitting; the refusal is the safe default.)
     */
   def appendWithHll(df: DataFrame, table: String, col: String): Long = {
     val prev = currentSnapshot(table)
     val prevRegs = prev.flatMap(readHllSidecar(table, _, col))
     val chainOk = prev.isEmpty || prevRegs.isDefined
-    val delta = graft.operators.Sketch.hllRegistersOf(df, col)
-    val snap = append(df, table)
+    val prevEntries = prev.map(entriesOf(table, _)).getOrElse(Seq.empty)
+    val snap = claimSnapshotId(table)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    val delta = graft.operators.Sketch.hllRegistersOf(
+      df.sparkSession.read.parquet(files: _*), col)
+    commitSnapshot(table, snap, prevEntries :+ writeDeltaManifest(table, snap, files))
     if (chainOk) {
       val merged = prevRegs match {
         case Some(p) => p.zip(delta).map { case (a, b) => math.max(a, b) }
@@ -435,19 +652,20 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       }
       val bb = java.nio.ByteBuffer.allocate(merged.length * 8)
       bb.asLongBuffer().put(merged)
-      val tmp = manifestDir(table).resolve(s".hll.$col.tmp$snap")
-      Files.write(tmp, bb.array())
-      Files.move(tmp, manifestDir(table).resolve(s"v$snap.hll.$col.bin"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      val tmp = new HPath(manifestDir(table), s".hll.$col.tmp$snap")
+      val out = fsOf(tmp).create(tmp, true)
+      try out.write(bb.array()) finally out.close()
+      atomicSwap(tmp, new HPath(manifestDir(table), s"v$snap.hll.$col.bin"))
     }
     snap
   }
 
   private def readHllSidecar(table: String, snap: Long, col: String): Option[Array[Long]] = {
-    val p = manifestDir(table).resolve(s"v$snap.hll.$col.bin")
-    if (!Files.exists(p)) None
+    val p = new HPath(manifestDir(table), s"v$snap.hll.$col.bin")
+    if (!fsExists(p)) None
     else {
-      val bytes = Files.readAllBytes(p)
+      val in = fsOf(p).open(p)
+      val bytes = try in.readAllBytes() finally in.close()
       val out = new Array[Long](bytes.length / 8)
       java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
       Some(out)
@@ -490,15 +708,5 @@ final class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       } else { sb.append(c); i += 1 }
     }
     Some(sb.toString)
-  }
-
-  private def writeManifest(table: String, snap: Long, files: Seq[String]): Unit = {
-    Files.createDirectories(manifestDir(table))
-    val manifest = files.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]")
-    Files.writeString(manifestDir(table).resolve(s"v$snap.json"), manifest)
-    val tmp = manifestDir(table).resolve(s".CURRENT.tmp$snap")
-    Files.writeString(tmp, snap.toString)
-    Files.move(tmp, manifestDir(table).resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }

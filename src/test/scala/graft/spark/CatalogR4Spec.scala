@@ -1,0 +1,248 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Round-4 catalog surface: Hadoop-FS I/O (file:// roots), the two-level
+  * manifest-list metadata layer (O(delta) appends), O(1) exactly-once batch
+  * markers with self-heal, claim GC, equality deletes (takedown), the
+  * pruneFiles DOUBLE compare tier, and the appendWithHll written-files fix.
+  */
+class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graftcat4").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def manifestNames(root: String, table: String): Seq[String] = {
+    val dir = Paths.get(root, table, "_manifests")
+    if (!Files.exists(dir)) Nil
+    else scala.util.Using.resource(Files.list(dir)) {
+      _.iterator().asScala.map(_.getFileName.toString).toSeq
+    }
+  }
+
+  /** Instrumented catalog: counts manifest-list expansions so O(1) claims
+    * about the metadata path are assertable, not aspirational. */
+  private class CountingCatalog(root: String) extends ParquetSnapshotCatalog(root) {
+    var manifestReads = 0
+    override protected def manifestFiles(table: String, snap: Long): Seq[String] = {
+      manifestReads += 1
+      super.manifestFiles(table, snap)
+    }
+  }
+
+  test("explicit file:// root: full commit/append/time-travel cycle through the Hadoop FS layer") {
+    val root = "file:" + tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val s1 = cat.commit(Seq(("a", 1), ("b", 2)).toDF("k", "v"), "t")
+    val s2 = cat.append(Seq(("c", 3)).toDF("k", "v"), "t")
+    assert(cat.read(spark, "t").count() === 3)
+    assert(cat.readSnapshot(spark, "t", s1).count() === 2)
+    cat.rollbackTo("t", s1)
+    assert(cat.read(spark, "t").count() === 2)
+    cat.rollbackTo("t", s2)
+    assert(cat.read(spark, "t").as[(String, Int)].collect().sortBy(_._1) ===
+      Array(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("manifest-list layer: appends write O(delta) metadata, never the table's file list") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    // seed: a 20-file snapshot
+    cat.commit(spark.range(200).select($"id", ($"id" * 2).as("v")).repartition(20), "t")
+    val seedBytes = Files.size(Paths.get(root, "t", "_manifests", "m1.json"))
+    // 12 single-file drops
+    val appendSnaps = (1 to 12).map { i =>
+      cat.append(Seq((1000L + i, 0L)).toDF("id", "v").coalesce(1), "t")
+    }
+    assert(cat.read(spark, "t").count() === 212)
+    // each append's DELTA manifest lists only its own files — tiny and flat,
+    // independent of the 20-file seed (the round-3 full-list manifest grew
+    // by seedBytes per append)
+    for (s <- appendSnaps) {
+      val mBytes = Files.size(Paths.get(root, "t", "_manifests", s"m$s.json"))
+      assert(mBytes < seedBytes / 4, s"delta manifest m$s.json is not O(delta): $mBytes bytes")
+    }
+    // the manifest LIST carries one small ref per manifest, not file paths
+    val lastList = Files.readString(Paths.get(root, "t", "_manifests", s"v${appendSnaps.last}.json"))
+    assert(lastList.linesIterator.count(_.contains("@m")) === 13)
+    assert(!lastList.contains(".parquet"), "manifest list must hold refs, not data paths")
+    // time travel through the list layer still works mid-history
+    assert(cat.readSnapshot(spark, "t", appendSnaps(5)).count() === 206)
+  }
+
+  test("batchCommitted is O(1) after the marker lands, with manifest-scan self-heal fallback") {
+    val root = tmp()
+    val cat = new CountingCatalog(root)
+    val ss = spark; import ss.implicits._
+    for (b <- 0L until 8L)
+      assert(cat.appendBatch(Seq((b, s"row$b")).toDF("id", "s"), "t", b))
+    assert(cat.read(spark, "t").count() === 8)
+    // steady state: the check reads ONE marker file, zero manifests
+    cat.manifestReads = 0
+    assert(cat.batchCommitted("t", 5L))
+    assert(cat.manifestReads === 0, "marker path must not scan manifests")
+    assert(!cat.appendBatch(Seq((5L, "dup")).toDF("id", "s"), "t", 5L))
+    // migration fallback: a pre-marker table (marker deleted) still detects
+    // the batch via the manifest scan AND backfills the marker
+    val marker = Paths.get(root, "t", "_manifests", "batch-5.committed")
+    Files.delete(marker)
+    cat.manifestReads = 0
+    assert(cat.batchCommitted("t", 5L))
+    assert(cat.manifestReads > 0, "fallback must have scanned")
+    assert(Files.exists(marker), "fallback hit must self-heal the marker")
+    cat.manifestReads = 0
+    assert(cat.batchCommitted("t", 5L))
+    assert(cat.manifestReads === 0, "self-healed marker must restore O(1)")
+    // an orphan (data dir without commit) is still NOT committed
+    assert(!cat.batchCommitted("t", 99L))
+  }
+
+  test("duplicate manifest entries are read-once: a double-committed delta cannot double rows") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commit(Seq((1, "x"), (2, "y")).toDF("id", "s"), "t")
+    val files = cat.read(spark, "t").inputFiles.map(f => "/" + f.stripPrefix("file:").dropWhile(_ == '/')).toSeq
+    // zombie-writer shape: the same files committed twice in one manifest
+    cat.commitFiles(files ++ files, "t")
+    assert(cat.read(spark, "t").count() === 2, "duplicated file refs must scan once")
+  }
+
+  test("claim GC: commits leave no .claim-v files behind") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    for (i <- 1 to 10) cat.append(Seq((i, i)).toDF("a", "b"), "t")
+    val claims = manifestNames(root, "t").filter(_.startsWith(".claim-v"))
+    assert(claims.isEmpty, s"stale claims: $claims")
+    assert(cat.snapshots("t").size === 10)
+  }
+
+  test("appendWithHll computes registers from the WRITTEN files: a non-deterministic input cannot diverge sidecar from data") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    // rand() without a seed: re-evaluating the plan yields different rows,
+    // so registers computed from the input plan (the round-3 shape) would
+    // describe rows that were never written
+    val nondet = spark.range(2000)
+      .select((rand() * 300).cast("long").cast("string").as("v"))
+    cat.appendWithHll(nondet, "t", "v")
+    cat.appendWithHll(nondet, "t", "v")
+    val sidecarEst = cat.hllDistinctStat("t", "v").get
+    val tableEst = graft.operators.Sketch.hllEstimate(
+      graft.operators.Sketch.hllRegistersOf(cat.read(spark, "t"), "v"))
+    assert(sidecarEst === tableEst,
+      "sidecar registers must equal registers over the table as written")
+  }
+
+  test("pruneFiles compares DOUBLE bounds numerically, never lexicographically") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    // one file per value-band; the [9.5, 10.5] file overlaps query [10.0,
+    // 10.2] numerically but "9.5" > "10.2" byte-wise — the round-3 fallback
+    // dropped it (silently missing rows)
+    val bands = Seq(Seq(9.5, 10.5), Seq(1.5, 2.5), Seq(100.25, 200.75))
+    val df = bands.zipWithIndex.map { case (vs, i) =>
+      vs.toDF("score").withColumn("band", lit(i)).repartition(1)
+    }.reduce(_ union _).repartition(3, col("band")).sortWithinPartitions("score")
+    cat.commitWithStats(df, "t", Seq("score"))
+    val hit = cat.pruneFiles("t", "score", "10.0", "10.2")
+    assert(hit.nonEmpty, "the [9.5,10.5] file must survive pruning")
+    val rows = cat.readPruned(spark, "t", "score", "10.0", "10.2")
+      .where(col("score") >= 10.0 && col("score") <= 10.2)
+    assert(rows.count() === 0) // no rows in-range, but the FILE had to be kept
+    val wide = cat.readPruned(spark, "t", "score", "9.0", "11.0")
+      .where(col("score") >= 9.0 && col("score") <= 11.0)
+    assert(wide.collect().map(_.getDouble(0)).sorted === Array(9.5, 10.5))
+    // long bounds still prune exactly (regression guard for the long tier)
+    val ints = (1 to 100).map(_.toLong).toDF("v").repartition(4)
+    cat.commitWithStats(ints, "t2", Seq("v"))
+    assert(cat.pruneFiles("t2", "v", "1000", "2000").isEmpty)
+  }
+
+  test("equality delete (takedown): zero rewrite, anti-joined reads, complete time travel, compaction materializes") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val docs = (1 to 100).map(i => (s"https://example.com/d$i", s"text$i")).toDF("url", "text")
+    val s1 = cat.commit(docs, "t")
+    val dataFiles = cat.read(spark, "t").inputFiles.toSet
+    val sDel = cat.deleteWhere("t", "url",
+      Seq("https://example.com/d7", "https://example.com/d42"))
+    // zero data rewritten: same physical files, tombstone applied at read
+    assert(cat.read(spark, "t").inputFiles.toSet === dataFiles)
+    val after = cat.read(spark, "t").select("url").as[String].collect().toSet
+    assert(after.size === 98)
+    assert(!after.contains("https://example.com/d7") && !after.contains("https://example.com/d42"))
+    // pre-delete snapshot still time-travels COMPLETE
+    assert(cat.readSnapshot(spark, "t", s1).count() === 100)
+    // deletes compose: a second takedown stacks its tombstone
+    cat.deleteWhere("t", "url", Seq("https://example.com/d99"))
+    assert(cat.read(spark, "t").count() === 97)
+    // appending after a delete keeps the tombstones in force
+    cat.append(Seq(("https://example.com/new1", "t")).toDF("url", "text"), "t")
+    assert(cat.read(spark, "t").count() === 98)
+    // readPruned never resurrects taken-down rows (no stats sidecar here →
+    // all files kept, deletes still applied)
+    assert(cat.readPruned(spark, "t", "url", "a", "z").count() === 98)
+    // compaction materializes: rewritten snapshot carries no tombstones and
+    // byte-identical surviving rows
+    val preCompact = cat.read(spark, "t").as[(String, String)].collect().sortBy(_._1)
+    val sC = cat.compact(spark, "t")
+    val manifest = Files.readString(Paths.get(root, "t", "_manifests", s"v$sC.json"))
+    assert(!manifest.contains("!d"), "compacted snapshot must carry no delete refs")
+    assert(cat.read(spark, "t").as[(String, String)].collect().sortBy(_._1) === preCompact)
+    // expiring history GCs tombstone files referenced only by expired snapshots
+    cat.expireSnapshots("t", keepLast = 1)
+    val leftover = manifestNames(root, "t").filter(_.startsWith("d"))
+    assert(leftover.isEmpty, s"orphan tombstones: $leftover")
+    assert(cat.read(spark, "t").count() === 98)
+  }
+
+  test("expire GCs delta manifests referenced only by expired snapshots, keeps shared ones") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commit(Seq((1, 1)).toDF("a", "b"), "t")        // v1 → m1
+    cat.append(Seq((2, 2)).toDF("a", "b"), "t")        // v2 → m1, m2
+    cat.append(Seq((3, 3)).toDF("a", "b"), "t")        // v3 → m1, m2, m3
+    cat.expireSnapshots("t", keepLast = 1)             // v1, v2 expire
+    val names = manifestNames(root, "t")
+    // m1 and m2 are still referenced by the LIVE v3 list — must survive
+    assert(names.contains("m1.json") && names.contains("m2.json") && names.contains("m3.json"))
+    assert(!names.contains("v1.json") && !names.contains("v2.json"))
+    assert(cat.read(spark, "t").count() === 3)
+    // a compaction snapshot then strands m1–m3; expiry collects them
+    cat.compact(spark, "t")
+    cat.expireSnapshots("t", keepLast = 1)
+    val after = manifestNames(root, "t")
+    assert(!after.contains("m1.json") && !after.contains("m2.json") && !after.contains("m3.json"),
+      s"stranded delta manifests survived: $after")
+    assert(cat.read(spark, "t").count() === 3)
+  }
+}
