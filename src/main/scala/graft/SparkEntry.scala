@@ -747,15 +747,29 @@ object SparkEntry {
       // every score replays bit-for-bit in the oracle
       TextOps.bm25TopDocs(docs(s, dir))),
     "q_bpe_encode" -> ((s, dir) =>
-      // apply the learned tokenizer: per-doc token counts after 5 merges;
-      // the oracle joins ITS post-merge vocab table, so the greedy merge
-      // application is validated over the entire vocabulary
-      TextOps.bpeEncode(docs(s, dir), k = 5)),
+      // apply the learned tokenizer via the PRODUCTION path: the post-merge
+      // vocab table broadcast-joined onto the word stream (k never appears
+      // in the plan); the oracle joins ITS post-merge vocab table, so the
+      // greedy merge application is validated over the entire vocabulary
+      TextOps.bpeEncodeFast(docs(s, dir), k = 5)),
     "q_bpe_merges" -> ((s, dir) =>
-      // distributed BPE vocabulary induction: first 5 merges learned over
-      // the vocab-sized word-frequency table; argmax and greedy leftmost
-      // merge application replay bit-exactly in the oracle's unrolled CTEs
-      TextOps.bpeMerges(docs(s, dir), k = 5)),
+      // BPE vocabulary induction via the PRODUCTION trainer: one distributed
+      // collapse to the vocab-sized (word, cnt) table, then the merge loop
+      // driver-side with incremental pair counts (k=32,000 feasible — the
+      // k-jobs distributed loop bpeMerges stays as the spec-pinned twin);
+      // argmax and greedy leftmost merge application replay bit-exactly in
+      // the oracle's unrolled CTEs
+      TextOps.bpeMergesFast(docs(s, dir), k = 5)),
+    "q_bpe_vocab" -> ((s, dir) => {
+      // the trainer's FINAL word table after 5 merges — (word, token count)
+      // for the whole vocabulary, i.e. the exact table bpeEncodeFast
+      // broadcasts; oracle replays all 5 merges and re-derives each word
+      // from its symbol string
+      val (_, vocab) = TextOps.bpeTrainDriver(docs(s, dir), k = 5)
+      s.createDataFrame(vocab.toSeq.map { case (w, sym) =>
+        (w, sym.split('·').count(_.nonEmpty).toLong)
+      }).toDF("word", "n_tokens")
+    }),
     "q_host_split" -> ((s, dir) =>
       // leakage-safe train/val split: a pure function of the host, so a
       // site can never straddle the split boundary; valPermille=300 keeps
@@ -1806,6 +1820,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(toks) AS BIGINT) AS bpe_tokens,
         |       CAST(count(*) AS BIGINT) AS n_words
         |FROM f JOIN v USING (word) GROUP BY doc_id""".stripMargin,
+    // the trainer's final word table: every vocabulary word's token count
+    // after the 5 replayed merges — validates the driver-side production
+    // trainer over the ENTIRE vocabulary, not just the argmax rows
+    "q_bpe_vocab" ->
+      s"""WITH ${bpeCtes(5)}
+        |SELECT replace(s, '·', '') AS word,
+        |       CAST(len(list_filter(string_split(s, '·'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |FROM w5""".stripMargin,
     // the standard nibble-positional md5 bucket replay
     "q_host_split" -> {
       val terms = (1 to 8)

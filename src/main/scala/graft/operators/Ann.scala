@@ -285,24 +285,57 @@ object Ann {
     * crossing a cluster boundary are missed by design — the
     * recall/tractability trade the paper makes.
     *
+    * Cross-cluster recall (round-4): the paper's within-cluster search is
+    * blind to a twin pair straddling a centroid boundary. The candidate
+    * search here MULTI-PROBES — each vector enters its `nProbe` nearest
+    * clusters (rank 0 = primary, which stays the reported assignment and
+    * the keeper semantics' cluster), so a boundary pair meets in whichever
+    * of the two clusters both probe. Candidate volume is bounded by
+    * exactly nProbe× the single-probe assignment (spec-asserted) and the
+    * per-cluster `maxCluster` cap still applies to the probed populations.
+    *
     * Output: (vec_id, cluster, keep) for EVERY input vector — keep = 0 iff
-    * a same-cluster neighbor with cosine ≥ thr and a smaller id exists.
+    * a co-probed neighbor with cosine ≥ thr and a smaller id exists.
     * Rows-only at the oracle gate (k-means means are float — not
     * SQL-replayable); determinism + planted-duplicate kill + cluster
     * bounds are spec-pinned instead.
     */
   def semDedup(embeddings: DataFrame, thr: Double = 0.95, nlist: Int = 0,
-      maxCluster: Int = 4096, iters: Int = 3, nHint: Long = 0L): DataFrame = {
+      maxCluster: Int = 4096, iters: Int = 3, nHint: Long = 0L,
+      nProbe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val n = if (nHint > 0) nHint else embeddings.count()
     val nl = if (nlist > 0) nlist
     else math.max(4, math.min(1024, math.sqrt(n.toDouble).toInt))
-    // localCheckpoint materializes the k-means assignment ONCE — it feeds
+    val np = math.max(1, math.min(nProbe, nl))
+    val centroids = ivfTrain(embeddings, nl, iters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    // localCheckpoint materializes the probed assignment ONCE — it feeds
     // four plan branches (cluster counts, both self-join sides, the final
     // left join), which would otherwise each re-scan + re-assign
-    val assigned = ivfAssign(embeddings, nl, iters).toDF().localCheckpoint()
-    val small = assigned.groupBy("cluster").agg(count(lit(1)).as("cn"))
-      .where(col("cn") <= maxCluster).select("cluster")
-    val c = assigned.join(small, Seq("cluster"))
+    val probed = prep(embeddings).select(col("vec_id"), col("emb"), col("norm"))
+      .as[(Long, Array[Double], Double)]
+      .flatMap { case (id, v, norm) =>
+        val cs = bcC.value
+        val ds = new Array[(Double, Int)](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          ds(c) = (d, c) // ties break on cluster id — fully deterministic
+          c += 1
+        }
+        scala.util.Sorting.stableSort(ds)
+        Iterator.range(0, math.min(np, ds.length))
+          .map(r => (id, ds(r)._2, r, v, norm))
+      }
+      .toDF("vec_id", "cluster", "rankc", "emb", "norm")
+      .localCheckpoint()
+    val small = probed.groupBy("cluster").agg(count(lit(1)).as("cn"))
+      .where(col("cn") <= maxCluster.toLong * np).select("cluster")
+    val c = probed.join(small, Seq("cluster"))
     val a = c.select(col("cluster"), col("vec_id").as("id_a"),
       col("emb").as("emb_a"), col("norm").as("norm_a"))
     val b = c.select(col("cluster"), col("vec_id").as("id_b"),
@@ -312,7 +345,7 @@ object Ann {
       .select(col("id_a"), col("id_b"), (dot / (col("norm_a") * col("norm_b"))).as("cos"))
       .where(col("cos") >= thr)
       .select(col("id_b").as("vec_id")).distinct()
-    assigned.select("vec_id", "cluster")
+    probed.where(col("rankc") === 0).select("vec_id", "cluster")
       .join(losers.withColumn("lost", lit(1)), Seq("vec_id"), "left")
       .selectExpr("vec_id", "cluster",
         "CAST(CASE WHEN lost IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep")

@@ -759,6 +759,179 @@ object TextOps {
         "CAST(n_words AS BIGINT) AS n_words")
   }
 
+  /** Production-k BPE trainer — the merge loop [[bpeMerges]] runs as k Spark
+    * jobs, executed DRIVER-SIDE over the collected (word, cnt) vocabulary
+    * table. This is the standard scale split for BPE (Sennrich et al. 2016,
+    * and every production tokenizer since): the corpus-sized token stream
+    * collapses ONCE to the vocab-sized word-frequency table with a
+    * partial-agged distributed shuffle (the only pass that touches the
+    * corpus — at 100 TB this is the whole cost), and the merge loop then
+    * runs over data that is MBs by Heaps' law, where a per-iteration Spark
+    * job is pure scheduling overhead. k=32,000 merges become a driver loop
+    * over a few hundred thousand strings instead of 32,000 jobs.
+    *
+    * Bit-exactness with the distributed loop (spec-pinned at k=5 and by
+    * prefix at k=1,000): pair counting is every adjacent symbol position
+    * weighted by word count; argmax tie order is count desc then (lhs, rhs)
+    * ascending (symbols are [a-z]+ substrings, so Java's compareTo IS the
+    * UTF8String binary order Spark sorts by); the merge applies as the same
+    * TWO-PASS leftmost-non-overlapping literal replace (java.lang.String
+    * .replace shares exactly the semantics of Spark's and DuckDB's
+    * `replace`, including the 3+-run alternate-split behavior documented on
+    * [[bpeMerges]]).
+    *
+    * Driver loop cost: pair counts update INCREMENTALLY — an inverted
+    * occurrence index (pair → word ids) finds the words a merge touches, and
+    * only those words retract + re-add their pair positions, so an iteration
+    * costs O(words containing the merged pair · symbols), not O(vocab). The
+    * argmax is a scan of the live pair table (selection by a total order, so
+    * hash iteration order cannot leak in). Stale index entries (a pair whose
+    * occurrences were merged away sideways) are skipped by a contains()
+    * check at use.
+    *
+    * Returns (merges, final vocab) — the vocab rows are (word, symbol
+    * string), i.e. exactly the trainer's final word table, which is what
+    * [[bpeEncodeFast]] broadcasts.
+    */
+  def bpeTrainDriver(docs: DataFrame, k: Int): (Array[(Int, String, String, Long)], Array[(String, String)]) = {
+    import scala.collection.mutable
+    // the ONE distributed pass: corpus → (cnt, symbol string), the identical
+    // projection bpeMerges' base uses
+    val vocab0 = docs
+      .selectExpr("explode(split(text, ' ')) AS word")
+      .where("word RLIKE '^[a-z]+$'")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .selectExpr("cnt", "concat('·', regexp_replace(word, '(.)', '$1·')) AS s")
+      .collect()
+    val cnts = vocab0.map(_.getLong(0))
+    val syms = vocab0.map(_.getString(1))
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def eachPair(s: String)(f: ((String, String)) => Unit): Unit = {
+      val parts = s.split('·').filter(_.nonEmpty)
+      var i = 0
+      while (i < parts.length - 1) { f((parts(i), parts(i + 1))); i += 1 }
+    }
+    def retract(w: Int): Unit = eachPair(syms(w)) { p =>
+      val nv = pairCnt(p) - cnts(w)
+      if (nv == 0L) pairCnt.remove(p) else pairCnt(p) = nv
+    }
+    def admit(w: Int): Unit = eachPair(syms(w)) { p =>
+      pairCnt(p) = pairCnt.getOrElse(p, 0L) + cnts(w)
+      occ.getOrElseUpdate(p, mutable.BitSet.empty) += w
+    }
+    syms.indices.foreach(admit)
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var iter = 1
+    var done = false
+    while (iter <= k && !done) {
+      var best: (String, String) = null
+      var bestC = 0L
+      pairCnt.foreach { case (p, c) =>
+        if (best == null || c > bestC ||
+            (c == bestC && (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += ((iter, best._1, best._2, bestC))
+        val pat = s"·${best._1}·${best._2}·"
+        val rep = s"·${best._1}${best._2}·"
+        occ.remove(best).foreach(_.foreach { w =>
+          if (syms(w).contains(pat)) { // skip stale index entries
+            retract(w)
+            syms(w) = syms(w).replace(pat, rep).replace(pat, rep)
+            admit(w)
+          }
+        })
+        iter += 1
+      }
+    }
+    val vocab = syms.map(s => (s.replace("·", ""), s))
+    (merges.toArray, vocab)
+  }
+
+  /** [[bpeMerges]] at production k: same output schema (iter, lhs, rhs,
+    * cnt), learned by the driver-side loop over the collected vocabulary
+    * table — bit-identical merges (spec-pinned), one distributed job total.
+    */
+  def bpeMergesFast(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val (merges, _) = bpeTrainDriver(docs, k)
+    if (merges.isEmpty)
+      spark.createDataFrame(Seq((1, "", "", 0L))).toDF("iter", "lhs", "rhs", "cnt").where(lit(false))
+    else spark.createDataFrame(merges.toSeq).toDF("iter", "lhs", "rhs", "cnt")
+  }
+
+  /** [[bpeEncode]] at production k: the post-merge vocab table (word →
+    * token count) — exactly the trainer's final word table — BROADCASTS
+    * onto the exploded word stream; one broadcast join + one doc-keyed
+    * partial-agged sum, and k never appears in the plan (at k=32,000 the
+    * replace-chain projection of [[bpeEncode]] would be a 64,000-deep
+    * expression tree; here the chain cost lives in the driver loop). The
+    * q_bpe_encode oracle validates this exact join shape over the whole
+    * vocabulary. Same output schema as [[bpeEncode]].
+    */
+  def bpeEncodeFast(docs: DataFrame, k: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val (_, vocab) = bpeTrainDriver(docs, k)
+    val vocabDf = spark.createDataFrame(
+      vocab.toSeq.map { case (w, s) => (w, s.split('·').count(_.nonEmpty).toLong) })
+      .toDF("word", "toks")
+    docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .where("word RLIKE '^[a-z]+$'")
+      .join(broadcast(vocabDf), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("toks").as("bpe_tokens"), count(lit(1)).as("n_words"))
+      .selectExpr("doc_id", "CAST(bpe_tokens AS BIGINT) AS bpe_tokens",
+        "CAST(n_words AS BIGINT) AS n_words")
+  }
+
+  /** Apply an ALREADY-LEARNED merge list to one word (driver/executor-local;
+    * the two-pass replace — [[bpeMerges]]' exact application semantics).
+    * Token count of the word under the tokenizer.
+    */
+  def bpeApplyMerges(word: String, merges: Seq[(String, String)]): Long = {
+    val sb = new java.lang.StringBuilder("·")
+    var i = 0
+    while (i < word.length) { sb.append(word.charAt(i)).append('·'); i += 1 }
+    var s = sb.toString
+    merges.foreach { case (a, b) =>
+      val pat = s"·${a}·${b}·"
+      if (s.contains(pat)) {
+        val rep = s"·${a}${b}·"
+        s = s.replace(pat, rep).replace(pat, rep)
+      }
+    }
+    s.split('·').count(_.nonEmpty).toLong
+  }
+
+  /** Encode a (possibly DIFFERENT) corpus under a frozen tokenizer — the
+    * cross-corpus production case bpeEncodeFast's same-corpus vocab table
+    * cannot serve: the TARGET corpus's distinct-word table (vocab-sized by
+    * Heaps' law) collapses with one partial-agged shuffle, the frozen merge
+    * list applies driver-side per distinct word ([[bpeApplyMerges]]), and
+    * the resulting word → tokens table broadcasts back onto the word
+    * stream. OOV words segment under whatever merges apply — exactly BPE's
+    * open-vocabulary contract.
+    */
+  def bpeEncodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.selectExpr("explode(split(text, ' ')) AS word")
+      .where("word RLIKE '^[a-z]+$'")
+      .distinct().collect().map(_.getString(0))
+    val vocabDf = spark.createDataFrame(
+      words.toSeq.map(w => (w, bpeApplyMerges(w, merges)))).toDF("word", "toks")
+    docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
+      .where("word RLIKE '^[a-z]+$'")
+      .join(broadcast(vocabDf), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum("toks").as("bpe_tokens"), count(lit(1)).as("n_words"))
+      .selectExpr("doc_id", "CAST(bpe_tokens AS BIGINT) AS bpe_tokens",
+        "CAST(n_words AS BIGINT) AS n_words")
+  }
+
   /** DDSketch-style mergeable quantiles with INTEGER base-2 buckets — the
     * bounded-state companion to [[lenQuantiles]] (exact, but rank
     * arithmetic still orders the full distribution). Here each value

@@ -382,6 +382,49 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run().toSeq === out.toSeq)
   }
 
+  test("semDedup multi-probe catches the cross-cluster boundary twin single-probe misses") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def unit(d: Int, scale: Float = 1f) = { val a = new Array[Float](dim); a(d) = scale; a }
+    def plus(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x + y }
+    // two well-defined clusters around e0 and e1 (init = the 2 lowest ids,
+    // so vec 0 / vec 1 seed them); intra-cluster jitter 0.4 on disjoint
+    // dims keeps members mutually BELOW the 0.95 twin threshold
+    // (cos = 1/(1+0.16) ≈ 0.86); the twins sit on the decision boundary
+    // u = (e0+e1)/√2, nudged 0.1 toward opposite centroids — cos(t1,t2)
+    // ≈ 0.99 ≥ thr, but their PRIMARY clusters differ
+    val r = (1.0 / math.sqrt(2.0)).toFloat
+    val u = plus(unit(0, r), unit(1, r))
+    val t1 = plus(u, unit(0, 0.1f))
+    val t2 = plus(u, unit(1, 0.1f))
+    val rows = Seq((0L, unit(0)), (1L, unit(1))) ++
+      (0 until 20).map(i => ((2 + i).toLong, plus(unit(0), unit(2 + i, 0.4f)))) ++
+      (0 until 20).map(i => ((22 + i).toLong, plus(unit(1), unit(22 + i, 0.4f)))) ++
+      Seq((100L, t1), (101L, t2))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(np: Int) = graft.operators.Ann
+      .semDedup(emb, thr = 0.95, nlist = 2, nHint = 44L, nProbe = np)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+    val single = run(1)
+    val sc = single.map(x => x._1 -> x._2).toMap
+    val sk = single.map(x => x._1 -> x._3).toMap
+    assert(sc(100L) !== sc(101L), "fixture must split the twins across primary clusters")
+    assert(sk(100L) === 1 && sk(101L) === 1,
+      "single-probe is blind to the boundary pair — the paper's documented trade")
+    val multi = run(2)
+    val mk = multi.map(x => x._1 -> x._3).toMap
+    assert(mk(100L) === 1 && mk(101L) === 0, "multi-probe must kill the larger-id twin")
+    // probing changes CANDIDATES only: primary assignments identical, no
+    // other vector affected, rerun bit-identical; candidate volume is
+    // nProbe × n by construction (each vector emits exactly min(nProbe,
+    // nlist) probe rows)
+    assert(multi.map(x => x._1 -> x._2).toMap === sc)
+    assert(multi.count(_._3 == 0) === 1)
+    assert(run(2).toSeq === multi.toSeq)
+  }
+
   test("IVF ANN recall against brute-force ground truth") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val exact = graft.operators.Ann.bruteForceTopK(emb).collect()
