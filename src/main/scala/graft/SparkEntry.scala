@@ -673,17 +673,12 @@ object SparkEntry {
       TextOps.contentFilter(docs(s, dir), Seq("merge", "vector"))),
     "q_quality_model" -> ((s, dir) =>
       // model-based quality filtering (fastText/FineWeb-Edu inference
-      // shape): per-lang integer weight vectors BROADCAST onto a codegen'd
-      // feature projection; stub weights (honest — no trained model in the
-      // container), real inference plumbing
-      TextOps.qualityModelScore(
-        docs(s, dir),
-        s.createDataFrame(Seq(
-          ("en", 100L, 3L, 1L, 50L), ("de", 200L, 2L, 1L, 40L),
-          ("es", 150L, 3L, 1L, 30L), ("fr", 120L, 2L, 1L, 35L),
-          ("zh", 80L, 4L, 1L, 20L)))
-          .toDF("lang", "w_bias", "w_tokens", "w_chars", "w_stop"),
-        threshold = 700L)),
+      // shape): the TRAINED per-lang weight resource (logistic regression
+      // by graft.tools.QualityTrain; held-out accuracy spec-pinned)
+      // BROADCAST onto a codegen'd feature projection; threshold 0 is the
+      // trained decision boundary
+      TextOps.qualityModelScore(docs(s, dir), TextOps.qualityWeights(s),
+        threshold = 0L)),
     "q_dsir_weights" -> ((s, dir) =>
       // DSIR-style importance weights: hashed-bigram bucket ratio of an
       // en-language target corpus vs the full raw stream, integer-scaled
@@ -1395,20 +1390,24 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM documents""".stripMargin,
     // the linear model replayed over an inline VALUES weight table — the
-    // same all-integer dot product, joined on lang
-    "q_quality_model" ->
+    // TRAINED resource rows verbatim, the same all-integer dot product,
+    // joined on lang; threshold 0 is the trained decision boundary
+    "q_quality_model" -> {
+      val values = TextOps.qualityWeightRows
+        .map { case (l, wb, wt, wc, ws) => s"('$l', $wb, $wt, $wc, $ws)" }
+        .mkString(",\n|  ")
       s"""WITH w(lang, w_bias, w_tokens, w_chars, w_stop) AS (VALUES
-        |  ('en', 100, 3, 1, 50), ('de', 200, 2, 1, 40), ('es', 150, 3, 1, 30),
-        |  ('fr', 120, 2, 1, 35), ('zh', 80, 4, 1, 20)),
+        |  $values),
         |f AS (SELECT doc_id, lang, ${TextOps.tokensExpr} AS f_tokens,
         |             CAST(length(text) AS BIGINT) AS f_chars,
         |             ${TextOps.markerExpr("the")} AS f_stop
         |      FROM documents)
         |SELECT doc_id, f.lang,
         |       CAST(w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop AS BIGINT) AS score,
-        |       CAST(CASE WHEN w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop >= 700
+        |       CAST(CASE WHEN w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop >= 0
         |            THEN 1 ELSE 0 END AS INTEGER) AS pass
-        |FROM f JOIN w ON f.lang = w.lang""".stripMargin,
+        |FROM f JOIN w ON f.lang = w.lang""".stripMargin
+    },
     // DSIR surrogate replayed: hashed-bigram buckets (md5 nibble idiom),
     // target=en counts vs raw counts, per-occurrence floor-div ratio summed
     // per doc — all-integer, so the sum is order-independent and bit-exact

@@ -1031,14 +1031,17 @@ object TextOps {
     * (fastText-style quality classifier / FineWeb-Edu scorer shape): each
     * doc gets score = w · features with a PER-LANGUAGE weight vector.
     *
-    * The weights here are a deterministic stub (no trained model ships in
-    * this container — declared honestly, like the multimodal decode); the
-    * Spark-side inference plumbing is the real thing and is what survives a
-    * model swap: integer feature projection (codegen'd, zero shuffle), the
-    * model as a BROADCAST join keyed by language (a real model table is
-    * KBs×langs — never shuffle the corpus for it), dot product as a
-    * codegen'd expression, and a threshold gate. All-integer arithmetic →
-    * the DuckDB oracle reproduces scores bit-exactly.
+    * The shipped weight set ([[qualityWeights]]) is a real trained model:
+    * per-language logistic regression over (tokens, chars, stopword count),
+    * trained deterministically by graft.tools.QualityTrain against
+    * spam/near-empty corruption negatives and checked in as a resource
+    * (held-out accuracy floor spec-pinned). The inference plumbing is the
+    * production shape a bigger model swaps into: integer feature projection
+    * (codegen'd, zero shuffle), the model as a BROADCAST join keyed by
+    * language (a real model table is KBs×langs — never shuffle the corpus
+    * for it), dot product as a codegen'd expression, and a threshold gate.
+    * All-integer arithmetic → the DuckDB oracle reproduces scores
+    * bit-exactly.
     */
   def qualityModelScore(docs: DataFrame, weights: DataFrame, threshold: Long): DataFrame = {
     val feats = docs.selectExpr(
@@ -1052,6 +1055,31 @@ object TextOps {
         "w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop AS score")
       .selectExpr("doc_id", "lang", "CAST(score AS BIGINT) AS score",
         s"CAST(CASE WHEN score >= $threshold THEN 1 ELSE 0 END AS INTEGER) AS pass")
+  }
+
+  /** The shipped quality-model weight table — trained per-language logistic
+    * regression (graft.tools.QualityTrain; scale 10^4, decision threshold
+    * 0), loaded from the checked-in resource. Rerun the trainer to
+    * regenerate; [[qualityModelScore]] broadcasts this.
+    */
+  def qualityWeights(spark: SparkSession): DataFrame =
+    spark.createDataFrame(qualityWeightRows)
+      .toDF("lang", "w_bias", "w_tokens", "w_chars", "w_stop")
+
+  /** The raw resource rows (lang, w_bias, w_tokens, w_chars, w_stop) —
+    * shared by the DataFrame loader and the oracle-SQL VALUES inliner.
+    */
+  lazy val qualityWeightRows: Seq[(String, Long, Long, Long, Long)] = {
+    val in = getClass.getResourceAsStream("/graft/quality_weights.tsv")
+    require(in != null, "missing resource graft/quality_weights.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val a = l.split('\t')
+        (a(0), a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong)
+      }.toList
+    finally src.close()
   }
 
   /** C4-style blocked-word content filter: drop documents containing any

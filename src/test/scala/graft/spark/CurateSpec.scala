@@ -43,6 +43,34 @@ class CurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(report.contains("\"pii_docs\":0"))
   }
 
+  test("single-pass report: the whole pipeline fires a bounded job count") {
+    // the round-3 review found 8 separate count() actions each re-deriving
+    // its stage; the report is now ONE aggregation over a doc-keyed flags
+    // frame and the working set is persisted. Count Spark jobs over a full
+    // re-run (AQE materializes each exchange as its own job, so the floor
+    // is plan-shaped, not action-shaped): the old sequential-count shape
+    // measured 153 jobs at this sf, the folded shape 97 — pin the
+    // regression boundary between them.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val dir2 = java.nio.file.Files.createTempDirectory("curate2").toString
+      val rep2 = CurateMain.run(spark, sfDir, dir2)
+      // listener events are async — drain before reading the counter
+      Thread.sleep(1000)
+      val n = jobs.get()
+      info(s"pipeline jobs: $n")
+      assert(n > 0 && n < 120, s"job count regressed: $n (report should be one aggregation; old shape = 153)")
+      // and the re-run reproduces the stage counts bit-for-bit
+      assert(rep2.replaceAll("\"out\":\"[^\"]*\"", "").replaceAll("\"wall_sec\":[0-9.]+", "")
+        === report.replaceAll("\"out\":\"[^\"]*\"", "").replaceAll("\"wall_sec\":[0-9.]+", ""))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("curated output: nonempty, no duplicate texts, quality floor holds") {
     val out = spark.read.parquet(s"$outDir/curated.parquet")
     val n = out.count()
