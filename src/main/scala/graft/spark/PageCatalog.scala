@@ -507,16 +507,26 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   }
 
   /** Comparator tier for stringified stats bounds: exact longs, then exact
-    * doubles, then byte-wise strings. Shared by [[statsAgg]] and
-    * [[pruneFiles]] — a DOUBLE column must never fall back to lexicographic
-    * order ("10.2" < "9.5" byte-wise).
+    * doubles, then parsed TIMESTAMPs, then byte-wise strings. Shared by
+    * [[statsAgg]] and [[pruneFiles]] — a DOUBLE column must never fall back
+    * to lexicographic order ("10.2" < "9.5" byte-wise), and a TIMESTAMP
+    * column must compare as time, not bytes: Spark's canonical
+    * "yyyy-MM-dd HH:mm:ss[.f]" happens to sort byte-wise, but a caller
+    * passing ISO-8601 'T'-separated query bounds against space-separated
+    * sidecar bounds would mis-sort at byte 10 (' ' < 'T') and silently
+    * prune overlapping files — the warc_ts-ranged scan is THE zone-map use
+    * case, so it gets its own tier.
     */
+  private def parseTs(v: String): Option[java.sql.Timestamp] =
+    scala.util.Try(java.sql.Timestamp.valueOf(v.replace('T', ' '))).toOption
   private def statCmp(vals: Seq[String]): (String, String) => Int = {
     def longs = vals.forall(v => scala.util.Try(v.toLong).isSuccess)
     def doubles = vals.forall(v =>
       scala.util.Try(v.toDouble).toOption.exists(d => !d.isNaN))
+    def timestamps = vals.forall(v => parseTs(v).isDefined)
     if (longs) (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
     else if (doubles) (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
+    else if (timestamps) (a, b) => parseTs(a).get.compareTo(parseTs(b).get)
     else (a, b) => a.compareTo(b)
   }
 

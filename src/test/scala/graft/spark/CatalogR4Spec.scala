@@ -185,6 +185,36 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.pruneFiles("t2", "v", "1000", "2000").isEmpty)
   }
 
+  test("TIMESTAMP zone maps: ISO-T query bounds compare as time, and statsAgg answers warc_ts exactly") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    // the north-star table shape: one file per hour band of warc_ts
+    val df = Seq(
+      ("2026-01-01 10:00:00", 0), ("2026-01-01 12:00:00", 0),
+      ("2026-01-01 00:00:00", 1), ("2026-01-01 02:00:00", 1),
+      ("2026-01-02 08:00:00", 2), ("2026-01-02 09:00:00", 2))
+      .toDF("ts", "band")
+      .selectExpr("CAST(ts AS TIMESTAMP) AS warc_ts", "band")
+      .repartition(3, col("band")).sortWithinPartitions("warc_ts")
+    cat.commitWithStats(df, "t", Seq("warc_ts"))
+    // the sidecar stores Spark's space-separated canonical strings; a caller
+    // passing ISO-8601 'T' bounds would byte-compare ' ' < 'T' and drop the
+    // overlapping [10:00, 12:00] file — the timestamp tier must keep it
+    val hit = cat.pruneFiles("t", "warc_ts", "2026-01-01T11:00:00", "2026-01-01T11:30:00")
+    assert(hit.size === 1, s"exactly the [10:00,12:00] file must survive, got ${hit.size}")
+    // and prune exactly with canonical bounds too: only the jan-2 file
+    val jan2 = cat.pruneFiles("t", "warc_ts", "2026-01-02 00:00:00", "2026-01-02 23:00:00")
+    assert(jan2.size === 1)
+    val got = cat.readPruned(spark, "t", "warc_ts", "2026-01-02 00:00:00", "2026-01-02 23:00:00")
+      .where(col("warc_ts") >= "2026-01-02 00:00:00")
+    assert(got.count() === 2)
+    // metadata-only min/max/count over the TIMESTAMP column matches the scan
+    val (mn, mx, n) = cat.statsAgg("t", "warc_ts").get
+    assert(n === 6)
+    assert(mn.get === "2026-01-01 00:00:00" && mx.get === "2026-01-02 09:00:00")
+  }
+
   test("equality delete (takedown): zero rewrite, anti-joined reads, complete time travel, compaction materializes") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
