@@ -843,6 +843,62 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_incremental_scan" -> ((s, dir) => {
+      // Iceberg-style changelog read: commit drop A, append drop B, then
+      // read ONLY the rows added in (A, B] — O(delta) metadata planning via
+      // the two-level manifest diff, O(drop) data read; the 100 TB shape of
+      // "process only the new crawl drop" for every downstream consumer
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_incscan_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "md5(text) AS text_md5")
+      val s1 = cat.commit(d.where("doc_id % 3 != 2"), "t")
+      val s2 = cat.append(d.where("doc_id % 3 = 2"), "t")
+      cat.readIncremental(s, "t", fromSnap = s1, toSnap = s2)
+    }),
+    "q_upsert" -> ((s, dir) => {
+      // MERGE-shaped re-crawl upsert: fresh captures REPLACE rows sharing
+      // their url — an equality-delete tombstone for the incoming keys
+      // (metadata-only) plus a fast-append the sequence-aware delete rule
+      // keeps alive; zero of the existing table rewritten
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      def shaped(df: DataFrame, ts: Int, suffix: String) = df.selectExpr(
+        s"concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        s"CAST($ts AS INT) AS capture", s"md5(concat(text, '$suffix')) AS text_md5")
+      cat.commit(shaped(docs(s, dir), 0, ""), "t")
+      cat.upsertByKey(shaped(docs(s, dir).where("doc_id % 5 = 0"), 1, " v2"), "t", "url")
+      cat.read(s, "t")
+    }),
+    "q_dd_incremental" -> ((s, dir) => {
+      // incremental quantiles in the catalog: two disjoint crawl drops roll
+      // a cumulative base-2 histogram sidecar forward; p50/p90/p99 of token
+      // counts across ALL drops is then a KB sidecar read — zero data files
+      // opened; histogram counts ADD exactly, so the oracle replays the
+      // bucket collapse over the whole corpus
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ddinc_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id",
+        s"greatest(CAST(1 AS BIGINT), ${TextOps.tokensExpr}) AS v")
+      cat.appendWithDd(d.where("doc_id % 2 = 0"), "t", "v")
+      cat.appendWithDd(d.where("doc_id % 2 = 1"), "t", "v")
+      val qs = cat.ddQuantileStat("t", "v", Seq(500, 900, 990)).get
+      s.createDataFrame(Seq((qs(0), qs(1), qs(2)))).toDF("p500", "p900", "p990")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // GENUINELY STREAMING-EXECUTED contract query: a two-micro-batch
       // MemoryStream drive of the watermark-bounded exact dedup. Batch 1 =
@@ -1888,6 +1944,34 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // the changelog window (A, B] is exactly drop B
+    "q_incremental_scan" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 3 = 2",
+    // latest-capture semantics: every %5==0 url carries its v2 capture,
+    // everything else the original
+    "q_upsert" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       CAST(0 AS INT) AS capture, md5(concat(text, '')) AS text_md5
+        |FROM documents WHERE doc_id % 5 <> 0
+        |UNION ALL
+        |SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id),
+        |       CAST(1 AS INT), md5(concat(text, ' v2'))
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the cumulative histogram across disjoint drops IS the corpus
+    // histogram (counts add exactly): replay the bucket collapse, window
+    // cumsum and ceil-rank pick over the whole table
+    "q_dd_incremental" ->
+      s"""WITH d AS (SELECT greatest(CAST(1 AS BIGINT),
+        |                            CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)) AS v
+        |            FROM documents),
+        |b AS (SELECT (v >> greatest(length(bin(v)) - 4, 0)) << greatest(length(bin(v)) - 4, 0) AS rep
+        |      FROM d),
+        |c AS (SELECT rep, count(*) AS c FROM b GROUP BY rep),
+        |w AS (SELECT rep, c, sum(c) OVER (ORDER BY rep) AS cum, sum(c) OVER () AS n FROM c)
+        |SELECT CAST(min(CASE WHEN cum >= (500 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p500,
+        |       CAST(min(CASE WHEN cum >= (900 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p900,
+        |       CAST(min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN rep END) AS BIGINT) AS p990
+        |FROM w""".stripMargin,
     // first-arrival per digest across the two batches: all originals
     // survive, every +1000000 copy drops, every ' v2' variant survives;
     // the stream carries pre-computed digests, so the emitted key is the

@@ -254,9 +254,71 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def readSnapshot(spark: SparkSession, table: String, snap: Long): DataFrame = {
     require(fsExists(new HPath(manifestDir(table), s"v$snap.json")),
       s"no snapshot $snap for $table")
-    val df = spark.read.option("mergeSchema", "true")
-      .parquet(manifestFiles(table, snap): _*)
-    applyDeletes(spark, table, snap, df)
+    readWithDeletes(spark, table, snap)
+  }
+
+  /** Iceberg-style INCREMENTAL (changelog) scan: the rows ADDED strictly
+    * after `fromSnap`, up to and including `toSnap` (default CURRENT) — the
+    * "process only the new crawl drops" read that turns a daily downstream
+    * pipeline from O(table) to O(delta). Planning is O(delta) metadata: the
+    * two snapshots' manifest-LIST entries diff first and only the delta
+    * manifests new to the window expand.
+    *
+    * Contract (Iceberg's own incremental-scan rule): the window must
+    * contain only appends/deletes — a compaction, expiry or rollback
+    * REWRITES the entry list, which would make old rows reappear as "new";
+    * such windows are detected (an entry of `fromSnap` missing at `toSnap`)
+    * and refused loudly. Equality deletes committed at or before `toSnap`
+    * are applied with the same sequence rule as a full read, so a takedown
+    * never resurfaces through the changelog; a delete-only window yields 0
+    * rows. `fromSnap <= 0` bootstraps with the full snapshot.
+    */
+  def readIncremental(spark: SparkSession, table: String, fromSnap: Long,
+                      toSnap: Long = -1L): DataFrame = {
+    val to = if (toSnap > 0) toSnap else currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    if (fromSnap <= 0) return readSnapshot(spark, table, to)
+    require(fsExists(new HPath(manifestDir(table), s"v$fromSnap.json")),
+      s"no snapshot $fromSnap for $table")
+    require(fsExists(new HPath(manifestDir(table), s"v$to.json")),
+      s"no snapshot $to for $table")
+    val fromEntries = entriesOf(table, fromSnap).toSet
+    val toEntries = entriesOf(table, to)
+    val gone = fromEntries -- toEntries.toSet
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"incremental window ($fromSnap, $to] of '$table' crosses a rewrite " +
+        s"(compaction/expire/rollback) — ${gone.size} entries of $fromSnap are gone; " +
+        "read the full snapshot instead")
+    val newFiles = toEntries.filterNot(fromEntries).flatMap { e =>
+      if (e.startsWith("@")) parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@"))))
+      else if (e.startsWith("!")) Nil
+      else Seq(e)
+    }.distinct.filterNot(manifestFiles(table, fromSnap).toSet)
+    readWithDeletes(spark, table, to, Some(newFiles.toSet))
+  }
+
+  /** MERGE-shaped upsert by key (the re-crawl write path): incoming rows
+    * REPLACE any existing rows sharing their key, executed the Iceberg way —
+    * an equality-delete tombstone for the incoming key set (metadata-only;
+    * zero of the table's data rewritten) followed by a fast-append of the
+    * new rows, which the sequence-aware delete rule keeps alive. Reads see
+    * latest-capture semantics immediately; pre-upsert snapshots still time-
+    * travel to the old captures; compaction materializes the tombstones.
+    *
+    * The incoming key set collects to the driver — a crawl drop's keys are
+    * MBs against the table's TBs, the same economics as the delete file
+    * that stores exactly these values.
+    */
+  def upsertByKey(df: DataFrame, table: String, keyCol: String): Long = {
+    if (currentSnapshot(table).isEmpty) return commit(df, table)
+    val keys = df.select(keyCol).distinct().collect().map { r =>
+      val v = r.get(0)
+      require(v != null, s"null $keyCol in upsert batch")
+      v.toString
+    }
+    deleteWhere(table, keyCol, keys.toSeq)
+    append(df, table)
   }
 
   /** All committed snapshot ids, ascending. */
@@ -389,17 +451,60 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * tombstone (the delete sets are takedown-sized — thousands of keys, not
     * table-sized — so the join never shuffles the data side).
     */
-  private def applyDeletes(spark: SparkSession, table: String, snap: Long,
-                           df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    deleteRefsOf(table, snap).foldLeft(df) { (d, ref) =>
-      // ref = d<snap>.<col>.tsv (delete columns cannot contain '.')
+  /** SEQUENCE-AWARE delete application (Iceberg's sequence-number rule): an
+    * equality delete committed at snapshot D applies only to data files
+    * ADDED at snapshots BEFORE D — rows appended after a takedown are new
+    * facts, never resurrections of deleted ones, which is what makes
+    * [[upsertByKey]]'s delete-then-append correct. A file's add order is
+    * its delta manifest's snapshot id (m<K>.json); legacy raw-path entries
+    * predate the delete feature and get every delete (the old behavior).
+    *
+    * Plan shape: files group by HOW MANY deletes precede them — the
+    * applicable deletes are always a suffix of the snapshot's delete list,
+    * so the union is bounded by the DELETE count (small; compaction
+    * materializes them away), never the manifest count. `only` restricts to
+    * a pruned file subset (readPruned / readIncremental).
+    */
+  private def readWithDeletes(spark: SparkSession, table: String, snap: Long,
+                              only: Option[Set[String]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val addSnap: Seq[(String, Long)] = entriesOf(table, snap).flatMap { e =>
+      if (e.startsWith("@")) {
+        val k = e.stripPrefix("@m").stripSuffix(".json").toLong
+        parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@")))).map(_ -> k)
+      } else if (e.startsWith("!")) Nil
+      else Seq(e -> 0L)
+    }.distinctBy(_._1)
+    val wanted = only match {
+      case Some(keep) => addSnap.filter(p => keep(p._1))
+      case None => addSnap
+    }
+    // ref = d<snap>.<col>.tsv (delete columns cannot contain '.')
+    val deletes = deleteRefsOf(table, snap)
+      .map(ref => (ref.stripPrefix("d").split('.')(0).toLong, ref)).sortBy(_._1)
+    if (wanted.isEmpty) {
+      // only reachable through a pruned subset (every snapshot owns >= 1
+      // data file): schema from the unpruned snapshot, zero rows
+      require(only.isDefined, s"snapshot $snap of $table has no data files")
+      return readWithDeletes(spark, table, snap, None).limit(0)
+    }
+    def antiJoin(d: DataFrame, ref: String): DataFrame = {
       val column = ref.stripPrefix("d").split('.')(1)
       val vals = readStr(new HPath(manifestDir(table), ref))
         .split('\n').filter(_.nonEmpty).flatMap(unescStat).toSeq
       val delDf = spark.createDataFrame(vals.map(Tuple1(_))).toDF("__del_key")
       d.join(broadcast(delDf), d(column).cast("string") === delDf("__del_key"), "left_anti")
     }
+    wanted.groupBy { case (_, k) => deletes.count(_._1 <= k) }
+      .toSeq.sortBy(_._1)
+      .map { case (idx, fs) =>
+        val df = spark.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
+        deletes.drop(idx).foldLeft(df) { (d, del) => antiJoin(d, del._2) }
+      }
+      // allowMissingColumns: with ADD-column evolution an older file group
+      // may lack the new column — same null semantics parquet mergeSchema
+      // applies within one group
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Iceberg-style rewrite_data_files (bin-packing compaction): coalesce
@@ -617,10 +722,8 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
                  lo: String, hi: String): DataFrame = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    val files = pruneFiles(table, column, lo, hi)
-    if (files.isEmpty) read(spark, table).limit(0)
-    else applyDeletes(spark, table, snap,
-      spark.read.option("mergeSchema", "true").parquet(files: _*))
+    readWithDeletes(spark, table, snap,
+      Some(pruneFiles(table, column, lo, hi).toSet))
   }
 
   /** Append a crawl drop AND roll the table's cumulative HyperLogLog
@@ -690,6 +793,83 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     readHllSidecar(table, snap, col).map(graft.operators.Sketch.hllEstimate)
+  }
+
+  /** Append a crawl drop AND roll the table's cumulative DDSketch-style
+    * base-2 histogram for non-negative BIGINT column `col` forward into a
+    * snapshot sidecar — incremental QUANTILES at 100 TB, the order-
+    * statistics companion to [[appendWithHll]]: each drop pays one
+    * histogram pass over ITS OWN rows only (TextOps.ddQuantiles' bucket
+    * collapse — rep keeps the value's top 4 significant bits, ≤ ~480
+    * buckets over all of BIGINT), the merge ADDS counts (exact, since every
+    * row contributes exactly once), and "p50/p90/p99 across ALL drops"
+    * becomes a KB-sized sidecar read with zero data files opened.
+    *
+    * The delta histogram is computed from the files the append ACTUALLY
+    * wrote (the appendWithHll non-determinism rule), and the chain-
+    * integrity contract is identical: an append that bypassed this method
+    * poisons the chain and [[ddQuantileStat]] refuses (None) rather than
+    * undercounting.
+    */
+  def appendWithDd(df: DataFrame, table: String, col: String): Long = {
+    val prev = currentSnapshot(table)
+    val prevHist = prev.flatMap(readDdSidecar(table, _, col))
+    val chainOk = prev.isEmpty || prevHist.isDefined
+    val prevEntries = prev.map(entriesOf(table, _)).getOrElse(Seq.empty)
+    val snap = claimSnapshotId(table)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    val rep = s"shiftleft(shiftright($col, greatest(length(bin($col)) - 4, 0))," +
+      s" greatest(length(bin($col)) - 4, 0))"
+    val delta = df.sparkSession.read.parquet(files: _*)
+      .selectExpr(s"$rep AS rep")
+      .groupBy("rep").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    commitSnapshot(table, snap, prevEntries :+ writeDeltaManifest(table, snap, files))
+    if (chainOk) {
+      val merged = prevHist.map(_.toMap).getOrElse(Map.empty[Long, Long])
+        .foldLeft(delta) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+      val body = merged.toSeq.sorted.map { case (k, c) => s"$k\t$c" }.mkString("", "\n", "\n")
+      val tmp = new HPath(manifestDir(table), s".dd.$col.tmp$snap")
+      writeStr(tmp, body)
+      atomicSwap(tmp, new HPath(manifestDir(table), s"v$snap.dd.$col.tsv"))
+    }
+    snap
+  }
+
+  private def readDdSidecar(table: String, snap: Long, col: String): Option[Seq[(Long, Long)]] = {
+    val p = new HPath(manifestDir(table), s"v$snap.dd.$col.tsv")
+    if (!fsExists(p)) None
+    else Some(readStr(p).split('\n').filter(_.nonEmpty).map { l =>
+      val a = l.split('\t'); (a(0).toLong, a(1).toLong)
+    }.toSeq.sortBy(_._1))
+  }
+
+  /** Quantiles of `col` across every drop of the CURRENT snapshot from the
+    * cumulative histogram sidecar alone — zero data files opened. Each
+    * answer is the first bucket lower bound whose cumulative count reaches
+    * rank ceil(q·n) (the ddQuantiles rule: an underestimate by at most one
+    * bucket width, integer-exact and oracle-replayable). None when the
+    * chain is broken (see [[appendWithDd]]).
+    */
+  def ddQuantileStat(table: String, col: String, qMillis: Seq[Int]): Option[Seq[Long]] = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    readDdSidecar(table, snap, col).map { hist =>
+      val n = hist.map(_._2).sum
+      qMillis.map { q =>
+        val rank = (q.toLong * n + 999L) / 1000L
+        var cum = 0L
+        var ans = hist.last._1
+        var i = 0
+        var found = false
+        while (i < hist.length && !found) {
+          cum += hist(i)._2
+          if (cum >= rank) { ans = hist(i)._1; found = true }
+          i += 1
+        }
+        ans
+      }
+    }
   }
 
   /** Sidecar value escaping: SQL NULL → `\N` (distinct from the 4-char

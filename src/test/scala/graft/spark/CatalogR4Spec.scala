@@ -254,6 +254,124 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "t").count() === 98)
   }
 
+  test("sequence-aware deletes: a row re-appended AFTER its takedown is a new fact, not a resurrection") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commit(Seq(("u1", "old1"), ("u2", "old2"), ("u3", "old3")).toDF("url", "text"), "t")
+    cat.deleteWhere("t", "url", Seq("u1", "u2"))
+    assert(cat.read(spark, "t").select("url").as[String].collect().toSet === Set("u3"))
+    // re-append u1 with fresh content: the delete was committed BEFORE this
+    // file was added, so it must NOT apply (Iceberg's sequence rule)
+    cat.append(Seq(("u1", "new1")).toDF("url", "text"), "t")
+    val after = cat.read(spark, "t").as[(String, String)].collect().toSet
+    assert(after === Set(("u3", "old3"), ("u1", "new1")),
+      "the post-delete append must survive; the pre-delete u1 must stay deleted")
+    // a LATER delete still reaches the re-appended file
+    cat.deleteWhere("t", "url", Seq("u1"))
+    assert(cat.read(spark, "t").select("url").as[String].collect().toSet === Set("u3"))
+  }
+
+  test("upsertByKey: metadata-only MERGE — fresh captures replace, untouched rows keep their files") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val base = (1 to 50).map(i => (s"https://example.com/d$i", s"v0-$i")).toDF("url", "text")
+    val s1 = cat.commit(base, "t")
+    val baseFiles = cat.readSnapshot(spark, "t", s1).inputFiles.toSet
+    val fresh = (1 to 50 by 5).map(i => (s"https://example.com/d$i", s"v1-$i")).toDF("url", "text")
+    cat.upsertByKey(fresh, "t", "url")
+    val got = cat.read(spark, "t").as[(String, String)].collect().toMap
+    assert(got.size === 50)
+    (1 to 50).foreach { i =>
+      val want = if ((i - 1) % 5 == 0) s"v1-$i" else s"v0-$i"
+      assert(got(s"https://example.com/d$i") === want, s"d$i")
+    }
+    // zero rewrite: every base file is still referenced (the old captures
+    // are masked by the tombstone, not rewritten away)
+    assert(baseFiles.subsetOf(cat.read(spark, "t").inputFiles.toSet))
+    // pre-upsert snapshot still time-travels to the old captures
+    assert(cat.readSnapshot(spark, "t", s1).as[(String, String)].collect()
+      .toMap.forall(_._2.startsWith("v0-")))
+    // upserting the same keys again keeps latest-capture semantics
+    cat.upsertByKey((1 to 50 by 5).map(i => (s"https://example.com/d$i", s"v2-$i"))
+      .toDF("url", "text"), "t", "url")
+    val got2 = cat.read(spark, "t").as[(String, String)].collect().toMap
+    assert(got2("https://example.com/d1") === "v2-1" && got2("https://example.com/d2") === "v0-2")
+    // compaction materializes: same rows, no tombstones left in the manifest
+    val pre = cat.read(spark, "t").as[(String, String)].collect().sortBy(_._1)
+    val sC = cat.compact(spark, "t")
+    assert(!Files.readString(Paths.get(root, "t", "_manifests", s"v$sC.json")).contains("!d"))
+    assert(cat.read(spark, "t").as[(String, String)].collect().sortBy(_._1) === pre)
+  }
+
+  test("incremental scan: exact append windows, delete application, rewrite refusal") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val s1 = cat.commit((1 to 10).map(i => (i, s"a$i")).toDF("id", "t"), "t")
+    val s2 = cat.append((11 to 20).map(i => (i, s"b$i")).toDF("id", "t"), "t")
+    val s3 = cat.append((21 to 30).map(i => (i, s"c$i")).toDF("id", "t"), "t")
+    // each window is exactly its drop; a two-drop window is their union
+    assert(cat.readIncremental(spark, "t", s1, s2).select("id").as[Int].collect().sorted
+      === (11 to 20).toArray)
+    assert(cat.readIncremental(spark, "t", s2, s3).select("id").as[Int].collect().sorted
+      === (21 to 30).toArray)
+    assert(cat.readIncremental(spark, "t", s1, s3).count() === 20)
+    // bootstrap (fromSnap <= 0) reads the full snapshot
+    assert(cat.readIncremental(spark, "t", 0L, s3).count() === 30)
+    // a takedown inside the window applies to rows added in the window —
+    // the changelog can never resurface a deleted row
+    val sDel = cat.deleteWhere("t", "id", Seq("25"))
+    assert(cat.readIncremental(spark, "t", s2, sDel).select("id").as[Int].collect().sorted
+      === (21 to 30).filterNot(_ == 25).toArray)
+    // a delete-only window yields zero rows
+    assert(cat.readIncremental(spark, "t", s3, sDel).count() === 0)
+    // but rows added BEFORE the window's start are not re-emitted by it
+    assert(cat.readIncremental(spark, "t", s3).count() === 0)
+    // a compaction rewrites the entry list: windows crossing it must refuse
+    cat.compact(spark, "t")
+    val e = intercept[IllegalStateException] {
+      cat.readIncremental(spark, "t", s3).count()
+    }
+    assert(e.getMessage.contains("crosses a rewrite"))
+  }
+
+  test("DDSketch sidecar: incremental quantiles equal the whole-table sketch, chain poison refuses, zero data opened") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    // three disjoint drops over 1..3000 (the q_dd_quantiles value-shape)
+    val all = (1L to 3000L)
+    cat.appendWithDd(all.filter(_ % 3 == 0).toDF("v"), "t", "v")
+    cat.appendWithDd(all.filter(_ % 3 == 1).toDF("v"), "t", "v")
+    cat.appendWithDd(all.filter(_ % 3 == 2).toDF("v"), "t", "v")
+    val got = cat.ddQuantileStat("t", "v", Seq(500, 900, 990)).get
+    // oracle: the same bucket collapse over the WHOLE value set, driver-side
+    def rep(v: Long): Long = {
+      val s = math.max(64 - java.lang.Long.numberOfLeadingZeros(v) - 4, 0)
+      (v >> s) << s
+    }
+    val hist = all.groupBy(rep).view.mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    val n = all.size.toLong
+    def want(q: Int): Long = {
+      val rank = (q * n + 999L) / 1000L
+      var cum = 0L
+      hist.find { case (_, c) => { cum += c; cum >= rank } }.get._1
+    }
+    assert(got === Seq(want(500), want(900), want(990)))
+    // the answer needs ZERO data files: delete them all and ask again
+    cat.read(spark, "t").inputFiles.foreach(f =>
+      Files.delete(Paths.get(new java.net.URI(f).getPath)))
+    assert(cat.ddQuantileStat("t", "v", Seq(500)).get === Seq(want(500)))
+    // chain poison: a plain append bypassing the histogram path makes every
+    // later estimate refuse — including after a subsequent appendWithDd
+    cat.append(Seq(9999L).toDF("v"), "t")
+    assert(cat.ddQuantileStat("t", "v", Seq(500)).isEmpty)
+    cat.appendWithDd(Seq(10000L).toDF("v"), "t", "v")
+    assert(cat.ddQuantileStat("t", "v", Seq(500)).isEmpty, "no silent self-heal")
+  }
+
   test("expire GCs delta manifests referenced only by expired snapshots, keeps shared ones") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
