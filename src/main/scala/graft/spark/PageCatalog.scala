@@ -290,35 +290,55 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
         s"incremental window ($fromSnap, $to] of '$table' crosses a rewrite " +
         s"(compaction/expire/rollback) — ${gone.size} entries of $fromSnap are gone; " +
         "read the full snapshot instead")
-    val newFiles = toEntries.filterNot(fromEntries).flatMap { e =>
+    val newRaw = toEntries.filterNot(fromEntries).flatMap { e =>
       if (e.startsWith("@")) parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@"))))
       else if (e.startsWith("!")) Nil
       else Seq(e)
-    }.distinct.filterNot(manifestFiles(table, fromSnap).toSet)
+    }.distinct
+    // two-level tables need no cross-check (delta-manifest file paths are
+    // snapshot-addressed, so a file can never appear under two entries);
+    // only legacy flat manifests — raw paths in the entry list — can
+    // overlap, and only they pay the O(table) expansion of `fromSnap`
+    val newFiles =
+      if (fromEntries.exists(e => !e.startsWith("@") && !e.startsWith("!")))
+        newRaw.filterNot(manifestFiles(table, fromSnap).toSet)
+      else newRaw
     readWithDeletes(spark, table, to, Some(newFiles.toSet))
   }
 
   /** MERGE-shaped upsert by key (the re-crawl write path): incoming rows
     * REPLACE any existing rows sharing their key, executed the Iceberg way —
     * an equality-delete tombstone for the incoming key set (metadata-only;
-    * zero of the table's data rewritten) followed by a fast-append of the
-    * new rows, which the sequence-aware delete rule keeps alive. Reads see
-    * latest-capture semantics immediately; pre-upsert snapshots still time-
-    * travel to the old captures; compaction materializes the tombstones.
+    * zero of the table's data rewritten) plus a fast-append of the new
+    * rows, committed as ONE ATOMIC SNAPSHOT whose manifest list carries
+    * both the `!delete` ref and the `@delta` ref: no reader can ever
+    * observe the keys deleted-but-not-yet-replaced. The sequence-aware
+    * delete rule keeps the same-snapshot delta alive (a delete at D applies
+    * only to files added BEFORE D). Pre-upsert snapshots still time-travel
+    * to the old captures; compaction materializes the tombstones.
     *
     * The incoming key set collects to the driver — a crawl drop's keys are
     * MBs against the table's TBs, the same economics as the delete file
     * that stores exactly these values.
     */
   def upsertByKey(df: DataFrame, table: String, keyCol: String): Long = {
+    require(!keyCol.contains('.') && !keyCol.contains('/') && !keyCol.contains('\t'),
+      s"unsupported upsert key column name: $keyCol")
     if (currentSnapshot(table).isEmpty) return commit(df, table)
     val keys = df.select(keyCol).distinct().collect().map { r =>
       val v = r.get(0)
       require(v != null, s"null $keyCol in upsert batch")
       v.toString
     }
-    deleteWhere(table, keyCol, keys.toSeq)
-    append(df, table)
+    val prev = entriesOf(table, currentSnapshot(table).get)
+    val snap = claimSnapshotId(table)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    val del = s"d$snap.$keyCol.tsv"
+    writeStr(new HPath(manifestDir(table), del),
+      keys.map(escStat).mkString("", "\n", "\n"))
+    commitSnapshot(table, snap,
+      prev :+ ("!" + del) :+ writeDeltaManifest(table, snap, files))
+    snap
   }
 
   /** All committed snapshot ids, ascending. */
@@ -820,7 +840,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
     val rep = s"shiftleft(shiftright($col, greatest(length(bin($col)) - 4, 0))," +
       s" greatest(length(bin($col)) - 4, 0))"
+    // SQL aggregate semantics: NULLs never enter the histogram (a NULL rep
+    // row would otherwise NPE the collect)
     val delta = df.sparkSession.read.parquet(files: _*)
+      .where(s"$col IS NOT NULL")
       .selectExpr(s"$rep AS rep")
       .groupBy("rep").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

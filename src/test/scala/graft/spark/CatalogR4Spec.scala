@@ -280,7 +280,12 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     val s1 = cat.commit(base, "t")
     val baseFiles = cat.readSnapshot(spark, "t", s1).inputFiles.toSet
     val fresh = (1 to 50 by 5).map(i => (s"https://example.com/d$i", s"v1-$i")).toDF("url", "text")
+    val preSnaps = cat.snapshots("t").size
     cat.upsertByKey(fresh, "t", "url")
+    // ATOMIC: one snapshot carries both the tombstone and the delta — no
+    // intermediate state where the keys are deleted but not yet replaced
+    assert(cat.snapshots("t").size === preSnaps + 1,
+      "upsert must be one atomic snapshot, not delete-then-append")
     val got = cat.read(spark, "t").as[(String, String)].collect().toMap
     assert(got.size === 50)
     (1 to 50).foreach { i =>
@@ -370,6 +375,12 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.ddQuantileStat("t", "v", Seq(500)).isEmpty)
     cat.appendWithDd(Seq(10000L).toDF("v"), "t", "v")
     assert(cat.ddQuantileStat("t", "v", Seq(500)).isEmpty, "no silent self-heal")
+    // NULL values never enter the histogram (SQL aggregate semantics) and
+    // never crash the delta pass
+    val cat2 = new ParquetSnapshotCatalog(tmp())
+    cat2.appendWithDd(Seq(Some(1L), Some(2L), None, Some(3L), None)
+      .toDF("v"), "t", "v")
+    assert(cat2.ddQuantileStat("t", "v", Seq(500)).get === Seq(2L))
   }
 
   test("expire GCs delta manifests referenced only by expired snapshots, keeps shared ones") {
