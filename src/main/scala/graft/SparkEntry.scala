@@ -879,6 +879,29 @@ object SparkEntry {
       cat.upsertByKey(shaped(docs(s, dir).where("doc_id % 5 = 0"), 1, " v2"), "t", "url")
       cat.read(s, "t")
     }),
+    "q_incremental_curate" -> ((s, dir) => {
+      // the incremental curation loop end-to-end: drop 1 (even ids)
+      // curates and advances the watermark; drop 2 (odd ids + exact
+      // replays of every even text under fresh ids) curates ONLY its own
+      // changelog window, and the digest companion rejects the replays —
+      // the curated table holds every gate-passing doc exactly once under
+      // its original id (at-least-once processing + idempotent sink)
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_inccur_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).select("doc_id", "text")
+      cat.append(d.where("doc_id % 2 = 0"), "raw")
+      graft.spark.IncrementalCurate.runOnce(s, cat, "raw", "cur")
+      cat.append(d.where("doc_id % 2 = 1")
+        .unionAll(d.where("doc_id % 2 = 0")
+          .selectExpr("doc_id + 1000000 AS doc_id", "text")), "raw")
+      graft.spark.IncrementalCurate.runOnce(s, cat, "raw", "cur")
+      cat.read(s, "cur").selectExpr("doc_id", "md5(text) AS text_md5", "n_tokens")
+    }),
     "q_dd_incremental" -> ((s, dir) => {
       // incremental quantiles in the catalog: two disjoint crawl drops roll
       // a cumulative base-2 histogram sidecar forward; p50/p90/p99 of token
@@ -1957,6 +1980,30 @@ object SparkEntry {
         |SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id),
         |       CAST(1 AS INT), md5(concat(text, ' v2'))
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // every gate-passing doc exactly once under its original id: the
+    // replayed texts are rejected by the companion, so the table is just
+    // the gate conjunction over the corpus (token floor + Gopher rules +
+    // integer repetition ceiling)
+    "q_incremental_curate" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |  CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_ellipsis,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words
+        |  FROM documents),
+        |r AS (SELECT doc_id, max(c) AS top_word_n FROM (
+        |        SELECT doc_id, w, count(*) AS c FROM (
+        |          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |        GROUP BY doc_id, w) GROUP BY doc_id)
+        |SELECT m.doc_id, md5(text) AS text_md5, n_words AS n_tokens
+        |FROM m JOIN r ON m.doc_id = r.doc_id
+        |WHERE n_words >= 20
+        |  AND n_words >= 50 AND n_words <= 100000
+        |  AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+        |  AND 10 * n_hash < n_words AND 10 * n_ellipsis < n_words
+        |  AND 10 * n_alpha_words >= 8 * n_words
+        |  AND 5 * top_word_n <= n_words""".stripMargin,
     // the cumulative histogram across disjoint drops IS the corpus
     // histogram (counts add exactly): replay the bucket collapse, window
     // cumsum and ceil-rank pick over the whole table

@@ -895,6 +895,25 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     }
   }
 
+  /** Tiny atomic metadata KV beside a table's manifests — pipeline state
+    * (e.g. a downstream consumer's processed-up-to watermark). Last write
+    * wins through the same atomic pointer swap as CURRENT, so readers never
+    * observe a torn value.
+    */
+  def putMeta(table: String, key: String, value: String): Unit = {
+    require(key.matches("[A-Za-z0-9._-]+"), s"unsupported meta key: $key")
+    val dir = manifestDir(table)
+    fsOf(dir).mkdirs(dir)
+    val tmp = new HPath(dir, s".meta.$key.tmp")
+    writeStr(tmp, value)
+    atomicSwap(tmp, new HPath(dir, s"meta.$key"))
+  }
+
+  def getMeta(table: String, key: String): Option[String] = {
+    val p = new HPath(manifestDir(table), s"meta.$key")
+    if (fsExists(p)) Some(readStr(p)) else None
+  }
+
   /** Sidecar value escaping: SQL NULL → `\N` (distinct from the 4-char
     * string "null"), and backslash/tab/newline/CR escaped so the TSV parse
     * can never be corrupted by data values.

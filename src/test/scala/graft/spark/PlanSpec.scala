@@ -244,4 +244,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected one user_id shuffle, got $exchanges:\n$plan")
     assert(plan.contains("Sort"), "within-partition sort missing")
   }
+
+  test("production BPE encode broadcasts the vocab table — one doc-keyed shuffle, k absent from the plan") {
+    val p = formatted("q_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), s"vocab table not broadcast:\n$p")
+    val shuffles = exchanges(p)
+    assert(shuffles == 1, s"expected only the doc_id sum shuffle, got $shuffles:\n$p")
+    // the old replace-chain projection carried one nested replace() pair
+    // per merge; the production plan must carry NONE
+    assert(!p.contains("replace("), s"merge chain leaked into the plan:\n$p")
+  }
 }
