@@ -510,6 +510,12 @@ object SparkEntry {
       // q_ann_lsh it is approximate by design → rows-only driver check,
       // recall asserted vs brute force in SparkJobSpec
       Ann.ivfTopK(embeddings(s, dir), nHint = embCount(s, dir))),
+    "q_ann_ivfpq" -> ((s, dir) =>
+      // IVF-PQ: the MEMORY-scale ANN path — the searchable corpus is
+      // (id, cluster, 8 code bytes) instead of 64 floats; ADC shortlist +
+      // exact refine join. Approximate by design → rows-only driver check,
+      // recall asserted vs brute force in SparkJobSpec
+      Ann.ivfPqTopK(embeddings(s, dir), nHint = embCount(s, dir))),
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup (Abbas et al. 2023): k-means the embedding space, kill
       // cosine>=0.95 near-identicals within each cluster (min-id keeper).

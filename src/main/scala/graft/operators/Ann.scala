@@ -274,6 +274,158 @@ object Ann {
       .orderBy("vec_id", "rank")
   }
 
+  /** Driver-side Lloyd k-means over a small collected sample — the PQ
+    * codebook trainer (per-subspace data is sampleN × dsub doubles — KBs).
+    * Deterministic: init = the first `k` rows in input order, fixed
+    * iterations, ties to the lower centroid index.
+    */
+  private def smallKmeans(rows: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = rows.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](cents.length, rows(0).length)
+      val counts = new Array[Long](cents.length)
+      rows.foreach { v =>
+        val c = nearest(cents, v)
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else { val m = new Array[Double](old.length); var i = 0
+          while (i < m.length) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-PQ approximate top-k (Jégou et al. 2011) — the MEMORY-scale ANN
+    * path for 10⁹+ vectors: after IVF coarse assignment, each vector's
+    * residual (v − centroid) is PRODUCT-QUANTIZED into `m` one-byte
+    * subspace codes, so the searchable corpus is (id, cluster, m bytes)
+    * instead of (id, 64 floats) — 256 B → 8 B per vector, the difference
+    * between an in-memory index and not having one. Search = probe the
+    * `nprobe` nearest clusters, score candidates by ADC (asymmetric
+    * distance: per-query lookup table of query-residual-to-codeword
+    * distances, summed over subspaces — the full vector is never touched),
+    * keep a `refine`×k shortlist, then ONE id-keyed join back to the
+    * embeddings table re-ranks the shortlist exactly (the standard
+    * IVFPQ+refine layout: the refine join reads O(shortlist) rows, never
+    * the corpus).
+    *
+    * Vectors are L2-NORMALIZED first so euclidean ADC ranking is monotone
+    * with cosine (‖a−b‖² = 2−2·cos for unit vectors) — the brute-force
+    * cosine ground truth stays the recall yardstick. Deterministic
+    * end-to-end (sample init, fixed iterations, id tie-breaks); recall is
+    * floor-tested like lshTopK/ivfTopK, not equality-tested. Output
+    * matches bruteForceTopK: (vec_id, rank, nbr_id).
+    */
+  def ivfPqTopK(embeddings: DataFrame, nQueries: Int = 20, k: Int = 10,
+      nlist: Int = 0, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3, refine: Int = 4, nHint: Long = 0L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = if (nHint > 0) nHint else embeddings.count()
+    val nl = if (nlist > 0) nlist
+    else math.max(4, math.min(1024, math.sqrt(n.toDouble).toInt))
+    // unit-normalize, then IVF-train on the normalized corpus (the column
+    // keeps the raw-input name so prep/ivfTrain compose)
+    val unit = prep(embeddings)
+      .selectExpr("vec_id", "transform(emb, x -> x / norm) AS embedding")
+    val centroids = ivfTrain(unit, nl, iters)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val dim = centroids(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // codebooks from a deterministic sample's residuals (lowest vec_ids —
+    // KBs on the driver, the Lloyd-style legitimate small state)
+    val sample = unit.orderBy("vec_id").limit(2048)
+      .as[(Long, Array[Double])].collect()
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      val sub = sample.map { case (_, v) =>
+        val cs = bcC.value(nearest(bcC.value, v))
+        Array.tabulate(dsub)(i => v(j * dsub + i) - cs(j * dsub + i))
+      }
+      smallKmeans(sub, math.min(ksub, sub.length), iters)
+    }
+    val bcB = spark.sparkContext.broadcast(codebooks)
+    // the COMPRESSED corpus: (vec_id, cluster, m code bytes) — full vectors
+    // are dropped here; only the refine join ever sees them again
+    val encoded = unit.as[(Long, Array[Double])].map { case (id, v) =>
+      val cs = bcC.value
+      val c = nearest(cs, v)
+      val cv = cs(c)
+      val codes = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        val r = Array.tabulate(dsub)(i => v(j * dsub + i) - cv(j * dsub + i))
+        codes(j) = nearest(bcB.value(j), r).toByte
+        j += 1
+      }
+      (id, c, codes)
+    }.toDF("vec_id", "cluster", "codes")
+    // queries keep their vectors (tiny side) and fan out over nprobe clusters
+    val np = nprobe
+    val q = unit.where(col("vec_id") < nQueries)
+      .as[(Long, Array[Double])].flatMap { case (id, v) =>
+        val cs = bcC.value
+        val ds = Array.tabulate(cs.length) { c =>
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        scala.util.Sorting.stableSort(ds)
+        Iterator.range(0, math.min(np, ds.length)).map(r => (id, v, ds(r)._2))
+      }.toDF("qid", "qemb", "qcluster")
+    // ADC scoring: per (query, probe-cluster) the lookup table is m×ksub
+    // residual distances; each candidate costs m table lookups — the full
+    // vector is never read
+    val scored = broadcast(q).join(encoded, col("qcluster") === col("cluster"))
+      .where(col("vec_id") =!= col("qid"))
+      .as[(Long, Array[Double], Int, Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val books = bcB.value
+        val ds = if (books.isEmpty) 0 else books(0)(0).length
+        it.map { case (qid, qv, qc, id, _, codes) =>
+          val cv = cs(qc)
+          var dist = 0.0
+          var j = 0
+          while (j < codes.length) {
+            val cw = books(j)(codes(j) & 0xff)
+            var i = 0
+            while (i < ds) {
+              val t = (qv(j * ds + i) - cv(j * ds + i)) - cw(i)
+              dist += t * t
+              i += 1
+            }
+            j += 1
+          }
+          (qid, id, dist)
+        }
+      }.toDF("qid", "nbr_id", "adc")
+    val wS = Window.partitionBy("qid").orderBy(asc("adc"), asc("nbr_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(wS))
+      .where(col("srank") <= k * refine)
+      .select("qid", "nbr_id")
+    // exact refine: ONE id-keyed join fetches the shortlist's true vectors
+    val e = prep(embeddings)
+    val qFull = e.where(col("vec_id") < nQueries)
+      .withColumnsRenamed(Map("vec_id" -> "qid", "emb" -> "qemb2", "norm" -> "qnorm"))
+    val dot = aggregate(zip_with(col("qemb2"), col("emb"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+    val exact = shortlist
+      .join(e.withColumnRenamed("vec_id", "nbr_id"), Seq("nbr_id"))
+      .join(broadcast(qFull), Seq("qid"))
+      .select(col("qid"), col("nbr_id"), (dot / (col("qnorm") * col("norm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(desc("sim"), asc("nbr_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nbr_id"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication — k-means the
     * embedding space into `nlist` clusters, then remove near-identical
     * vectors WITHIN each cluster (cosine ≥ `thr`), keeping the smallest

@@ -16,7 +16,7 @@ object Recall {
       val a = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       exact.count(a.contains).toDouble / exact.size
     }
-    println(f"RECALL lsh=${recall(graft.operators.Ann.lshTopK(emb))}%.3f ivf=${recall(graft.operators.Ann.ivfTopK(emb))}%.3f")
+    println(f"RECALL lsh=${recall(graft.operators.Ann.lshTopK(emb))}%.3f ivf=${recall(graft.operators.Ann.ivfTopK(emb))}%.3f ivfpq=${recall(graft.operators.Ann.ivfPqTopK(emb))}%.3f")
     spark.stop()
   }
 }
