@@ -548,15 +548,45 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     commit(readSnapshot(spark, table, snap).coalesce(nOut), table)
   }
 
+  /** Iceberg-style named refs (tags): a durable human-named pointer to a
+    * snapshot — "prod" keeps serving while experiments append on top,
+    * an audit pins "q3-release" for as long as the tag lives. Tags are
+    * LOAD-BEARING against maintenance: [[expireSnapshots]] keeps every
+    * tagged snapshot (and, by reference counting, its metadata and data
+    * files) alive regardless of keepLast. Retargeting a tag is the same
+    * atomic pointer swap as CURRENT; dropping it releases the snapshot to
+    * the next expiry.
+    */
+  def tagSnapshot(table: String, name: String, snap: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsupported tag name: $name")
+    require(fsExists(new HPath(manifestDir(table), s"v$snap.json")),
+      s"no snapshot $snap for $table")
+    putMeta(table, s"tag.$name", snap.toString)
+  }
+
+  def dropTag(table: String, name: String): Unit =
+    fsDelete(new HPath(manifestDir(table), s"meta.tag.$name"))
+
+  def tags(table: String): Map[String, Long] =
+    listNames(manifestDir(table)).filter(_.startsWith("meta.tag."))
+      .map(n => n.stripPrefix("meta.tag.") ->
+        readStr(new HPath(manifestDir(table), n)).trim.toLong)
+      .toMap
+
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame =
+    readSnapshot(spark, table, tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on $table")))
+
   /** Iceberg-style expire_snapshots: drop all but the last `keepLast`
-    * snapshots (CURRENT always survives) and delete the data files, delta
-    * manifests and delete files referenced ONLY by expired manifest lists —
-    * snapshots sharing metadata with a live version keep it on disk.
-    * Returns the expired snapshot ids.
+    * snapshots (CURRENT and every TAGGED snapshot always survive) and
+    * delete the data files, delta manifests and delete files referenced
+    * ONLY by expired manifest lists — snapshots sharing metadata with a
+    * live version keep it on disk. Returns the expired snapshot ids.
     */
   def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
     val snaps = snapshots(table)
-    val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++ currentSnapshot(table)
+    val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++
+      currentSnapshot(table) ++ tags(table).values
     val expired = snaps.filterNot(keep)
     // preserve the exactly-once markers of pre-marker streaming batches
     // whose manifests are about to disappear (see batchCommitted)

@@ -383,6 +383,42 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.ddQuantileStat("t", "v", Seq(500)).get === Seq(2L))
   }
 
+  test("sequence-grouped deletes compose with ADD-column evolution: old file groups null-fill the new column") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    // epoch 1: (url, text); a delete splits later files into their own group
+    cat.commit(Seq(("u1", "t1"), ("u2", "t2"), ("u3", "t3")).toDF("url", "text"), "t")
+    cat.deleteWhere("t", "url", Seq("u2"))
+    // epoch 2 (post-delete group): schema gains a lang column
+    cat.append(Seq(("u4", "t4", "en")).toDF("url", "text", "lang"), "t")
+    val got = cat.read(spark, "t").select("url", "text", "lang")
+      .as[(String, String, Option[String])].collect().toSet
+    assert(got === Set(("u1", "t1", None), ("u3", "t3", None), ("u4", "t4", Some("en"))),
+      "old group must null-fill lang; u2 stays deleted; the post-delete file keeps its column")
+  }
+
+  test("tags are load-bearing refs: a tagged snapshot survives expiry; dropping the tag releases it") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val s1 = cat.commit(Seq((1, "a")).toDF("id", "t"), "t")
+    cat.tagSnapshot("t", "prod", s1)
+    cat.append(Seq((2, "b")).toDF("id", "t"), "t")
+    cat.append(Seq((3, "c")).toDF("id", "t"), "t")
+    val expired1 = cat.expireSnapshots("t", keepLast = 1)
+    assert(!expired1.contains(s1), "the tagged snapshot must survive keepLast=1")
+    // the tag still reads the pinned state, bit-exactly
+    assert(cat.readTag(spark, "t", "prod").as[(Int, String)].collect() === Array((1, "a")))
+    assert(cat.tags("t") === Map("prod" -> s1))
+    // retarget = atomic swap; drop releases the snapshot to the next expiry
+    cat.dropTag("t", "prod")
+    val expired2 = cat.expireSnapshots("t", keepLast = 1)
+    assert(expired2.contains(s1), "dropping the tag must release the snapshot")
+    intercept[IllegalArgumentException] { cat.readTag(spark, "t", "prod") }
+    assert(cat.read(spark, "t").count() === 3)
+  }
+
   test("expire GCs delta manifests referenced only by expired snapshots, keeps shared ones") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
