@@ -885,6 +885,15 @@ object SparkEntry {
       cat.upsertByKey(shaped(docs(s, dir).where("doc_id % 5 = 0"), 1, " v2"), "t", "url")
       cat.read(s, "t")
     }),
+    "q_train_shards" -> ((s, dir) => {
+      // training-shard materialization end-to-end: curated docs land as
+      // gzip JSONL partitioned by a PURE doc_id shard function (md5
+      // permille idiom — reproducible across runs/engines), and the
+      // returned manifest carries the per-shard counts a loader checks;
+      // the spec additionally proves the files on disk match the manifest
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_${dir.hashCode.toHexString}"
+      TextOps.writeTrainingShards(docs(s, dir).select("doc_id", "text"), out)
+    }),
     "q_incremental_curate" -> ((s, dir) => {
       // the incremental curation loop end-to-end: drop 1 (even ids)
       // curates and advances the watermark; drop 2 (odd ids + exact
@@ -1986,6 +1995,19 @@ object SparkEntry {
         |SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id),
         |       CAST(1 AS INT), md5(concat(text, ' v2'))
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the same pure shard function replayed (nibble-positional md5 of the
+    // stringified id), grouped to the manifest counts
+    "q_train_shards" -> {
+      val terms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, text, ($terms) % 8 AS shard FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS n_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM b GROUP BY shard""".stripMargin
+    },
     // every gate-passing doc exactly once under its original id: the
     // replayed texts are rejected by the companion, so the table is just
     // the gate conjunction over the corpus (token floor + Gopher rules +

@@ -1163,6 +1163,43 @@ object TextOps {
     spark.createDataFrame(kept).toDF("doc_id", "score", "n_tokens", "cum_tokens")
   }
 
+  /** Deterministic training-shard assignment + per-shard manifest — the
+    * file-level handoff from curation to the training loader: every doc
+    * maps to one of `nShards` shards by the repo's standard md5 permille
+    * idiom (a PURE function of doc_id — assignment is reproducible across
+    * runs/engines and balanced in expectation), and the manifest row per
+    * shard carries the counts a loader checks before streaming (n_docs,
+    * n_tokens, n_chars). Zero-shuffle assignment; ONE shard-keyed
+    * partial-agged aggregation for the manifest.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val bucket = s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    docs.selectExpr("doc_id", "text", s"$bucket % $nShards AS shard")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr(tokensExpr)).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"))
+      .selectExpr("CAST(shard AS BIGINT) AS shard", "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_tokens AS BIGINT) AS n_tokens", "CAST(n_chars AS BIGINT) AS n_chars")
+  }
+
+  /** Materialize the shards: gzip JSONL files partitioned by shard id (the
+    * layout a data loader consumes: dir/shard=K/part-*.json.gz) plus the
+    * manifest as one TSV-ish parquet. The repartition keys the write so a
+    * shard's rows land in one file; at 100 TB nShards scales with the
+    * corpus and each writer task streams one shard.
+    */
+  def writeTrainingShards(docs: DataFrame, dir: String, nShards: Int = 8): DataFrame = {
+    val bucket = s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    val sharded = docs.selectExpr("doc_id", "text", s"$bucket % $nShards AS shard")
+    sharded.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("compression", "gzip").json(s"$dir/shards")
+    val manifest = shardManifest(docs, nShards)
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    manifest
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

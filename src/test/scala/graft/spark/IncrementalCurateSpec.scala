@@ -77,6 +77,31 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the changelog planner expanded a full snapshot file list — the O(delta) contract is broken")
   }
 
+  test("training shards: files on disk match the manifest, assignment is pure and gzip-compressed") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 200L).map(i => (i, goodText(i))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = graft.operators.TextOps.writeTrainingShards(docs, dir, nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest.keySet === Set(0L, 1L, 2L, 3L))
+    assert(manifest.values.map(_._1).sum === 200L)
+    // the files are the manifest: read each shard partition back and match
+    val back = spark.read.json(s"$dir/shards")
+      .selectExpr("CAST(shard AS BIGINT) AS shard")
+    val byShard = back.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard === manifest.view.mapValues(_._1).toMap)
+    // gzip on disk; assignment reproducible (pure function of doc_id)
+    val files = new java.io.File(s"$dir/shards").listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName)
+      .filter(n => n.contains("json") && !n.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.endsWith(".json.gz")), files.mkString(","))
+    val again = graft.operators.TextOps.shardManifest(docs, nShards = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === manifest.view.mapValues(_._1).toMap)
+  }
+
   test("streaming ingest composes with incremental curation: stream → raw → curated, exactly once") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("inccurstream").toString
