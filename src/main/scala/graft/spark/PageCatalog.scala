@@ -211,20 +211,58 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       .filter(_.getName.endsWith(".parquet")).map(pathStr).sorted
   }
 
+  /** Concurrent-writer commit mutex. Every snapshot-producing operation
+    * that BUILDS ON the previous manifest list (append, appendBatch,
+    * deleteWhere, upsertByKey, the sidecar appends) reads prev entries and
+    * then swaps CURRENT — two simultaneous writers would both build on the
+    * same parent and the later swap would silently orphan the earlier
+    * commit (a lost update; Iceberg closes the same window with its
+    * catalog CAS + manifest-merge retry). Writers serialize on an atomic
+    * lock file around the METADATA section only — data files are written
+    * BEFORE acquisition, so the slow part stays fully parallel and the
+    * critical section is milliseconds of manifest I/O. A crashed holder's
+    * lock expires (`commitLockTimeoutMs`) and is taken over; the delete +
+    * re-create race resolves through atomicCreateNew (one winner).
+    */
+  protected def commitLockTimeoutMs: Long = 60000L
+  private def withCommitLock[T](table: String)(body: => T): T = {
+    val dir = manifestDir(table)
+    fsOf(dir).mkdirs(dir)
+    val lock = new HPath(dir, ".commit.lock")
+    var acquired = false
+    while (!acquired) {
+      if (atomicCreateNew(lock)) {
+        writeStr(lock, System.currentTimeMillis.toString)
+        acquired = true
+      } else {
+        val age =
+          try System.currentTimeMillis - readStr(lock).trim.toLong
+          catch { case _: Exception => 0L } // empty/missing → treat as fresh
+        if (age > commitLockTimeoutMs) fsDelete(lock)
+        else Thread.sleep(20)
+      }
+    }
+    try body finally fsDelete(lock)
+  }
+
   override def commit(df: DataFrame, table: String): Long = {
     val snap = claimSnapshotId(table)
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
-    commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, files)))
+    withCommitLock(table) {
+      commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, files)))
+    }
     snap
   }
 
   override def append(df: DataFrame, table: String): Long = {
-    // single-writer append (the claim guards the snapshot id; concurrent
-    // appends would need a manifest-merge retry loop, like Iceberg's)
-    val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
+    // data writes BEFORE the lock under a provisional directory name keyed
+    // by the claim; the metadata section (read prev → commit) serializes
     val snap = claimSnapshotId(table)
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
-    commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    withCommitLock(table) {
+      val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
+      commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    }
     snap
   }
 
@@ -330,14 +368,16 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       require(v != null, s"null $keyCol in upsert batch")
       v.toString
     }
-    val prev = entriesOf(table, currentSnapshot(table).get)
     val snap = claimSnapshotId(table)
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
-    val del = s"d$snap.$keyCol.tsv"
-    writeStr(new HPath(manifestDir(table), del),
-      keys.map(escStat).mkString("", "\n", "\n"))
-    commitSnapshot(table, snap,
-      prev :+ ("!" + del) :+ writeDeltaManifest(table, snap, files))
+    withCommitLock(table) {
+      val prev = entriesOf(table, currentSnapshot(table).get)
+      val del = s"d$snap.$keyCol.tsv"
+      writeStr(new HPath(manifestDir(table), del),
+        keys.map(escStat).mkString("", "\n", "\n"))
+      commitSnapshot(table, snap,
+        prev :+ ("!" + del) :+ writeDeltaManifest(table, snap, files))
+    }
     snap
   }
 
@@ -385,9 +425,11 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       return false
     }
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/batch-$batchId"))
-    val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
-    val snap = claimSnapshotId(table)
-    commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    withCommitLock(table) {
+      val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
+      val snap = claimSnapshotId(table)
+      commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    }
     // marker LAST: it asserts "committed", so it must never exist without
     // the manifest (the reverse — manifest without marker — self-heals in
     // batchCommitted). Two racing duplicate deliveries are also harmless at
@@ -456,15 +498,17 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def deleteWhere(table: String, column: String, values: Seq[String]): Long = {
     require(!column.contains('.') && !column.contains('/') && !column.contains('\t'),
       s"unsupported delete column name: $column")
-    val cur = currentSnapshot(table).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot for $table"))
-    val prev = entriesOf(table, cur)
-    val snap = claimSnapshotId(table)
-    val del = s"d$snap.$column.tsv"
-    writeStr(new HPath(manifestDir(table), del),
-      values.map(escStat).mkString("", "\n", "\n"))
-    commitSnapshot(table, snap, prev :+ ("!" + del))
-    snap
+    withCommitLock(table) {
+      val cur = currentSnapshot(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot for $table"))
+      val prev = entriesOf(table, cur)
+      val snap = claimSnapshotId(table)
+      val del = s"d$snap.$column.tsv"
+      writeStr(new HPath(manifestDir(table), del),
+        values.map(escStat).mkString("", "\n", "\n"))
+      commitSnapshot(table, snap, prev :+ ("!" + del))
+      snap
+    }
   }
 
   /** Apply a snapshot's equality-delete files: one broadcast anti-join per
@@ -799,26 +843,29 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * method or recommitting; the refusal is the safe default.)
     */
   def appendWithHll(df: DataFrame, table: String, col: String): Long = {
-    val prev = currentSnapshot(table)
-    val prevRegs = prev.flatMap(readHllSidecar(table, _, col))
-    val chainOk = prev.isEmpty || prevRegs.isDefined
-    val prevEntries = prev.map(entriesOf(table, _)).getOrElse(Seq.empty)
     val snap = claimSnapshotId(table)
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    // the delta register pass (a Spark job) stays OUTSIDE the commit lock
     val delta = graft.operators.Sketch.hllRegistersOf(
       df.sparkSession.read.parquet(files: _*), col)
-    commitSnapshot(table, snap, prevEntries :+ writeDeltaManifest(table, snap, files))
-    if (chainOk) {
-      val merged = prevRegs match {
-        case Some(p) => p.zip(delta).map { case (a, b) => math.max(a, b) }
-        case None => delta
+    withCommitLock(table) {
+      val prev = currentSnapshot(table)
+      val prevRegs = prev.flatMap(readHllSidecar(table, _, col))
+      val chainOk = prev.isEmpty || prevRegs.isDefined
+      val prevEntries = prev.map(entriesOf(table, _)).getOrElse(Seq.empty)
+      commitSnapshot(table, snap, prevEntries :+ writeDeltaManifest(table, snap, files))
+      if (chainOk) {
+        val merged = prevRegs match {
+          case Some(p) => p.zip(delta).map { case (a, b) => math.max(a, b) }
+          case None => delta
+        }
+        val bb = java.nio.ByteBuffer.allocate(merged.length * 8)
+        bb.asLongBuffer().put(merged)
+        val tmp = new HPath(manifestDir(table), s".hll.$col.tmp$snap")
+        val out = fsOf(tmp).create(tmp, true)
+        try out.write(bb.array()) finally out.close()
+        atomicSwap(tmp, new HPath(manifestDir(table), s"v$snap.hll.$col.bin"))
       }
-      val bb = java.nio.ByteBuffer.allocate(merged.length * 8)
-      bb.asLongBuffer().put(merged)
-      val tmp = new HPath(manifestDir(table), s".hll.$col.tmp$snap")
-      val out = fsOf(tmp).create(tmp, true)
-      try out.write(bb.array()) finally out.close()
-      atomicSwap(tmp, new HPath(manifestDir(table), s"v$snap.hll.$col.bin"))
     }
     snap
   }
@@ -862,29 +909,32 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * undercounting.
     */
   def appendWithDd(df: DataFrame, table: String, col: String): Long = {
-    val prev = currentSnapshot(table)
-    val prevHist = prev.flatMap(readDdSidecar(table, _, col))
-    val chainOk = prev.isEmpty || prevHist.isDefined
-    val prevEntries = prev.map(entriesOf(table, _)).getOrElse(Seq.empty)
     val snap = claimSnapshotId(table)
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
     val rep = s"shiftleft(shiftright($col, greatest(length(bin($col)) - 4, 0))," +
       s" greatest(length(bin($col)) - 4, 0))"
     // SQL aggregate semantics: NULLs never enter the histogram (a NULL rep
-    // row would otherwise NPE the collect)
+    // row would otherwise NPE the collect). The delta pass (a Spark job)
+    // stays OUTSIDE the commit lock.
     val delta = df.sparkSession.read.parquet(files: _*)
       .where(s"$col IS NOT NULL")
       .selectExpr(s"$rep AS rep")
       .groupBy("rep").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    commitSnapshot(table, snap, prevEntries :+ writeDeltaManifest(table, snap, files))
-    if (chainOk) {
-      val merged = prevHist.map(_.toMap).getOrElse(Map.empty[Long, Long])
-        .foldLeft(delta) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
-      val body = merged.toSeq.sorted.map { case (k, c) => s"$k\t$c" }.mkString("", "\n", "\n")
-      val tmp = new HPath(manifestDir(table), s".dd.$col.tmp$snap")
-      writeStr(tmp, body)
-      atomicSwap(tmp, new HPath(manifestDir(table), s"v$snap.dd.$col.tsv"))
+    withCommitLock(table) {
+      val prev = currentSnapshot(table)
+      val prevHist = prev.flatMap(readDdSidecar(table, _, col))
+      val chainOk = prev.isEmpty || prevHist.isDefined
+      val prevEntries = prev.map(entriesOf(table, _)).getOrElse(Seq.empty)
+      commitSnapshot(table, snap, prevEntries :+ writeDeltaManifest(table, snap, files))
+      if (chainOk) {
+        val merged = prevHist.map(_.toMap).getOrElse(Map.empty[Long, Long])
+          .foldLeft(delta) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+        val body = merged.toSeq.sorted.map { case (k, c) => s"$k\t$c" }.mkString("", "\n", "\n")
+        val tmp = new HPath(manifestDir(table), s".dd.$col.tmp$snap")
+        writeStr(tmp, body)
+        atomicSwap(tmp, new HPath(manifestDir(table), s"v$snap.dd.$col.tsv"))
+      }
     }
     snap
   }

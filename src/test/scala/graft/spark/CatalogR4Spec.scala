@@ -383,6 +383,34 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.ddQuantileStat("t", "v", Seq(500)).get === Seq(2L))
   }
 
+  test("concurrent appenders never lose a commit (the lost-update window is closed)") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    // 4 writers × 8 single-row appends each, racing on one table: without
+    // the commit lock, two writers reading the same parent manifest would
+    // orphan each other's delta (the later CURRENT swap wins) — every one
+    // of the 32 rows must survive
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 4).map { w =>
+      scala.concurrent.Future {
+        (0 until 8).foreach { i =>
+          cat.append(Seq((w * 100 + i, s"w$w-$i")).toDF("id", "t"), "t")
+        }
+      }
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration("120s"))
+    pool.shutdown()
+    val ids = cat.read(spark, "t").select("id").as[Int].collect().sorted
+    assert(ids.length === 32, s"lost commits: ${32 - ids.length} rows missing")
+    assert(ids.toSet === (for (w <- 0 until 4; i <- 0 until 8) yield w * 100 + i).toSet)
+    // and the commit lock never leaks: no lock file left behind
+    assert(!manifestNames(root, "t").contains(".commit.lock"))
+  }
+
   test("sequence-grouped deletes compose with ADD-column evolution: old file groups null-fill the new column") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
