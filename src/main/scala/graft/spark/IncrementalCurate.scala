@@ -41,7 +41,19 @@ object IncrementalCurate {
     val to = cat.currentSnapshot(raw).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $raw"))
     if (to == from) return (0L, 0L)
-    val window = cat.readIncremental(spark, raw, from, to)
+    // a compaction/expiry of the raw table inside the window makes the
+    // changelog refuse (it cannot tell rewritten rows from new ones) — for
+    // CURATION that is recoverable: reprocess the full snapshot; the gates
+    // are deterministic and the digest companion rejects everything already
+    // curated, so the result stays exact at the cost of one full pass
+    val window = (try cat.readIncremental(spark, raw, from, to)
+      catch {
+        case e: IllegalStateException if e.getMessage.contains("crosses a rewrite") =>
+          System.err.println(s"[curate] raw table '$raw' was rewritten inside " +
+            s"($from, $to] — reprocessing the full snapshot; the digest " +
+            "companion keeps the append exact")
+          cat.readSnapshot(spark, raw, to)
+      })
       .select("doc_id", "text").persist()
     val n = window.count()
     val floor = window

@@ -58,6 +58,22 @@ class IncrementalCurateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "cur").select("text").distinct().count() === 20)
   }
 
+  test("a raw-table compaction mid-loop self-heals: full reprocess, companion keeps the append exact") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("inccurcompact").toString
+    val cat = new ParquetSnapshotCatalog(root)
+    cat.append((1L to 10L).map(i => (i, goodText(i))).toDF("doc_id", "text"), "raw")
+    assert(IncrementalCurate.runOnce(spark, cat, "raw", "cur") === ((10L, 10L)))
+    // maintenance rewrites raw, then a fresh drop lands
+    cat.compact(spark, "raw")
+    cat.append((21L to 25L).map(i => (i, goodText(i))).toDF("doc_id", "text"), "raw")
+    // the window crosses the rewrite → the loop reprocesses the FULL
+    // snapshot (15 rows) and the companion rejects the 10 already curated
+    assert(IncrementalCurate.runOnce(spark, cat, "raw", "cur") === ((15L, 5L)))
+    val cur = cat.read(spark, "cur").select("doc_id").as[Long].collect().sorted
+    assert(cur === ((1L to 10L) ++ (21L to 25L)).toArray)
+  }
+
   test("readIncremental plans in O(delta) metadata: zero full-manifest expansions on two-level tables") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("incplan").toString
