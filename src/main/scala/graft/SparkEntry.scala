@@ -498,6 +498,12 @@ object SparkEntry {
       // benchmark decontamination: flag training docs sharing an 8-word
       // n-gram with the eval slice (doc_id % 50 == 0); eval grams broadcast
       Dedup.decontaminate(docs(s, dir))),
+    "q_meta_blocking" -> ((s, dir) =>
+      // SparkER-style meta-blocking ER: shingle-digest blocks purged by
+      // df, pairs pruned by common-block count BEFORE any comparison;
+      // (inter, uni) are the exact Jaccard components over the purged
+      // block sets — fully integer, oracle-replayed bit-for-bit
+      Dedup.metaBlockingPairs(docs(s, dir))),
     "q_embed_near_dups" -> ((s, dir) =>
       Ann.cosineNearDups(embeddings(s, dir), nHint = embCount(s, dir))),
     // ---- similarity search ----------------------------------------------
@@ -1548,6 +1554,30 @@ object SparkEntry {
     // pair; the J>=0.95 planted pairs are ~1e-22), so candidate-set !=
     // all-pairs cannot show up at test SFs.
     "q_dedup_minhash" -> minhashOracleSql,
+    // the whole meta-blocking pipeline replayed: planted dups, sliding
+    // shingle digests, df purge [2, 64], CBS >= 2 prune, exact (inter, uni)
+    // over the purged block sets
+    "q_meta_blocking" ->
+      """WITH ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |d AS (SELECT doc_id, ws FROM ws0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, list_slice(ws, 1, greatest(len(ws) - 2, 1))
+        |      FROM ws0 WHERE doc_id % 10 = 0),
+        |b AS (SELECT DISTINCT doc_id,
+        |        md5(array_to_string(list_slice(ws, i, i + 2), ' ')) AS bk
+        |      FROM (SELECT doc_id, ws,
+        |              unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        |            FROM d)),
+        |keep AS (SELECT bk FROM (SELECT bk, count(*) AS c FROM b GROUP BY bk)
+        |         WHERE c BETWEEN 2 AND 64),
+        |k AS (SELECT doc_id, bk FROM b JOIN keep USING (bk)),
+        |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS cbs
+        |      FROM k a JOIN k b2 USING (bk) WHERE a.doc_id < b2.doc_id
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id)
+        |SELECT id_a, id_b, CAST(cbs AS BIGINT) AS inter,
+        |       CAST(sa.n + sb.n - cbs AS BIGINT) AS uni
+        |FROM p JOIN s sa ON p.id_a = sa.doc_id JOIN s sb ON p.id_b = sb.doc_id""".stripMargin,
     // cluster oracle: the SAME exhaustive pair enumeration, closed
     // transitively with a recursive CTE — min reachable id per node
     "q_dup_clusters" ->

@@ -383,6 +383,52 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** Meta-blocking entity resolution (the SparkER / Simonini et al. EDBT
+    * 2019 shape, on the retrieved-paper list): candidate pairs come from
+    * shared BLOCKS (here: md5 digests of w-word shingles, distinct per
+    * doc), blocks are PURGED by document frequency before any pair exists
+    * (df < 2 can't pair; df > maxBlock is stopword chrome whose self-join
+    * would be O(df²) — the purge IS the degenerate-bucket cap), and the
+    * meta-blocking weight prunes pairs by common-block count
+    * (CBS ≥ minCommon) so one coincidental shared shingle never reaches a
+    * comparison. Because the block sets are the comparison features, CBS
+    * IS the exact set intersection — the emitted (inter, uni) pair is the
+    * exact Jaccard numerator/denominator over the purged block sets, all
+    * integer and DuckDB-replayable.
+    *
+    * Scale shape: one doc-keyed shingle projection (codegen'd, distinct),
+    * one block-keyed df agg (partial-agged) riding into the purge join,
+    * pair generation keyed by block id at ≤ maxBlock populations, ONE
+    * pair-keyed partial-agged CBS count, and two doc-keyed size joins on
+    * the surviving pairs only. Planted near-dups (withPlantedDups) keep
+    * the pair path exercised at every sf.
+    */
+  def metaBlockingPairs(docs: DataFrame, w: Int = 3, minCommon: Int = 2,
+      maxBlock: Int = 64): DataFrame = {
+    val planted = withPlantedDups(docs)
+    val blocks = planted.selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id",
+        s"""explode(CASE WHEN size(ws) < $w THEN array(md5(array_join(ws, ' ')))
+           |  ELSE transform(sequence(1, size(ws) - ${w - 1}),
+           |                 i -> md5(array_join(slice(ws, i, $w), ' '))) END) AS bk""".stripMargin)
+      .distinct()
+    val keepBk = blocks.groupBy("bk").agg(count(lit(1)).as("bdf"))
+      .where(col("bdf") >= 2 && col("bdf") <= maxBlock)
+      .select("bk")
+    val kept = blocks.join(keepBk, "bk")
+    val pairs = kept.toDF("bk", "id_a").join(kept.toDF("bk", "id_b"), "bk")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("cbs"))
+      .where(col("cbs") >= minCommon)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .selectExpr("id_a", "id_b", "CAST(cbs AS BIGINT) AS inter",
+        "CAST(n_a + n_b - cbs AS BIGINT) AS uni")
+      .orderBy("id_a", "id_b")
+  }
+
   def minhashLsh(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val withDups = withPlantedDups(docs)
     val sh = shingles(withDups)

@@ -353,6 +353,21 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.size < 5000, s"degenerate bucket not capped: ${pairs.size} pairs")
   }
 
+  test("meta-blocking: CBS prune kills single-shared-block pairs, df purge kills unique blocks — hand-exact") {
+    val s = spark
+    import s.implicits._
+    // doc1/doc2 share 3 shingles (abc, bcd, cde; def is df=1 → purged);
+    // doc3 shares only abc with each → cbs 1 < 2 → pruned before comparison
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e"),
+      (3L, "x y z w a b c")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.metaBlockingPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L, 3L, 3L)),
+      "exactly the (1,2) pair with inter=3, uni=3 over the purged block sets")
+  }
+
   test("semDedup: planted twins lose to min-id keepers, originals keep, deterministic, clusters bounded") {
     val s = spark
     import s.implicits._
