@@ -344,6 +344,36 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     readWithDeletes(spark, table, to, Some(newFiles.toSet))
   }
 
+  /** The DELETE side of the changelog, completing [[readIncremental]]'s
+    * insert feed: equality-delete keys committed in (fromSnap, toSnap] as
+    * (del_column, del_key) rows — what a downstream mirror applies to its
+    * own state (a takedown must propagate; emitting the deleted ROWS would
+    * require re-reading data the tombstone exists to avoid touching).
+    * O(new tombstones) metadata, zero data files. An upsert window emits
+    * its keys here AND its fresh captures through readIncremental — apply
+    * deletes first, then inserts, and the mirror converges.
+    */
+  def deletedInWindow(spark: SparkSession, table: String, fromSnap: Long,
+                      toSnap: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = if (toSnap > 0) toSnap else currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val fromEntries =
+      if (fromSnap <= 0) Set.empty[String]
+      else entriesOf(table, fromSnap).toSet
+    val rows = entriesOf(table, to).filterNot(fromEntries)
+      .filter(_.startsWith("!")).map(_.stripPrefix("!"))
+      .flatMap { ref =>
+        val column = ref.stripPrefix("d").split('.')(1)
+        readStr(new HPath(manifestDir(table), ref))
+          .split('\n').filter(_.nonEmpty).flatMap(unescStat)
+          .map(k => (column, k))
+      }
+    spark.createDataFrame(
+      if (rows.isEmpty) Seq(("", "")) else rows).toDF("del_column", "del_key")
+      .where(if (rows.isEmpty) lit(false) else lit(true))
+  }
+
   /** MERGE-shaped upsert by key (the re-crawl write path): incoming rows
     * REPLACE any existing rows sharing their key, executed the Iceberg way —
     * an equality-delete tombstone for the incoming key set (metadata-only;

@@ -383,6 +383,32 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.ddQuantileStat("t", "v", Seq(500)).get === Seq(2L))
   }
 
+  test("changelog delete feed: a downstream mirror replaying inserts + deletes converges to the table") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val s1 = cat.commit((1 to 10).map(i => (s"u$i", s"v0-$i")).toDF("url", "text"), "t")
+    val s2 = cat.deleteWhere("t", "url", Seq("u3"))
+    val s3 = cat.append(Seq(("u11", "v0-11"), ("u12", "v0-12")).toDF("url", "text"), "t")
+    val s4 = cat.upsertByKey(Seq(("u5", "v1-5")).toDF("url", "text"), "t", "url")
+    // the delete feed per window: the takedown key, nothing, the upsert key
+    def dels(a: Long, b: Long) = cat.deletedInWindow(spark, "t", a, b)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dels(s1, s2) === Set(("url", "u3")))
+    assert(dels(s2, s3) === Set.empty)
+    assert(dels(s3, s4) === Set(("url", "u5")))
+    // mirror replay: start from the bootstrap snapshot, then per window
+    // apply deletes FIRST, inserts second
+    var mirror = cat.readSnapshot(spark, "t", s1).as[(String, String)].collect().toMap
+    for ((a, b) <- Seq((s1, s2), (s2, s3), (s3, s4))) {
+      dels(a, b).foreach { case (_, k) => mirror -= k }
+      mirror ++= cat.readIncremental(spark, "t", a, b).as[(String, String)].collect().toMap
+    }
+    val table = cat.read(spark, "t").as[(String, String)].collect().toMap
+    assert(mirror === table, "the replayed mirror must equal the table")
+    assert(table("u5") === "v1-5" && !table.contains("u3") && table.size === 11)
+  }
+
   test("concurrent appenders never lose a commit (the lost-update window is closed)") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
