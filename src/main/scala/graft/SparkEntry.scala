@@ -891,6 +891,29 @@ object SparkEntry {
       cat.upsertByKey(shaped(docs(s, dir).where("doc_id % 5 = 0"), 1, " v2"), "t", "url")
       cat.read(s, "t")
     }),
+    "q_changelog" -> ((s, dir) => {
+      // unified net-changes CDC over (s1, s3] — Iceberg create_changelog_view
+      // parity: an upsert window emits its OLD captures as op='delete' pre-
+      // image rows (the fromSnap snapshot, zone-map-pruned to the tombstone
+      // key range, semi-joined against the broadcast keys) and its fresh
+      // captures as op='insert' alongside a later plain append; a mirror at
+      // s1 applying deletes-then-inserts converges to s3. The insert side is
+      // O(delta) planning; the delete side never reads the window's appends.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_changelog_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      def shaped(df: DataFrame, ts: Int, suffix: String) = df.selectExpr(
+        s"concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        s"CAST($ts AS INT) AS capture", s"md5(concat(text, '$suffix')) AS text_md5")
+      val s1 = cat.commitWithStats(shaped(docs(s, dir), 0, ""), "t", Seq("url"))
+      cat.upsertByKey(shaped(docs(s, dir).where("doc_id % 5 = 0"), 1, " v2"), "t", "url")
+      val s3 = cat.append(shaped(docs(s, dir).where("doc_id % 7 = 0"), 2, " v3"), "t")
+      cat.readChangelog(s, "t", fromSnap = s1, toSnap = s3)
+    }),
     "q_train_shards" -> ((s, dir) => {
       // training-shard materialization end-to-end: curated docs land as
       // gzip JSONL partitioned by a PURE doc_id shard function (md5
@@ -2024,6 +2047,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id),
         |       CAST(1 AS INT), md5(concat(text, ' v2'))
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
+    // the net-changes window: the upsert's fresh captures and the later
+    // append arrive as inserts; the upsert's pre-images (capture 0 of every
+    // %5==0 url) arrive as deletes — nothing else moves
+    "q_changelog" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       CAST(1 AS INT) AS capture, md5(concat(text, ' v2')) AS text_md5,
+        |       'insert' AS op
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id),
+        |       CAST(2 AS INT), md5(concat(text, ' v3')), 'insert'
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id),
+        |       CAST(0 AS INT), md5(text), 'delete'
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
     // the same pure shard function replayed (nibble-positional md5 of the
     // stringified id), grouped to the manifest counts

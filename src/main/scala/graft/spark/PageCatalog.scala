@@ -374,6 +374,60 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       .where(if (rows.isEmpty) lit(false) else lit(true))
   }
 
+  /** The UNIFIED net-changes CDC read (Iceberg `create_changelog_view`
+    * parity) over (fromSnap, toSnap]: one frame with the row's full schema
+    * plus an `op` column —
+    *
+    *   - op='insert': the window's surviving net inserts (exactly
+    *     [[readIncremental]]'s feed — a row inserted AND deleted within the
+    *     window never appears);
+    *   - op='delete': the PRE-IMAGE rows the window's equality deletes
+    *     removed — the fromSnap-visible rows matching the window's tombstone
+    *     keys. A consumer that needs full deleted rows (audit trail,
+    *     downstream index removal, embedding-store eviction) gets them here;
+    *     one that only needs keys keeps the cheaper [[deletedInWindow]].
+    *
+    * Replay contract: a mirror holding snapshot fromSnap that applies the
+    * delete rows (by their key) then the insert rows converges to toSnap —
+    * an upsert window emits its old captures as deletes and its fresh ones
+    * as inserts. A key tombstoned but absent at fromSnap (inserted and
+    * removed inside the window, or never present) correctly emits no
+    * pre-image.
+    *
+    * Cost shape at 100 TB: the insert side is O(delta) planning + O(drop)
+    * data; the delete side reads ONLY fromSnap files whose zone maps overlap
+    * the tombstone key range (when the stats sidecar exists — else all of
+    * fromSnap, keys re-filtered either way via the broadcast semi-join, so
+    * pruning is never load-bearing). The window's own appends are never
+    * read for pre-images.
+    */
+  def readChangelog(spark: SparkSession, table: String, fromSnap: Long,
+                    toSnap: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit, col}
+    val to = if (toSnap > 0) toSnap else currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val inserts = readIncremental(spark, table, fromSnap, to)
+      .withColumn("op", lit("insert"))
+    if (fromSnap <= 0) return inserts // bootstrap: mirror starts empty
+    val delKeys = deletedInWindow(spark, table, fromSnap, to)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    if (delKeys.isEmpty) return inserts
+    val preImages = delKeys.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (column, pairs) =>
+        val keys = pairs.map(_._2).toSeq
+        val cmp = statCmp(keys)
+        val (lo, hi) = (keys.min(Ordering.fromLessThan[String](cmp(_, _) < 0)),
+                        keys.max(Ordering.fromLessThan[String](cmp(_, _) < 0)))
+        val base = readWithDeletes(spark, table, fromSnap,
+          Some(pruneFilesAt(table, fromSnap, column, lo, hi).toSet))
+        val keyDf = spark.createDataFrame(keys.map(Tuple1(_))).toDF("__cdc_key")
+        base.join(broadcast(keyDf),
+            base(column).cast("string") === col("__cdc_key"), "left_semi")
+          .withColumn("op", lit("delete"))
+      }
+    preImages.foldLeft(inserts)(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** MERGE-shaped upsert by key (the re-crawl write path): incoming rows
     * REPLACE any existing rows sharing their key, executed the Iceberg way —
     * an equality-delete tombstone for the incoming key set (metadata-only;
@@ -822,6 +876,14 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def pruneFiles(table: String, column: String, lo: String, hi: String): Seq[String] = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
+    pruneFilesAt(table, snap, column, lo, hi)
+  }
+
+  /** [[pruneFiles]] against an explicit snapshot — the changelog's pre-image
+    * side prunes the FROM snapshot, not CURRENT.
+    */
+  private def pruneFilesAt(table: String, snap: Long, column: String,
+                           lo: String, hi: String): Seq[String] = {
     val all = manifestFiles(table, snap)
     val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
     if (!fsExists(sidecar)) return all

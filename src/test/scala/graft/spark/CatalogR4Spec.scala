@@ -409,6 +409,49 @@ class CatalogR4Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(table("u5") === "v1-5" && !table.contains("u3") && table.size === 11)
   }
 
+  test("unified changelog: pre-image deletes + net inserts replay a mirror to the table; zone maps bound the pre-image scan") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name, max => fmax}
+    // 4 range-partitioned files over u01..u16 with a url stats sidecar, so
+    // the pre-image side has zone maps to prune against
+    val base = (1 to 16).map(i => (f"u$i%02d", s"v0-$i")).toDF("url", "text")
+      .repartitionByRange(4, col("url"))
+    val s1 = cat.commitWithStats(base, "t", Seq("url"))
+    // window: fresh urls u17+u99, an upsert of u05 (delete + insert), a
+    // takedown of u09 and of u99 (inserted AND deleted inside the window)
+    cat.append(Seq(("u17", "v0-17"), ("u99", "v0-99")).toDF("url", "text"), "t")
+    cat.upsertByKey(Seq(("u05", "v1-5")).toDF("url", "text"), "t", "url")
+    val s4 = cat.deleteWhere("t", "url", Seq("u09", "u99"))
+    val log = cat.readChangelog(spark, "t", s1, s4).as[(String, String, String)].collect()
+    val ins = log.filter(_._3 == "insert").map(r => (r._1, r._2)).toSet
+    val del = log.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet
+    assert(ins === Set(("u17", "v0-17"), ("u05", "v1-5")),
+      "u99 was inserted and deleted inside the window — the net feed drops it")
+    assert(del === Set(("u05", "v0-5"), ("u09", "v0-9")),
+      "pre-images carry the OLD captures; u99 has no pre-image")
+    // mirror replay: deletes by key first, then inserts → exactly the table
+    var mirror = cat.readSnapshot(spark, "t", s1).as[(String, String)].collect().toMap
+    del.foreach { case (k, _) => mirror -= k }
+    mirror ++= ins
+    assert(mirror === cat.read(spark, "t").as[(String, String)].collect().toMap)
+    // bootstrap window is insert-only (the mirror starts empty)
+    assert(cat.readChangelog(spark, "t", 0L, s1)
+      .select("op").distinct().as[String].collect().toSeq === Seq("insert"))
+    // pruning proof by deletion: every fromSnap file whose url range lies
+    // entirely below the deleted-key range [u05, u99] can never hold a
+    // pre-image — remove its bytes and the changelog must still answer
+    val outOfRange = cat.readSnapshot(spark, "t", s1)
+      .groupBy(input_file_name().as("f")).agg(fmax("url").as("mx"))
+      .where("mx < 'u05'").select("f").as[String].collect()
+    assert(outOfRange.nonEmpty, "the range layout must give a prunable file")
+    outOfRange.foreach(f => Files.delete(Paths.get(new java.net.URI(f).getPath)))
+    val again = cat.readChangelog(spark, "t", s1, s4).as[(String, String, String)].collect()
+    assert(again.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet === del,
+      "the pre-image scan must never open files outside the tombstone key range")
+  }
+
   test("concurrent appenders never lose a commit (the lost-update window is closed)") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
