@@ -767,6 +767,16 @@ object SparkEntry {
       // argmax and greedy leftmost merge application replay bit-exactly in
       // the oracle's unrolled CTEs
       TextOps.bpeMergesFast(docs(s, dir), k = 5)),
+    "q_unigram_encode" -> ((s, dir) =>
+      // the SECOND tokenizer family (unigram-LM / SentencePiece shape):
+      // closed-form piece inventory (single chars + length-2..3 substrings
+      // occurring ≥50×, whole-bit surprisal costs) and a packed-integer
+      // Viterbi segmentation per distinct word (minimize (Σcost, ntok)
+      // lexicographically via cost·2^20+1 path steps) — executors segment
+      // the vocab under a broadcast cost map, the word→(toks,bits) table
+      // broadcast-joins back, one doc-keyed sum; the oracle re-derives the
+      // pieces AND replays the 12-position DP bit-for-bit
+      graft.operators.Unigram.unigramEncodeClosedForm(docs(s, dir))),
     "q_bpe_vocab" -> ((s, dir) => {
       // the trainer's FINAL word table after 5 merges — (word, token count)
       // for the whole vocabulary, i.e. the exact table bpeEncodeFast
@@ -1966,6 +1976,50 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(toks) AS BIGINT) AS bpe_tokens,
         |       CAST(count(*) AS BIGINT) AS n_words
         |FROM f JOIN v USING (word) GROUP BY doc_id""".stripMargin,
+    // the whole unigram pipeline replayed: piece inventory (chars + ≥50×
+    // substrings), whole-bit surprisal costs, and the packed Viterbi DP
+    // unrolled position by position (lateral aliases d1..d12; LEAST over
+    // piece lengths 1..3 with scalar-subquery cost lookups — missing
+    // pieces COALESCE to 2^62, single chars always resolve)
+    "q_unigram_encode" -> {
+      def term(j: Int, l: Int): String = {
+        val lk = s"(SELECT (cost << 20) + 1 FROM pc WHERE piece = substr(word, ${j - l + 1}, $l))"
+        if (l == 1) s"d${j - 1} + $lk"
+        else s"COALESCE(d${j - l} + $lk, 4611686018427387904)"
+      }
+      // one CTE per DP position (DuckDB rejects lateral aliases whose
+      // expression holds a subquery, so d_j lives one CTE after d_{j-1})
+      val dps = (1 to 12).map { j =>
+        val body =
+          if (j == 1) term(1, 1)
+          else s"LEAST(${(1 to math.min(3, j)).map(l => term(j, l)).mkString(", ")})"
+        s"dp$j AS (SELECT *, $body AS d$j FROM dp${j - 1})"
+      }.mkString(",\n        |")
+      val cases = (1 to 12).map(j => s"WHEN $j THEN d$j").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT doc_id, word FROM w
+        |      WHERE regexp_matches(word, '^[a-z]+$$') AND length(word) <= 12),
+        |wc AS (SELECT word, count(*) AS cnt FROM f GROUP BY word),
+        |e AS (SELECT word, cnt, l,
+        |             unnest(generate_series(1, length(word) - l + 1)) AS i
+        |      FROM wc CROSS JOIN (VALUES (1),(2),(3)) ls(l)
+        |      WHERE length(word) >= l),
+        |occ AS (SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS c
+        |        FROM e GROUP BY 1),
+        |pieces AS (SELECT piece, c FROM occ WHERE length(piece) = 1 OR c >= 50),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM pieces),
+        |pc AS (SELECT piece, CAST(length(bin(t // c)) AS BIGINT) AS cost
+        |       FROM pieces, tot),
+        |v AS (SELECT DISTINCT word FROM f),
+        |dp0 AS (SELECT word, CAST(0 AS BIGINT) AS d0 FROM v),
+        |$dps,
+        |seg AS (SELECT word, CASE length(word) $cases END AS p FROM dp12)
+        |SELECT doc_id,
+        |       CAST(sum(p >> 20) AS BIGINT) AS cost_bits,
+        |       CAST(sum(p & 1048575) AS BIGINT) AS uni_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_words
+        |FROM f JOIN seg USING (word) GROUP BY doc_id""".stripMargin
+    },
     // the trainer's final word table: every vocabulary word's token count
     // after the 5 replayed merges — validates the driver-side production
     // trainer over the ENTIRE vocabulary, not just the argmax rows
