@@ -820,6 +820,48 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_catalog_source" -> ((s, dir) => {
+      // the catalog as a STREAMING SOURCE (DSv2 micro-batch read, offsets =
+      // snapshot ids — the Iceberg streaming-read shape): two REAL
+      // AvailableNow passes share one checkpoint. Pass 1 bootstraps the
+      // committed even docs; then the odd docs append and an odd-id
+      // takedown commit; pass 2 emits ONLY that window with the in-window
+      // takedown applied by the sequence rule (delete snap > file add
+      // snap). The union of everything emitted is closed-form: all evens
+      // (emitted before the takedown existed) plus the surviving odds.
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.streaming.Trigger
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_catsource_${dir.hashCode.toHexString}"
+      val cp = root + "_cp"
+      Seq(root, cp).map(Paths.get(_)).filter(Files.exists(_)).foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+      }
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).select("doc_id", "text")
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-catalog")
+          .option("root", root).option("table", "t").load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+            emitted.synchronized { emitted ++= rows }
+            ()
+          }
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      cat.commit(d.where("doc_id % 2 = 0"), "t")
+      drain()
+      cat.append(d.where("doc_id % 2 = 1"), "t")
+      cat.deleteWhere("t", "doc_id",
+        d.where("doc_id % 10 = 3").select("doc_id").collect().map(_.getLong(0).toString).toSeq)
+      drain()
+      s.createDataFrame(emitted.toSeq).toDF("doc_id", "text")
+    }),
     "q_catalog_stream" -> ((s, dir) => {
       // exactly-once streaming ingest into the snapshot catalog: batch 0
       // commits, batch 1 first CRASHES mid-append (orphan data dir, no
@@ -2083,6 +2125,11 @@ object SparkEntry {
     // simply the corpus
     "q_catalog_stream" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // the streaming source's union of emissions: pass 1 emitted every even
+    // before the takedown existed; pass 2 emitted the odd window minus the
+    // in-window takedown (doc_id % 10 = 3 is necessarily odd)
+    "q_catalog_source" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 OR doc_id % 10 <> 3",
     // equality-delete takedown: the surviving table is exactly the
     // anti-filter — deleted urls absent, everything else untouched
     "q_takedown" ->

@@ -1,0 +1,369 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+import graft.spark.ParquetSnapshotCatalog
+
+/** DataSourceV2 STREAMING read of the snapshot catalog — the Iceberg
+  * streaming-read shape (`spark.readStream.format("iceberg")`) for the
+  * filesystem catalog emulation:
+  *
+  *   spark.readStream.format("graft-catalog")
+  *     .option("root", root).option("table", "pages").load()
+  *
+  * Offsets ARE snapshot ids: each micro-batch is the incremental window
+  * (lastSnap, nextSnap] planned with the catalog's own O(delta) metadata
+  * rules (manifest-LIST entry diff; only the window's delta manifests
+  * expand), so a downstream pipeline — curation, indexing, CDC mirroring —
+  * becomes a real Structured Streaming query with checkpointed exactly-once
+  * progress instead of a hand-rolled watermark loop. The first batch
+  * bootstraps with the full current snapshot (offset 0), matching
+  * `readIncremental(fromSnap <= 0)`.
+  *
+  * Semantics (the Iceberg incremental-scan contract, enforced not assumed):
+  *   - INSERT feed: a batch carries the rows ADDED in its window. Equality
+  *     deletes committed in-window are applied to in-window files by the
+  *     sequence rule (a delete at D hits only files added before D), so an
+  *     upsert's fresh captures flow through while a row inserted AND
+  *     taken down inside one window never appears. Takedowns of rows
+  *     emitted by EARLIER batches are not retracted here — that is the
+  *     changelog's delete side (`deletedInWindow` / `readChangelog`),
+  *     deliberately not a streaming source concern (Iceberg's streaming
+  *     read skips overwrite snapshots the same way).
+  *   - a window crossing a REWRITE (compaction/expire/rollback) fails the
+  *     stream loudly instead of re-emitting old rows as new — restart from
+  *     a fresh checkpoint after maintenance, exactly like Iceberg's
+  *     streaming read refuses replace snapshots.
+  *   - `maxSnapshotsPerBatch` (default: all available) rate-limits how many
+  *     snapshots one micro-batch may advance — admission control for a
+  *     backlogged stream, so catch-up after downtime is N bounded batches,
+  *     not one giant one.
+  *
+  * Scale shape at 100 TB: planning is driver-side O(delta) manifest I/O per
+  * batch; each data file is one input partition streamed through a plain
+  * parquet reader with COLUMN PRUNING pushed down (a query that only needs
+  * `url` never decodes the html pages), and per-file equality deletes ride
+  * the partition as broadcast-sized key sets (takedown-sized by
+  * construction — they are the contents of delete FILES).
+  *
+  * The same scan doubles as a batch read (`spark.read.format(...)`) of the
+  * current snapshot through the identical delete-applying reader, which is
+  * what the parity spec pins against `catalog.read`.
+  */
+class CatalogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-catalog"
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (root, table) = CatalogSource.rootTable(options)
+    val cat = new ParquetSnapshotCatalog(root)
+    val snap = cat.currentSnapshot(table).getOrElse(throw new IllegalArgumentException(
+      s"graft-catalog source: table '$table' under '$root' has no committed snapshot"))
+    val first = cat.filesWithAddOrder(table, snap).map(_._1).sorted.headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-catalog source: snapshot $snap of '$table' has no data files"))
+    // one footer, driver-side — Spark's own parquet schema inference
+    SparkSession.active.read.parquet(first).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new CatalogTable(schema, opts.get("root"), opts.get("table"),
+      Option(opts.get("maxSnapshotsPerBatch")).map(_.toInt).getOrElse(Int.MaxValue),
+      Option(opts.get("startSnapshot")).map(_.toLong).getOrElse(0L))
+  }
+}
+
+object CatalogSource {
+  private[sources] def rootTable(options: CaseInsensitiveStringMap): (String, String) = {
+    val root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException("graft-catalog source needs option 'root'"))
+    val table = Option(options.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft-catalog source needs option 'table'"))
+    (root, table)
+  }
+
+  /** Delete keys match `CAST(column AS STRING)`; the non-Spark reader can
+    * replay that cast faithfully only for these types (they are what
+    * takedown/upsert key on: urls, digests, ids).
+    */
+  private[sources] def deletableType(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType => true
+    case _ => false
+  }
+}
+
+final class CatalogTable(tableSchema: StructType, root: String, table: String,
+                         maxSnaps: Int, startSnap: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-catalog:$root/$table"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CatalogScanBuilder(tableSchema, root, table, maxSnaps, startSnap)
+}
+
+final class CatalogScanBuilder(tableSchema: StructType, root: String, table: String,
+                               maxSnaps: Int, startSnap: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan =
+    new CatalogScan(tableSchema, required, root, table, maxSnaps, startSnap)
+}
+
+/** One data file + the equality deletes that apply to it (sequence rule
+  * already resolved at planning): (column, keys) pairs in commit order.
+  */
+final case class CatalogFilePartition(file: String,
+                                      deletes: Seq[(String, Seq[String])])
+    extends InputPartition
+
+final class CatalogScan(tableSchema: StructType, required: StructType,
+                        root: String, table: String, maxSnaps: Int, startSnap: Long)
+    extends Scan with Batch {
+  private def cat = new ParquetSnapshotCatalog(root)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCatalogScan(root=$root, table=$table, columns=${required.fieldNames.mkString(",")})"
+
+  /** Attach the sequence-rule-applicable deletes to each planned file and
+    * validate that every delete column is readable by this scan (present in
+    * the table schema at a CAST-replayable type).
+    */
+  private[sources] def withDeletes(files: Seq[(String, Long)],
+                                   snap: Long): Array[InputPartition] = {
+    val deletes = cat.equalityDeletes(table, snap)
+    deletes.map(_._2).distinct.foreach { c =>
+      val f = tableSchema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
+        s"graft-catalog source: delete column '$c' not in table schema"))
+      require(CatalogSource.deletableType(f.dataType),
+        s"graft-catalog source: delete column '$c' has type ${f.dataType.simpleString}; " +
+        "only string/long/int delete keys are replayable by the streaming reader")
+    }
+    files.sortBy(_._1).map { case (f, addSnap) =>
+      CatalogFilePartition(f,
+        deletes.filter(_._1 > addSnap).map(d => (d._2, d._3)))
+    }.toArray[InputPartition]
+  }
+
+  // batch read: the full current snapshot through the same reader
+  override def planInputPartitions(): Array[InputPartition] = {
+    val snap = cat.currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    withDeletes(cat.filesWithAddOrder(table, snap), snap)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CatalogReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new CatalogMicroBatchStream(this, root, table, maxSnaps, startSnap)
+}
+
+/** Offset = last fully-emitted snapshot id (0 = nothing emitted yet). */
+final case class CatalogOffset(snap: Long) extends streaming.Offset {
+  override def json(): String = snap.toString
+}
+
+final class CatalogMicroBatchStream(scan: CatalogScan, root: String, table: String,
+                                    maxSnaps: Int, startSnap: Long)
+    extends streaming.MicroBatchStream with streaming.SupportsTriggerAvailableNow {
+  private def cat = new ParquetSnapshotCatalog(root)
+  private var availableNowTarget: Long = -1L
+
+  private def currentLatest(): Long =
+    cat.currentSnapshot(table).getOrElse(startSnap)
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNowTarget = currentLatest()
+  override def initialOffset(): streaming.Offset = CatalogOffset(startSnap)
+  override def deserializeOffset(json: String): streaming.Offset = CatalogOffset(json.toLong)
+
+  override def latestOffset(): streaming.Offset = CatalogOffset(currentLatest())
+
+  /** Admission control: advance at most `maxSnapshotsPerBatch` committed
+    * snapshots past `start` (and never past the AvailableNow pin) — a
+    * backlogged stream catches up in bounded windows.
+    */
+  override def latestOffset(start: streaming.Offset, limit: streaming.ReadLimit): streaming.Offset = {
+    val from = start.asInstanceOf[CatalogOffset].snap
+    val cap = if (availableNowTarget >= 0) availableNowTarget else currentLatest()
+    val pending = cat.snapshots(table).filter(s => s > from && s <= cap)
+    CatalogOffset(if (pending.isEmpty) from else pending.take(maxSnaps).last)
+  }
+
+  override def planInputPartitions(start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CatalogOffset].snap
+    val e = end.asInstanceOf[CatalogOffset].snap
+    if (e <= s || e <= 0) return Array.empty
+    val files =
+      if (s <= 0) cat.filesWithAddOrder(table, e)             // bootstrap: full snapshot
+      else cat.incrementalFilesWithAddOrder(table, s, e)       // O(delta) window
+    scan.withDeletes(files, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final class CatalogReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CatalogFilePartition]
+    new CatalogPartitionReader(p.file, required, p.deletes)
+  }
+}
+
+/** Streams one parquet data file through parquet-hadoop's record reader
+  * with the projection pushed down (only required ∪ delete-key columns are
+  * decoded), applying the partition's equality deletes row-by-row — the
+  * executor-side half of Iceberg's delete-file application. Supports the
+  * atomic column types the catalog's page/document tables use (string,
+  * binary, long, int, double, float, boolean, timestamp INT96/INT64, date);
+  * nested/decimal columns fail loudly with the column name.
+  */
+final class CatalogPartitionReader(file: String, required: StructType,
+                                   deletes: Seq[(String, Seq[String])])
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetFileReader
+  import org.apache.parquet.hadoop.util.HadoopInputFile
+  import org.apache.parquet.example.data.Group
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.io.ColumnIOFactory
+  import org.apache.parquet.schema.{MessageType, PrimitiveType, LogicalTypeAnnotation}
+  import org.apache.hadoop.fs.Path
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+  private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+
+  // projection = required columns ∪ delete-key columns (a pruned scan must
+  // still decode the key column to apply the tombstones)
+  private val delCols = deletes.map(_._1).distinct
+  private val projNames = (required.fieldNames.toSeq ++ delCols).distinct
+    .filter(fileSchema.containsField)
+  private val projection = new MessageType(fileSchema.getName,
+    projNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
+  reader.setRequestedSchema(projection)
+
+  private val delSets: Seq[(Int, Set[String])] = deletes.map { case (c, keys) =>
+    (projection.getFieldIndex(c), keys.toSet)
+  }
+  // output field -> (projection index, parquet primitive), resolved once
+  private val outFields: Array[(Int, PrimitiveType, DataType)] =
+    required.fields.map { f =>
+      require(projection.containsField(f.name),
+        s"column '${f.name}' not present in parquet file $file")
+      val idx = projection.getFieldIndex(f.name)
+      val t = projection.getType(idx)
+      require(t.isPrimitive, s"graft-catalog reader: column '${f.name}' is nested " +
+        "(group type); only atomic columns are supported")
+      (idx, t.asPrimitiveType(), f.dataType)
+    }
+
+  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  private var rowsLeft: Long = 0L
+  private var cur: Group = _
+
+  private def nextRowGroup(): Boolean = {
+    val pages = reader.readNextRowGroup()
+    if (pages == null) false
+    else {
+      val columnIO = new ColumnIOFactory().getColumnIO(projection)
+      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(projection))
+      rowsLeft = pages.getRowCount
+      true
+    }
+  }
+
+  /** `CAST(column AS STRING)` replay for delete matching (string/long/int —
+    * gated at planning). A null key column never matches (anti-join keeps
+    * the row).
+    */
+  private def deleted(g: Group): Boolean = delSets.exists { case (idx, keys) =>
+    g.getFieldRepetitionCount(idx) > 0 && {
+      val prim = projection.getType(idx).asPrimitiveType()
+      val s = prim.getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.BINARY => g.getBinary(idx, 0).toStringUsingUTF8
+        case PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(idx, 0).toString
+        case PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(idx, 0).toString
+        case other => throw new IllegalStateException(s"undeletable primitive $other")
+      }
+      keys.contains(s)
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      if (rowsLeft == 0L && !nextRowGroup()) return false
+      while (rowsLeft > 0L) {
+        val g = recordReader.read()
+        rowsLeft -= 1
+        if (g != null && !deleted(g)) { cur = g; return true }
+      }
+    }
+    false
+  }
+
+  private val JULIAN_EPOCH_DAY = 2440588L // 1970-01-01 as a julian day
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < outFields.length) {
+      val (idx, prim, dt) = outFields(i)
+      if (cur.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
+      else {
+        import PrimitiveType.PrimitiveTypeName._
+        (dt, prim.getPrimitiveTypeName) match {
+          case (StringType, BINARY) =>
+            row.update(i, UTF8String.fromBytes(cur.getBinary(idx, 0).getBytes))
+          case (BinaryType, BINARY | FIXED_LEN_BYTE_ARRAY) =>
+            row.update(i, cur.getBinary(idx, 0).getBytes)
+          case (LongType, INT64) => row.setLong(i, cur.getLong(idx, 0))
+          case (IntegerType | DateType, INT32) => row.setInt(i, cur.getInteger(idx, 0))
+          case (LongType, INT32) => row.setLong(i, cur.getInteger(idx, 0).toLong)
+          case (DoubleType, DOUBLE) => row.setDouble(i, cur.getDouble(idx, 0))
+          case (FloatType, FLOAT) => row.setFloat(i, cur.getFloat(idx, 0))
+          case (BooleanType, BOOLEAN) => row.setBoolean(i, cur.getBoolean(idx, 0))
+          case (TimestampType, INT96) =>
+            // spark's default parquet timestamp: 8B little-endian nanos-of-
+            // day + 4B little-endian julian day
+            val buf = java.nio.ByteBuffer.wrap(cur.getInt96(idx, 0).getBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            val nanos = buf.getLong; val jday = buf.getInt
+            row.setLong(i, (jday - JULIAN_EPOCH_DAY) * 86400000000L + nanos / 1000L)
+          case (TimestampType, INT64) =>
+            val micros = prim.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                cur.getLong(idx, 0) * 1000L
+              case _ => cur.getLong(idx, 0) // micros (spark's INT64 output)
+            }
+            row.setLong(i, micros)
+          case (d, p) => throw new IllegalStateException(
+            s"graft-catalog reader: unsupported column type $d / parquet $p " +
+            s"for field '${required.fields(i).name}' in $file")
+        }
+      }
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -170,6 +170,72 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   private def deleteRefsOf(table: String, snap: Long): Seq[String] =
     entriesOf(table, snap).filter(_.startsWith("!")).map(_.stripPrefix("!"))
 
+  /** The snapshot's (data file, add order) pairs — a file's add order is its
+    * delta manifest's snapshot id (m<K>.json → K); legacy raw-path entries
+    * predate ordering and get 0, so every delete applies to them. This is
+    * the planning surface the DSv2 streaming source shares with
+    * [[readWithDeletes]]: add order is what decides which equality deletes
+    * apply to which file (the Iceberg sequence-number rule).
+    */
+  def filesWithAddOrder(table: String, snap: Long): Seq[(String, Long)] =
+    entriesOf(table, snap).flatMap { e =>
+      if (e.startsWith("@")) {
+        val k = e.stripPrefix("@m").stripSuffix(".json").toLong
+        parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@")))).map(_ -> k)
+      } else if (e.startsWith("!")) Nil
+      else Seq(e -> 0L)
+    }.distinctBy(_._1)
+
+  /** The (data file, add order) pairs ADDED in (fromSnap, toSnap] — the
+    * incremental window's file plan, O(delta) metadata (entry-list diff
+    * first; only delta manifests new to the window expand). Refuses
+    * rewrite-crossing windows exactly like [[readIncremental]] (whose file
+    * planning this IS); `fromSnap` must be a committed snapshot > 0.
+    */
+  def incrementalFilesWithAddOrder(table: String, fromSnap: Long,
+                                   toSnap: Long): Seq[(String, Long)] = {
+    require(fromSnap > 0, s"incremental plan needs fromSnap > 0, got $fromSnap")
+    require(fsExists(new HPath(manifestDir(table), s"v$fromSnap.json")),
+      s"no snapshot $fromSnap for $table")
+    require(fsExists(new HPath(manifestDir(table), s"v$toSnap.json")),
+      s"no snapshot $toSnap for $table")
+    val fromEntries = entriesOf(table, fromSnap).toSet
+    val toEntries = entriesOf(table, toSnap)
+    val gone = fromEntries -- toEntries.toSet
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"incremental window ($fromSnap, $toSnap] of '$table' crosses a rewrite " +
+        s"(compaction/expire/rollback) — ${gone.size} entries of $fromSnap are gone; " +
+        "read the full snapshot instead")
+    val newPairs = toEntries.filterNot(fromEntries).flatMap { e =>
+      if (e.startsWith("@")) {
+        val k = e.stripPrefix("@m").stripSuffix(".json").toLong
+        parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@")))).map(_ -> k)
+      } else if (e.startsWith("!")) Nil
+      else Seq(e -> 0L)
+    }.distinctBy(_._1)
+    // two-level tables need no cross-check (delta-manifest file paths are
+    // snapshot-addressed, so a file cannot appear under two entries); only
+    // legacy flat manifests — raw paths in the entry list — can overlap,
+    // and only they pay the O(table) expansion of `fromSnap`
+    if (fromEntries.exists(e => !e.startsWith("@") && !e.startsWith("!")))
+      newPairs.filterNot(p => manifestFiles(table, fromSnap).toSet(p._1))
+    else newPairs
+  }
+
+  /** The snapshot's equality deletes as (delete snapshot, column, keys),
+    * ascending by delete snapshot — the other half of the scan plan a
+    * non-Spark reader (the DSv2 streaming source's per-file readers) needs
+    * to apply the sequence rule itself.
+    */
+  def equalityDeletes(table: String, snap: Long): Seq[(Long, String, Seq[String])] =
+    deleteRefsOf(table, snap).map { ref =>
+      val head = ref.stripPrefix("d").split('.')
+      (head(0).toLong, head(1),
+        readStr(new HPath(manifestDir(table), ref))
+          .split('\n').filter(_.nonEmpty).flatMap(unescStat).toSeq)
+    }.sortBy(_._1)
+
   /** Write snapshot `snap`'s delta manifest (its own new files only) and
     * return the manifest-list entry referencing it. */
   private def writeDeltaManifest(table: String, snap: Long, files: Seq[String]): String = {
@@ -320,27 +386,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       s"no snapshot $fromSnap for $table")
     require(fsExists(new HPath(manifestDir(table), s"v$to.json")),
       s"no snapshot $to for $table")
-    val fromEntries = entriesOf(table, fromSnap).toSet
-    val toEntries = entriesOf(table, to)
-    val gone = fromEntries -- toEntries.toSet
-    if (gone.nonEmpty)
-      throw new IllegalStateException(
-        s"incremental window ($fromSnap, $to] of '$table' crosses a rewrite " +
-        s"(compaction/expire/rollback) — ${gone.size} entries of $fromSnap are gone; " +
-        "read the full snapshot instead")
-    val newRaw = toEntries.filterNot(fromEntries).flatMap { e =>
-      if (e.startsWith("@")) parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@"))))
-      else if (e.startsWith("!")) Nil
-      else Seq(e)
-    }.distinct
-    // two-level tables need no cross-check (delta-manifest file paths are
-    // snapshot-addressed, so a file can never appear under two entries);
-    // only legacy flat manifests — raw paths in the entry list — can
-    // overlap, and only they pay the O(table) expansion of `fromSnap`
-    val newFiles =
-      if (fromEntries.exists(e => !e.startsWith("@") && !e.startsWith("!")))
-        newRaw.filterNot(manifestFiles(table, fromSnap).toSet)
-      else newRaw
+    val newFiles = incrementalFilesWithAddOrder(table, fromSnap, to).map(_._1)
     readWithDeletes(spark, table, to, Some(newFiles.toSet))
   }
 
@@ -616,13 +662,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   private def readWithDeletes(spark: SparkSession, table: String, snap: Long,
                               only: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val addSnap: Seq[(String, Long)] = entriesOf(table, snap).flatMap { e =>
-      if (e.startsWith("@")) {
-        val k = e.stripPrefix("@m").stripSuffix(".json").toLong
-        parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@")))).map(_ -> k)
-      } else if (e.startsWith("!")) Nil
-      else Seq(e -> 0L)
-    }.distinctBy(_._1)
+    val addSnap: Seq[(String, Long)] = filesWithAddOrder(table, snap)
     val wanted = only match {
       case Some(keep) => addSnap.filter(p => keep(p._1))
       case None => addSnap
