@@ -820,6 +820,32 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_hidden_partition" -> ((s, dir) => {
+      // Iceberg-style HIDDEN PARTITIONING: the table declares bucket(8, url)
+      // once at write time, two crawl drops cluster their files by the
+      // transform (the sidecar carries per-file transform bounds forward
+      // across appends), and point lookups on the RAW url column open ~1/8
+      // of the files with the equality predicate applied on top — the
+      // schema never grows a partition column. The lookup set (doc_id % 50
+      // = 7) spans both drops; the prune-proof (deleting the non-kept
+      // files) lives in PartitioningSpec.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_hidpart_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        "doc_id", "md5(text) AS text_md5")
+      cat.commitPartitioned(d.where("doc_id % 2 = 0"), "t",
+        graft.spark.BucketTransform(8, "url"))
+      cat.appendPartitioned(d.where("doc_id % 2 = 1"), "t")
+      val targets = d.where("doc_id % 50 = 7").select("url")
+        .collect().map(_.getString(0)).sorted
+      targets.map(u => cat.readPartitionEq(s, "t", u)).reduce(_.unionByName(_))
+    }),
     "q_catalog_source" -> ((s, dir) => {
       // the catalog as a STREAMING SOURCE (DSv2 micro-batch read, offsets =
       // snapshot ids — the Iceberg streaming-read shape): two REAL
@@ -2130,6 +2156,12 @@ object SparkEntry {
     // in-window takedown (doc_id % 10 = 3 is necessarily odd)
     "q_catalog_source" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 OR doc_id % 10 <> 3",
+    // hidden partitioning: pruning is transparent — the lookups' union is
+    // exactly the equality filter over the lookup key set
+    "q_hidden_partition" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       doc_id, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 50 = 7""".stripMargin,
     // equality-delete takedown: the surviving table is exactly the
     // anti-filter — deleted urls absent, everything else untouched
     "q_takedown" ->

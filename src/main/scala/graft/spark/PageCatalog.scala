@@ -793,11 +793,24 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     */
   def commitWithStats(df: DataFrame, table: String, statsCols: Seq[String]): Long = {
     val snap = commit(df, table)
-    val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax, count => fcount, col, lit}
     val files = manifestFiles(table, snap)
-    val aggs = statsCols.flatMap(c => Seq(fmin(col(c)).cast("string").as(s"min_$c"),
-      fmax(col(c)).cast("string").as(s"max_$c"))) :+ fcount(lit(1)).as("n_rows")
+    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"),
+      statsTsv(df.sparkSession, files, statsCols.map(c => (c, s"`$c`"))))
+    snap
+  }
+
+  /** Per-file (min, max) stats TSV body for `files` — one aggregation pass
+    * keyed by `input_file_name()`; each named stat is (sidecar name, SQL
+    * expr), so a stats "column" can be a partition TRANSFORM of a real
+    * column, not just the column itself. O(files) rows reach the driver —
+    * never data.
+    */
+  private def statsTsv(spark: SparkSession, files: Seq[String],
+                       named: Seq[(String, String)]): String = {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax, count => fcount, expr, lit}
+    val aggs = named.zipWithIndex.flatMap { case ((_, e), i) =>
+      Seq(fmin(expr(e)).cast("string").as(s"min_$i"),
+          fmax(expr(e)).cast("string").as(s"max_$i")) } :+ fcount(lit(1)).as("n_rows")
     val rows = spark.read.parquet(files: _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -809,14 +822,14 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       // to the plain absolute path the manifest stores
       val f = "/" + r.getString(0).stripPrefix("file:").dropWhile(_ == '/')
       seen += f
-      statsCols.zipWithIndex.foreach { case (c, i) =>
-        sb.append(f).append('\t').append(c).append('\t')
+      named.zipWithIndex.foreach { case ((name, _), i) =>
+        sb.append(f).append('\t').append(name).append('\t')
           .append(escStat(r.getString(1 + 2 * i))).append('\t')
           .append(escStat(r.getString(2 + 2 * i))).append('\n')
       }
       // per-file row count under the reserved __count pseudo-column — what
       // makes count(*) a metadata-only query (statsAgg below)
-      val n = r.getLong(1 + 2 * statsCols.length)
+      val n = r.getLong(1 + 2 * named.length)
       sb.append(f).append('\t').append("__count").append('\t')
         .append(n).append('\t').append(n).append('\n')
     }
@@ -825,8 +838,131 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     files.filterNot(seen).foreach { f =>
       sb.append(f).append('\t').append("__count").append('\t').append(0L).append('\t').append(0L).append('\n')
     }
-    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"), sb.toString)
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // Hidden partitioning (Iceberg partition transforms — see
+  // [[PartTransform]]). The table declares one transform; writers cluster
+  // files by it; equality/range reads on the RAW column prune through the
+  // per-file transform bounds in the stats sidecar. The schema never grows
+  // a partition column.
+  // ------------------------------------------------------------------
+
+  /** The table's declared partition transform, if any. */
+  def partitionSpec(table: String): Option[PartTransform] =
+    getMeta(table, "partition.spec").map(PartTransform.parse)
+
+  /** Initial partitioned write: cluster rows into `nFiles` outputs by the
+    * transform value (range-partitioned, so each file covers a DISJOINT
+    * transform range — pruning then opens ~1/n of the files for a point
+    * lookup), record the spec in table metadata and the per-file transform
+    * bounds (plus any extra stats columns) in the sidecar. `nFiles <= 0`
+    * defaults to the bucket count for bucket transforms, else the session's
+    * shuffle parallelism.
+    */
+  def commitPartitioned(df: DataFrame, table: String, spec: PartTransform,
+                        statsCols: Seq[String] = Nil, nFiles: Int = 0): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val n = if (nFiles > 0) nFiles else spec match {
+      case BucketTransform(b, _) => b
+      case _ => df.sparkSession.sessionState.conf.numShufflePartitions
+    }
+    // cluster by the transform, then DROP it before the write — hidden
+    // means hidden: repartitionByRange's clustering survives the narrow
+    // projection, the schema never carries the partition value
+    val clustered = df.withColumn("__graft_part", expr(spec.sparkExprSql))
+      .repartitionByRange(n, col("__graft_part"))
+      .drop("__graft_part")
+    val snap = commit(clustered, table)
+    val files = manifestFiles(table, snap)
+    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"),
+      statsTsv(df.sparkSession, files,
+        (spec.statName, spec.sparkExprSql) +: statsCols.map(c => (c, s"`$c`"))))
+    putMeta(table, "partition.spec", spec.render)
     snap
+  }
+
+  /** Partitioned fast-append (the incremental crawl-drop write): the drop
+    * clusters by the table's declared transform, appends as one delta, and
+    * the sidecar CARRIES FORWARD — new sidecar = previous snapshot's lines
+    * plus the delta files' lines, so pruning stays exact across any number
+    * of drops while each append pays stats for ITS files only.
+    */
+  def appendPartitioned(df: DataFrame, table: String,
+                        statsCols: Seq[String] = Nil, nFiles: Int = 0): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val spec = partitionSpec(table).getOrElse(throw new IllegalStateException(
+      s"table '$table' has no partition spec — commitPartitioned first"))
+    val prevSnap = currentSnapshot(table).getOrElse(throw new IllegalStateException(
+      s"table '$table' has no committed snapshot — commitPartitioned first"))
+    val prevSidecar = new HPath(manifestDir(table), s"v$prevSnap.stats.tsv")
+    val prevLines = if (fsExists(prevSidecar)) readStr(prevSidecar) else ""
+    val n = if (nFiles > 0) nFiles else spec match {
+      case BucketTransform(b, _) => b
+      case _ => df.sparkSession.sessionState.conf.numShufflePartitions
+    }
+    val clustered = df.withColumn("__graft_part", expr(spec.sparkExprSql))
+      .repartitionByRange(n, col("__graft_part"))
+      .drop("__graft_part")
+    val snap = append(clustered, table)
+    val delta = manifestFiles(table, snap).toSet -- manifestFiles(table, prevSnap).toSet
+    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"),
+      prevLines + statsTsv(df.sparkSession, delta.toSeq.sorted,
+        (spec.statName, spec.sparkExprSql) +: statsCols.map(c => (c, s"`$c`"))))
+    snap
+  }
+
+  /** Point lookup through the hidden partitioning: transform the literal
+    * exactly as the writers transformed the rows, open only the files whose
+    * transform bounds cover it, and apply the REAL equality predicate on
+    * top (pruning is never load-bearing — a file without stats is
+    * conservatively kept and re-filtered). At 100 TB with bucket(n) this is
+    * the "find one url among 10^12" read: ~1/n of the files opened, zero
+    * index structures maintained.
+    */
+  def readPartitionEq(spark: SparkSession, table: String, value: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spec = partitionSpec(table).getOrElse(throw new IllegalStateException(
+      s"table '$table' has no partition spec"))
+    val t = spec.literal(value)
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val pruned = readWithDeletes(spark, table, snap,
+      Some(pruneFilesAt(table, snap, spec.statName, t, t).toSet))
+    // literal cast to the COLUMN's type (never the column to string — that
+    // would defeat parquet pushdown and mis-compare timestamp literals)
+    val dt = pruned.schema(spec.col).dataType
+    pruned.where(col(spec.col) === org.apache.spark.sql.functions.lit(value).cast(dt))
+  }
+
+  /** Range scan through an ORDER-PRESERVING transform (days/truncate/
+    * identity): `[lo, hi]` on the raw column prunes on
+    * `[transform(lo), transform(hi)]` — the warc_ts-windowed read. Bucket
+    * transforms refuse loudly (hashing destroys order).
+    */
+  def readPartitionRange(spark: SparkSession, table: String,
+                         lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spec = partitionSpec(table).getOrElse(throw new IllegalStateException(
+      s"table '$table' has no partition spec"))
+    require(spec.orderPreserving,
+      s"partition transform ${spec.render} is not order-preserving — range pruning " +
+      "through a hash bucket would silently drop files; use readPartitionEq")
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val pruned = readWithDeletes(spark, table, snap,
+      Some(pruneFilesAt(table, snap, spec.statName, spec.literal(lo), spec.literal(hi)).toSet))
+    val dt = pruned.schema(spec.col).dataType
+    // ISO-'T' timestamp literals normalize for the cast; other types pass
+    // through verbatim (a string column may legitimately contain 'T')
+    def norm(v: String) = dt match {
+      case org.apache.spark.sql.types.TimestampType => v.replace('T', ' ')
+      case _ => v
+    }
+    val l = org.apache.spark.sql.functions.lit(norm(lo)).cast(dt)
+    val h = org.apache.spark.sql.functions.lit(norm(hi)).cast(dt)
+    pruned.where(col(spec.col).between(l, h))
   }
 
   /** Comparator tier for stringified stats bounds: exact longs, then exact

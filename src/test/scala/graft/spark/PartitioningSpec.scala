@@ -1,0 +1,147 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** Hidden partitioning: Iceberg-style partition transforms (bucket / days /
+  * truncate / identity) declared once at write time, pruned through at read
+  * time on the RAW column — the schema never grows a partition column, and
+  * the prune-proof tests delete the non-pruned files to show the lookup
+  * genuinely never opens them.
+  */
+class PartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graftpart").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("transform algebra: render/parse round-trips; bucket literal matches the Spark expression") {
+    val specs = Seq(BucketTransform(8, "url"), DaysTransform("warc_ts"),
+      TruncateTransform(3, "url"), IdentityTransform("lang"))
+    specs.foreach(s => assert(PartTransform.parse(s.render) == s))
+
+    // driver-side literal() IS the Spark-side expression
+    val b = BucketTransform(8, "url")
+    val vals = Seq("https://example.com/a", "https://example.com/b", "x", "")
+    val viaSpark = spark.sql(
+      vals.map(v => s"SELECT ${b.sparkExprSql.replace("`url`", s"'$v'")} AS t").mkString(" UNION ALL "))
+      .collect().map(_.getString(0)).toSet
+    assert(vals.map(b.literal).toSet == viaSpark)
+
+    assert(DaysTransform("ts").literal("2024-03-01T12:34:56") == "2024-03-01")
+    assert(DaysTransform("ts").literal("2024-03-01 12:34:56") == "2024-03-01")
+    assert(TruncateTransform(3, "u").literal("abcdef") == "abc")
+  }
+
+  test("bucket(8, url): point lookup opens ~1/8 of the files — prune-proof by deleting the rest") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val df = (0 until 400).map(i => (s"https://example.com/doc$i", i.toLong)).toDF("url", "v")
+    cat.commitPartitioned(df, "t", BucketTransform(8, "url"))
+    assert(cat.partitionSpec("t").contains(BucketTransform(8, "url")))
+    // hidden: the stored schema is exactly the input's
+    assert(cat.read(spark, "t").schema.fieldNames.toSeq == Seq("url", "v"))
+
+    val target = "https://example.com/doc123"
+    val spec = cat.partitionSpec("t").get
+    val tv = spec.literal(target)
+    val all = cat.snapshots("t").lastOption.map(s => cat.filesWithAddOrder("t", s).map(_._1)).get
+    val kept = cat.pruneFiles("t", spec.statName, tv, tv)
+    assert(kept.size < all.size, s"pruning kept ${kept.size} of ${all.size}")
+
+    val hit = cat.readPartitionEq(spark, "t", target).collect()
+    assert(hit.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq((target, 123L)))
+
+    // prune PROOF: physically delete every non-kept file; the lookup still
+    // answers bit-exactly, so it never needed them
+    all.filterNot(kept.toSet).foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+    val hit2 = cat.readPartitionEq(spark, "t", target).collect()
+    assert(hit2.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq((target, 123L)))
+  }
+
+  test("appendPartitioned carries the sidecar forward: lookups stay exact and pruned across drops") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val drop1 = (0 until 200).map(i => (s"https://example.com/doc$i", i.toLong)).toDF("url", "v")
+    val drop2 = (200 until 400).map(i => (s"https://example.com/doc$i", i.toLong)).toDF("url", "v")
+    cat.commitPartitioned(drop1, "t", BucketTransform(8, "url"))
+    cat.appendPartitioned(drop2, "t")
+
+    // one url from each drop
+    Seq(("https://example.com/doc42", 42L), ("https://example.com/doc357", 357L)).foreach {
+      case (u, v) =>
+        val got = cat.readPartitionEq(spark, "t", u).collect()
+        assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq((u, v)))
+    }
+    // pruning still engages after the append (sidecar complete for both drops)
+    val spec = cat.partitionSpec("t").get
+    val tv = spec.literal("https://example.com/doc357")
+    val snap = cat.currentSnapshot("t").get
+    val all = cat.filesWithAddOrder("t", snap).map(_._1)
+    assert(cat.pruneFiles("t", spec.statName, tv, tv).size < all.size)
+    // the merged sidecar is COMPLETE (every file has transform stats +
+    // __count), so the metadata-only aggregation answers over it
+    val (mn, mx, n) = cat.statsAgg("t", spec.statName).get
+    assert(n == 400L && mn.get.toLong >= 0L && mx.get.toLong <= 7L)
+    // a column that was never a stats column refuses, never guesses
+    assert(cat.statsAgg("t", "v").isEmpty)
+  }
+
+  test("days(warc_ts): a one-day range scan opens only that day's files — prune-proof") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val days = (1 to 8)
+    val df = spark.sql(days.map(d =>
+      s"SELECT timestamp'2024-03-0$d 10:00:00' + make_interval(0,0,0,0,0,0,id) AS warc_ts, " +
+      s"CAST(id + ${d * 100} AS BIGINT) AS v FROM range(20)").mkString(" UNION ALL "))
+    cat.commitPartitioned(df, "t", DaysTransform("warc_ts"), nFiles = 8)
+
+    val got = cat.readPartitionRange(spark, "t", "2024-03-03T00:00:00", "2024-03-03T23:59:59")
+    assert(got.count() == 20)
+    assert(got.selectExpr("min(v)", "max(v)").collect().head.toSeq == Seq(300L, 319L))
+
+    val spec = cat.partitionSpec("t").get
+    val snap = cat.currentSnapshot("t").get
+    val all = cat.filesWithAddOrder("t", snap).map(_._1)
+    val kept = cat.pruneFiles("t", spec.statName, "2024-03-03", "2024-03-03")
+    assert(kept.size < all.size)
+    all.filterNot(kept.toSet).foreach(f => Files.delete(java.nio.file.Paths.get(f)))
+    assert(cat.readPartitionRange(spark, "t", "2024-03-03T00:00:00", "2024-03-03T23:59:59").count() == 20)
+  }
+
+  test("bucket range scan refuses; equality through a takedown applies the tombstones") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commitPartitioned((0 until 50).map(i => (s"u$i", i.toLong)).toDF("url", "v"),
+      "t", BucketTransform(4, "url"))
+    val ex = intercept[IllegalArgumentException] {
+      cat.readPartitionRange(spark, "t", "u1", "u2")
+    }
+    assert(ex.getMessage.contains("not order-preserving"))
+
+    cat.deleteWhere("t", "url", Seq("u7"))
+    assert(cat.readPartitionEq(spark, "t", "u7").count() == 0)
+    assert(cat.readPartitionEq(spark, "t", "u8").count() == 1)
+  }
+}
