@@ -820,6 +820,60 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_bloom_lookup" -> ((s, dir) => {
+      // per-file BLOOM sidecars: point lookups on a NON-clustered column
+      // (the files are arbitrary splits — no url clustering anywhere), two
+      // drops each paying one bloom pass over its own files; lookups for
+      // the %50==9 urls plus two never-crawled urls (which prune to ZERO
+      // candidate files — asserted) union to the plain equality filter
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        "doc_id", "md5(text) AS text_md5")
+      cat.commitWithBloom(d.where("doc_id % 2 = 0"), "t", "url", bits = 8192)
+      cat.appendWithBloom(d.where("doc_id % 2 = 1"), "t", "url", bits = 8192)
+      val targets = d.where("doc_id % 50 = 9").select("url")
+        .collect().map(_.getString(0)).sorted
+      val ghosts = Seq("https://example.com/never/crawled/doc-a",
+                       "https://example.com/never/crawled/doc-b")
+      ghosts.foreach { g =>
+        require(cat.pruneFilesByBloom("t", "url", g).isEmpty,
+          s"absent key $g should prune every file")
+      }
+      (targets ++ ghosts).map(u => cat.readBloomLookup(s, "t", "url", u))
+        .reduce(_.unionByName(_))
+    }),
+    "q_wap" -> ((s, dir) => {
+      // WRITE-AUDIT-PUBLISH: the odd docs stage on a branch (invisible to
+      // CURRENT readers — asserted mid-flight), a real audit runs against
+      // the branch head (row count + no null/empty texts), and the passing
+      // audit publishes via fast-forward — one atomic pointer swap, zero
+      // data movement. The published table is simply the corpus.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wap_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "text")
+      cat.commit(d.where("doc_id % 2 = 0"), "t")
+      cat.createBranch("t", "audit")
+      cat.appendToBranch(d.where("doc_id % 2 = 1"), "t", "audit")
+      // staging is invisible to production until the audit passes
+      require(cat.read(s, "t").where("doc_id % 2 = 1").isEmpty,
+        "staged rows leaked to CURRENT before publish")
+      val staged = cat.readBranch(s, "t", "audit")
+      require(staged.where("text IS NULL OR text = ''").isEmpty, "audit failed: empty texts")
+      cat.fastForward("t", "audit")
+      cat.read(s, "t").selectExpr("doc_id", "md5(text) AS text_md5")
+    }),
     "q_hidden_partition" -> ((s, dir) => {
       // Iceberg-style HIDDEN PARTITIONING: the table declares bucket(8, url)
       // once at write time, two crawl drops cluster their files by the
@@ -2156,6 +2210,16 @@ object SparkEntry {
     // in-window takedown (doc_id % 10 = 3 is necessarily odd)
     "q_catalog_source" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 OR doc_id % 10 <> 3",
+    // the published table after write-audit-publish is simply the corpus —
+    // the isolation/divergence/expiry semantics live in WapBranchSpec
+    "q_wap" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // bloom pruning is transparent: lookups (incl. the two zero-candidate
+    // ghosts) union to the equality filter over the lookup key set
+    "q_bloom_lookup" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       doc_id, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 50 = 9""".stripMargin,
     // hidden partitioning: pruning is transparent — the lookups' union is
     // exactly the equality filter over the lookup key set
     "q_hidden_partition" ->

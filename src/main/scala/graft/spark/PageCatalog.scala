@@ -249,17 +249,26 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * never observe a partial commit — the list and every ref in it are fully
     * written before the pointer moves.
     */
-  private def commitSnapshot(table: String, snap: Long, entries: Seq[String]): Unit = {
+  /** Write snapshot `snap`'s manifest list and GC its id claim WITHOUT
+    * moving any pointer — the shared half of committing to CURRENT
+    * ([[commitSnapshot]]) and committing to a branch head.
+    */
+  private def writeManifestList(table: String, snap: Long, entries: Seq[String]): Unit = {
     val dir = manifestDir(table)
     fsOf(dir).mkdirs(dir)
     writeStr(new HPath(dir, s"v$snap.json"),
       entries.map(e => "\"" + e + "\"").mkString("[\n", ",\n", "\n]"))
-    val tmp = new HPath(dir, s".CURRENT.tmp$snap")
-    writeStr(tmp, snap.toString)
-    atomicSwap(tmp, new HPath(dir, "CURRENT"))
     // claim GC: the manifest now exists, so snapshots() covers this id for
     // future claimers — the marker has done its job
     fsDelete(new HPath(dir, s".claim-v$snap"))
+  }
+
+  private def commitSnapshot(table: String, snap: Long, entries: Seq[String]): Unit = {
+    writeManifestList(table, snap, entries)
+    val dir = manifestDir(table)
+    val tmp = new HPath(dir, s".CURRENT.tmp$snap")
+    writeStr(tmp, snap.toString)
+    atomicSwap(tmp, new HPath(dir, "CURRENT"))
   }
 
   override def read(spark: SparkSession, table: String): DataFrame = {
@@ -745,16 +754,97 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     readSnapshot(spark, table, tags(table).getOrElse(name,
       throw new IllegalArgumentException(s"no tag '$name' on $table")))
 
+  // ------------------------------------------------------------------
+  // Branches: WRITABLE named refs — the WRITE-AUDIT-PUBLISH pattern
+  // (Iceberg's flagship staging flow). A crawl drop lands on a branch,
+  // quality audits run against the branch head while production readers
+  // keep seeing CURRENT untouched, and a passing audit PUBLISHES by
+  // fast-forwarding CURRENT to the branch head — one atomic pointer swap,
+  // zero data movement. A failing audit just drops the branch; the staged
+  // snapshots expire with the next maintenance pass.
+  // ------------------------------------------------------------------
+
+  /** Create (or retarget) a branch at `snap` (default: CURRENT). */
+  def createBranch(table: String, name: String, snap: Long = -1L): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"unsupported branch name: $name")
+    val at = if (snap > 0) snap else currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    require(fsExists(new HPath(manifestDir(table), s"v$at.json")),
+      s"no snapshot $at for $table")
+    putMeta(table, s"branch.$name", at.toString)
+  }
+
+  def branchHead(table: String, name: String): Option[Long] =
+    getMeta(table, s"branch.$name").map(_.trim.toLong)
+
+  def branches(table: String): Map[String, Long] =
+    listNames(manifestDir(table)).filter(_.startsWith("meta.branch."))
+      .map(n => n.stripPrefix("meta.branch.") ->
+        readStr(new HPath(manifestDir(table), n)).trim.toLong)
+      .toMap
+
+  def dropBranch(table: String, name: String): Unit =
+    fsDelete(new HPath(manifestDir(table), s"meta.branch.$name"))
+
+  def readBranch(spark: SparkSession, table: String, name: String): DataFrame =
+    readSnapshot(spark, table, branchHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table")))
+
+  /** Fast-append to a BRANCH head: identical commit mechanics to [[append]]
+    * (data before the lock, O(delta) manifest list, global snapshot ids)
+    * except the pointer that moves is the branch's, never CURRENT —
+    * production readers cannot observe staged data.
+    */
+  def appendToBranch(df: DataFrame, table: String, name: String): Long = {
+    val head = branchHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    val snap = claimSnapshotId(table)
+    val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
+    withCommitLock(table) {
+      val prev = entriesOf(table, branchHead(table, name).getOrElse(head))
+      writeManifestList(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+      putMeta(table, s"branch.$name", snap.toString)
+    }
+    snap
+  }
+
+  /** PUBLISH: fast-forward CURRENT to the branch head — allowed only when
+    * CURRENT is an ANCESTOR of the head (its manifest-list entries are a
+    * subset of the head's, the same content-lineage criterion the
+    * incremental scan uses to detect rewrites), so publishing can never
+    * silently discard commits that landed on main after the branch forked;
+    * a diverged main refuses loudly (Iceberg's fast_forward fails the same
+    * way — the resolution is a fresh branch off the new main).
+    */
+  def fastForward(table: String, name: String): Long = {
+    val head = branchHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' on $table"))
+    withCommitLock(table) {
+      val cur = currentSnapshot(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot for $table"))
+      if (cur != head) {
+        val missing = entriesOf(table, cur).toSet -- entriesOf(table, head).toSet
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"cannot fast-forward '$table' to branch '$name': CURRENT ($cur) has " +
+            s"${missing.size} entries the branch head ($head) lacks — main diverged " +
+            "after the fork; re-branch from the new main and re-stage")
+        rollbackTo(table, head)
+      }
+      head
+    }
+  }
+
   /** Iceberg-style expire_snapshots: drop all but the last `keepLast`
-    * snapshots (CURRENT and every TAGGED snapshot always survive) and
-    * delete the data files, delta manifests and delete files referenced
-    * ONLY by expired manifest lists — snapshots sharing metadata with a
-    * live version keep it on disk. Returns the expired snapshot ids.
+    * snapshots (CURRENT, every TAGGED snapshot and every BRANCH HEAD always
+    * survive) and delete the data files, delta manifests and delete files
+    * referenced ONLY by expired manifest lists — snapshots sharing metadata
+    * with a live version keep it on disk. Returns the expired snapshot ids.
     */
   def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
     val snaps = snapshots(table)
     val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++
-      currentSnapshot(table) ++ tags(table).values
+      currentSnapshot(table) ++ tags(table).values ++ branches(table).values
     val expired = snaps.filterNot(keep)
     // preserve the exactly-once markers of pre-marker streaming batches
     // whose manifests are about to disappear (see batchCommitted)
@@ -1110,6 +1200,114 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * drop content — carry the sidecar forward by re-appending through this
     * method or recommitting; the refusal is the safe default.)
     */
+  // ------------------------------------------------------------------
+  // Per-file BLOOM FILTER sidecars: point lookups on a NON-clustered
+  // column. Zone maps answer ranges on clustered columns and the partition
+  // transform answers its own column — but "find this digest/url in a
+  // time-partitioned table" has its key scattered across every file, and
+  // min/max bounds cover everything. A per-file Bloom filter (the parquet/
+  // Iceberg bloom the emulation keeps at the catalog layer) turns that
+  // lookup into opening ~1 file + false positives instead of the table.
+  //
+  // Scale shape: the build is ONE distinct shuffle of (file, bit-index)
+  // pairs — bounded by files × m bits, never by rows — and the driver only
+  // ever sees set bits. Sizing: fp ≈ (1 − e^(−k·n/m))^k with k=4; m ≈ 10×
+  // expected distinct values per file gives ~1% — size `bits` to the
+  // table's file row counts (default 2^17 = 16 KB/file).
+  // ------------------------------------------------------------------
+
+  private val bloomK = 4
+  private def bloomIdxSql(col: String, bits: Int): Seq[String] = {
+    val h1 = s"CAST(conv(substr(md5(CAST(`$col` AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    val h2 = s"(CAST(conv(substr(md5(CAST(`$col` AS STRING)), 9, 8), 16, 10) AS BIGINT) | 1)"
+    (0 until bloomK).map(i => s"pmod($h1 + $i * $h2, $bits)")
+  }
+  private def bloomIdxLiteral(value: String, bits: Int): Seq[Int] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def hex(from: Int) = java.lang.Long.parseLong(d.slice(from, from + 4).map(b => f"$b%02x").mkString, 16)
+    val h1 = hex(0); val h2 = hex(4) | 1L
+    (0 until bloomK).map(i => (((h1 + i * h2) % bits) + bits).toInt % bits)
+  }
+
+  /** The per-file bloom TSV body for `files`: one distinct (file, index)
+    * shuffle, bits set driver-side, base64-packed bitsets. */
+  private def bloomTsv(spark: SparkSession, files: Seq[String],
+                       col: String, bits: Int): String = {
+    import org.apache.spark.sql.functions.{input_file_name, explode, array, expr}
+    val idxCols = bloomIdxSql(col, bits).map(expr)
+    val pairs = spark.read.parquet(files: _*)
+      .where(s"`$col` IS NOT NULL")
+      .select(input_file_name().as("file"), explode(array(idxCols: _*)).as("idx"))
+      .distinct()
+      .collect().map(r => ("/" + r.getString(0).stripPrefix("file:").dropWhile(_ == '/'),
+        r.getLong(1).toInt))
+    val byFile = pairs.groupBy(_._1)
+    val enc = java.util.Base64.getEncoder
+    files.sorted.map { f =>
+      val bs = new Array[Byte](bits / 8)
+      byFile.getOrElse(f, Array.empty).foreach { case (_, i) => bs(i >> 3) = (bs(i >> 3) | (1 << (i & 7))).toByte }
+      s"$f\t$bits\t${enc.encodeToString(bs)}"
+    }.mkString("", "\n", "\n")
+  }
+
+  def commitWithBloom(df: DataFrame, table: String, col: String,
+                      bits: Int = 1 << 17): Long = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, s"bloom bits must be a power of two >= 64: $bits")
+    val snap = commit(df, table)
+    writeStr(new HPath(manifestDir(table), s"v$snap.bloom.$col.tsv"),
+      bloomTsv(df.sparkSession, manifestFiles(table, snap), col, bits))
+    snap
+  }
+
+  /** Fast-append with bloom carry-forward: the drop pays one bloom pass
+    * over ITS files only; previous files keep their filters. */
+  def appendWithBloom(df: DataFrame, table: String, col: String,
+                      bits: Int = 1 << 17): Long = {
+    require(bits >= 64 && (bits & (bits - 1)) == 0, s"bloom bits must be a power of two >= 64: $bits")
+    val prevSnap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table — commitWithBloom first"))
+    val prevSidecar = new HPath(manifestDir(table), s"v$prevSnap.bloom.$col.tsv")
+    val prevLines = if (fsExists(prevSidecar)) readStr(prevSidecar) else ""
+    val snap = append(df, table)
+    val delta = manifestFiles(table, snap).toSet -- manifestFiles(table, prevSnap).toSet
+    writeStr(new HPath(manifestDir(table), s"v$snap.bloom.$col.tsv"),
+      prevLines + bloomTsv(df.sparkSession, delta.toSeq.sorted, col, bits))
+    snap
+  }
+
+  /** Files that MAY contain `value` in `col`: a file is kept iff all k of
+    * the value's bits are set in its filter (or it has no filter —
+    * conservative, pruning is never load-bearing).
+    */
+  def pruneFilesByBloom(table: String, col: String, value: String): Seq[String] = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val all = manifestFiles(table, snap)
+    val sidecar = new HPath(manifestDir(table), s"v$snap.bloom.$col.tsv")
+    if (!fsExists(sidecar)) return all
+    val dec = java.util.Base64.getDecoder
+    val blooms = readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+      .collect { case Array(f, b, bs) => f -> ((b.toInt, dec.decode(bs))) }.toMap
+    all.filter { f =>
+      blooms.get(f).forall { case (bits, bs) =>
+        bloomIdxLiteral(value, bits).forall(i => (bs(i >> 3) & (1 << (i & 7))) != 0)
+      }
+    }
+  }
+
+  /** Point lookup through the bloom sidecars, real equality applied on top
+    * (false positives re-filter; deletes apply as always). */
+  def readBloomLookup(spark: SparkSession, table: String, col: String,
+                      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val pruned = readWithDeletes(spark, table, snap,
+      Some(pruneFilesByBloom(table, col, value).toSet))
+    pruned.where(c(col) === lit(value).cast(pruned.schema(col).dataType))
+  }
+
   def appendWithHll(df: DataFrame, table: String, col: String): Long = {
     val snap = claimSnapshotId(table)
     val files = writeSnapshotData(df, new HPath(root, s"$table/data/snap-$snap"))
