@@ -820,6 +820,39 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_compact_sorted" -> ((s, dir) => {
+      // maintenance that preserves the read path: two partitioned drops +
+      // a takedown, then compactSorted — the rewrite re-clusters by the
+      // declared bucket(8, url) transform, MATERIALIZES the tombstones
+      // (zero delete refs left — asserted) and rewrites the transform
+      // sidecar, so post-compaction point lookups still prune (asserted)
+      // and still answer exactly
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_csort_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        "doc_id", "md5(text) AS text_md5")
+      cat.commitPartitioned(d.where("doc_id % 2 = 0"), "t",
+        graft.spark.BucketTransform(8, "url"))
+      cat.appendPartitioned(d.where("doc_id % 2 = 1"), "t")
+      cat.deleteWhere("t", "url",
+        d.where("doc_id % 100 = 7").select("url").collect().map(_.getString(0)).toSeq)
+      val snap = cat.compactSorted(s, "t", nFiles = 8)
+      require(cat.equalityDeletes("t", snap).isEmpty, "compaction left tombstones")
+      val spec = cat.partitionSpec("t").get
+      val all = cat.filesWithAddOrder("t", snap).map(_._1)
+      val probe = spec.literal("https://example.com/never")
+      require(cat.pruneFiles("t", spec.statName, probe, probe).size < all.size,
+        "post-compaction pruning did not engage")
+      val targets = d.where("doc_id % 50 = 7 AND doc_id < 500").select("url")
+        .collect().map(_.getString(0)).sorted
+      targets.map(u => cat.readPartitionEq(s, "t", u)).reduce(_.unionByName(_))
+    }),
     "q_bloom_lookup" -> ((s, dir) => {
       // per-file BLOOM sidecars: point lookups on a NON-clustered column
       // (the files are arbitrary splits — no url clustering anywhere), two
@@ -836,9 +869,9 @@ object SparkEntry {
       val d = docs(s, dir).selectExpr(
         "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
         "doc_id", "md5(text) AS text_md5")
-      cat.commitWithBloom(d.where("doc_id % 2 = 0"), "t", "url", bits = 8192)
-      cat.appendWithBloom(d.where("doc_id % 2 = 1"), "t", "url", bits = 8192)
-      val targets = d.where("doc_id % 50 = 9").select("url")
+      cat.commitWithBloom(d.where("doc_id % 2 = 0"), "t", "url", bits = 1 << 18)
+      cat.appendWithBloom(d.where("doc_id % 2 = 1"), "t", "url", bits = 1 << 18)
+      val targets = d.where("doc_id % 50 = 9 AND doc_id < 500").select("url")
         .collect().map(_.getString(0)).sorted
       val ghosts = Seq("https://example.com/never/crawled/doc-a",
                        "https://example.com/never/crawled/doc-b")
@@ -896,7 +929,7 @@ object SparkEntry {
       cat.commitPartitioned(d.where("doc_id % 2 = 0"), "t",
         graft.spark.BucketTransform(8, "url"))
       cat.appendPartitioned(d.where("doc_id % 2 = 1"), "t")
-      val targets = d.where("doc_id % 50 = 7").select("url")
+      val targets = d.where("doc_id % 50 = 7 AND doc_id < 500").select("url")
         .collect().map(_.getString(0)).sorted
       targets.map(u => cat.readPartitionEq(s, "t", u)).reduce(_.unionByName(_))
     }),
@@ -2214,18 +2247,25 @@ object SparkEntry {
     // the isolation/divergence/expiry semantics live in WapBranchSpec
     "q_wap" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // sorted compaction is transparent: materialized takedowns stay taken
+    // down, surviving lookups answer exactly
+    "q_compact_sorted" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       doc_id, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id % 50 = 7 AND doc_id < 500 AND doc_id % 100 <> 7""".stripMargin,
     // bloom pruning is transparent: lookups (incl. the two zero-candidate
     // ghosts) union to the equality filter over the lookup key set
     "q_bloom_lookup" ->
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       doc_id, md5(text) AS text_md5
-        |FROM documents WHERE doc_id % 50 = 9""".stripMargin,
+        |FROM documents WHERE doc_id % 50 = 9 AND doc_id < 500""".stripMargin,
     // hidden partitioning: pruning is transparent — the lookups' union is
     // exactly the equality filter over the lookup key set
     "q_hidden_partition" ->
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       doc_id, md5(text) AS text_md5
-        |FROM documents WHERE doc_id % 50 = 7""".stripMargin,
+        |FROM documents WHERE doc_id % 50 = 7 AND doc_id < 500""".stripMargin,
     // equality-delete takedown: the surviving table is exactly the
     // anti-filter — deleted urls absent, everything else untouched
     "q_takedown" ->

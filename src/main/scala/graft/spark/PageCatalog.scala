@@ -725,6 +725,136 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     commit(readSnapshot(spark, table, snap).coalesce(nOut), table)
   }
 
+  /** Sorted/partitioned rewrite_data_files: compaction that PRESERVES (or
+    * establishes) the table's physical organization instead of silently
+    * degrading it — plain [[compact]] coalesces rows arbitrarily and writes
+    * no sidecars, so a compacted table loses its zone maps, partition
+    * bounds and blooms until the next stats-bearing write. This variant
+    * re-clusters the rewritten rows by the table's declared partition
+    * transform (or by explicit sort columns), rewrites the transform/stats
+    * sidecar for the new files, and rebuilds blooms for every column that
+    * had one — maintenance that leaves the read path as fast as it found
+    * it. Pending equality deletes are materialized as in [[compact]].
+    */
+  def compactSorted(spark: SparkSession, table: String,
+                    sortCols: Seq[String] = Nil, nFiles: Int = 0): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val specO = partitionSpec(table)
+    val bloomCols = listNames(manifestDir(table))
+      .filter(n => n.startsWith(s"v$snap.bloom.") && n.endsWith(".tsv"))
+      .map(_.stripPrefix(s"v$snap.bloom.").stripSuffix(".tsv"))
+    val bloomBits: Map[String, Int] = bloomCols.map { c =>
+      c -> readStr(new HPath(manifestDir(table), s"v$snap.bloom.$c.tsv"))
+        .split('\n').filter(_.nonEmpty).headOption
+        .map(_.split('\t')(1).toInt).getOrElse(1 << 17)
+    }.toMap
+    val cur = readSnapshot(spark, table, snap)
+    val n = if (nFiles > 0) nFiles else spark.sessionState.conf.numShufflePartitions
+    val clusterExprs: Seq[String] = specO.map(s => Seq(s.sparkExprSql))
+      .getOrElse(sortCols.map(c => s"`$c`"))
+    require(clusterExprs.nonEmpty,
+      s"compactSorted on '$table': no partition spec and no sort columns given")
+    val clustered = cur.repartitionByRange(n, clusterExprs.map(expr): _*)
+      .sortWithinPartitions(clusterExprs.map(expr): _*)
+    val newSnap = commit(clustered, table)
+    val files = manifestFiles(table, newSnap)
+    val statNamed: Seq[(String, String)] =
+      specO.map(s => (s.statName, s.sparkExprSql)).toSeq ++
+        sortCols.map(c => (c, s"`$c`"))
+    if (statNamed.nonEmpty)
+      writeStr(new HPath(manifestDir(table), s"v$newSnap.stats.tsv"),
+        statsTsv(spark, files, statNamed))
+    bloomCols.foreach { c =>
+      writeStr(new HPath(manifestDir(table), s"v$newSnap.bloom.$c.tsv"),
+        bloomTsv(spark, files, c, bloomBits(c)))
+    }
+    newSnap
+  }
+
+  /** Iceberg-style remove_orphan_files — the third maintenance op (next to
+    * compaction and snapshot expiry): data files on storage that NO
+    * retained manifest references are crash debris (a mid-append death
+    * after the data write, before the manifest commit — exactly the
+    * at-least-once replay case [[appendBatch]] documents) and accumulate
+    * forever unless collected. Deletes unreferenced files under the
+    * table's data/ directory older than `graceMs` (a writer may have
+    * landed data and not yet committed — the claim-file window; Iceberg's
+    * own default is 3 days), returning the deleted paths. Files referenced
+    * by ANY retained snapshot (not just CURRENT) survive — time travel is
+    * never broken.
+    */
+  def removeOrphanFiles(table: String, graceMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val dataRoot = new HPath(root, s"$table/data")
+    val fs = fsOf(dataRoot)
+    if (!fs.exists(dataRoot)) return Nil
+    val referenced: Set[String] =
+      snapshots(table).flatMap(s => manifestFiles(table, s)).toSet
+    val cutoff = System.currentTimeMillis - graceMs
+    val it = fs.listFiles(dataRoot, true)
+    val orphans = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = pathStr(st.getPath)
+      val name = st.getPath.getName
+      // writer bookkeeping (_SUCCESS, .crc, _temporary) is not data — a
+      // committed snapshot's manifest lists only its parquet files
+      val bookkeeping = name.startsWith("_") || name.startsWith(".")
+      if (st.isFile && !bookkeeping && !referenced.contains(p) && st.getModificationTime < cutoff)
+        orphans += p
+    }
+    orphans.foreach(f => fsDelete(new HPath(f)))
+    orphans.toSeq
+  }
+
+  /** The `table$files` metadata table: one row per CURRENT data file —
+    * (file, add_snapshot, bytes, n_rows) with n_rows from the stats sidecar
+    * when one exists (null otherwise). O(files) driver metadata, zero data
+    * opened; what a maintenance dashboard joins against.
+    */
+  def filesDF(spark: SparkSession, table: String): DataFrame = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
+    val counts: Map[String, Long] =
+      if (!fsExists(sidecar)) Map.empty
+      else readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+        .collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
+    val rows = filesWithAddOrder(table, snap).map { case (f, add) =>
+      val p = new HPath(f)
+      (f, add, fsOf(p).getFileStatus(p).getLen,
+        counts.get(f).map(java.lang.Long.valueOf).orNull)
+    }
+    spark.createDataFrame(rows).toDF("file", "add_snapshot", "bytes", "n_rows")
+  }
+
+  /** The `table$snapshots` metadata table: one row per retained snapshot —
+    * (snapshot, committed_at, n_data_files, n_delete_files, is_current)
+    * ascending, committed_at from the manifest list's filesystem timestamp.
+    */
+  def snapshotsDF(spark: SparkSession, table: String): DataFrame = {
+    val cur = currentSnapshot(table)
+    val rows = snapshots(table).map { s =>
+      val mp = new HPath(manifestDir(table), s"v$s.json")
+      (s, new java.sql.Timestamp(fsOf(mp).getFileStatus(mp).getModificationTime),
+        filesWithAddOrder(table, s).size.toLong,
+        entriesOf(table, s).count(_.startsWith("!")).toLong,
+        cur.contains(s))
+    }
+    spark.createDataFrame(rows)
+      .toDF("snapshot", "committed_at", "n_data_files", "n_delete_files", "is_current")
+  }
+
+  /** The `table$refs` metadata table: CURRENT plus every tag and branch —
+    * (name, kind, snapshot). */
+  def refsDF(spark: SparkSession, table: String): DataFrame = {
+    val rows = currentSnapshot(table).map(s => ("CURRENT", "current", s)).toSeq ++
+      tags(table).toSeq.sortBy(_._1).map { case (n, s) => (n, "tag", s) } ++
+      branches(table).toSeq.sortBy(_._1).map { case (n, s) => (n, "branch", s) }
+    spark.createDataFrame(rows).toDF("name", "kind", "snapshot")
+  }
+
   /** Iceberg-style named refs (tags): a durable human-named pointer to a
     * snapshot — "prod" keeps serving while experiments append on top,
     * an audit pins "q3-release" for as long as the tag lives. Tags are
