@@ -46,6 +46,41 @@ object SparkEntry {
       |${(1 to k).map(stage).mkString(",\n")}""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying `k` WORDPIECE merge iterations: same word
+    * table and two-pass leftmost replace as [[bpeCtes]], but each stage also
+    * re-derives SYMBOL counts (y_i) and argmaxes the likelihood-ratio score
+    * c/(sa·sb) as an EXACT RATIONAL — the NOT EXISTS cross-multiplies in
+    * HUGEINT, mirroring the trainer's BigInt compare, ties on (a, b) asc.
+    */
+  private def wpCtes(k: Int): String = {
+    def stage(i: Int): String =
+      s"""p$i AS MATERIALIZED (SELECT a, b, sum(cnt) AS c FROM (
+         |  SELECT l[i + 1] AS a, l[i + 2] AS b, cnt FROM (
+         |    SELECT cnt, l, unnest(generate_series(0, len(l) - 2)) AS i FROM (
+         |      SELECT cnt, list_filter(string_split(s, '·'), x -> x <> '') AS l FROM w${i - 1})))
+         |  GROUP BY a, b),
+         |y$i AS MATERIALIZED (SELECT sym, sum(cnt) AS sc FROM (
+         |  SELECT unnest(list_filter(string_split(s, '·'), x -> x <> '')) AS sym, cnt FROM w${i - 1})
+         |  GROUP BY sym),
+         |j$i AS MATERIALIZED (SELECT p.a, p.b, p.c, ya.sc AS sa, yb.sc AS sb
+         |  FROM p$i p JOIN y$i ya ON ya.sym = p.a JOIN y$i yb ON yb.sym = p.b),
+         |m$i AS MATERIALIZED (SELECT a, b, c, sa, sb FROM j$i r WHERE NOT EXISTS (
+         |  SELECT 1 FROM j$i q WHERE
+         |    CAST(q.c AS HUGEINT) * r.sa * r.sb > CAST(r.c AS HUGEINT) * q.sa * q.sb
+         |    OR (CAST(q.c AS HUGEINT) * r.sa * r.sb = CAST(r.c AS HUGEINT) * q.sa * q.sb
+         |        AND (q.a < r.a OR (q.a = r.a AND q.b < r.b))))),
+         |w$i AS MATERIALIZED (SELECT cnt,
+         |  replace(replace(s, '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
+         |                     '·' || (SELECT a || b FROM m$i) || '·'),
+         |          '·' || (SELECT a FROM m$i) || '·' || (SELECT b FROM m$i) || '·',
+         |          '·' || (SELECT a || b FROM m$i) || '·') AS s FROM w${i - 1})""".stripMargin
+    s"""w0 AS MATERIALIZED (
+      |  SELECT count(*) AS cnt, '·' || regexp_replace(word, '(.)', '\\1·', 'g') AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
+      |${(1 to k).map(stage).mkString(",\n")}""".stripMargin
+  }
+
   /** Corpus count per sf dir, computed once per JVM — feeds the ANN
     * operators' autoBits/nlist sizing without an extra eager count() job per
     * query (round-2 verdict: q_embed_near_dups paid 3 Spark jobs).
@@ -767,6 +802,17 @@ object SparkEntry {
       // argmax and greedy leftmost merge application replay bit-exactly in
       // the oracle's unrolled CTEs
       TextOps.bpeMergesFast(docs(s, dir), k = 5)),
+    "q_wordpiece_merges" -> ((s, dir) =>
+      // the THIRD tokenizer family (WordPiece / BERT shape): identical
+      // machinery to production BPE except the argmax is the likelihood-
+      // ratio score c/(sa·sb) compared as an EXACT rational (BigInt cross-
+      // multiply; the oracle replays it in HUGEINT) — each merge row
+      // carries its full rational evidence
+      graft.operators.WordPiece.wordPieceMerges(docs(s, dir), k = 5)),
+    "q_wordpiece_encode" -> ((s, dir) =>
+      // per-doc token counts under the trained WordPiece segmentation —
+      // the broadcast post-merge vocab join (k never enters the plan)
+      graft.operators.WordPiece.wordPieceEncode(docs(s, dir), k = 5)),
     "q_unigram_encode" -> ((s, dir) =>
       // the SECOND tokenizer family (unigram-LM / SentencePiece shape):
       // closed-form piece inventory (single chars + length-2..3 substrings
@@ -2129,6 +2175,30 @@ object SparkEntry {
         |             len(list_filter(string_split(s, '·'), x -> x <> '')) AS toks
         |      FROM w5)
         |SELECT doc_id, CAST(sum(toks) AS BIGINT) AS bpe_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_words
+        |FROM f JOIN v USING (word) GROUP BY doc_id""".stripMargin,
+    // the wordpiece trainer replayed stage by stage: pair counts AND symbol
+    // counts re-derived per iteration, the likelihood-ratio argmax cross-
+    // multiplied exactly in HUGEINT, the same two-pass leftmost replace
+    "q_wordpiece_merges" -> {
+      val finals = (1 to 5)
+        .map(i => s"SELECT $i AS iter, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS c, " +
+          s"CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"WITH ${wpCtes(5)}\n$finals"
+    },
+    // the encode oracle joins the post-merge vocabulary w5 (a symbol string
+    // rebuilds its word by dropping separators) — the whole trained
+    // segmentation validated, not just the argmax rows
+    "q_wordpiece_encode" ->
+      s"""WITH ${wpCtes(5)},
+        |v AS (SELECT replace(s, '·', '') AS word,
+        |             len(list_filter(string_split(s, '·'), x -> x <> '')) AS toks
+        |      FROM w5),
+        |f AS (SELECT doc_id, word FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |      WHERE regexp_matches(word, '^[a-z]+$$'))
+        |SELECT doc_id, CAST(sum(toks) AS BIGINT) AS wp_tokens,
         |       CAST(count(*) AS BIGINT) AS n_words
         |FROM f JOIN v USING (word) GROUP BY doc_id""".stripMargin,
     // the whole unigram pipeline replayed: piece inventory (chars + ≥50×
