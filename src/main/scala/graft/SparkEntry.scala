@@ -866,6 +866,27 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_schema_evolution" -> ((s, dir) => {
+      // metadata-only RENAME across drops: the first drop writes the text
+      // under the old name `body` and takes down %20==4 BEFORE the rename
+      // (tombstone keyed on the old column resolves through the rename
+      // history); the second drop writes the NEW name — the read folds
+      // both generations under the current schema, zero data rewritten
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_schevo_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir)
+      cat.commit(d.where("doc_id % 2 = 0").selectExpr("doc_id", "text AS body"), "t")
+      cat.deleteWhere("t", "doc_id",
+        d.where("doc_id % 20 = 4").select("doc_id").collect().map(_.getLong(0).toString).toSeq)
+      cat.renameColumn("t", "body", "text")
+      cat.append(d.where("doc_id % 2 = 1").selectExpr("doc_id", "text"), "t")
+      cat.read(s, "t").selectExpr("doc_id", "md5(text) AS text_md5")
+    }),
     "q_compact_sorted" -> ((s, dir) => {
       // maintenance that preserves the read path: two partitioned drops +
       // a takedown, then compactSorted — the rewrite re-clusters by the
@@ -2317,6 +2338,10 @@ object SparkEntry {
     // the isolation/divergence/expiry semantics live in WapBranchSpec
     "q_wap" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // the renamed table reads as if it had always carried the new name;
+    // the pre-rename takedown (%20==4 is necessarily even) stays applied
+    "q_schema_evolution" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 20 <> 4",
     // sorted compaction is transparent: materialized takedowns stay taken
     // down, surviving lookups answer exactly
     "q_compact_sorted" ->

@@ -668,9 +668,74 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * materializes them away), never the manifest count. `only` restricts to
     * a pruned file subset (readPruned / readIncremental).
     */
+  // ------------------------------------------------------------------
+  // Schema evolution beyond ADD: RENAME and DROP as metadata-only ops
+  // (Iceberg does this with field ids; the parquet-name emulation keeps a
+  // rename HISTORY in the table metadata and maps old file columns forward
+  // at read). Zero data rewritten at 100 TB for either op.
+  // ------------------------------------------------------------------
+
+  /** Rename a column — metadata-only. Files written before the rename keep
+    * their old parquet column name on disk; every read maps it forward
+    * (renames chain: a→b then b→c resolves transitively, in commit order).
+    * Like Iceberg, the CURRENT schema applies to time travel too — a
+    * pre-rename snapshot reads with the new name. Zone-map/bloom sidecar
+    * rows of pre-rename files stay under the old name, so pruning on the
+    * new name conservatively keeps those files (pruning is never
+    * load-bearing); post-rename writes index under the new name.
+    */
+  def renameColumn(table: String, oldName: String, newName: String): Unit = {
+    require(oldName != newName && newName.nonEmpty &&
+      !Seq(oldName, newName).exists(n => n.contains('\t') || n.contains('\n')),
+      s"bad rename: '$oldName' -> '$newName'")
+    val hist = getMeta(table, "schema.renames").getOrElse("")
+    putMeta(table, "schema.renames", hist + s"$oldName\t$newName\n")
+  }
+
+  /** Drop a column — metadata-only; reads project it away for files old
+    * and new. Equality deletes keyed on a dropped column STILL APPLY (the
+    * anti-join runs before the projection), so a takedown is never undone
+    * by schema cleanup.
+    */
+  def dropColumn(table: String, name: String): Unit = {
+    require(name.nonEmpty && !name.contains('\t') && !name.contains('\n'))
+    val ds = getMeta(table, "schema.drops").getOrElse("")
+    putMeta(table, "schema.drops", ds + name + "\n")
+  }
+
+  private def renameHistory(table: String): Seq[(String, String)] =
+    getMeta(table, "schema.renames").toSeq
+      .flatMap(_.split('\n')).filter(_.nonEmpty)
+      .map { l => val p = l.split('\t'); (p(0), p(1)) }
+
+  private def droppedColumns(table: String): Seq[String] =
+    getMeta(table, "schema.drops").toSeq
+      .flatMap(_.split('\n')).filter(_.nonEmpty)
+
+  /** A historical column name's CURRENT name (follows the rename chain). */
+  private def currentName(renames: Seq[(String, String)])(n: String): String =
+    renames.foldLeft(n) { case (c, (o, nw)) => if (c == o) nw else c }
+
+  /** Map one file group's columns forward through the rename history. When
+    * mergeSchema surfaced BOTH generations in one group (pre- and post-
+    * rename files), the generations fold with coalesce — each row carries
+    * its value under exactly one of the names.
+    */
+  private def applyRenames(df: DataFrame, renames: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    renames.foldLeft(df) { case (d, (o, n)) =>
+      val has = d.columns.toSet
+      if (has(o) && has(n)) d.withColumn(n, coalesce(col(n), col(o))).drop(o)
+      else if (has(o)) d.withColumnRenamed(o, n)
+      else d
+    }
+  }
+
   private def readWithDeletes(spark: SparkSession, table: String, snap: Long,
                               only: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
+    val renames = renameHistory(table)
+    val drops = droppedColumns(table)
     val addSnap: Seq[(String, Long)] = filesWithAddOrder(table, snap)
     val wanted = only match {
       case Some(keep) => addSnap.filter(p => keep(p._1))
@@ -686,22 +751,29 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       return readWithDeletes(spark, table, snap, None).limit(0)
     }
     def antiJoin(d: DataFrame, ref: String): DataFrame = {
-      val column = ref.stripPrefix("d").split('.')(1)
+      // tombstone files store the column name AS OF the delete; resolve it
+      // through any later renames so takedowns survive schema evolution
+      val column = currentName(renames)(ref.stripPrefix("d").split('.')(1))
       val vals = readStr(new HPath(manifestDir(table), ref))
         .split('\n').filter(_.nonEmpty).flatMap(unescStat).toSeq
       val delDf = spark.createDataFrame(vals.map(Tuple1(_))).toDF("__del_key")
       d.join(broadcast(delDf), d(column).cast("string") === delDf("__del_key"), "left_anti")
     }
-    wanted.groupBy { case (_, k) => deletes.count(_._1 <= k) }
+    val unioned = wanted.groupBy { case (_, k) => deletes.count(_._1 <= k) }
       .toSeq.sortBy(_._1)
       .map { case (idx, fs) =>
-        val df = spark.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*)
+        val df = applyRenames(
+          spark.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*), renames)
         deletes.drop(idx).foldLeft(df) { (d, del) => antiJoin(d, del._2) }
       }
       // allowMissingColumns: with ADD-column evolution an older file group
       // may lack the new column — same null semantics parquet mergeSchema
       // applies within one group
       .reduce(_.unionByName(_, allowMissingColumns = true))
+    // drops project away LAST — an equality delete keyed on a dropped
+    // column has already applied above
+    drops.map(currentName(renames)).distinct
+      .foldLeft(unioned)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
   }
 
   /** Iceberg-style rewrite_data_files (bin-packing compaction): coalesce

@@ -254,4 +254,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // per merge; the production plan must carry NONE
     assert(!p.contains("replace("), s"merge chain leaked into the plan:\n$p")
   }
+
+  test("wordpiece encode plans the same production shape: broadcast vocab, one doc-keyed shuffle") {
+    val p = formatted("q_wordpiece_encode")
+    assert(p.contains("BroadcastHashJoin"), s"vocab table not broadcast:\n$p")
+    assert(exchanges(p) == 1, s"expected only the doc_id sum shuffle:\n$p")
+    assert(!p.contains("replace("), s"merge chain leaked into the plan:\n$p")
+  }
+
+  test("catalog-source batch scan pushes column pruning into the DSv2 reader") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graftplancat").toFile.getAbsolutePath
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commit(Seq(("a", 1L, "payload-a"), ("b", 2L, "payload-b")).toDF("k", "v", "blob"), "t")
+    val df = spark.read.format("graft-catalog")
+      .option("root", root).option("table", "t").load().select("v")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the scan description prints the columns the READER will decode — the
+    // pruned projection must reach it (payloads never decoded for a v-only
+    // query), not sit in a Project above a full-width scan
+    assert(p.contains("columns=v"), s"pruned projection did not reach the DSv2 scan:\n$p")
+    assert(!p.contains("columns=k,v,blob"), s"scan still full-width:\n$p")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
