@@ -866,6 +866,39 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_cdx_lookup" -> ((s, dir) => {
+      // the Common-Crawl INDEX access path: the corpus lands as .warc.gz
+      // with a CDX sidecar (member-exact offsets), and "fetch THIS url's
+      // capture" filters the index then seeks + inflates ONE gzip member
+      // per hit (digest-verified) — O(record) per lookup, never O(archive)
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdx_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      import s.implicits._
+      val recs = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        "doc_id", "text")
+        .collect().map(r => graft.sources.Warc.WarcRec(
+          r.getString(0), 1700000000000L + r.getLong(1), r.getString(2).getBytes("UTF-8")))
+      val ds = s.createDataset(recs.toSeq).repartition(8)
+      graft.sources.Warc.writeWithCdx(ds, root)
+      val targets = docs(s, dir).where("doc_id % 50 = 11 AND doc_id < 500")
+        .selectExpr("concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url")
+        .collect().map(_.getString(0)).toSet
+      val hits = graft.sources.Warc.readCdx(s, root)
+        .collect().filter(r => targets(r.getString(0)))
+      require(hits.length == targets.size, s"index missed ${targets.size - hits.length} urls")
+      val rows = hits.map { r =>
+        val row = graft.sources.Warc.readRecordAt(root, r.getString(5),
+          r.getLong(3), r.getLong(4), verifyDigest = r.getString(2))
+        (row.url, new String(row.html, "UTF-8"))
+      }
+      s.createDataFrame(rows.toSeq).toDF("url", "text")
+        .selectExpr("url", "md5(text) AS text_md5")
+    }),
     "q_schema_evolution" -> ((s, dir) => {
       // metadata-only RENAME across drops: the first drop writes the text
       // under the old name `body` and takes down %20==4 BEFORE the rename
@@ -2338,6 +2371,12 @@ object SparkEntry {
     // the isolation/divergence/expiry semantics live in WapBranchSpec
     "q_wap" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // index random access is transparent: the fetched records are exactly
+    // the lookup set's documents
+    "q_cdx_lookup" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 50 = 11 AND doc_id < 500""".stripMargin,
     // the renamed table reads as if it had always carried the new name;
     // the pre-rename takedown (%20==4 is necessarily even) stays applied
     "q_schema_evolution" ->

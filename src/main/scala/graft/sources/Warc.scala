@@ -407,4 +407,118 @@ object Warc {
       .as[Array[Byte]]
       .mapPartitions(_.flatMap(parseFile))
   }
+
+  // ------------------------------------------------------------------
+  // CDX index emission + RANDOM-ACCESS reads — the Common-Crawl index
+  // pattern: every gzip member's (offset, length) lands in a .cdx sidecar
+  // at write time, so "fetch THIS url's capture" seeks and inflates ONE
+  // member instead of scanning archives. At 100 TB this is the difference
+  // between an O(bytes-of-one-record) lookup and an O(archive) scan — CC
+  // publishes its index files for exactly this access path. (Simplified
+  // vs pywb's CDXJ: the key is the exact url — SURT canonicalization is a
+  // UrlOps.canonicalize away — and the digest is md5 of the record block,
+  // used by the integrity check on random access.)
+  // ------------------------------------------------------------------
+
+  /** One bytes-counting layer so member offsets are sampled at the exact
+    * compressed-byte position (beneath it sits plain buffering). */
+  private final class CountingOs(os: java.io.OutputStream) extends java.io.OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { os.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = { os.write(b, off, len); count += len }
+    override def flush(): Unit = os.flush()
+    override def close(): Unit = os.close()
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b).map(x => f"$x%02x").mkString
+
+  private val cdxTsFmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Write `.warc.gz` archives (one per partition, same tmp/rename commit
+    * discipline as [[writeRecords]]) PLUS a `.cdx` sidecar per archive:
+    * TSV lines `url  ts  digest  offset  length  filename`, one per gzip
+    * member. Offsets/lengths are compressed-member-exact, so
+    * [[readRecordAt]] can fetch any record with one ranged read.
+    */
+  def writeWithCdx(recs: Dataset[WarcRec], dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = recs.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    fs.listStatus(dirPath).filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".warc.gz") || n.endsWith(".cdx") || n.startsWith(".tmp-")
+    }.foreach(st => fs.delete(st.getPath, false))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    recs.foreachPartition { (it: Iterator[WarcRec]) =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val efs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val name = f"part-$pid%05d.warc.gz"
+      val tmpW = new Path(dir, f".tmp-$nonce-${tc.taskAttemptId()}%d-$name")
+      val tmpC = new Path(dir, f".tmp-$nonce-${tc.taskAttemptId()}%d-part-$pid%05d.cdx")
+      val cos = new CountingOs(new java.io.BufferedOutputStream(efs.create(tmpW, true), 1 << 16))
+      val cdx = new java.io.BufferedOutputStream(efs.create(tmpC, true), 1 << 16)
+      val gz = new GzipMemberWriter(cos)
+      try {
+        it.foreach { r =>
+          val block = recordBlock(r.url, r.tsMillis, r.block)
+          val off = cos.count
+          gz.writeMember(block)
+          val line = s"${r.url}\t${cdxTsFmt.format(java.time.Instant.ofEpochMilli(r.tsMillis))}\t" +
+            s"${md5hex(block)}\t$off\t${cos.count - off}\t$name\n"
+          cdx.write(line.getBytes(UTF_8))
+        }
+      } finally { gz.end(); cos.close(); cdx.close() }
+      def commit(tmp: Path, dstName: String): Unit = {
+        val dst = new Path(dir, dstName)
+        if (efs.exists(dst)) efs.delete(dst, false)
+        if (!efs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      }
+      commit(tmpW, name)
+      commit(tmpC, f"part-$pid%05d.cdx")
+    }
+  }
+
+  /** The archive directory's CDX index as a DataFrame — what a lookup
+    * service filters (url =) before issuing ranged reads. O(index) driver/
+    * executor cost, never O(archive).
+    */
+  def readCdx(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.text(s"$dir/*.cdx").selectExpr(
+      "split(value, '\t')[0] AS url",
+      "split(value, '\t')[1] AS cdx_ts",
+      "split(value, '\t')[2] AS digest",
+      "CAST(split(value, '\t')[3] AS BIGINT) AS offset",
+      "CAST(split(value, '\t')[4] AS BIGINT) AS length",
+      "split(value, '\t')[5] AS filename")
+
+  /** Random access: seek to `offset`, read exactly `length` compressed
+    * bytes, inflate the one gzip member, parse the one record — the CC
+    * index fetch path. `verifyDigest` (from the index) makes corruption
+    * loud. Same charset normalization as the bulk read.
+    */
+  def readRecordAt(dir: String, filename: String, offset: Long, length: Long,
+                   verifyDigest: String = null): PageRow = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, filename)
+    val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val slice = new Array[Byte](length.toInt)
+    try { in.seek(offset); in.readFully(slice) } finally in.close()
+    if (verifyDigest != null) {
+      // the index digest is md5 of the full inflated record bytes — exactly
+      // what the member contains
+      val full = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(slice)).readAllBytes()
+      require(md5hex(full) == verifyDigest,
+        s"digest mismatch for $filename @ $offset")
+    }
+    val rows = parseStream(decompress(new java.io.ByteArrayInputStream(slice)))
+    require(rows.hasNext, s"no record in $filename @ $offset+$length")
+    rows.next()
+  }
 }
