@@ -211,6 +211,22 @@ object SparkEntry {
         }
       }.toDF("url", "h_idx", "level", "h_text")
     }),
+    "q_markdown" -> ((s, dir) => {
+      // markdown render of the FINAL tree — the training-pipeline output
+      // format where structure survives (headings, lists, links, tables);
+      // the oracle rebuilds the outline corpus's exact markdown string
+      // closed-form, so every '#' level, blank line and block boundary is
+      // bit-checked. Same kernel shape as q_headings: typed mapPartitions,
+      // one reused sink per partition, zero shuffle.
+      import s.implicits._
+      Pages.synthesizeOutlinePages(s, dir).mapPartitions { it =>
+        val sink = new graft.dom.ExtractSink
+        it.map { p =>
+          Extractor.extractInto(p.html, sink)
+          (p.url, sink.collectMarkdown())
+        }
+      }.toDF("url", "md")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // host-level PageRank (the Common-Crawl domain-rank artifact): extract
       // → absolute edge list → distinct host graph → 3 fixed-point
@@ -2377,6 +2393,23 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       md5(text) AS text_md5
         |FROM documents WHERE doc_id % 50 = 11 AND doc_id < 500""".stripMargin,
+    // the outline corpus's exact markdown rebuilt closed-form: '#'·level
+    // headings, blank-line blocks, the odd-doc h3+tail suffix — bit-checked
+    "q_markdown" ->
+      """WITH u AS (SELECT doc_id FROM documents),
+        |h2 AS (SELECT doc_id,
+        |              string_agg('## s' || CAST(s AS VARCHAR) || 'd' || CAST(doc_id AS VARCHAR),
+        |                         chr(10) || chr(10) ORDER BY s) AS hs
+        |       FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS s FROM u)
+        |       GROUP BY doc_id)
+        |SELECT 'https://example.com/outline/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       '# t' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || hs ||
+        |       chr(10) || chr(10) || 'intro ' || CAST(doc_id AS VARCHAR) ||
+        |       CASE WHEN doc_id % 2 = 1
+        |            THEN chr(10) || chr(10) || '### x' || CAST(doc_id AS VARCHAR) ||
+        |                 chr(10) || chr(10) || 'tail ' || CAST(doc_id AS VARCHAR)
+        |            ELSE '' END AS md
+        |FROM h2""".stripMargin,
     // the renamed table reads as if it had always carried the new name;
     // the pre-rename takedown (%20==4 is necessarily even) stays applied
     "q_schema_evolution" ->

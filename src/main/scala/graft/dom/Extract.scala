@@ -1392,6 +1392,186 @@ final class ExtractSink extends TokenSink {
     }
     out.result()
   }
+
+  /** MARKDOWN render of the FINAL tree — the output format LLM-training
+    * pipelines increasingly ship extracted pages in (structure survives
+    * where main_text flattens it): headings → `#`·level, paragraphs/divs →
+    * blank-line blocks, ul/ol/li → `-`/`1.` with 2-space nesting, a-runs →
+    * `[text](href)` (the span→outLinks pairing the anchor-text capture
+    * already maintains, so adoption-agency clones keep their link),
+    * strong/b → `**`, em/i → `*`, inline code → backticks, pre → fenced,
+    * blockquote → `> `, tables → pipe rows with a `---` separator after the
+    * first row. Blacklisted subtrees contribute nothing (their runs never
+    * entered the buffer). Iterative ENTER/EXIT DFS — pathological depth
+    * cannot overflow; called on demand AFTER extractInto, never on the
+    * roundtrip hot path.
+    */
+  def collectMarkdown(): String = {
+    val out = new java.lang.StringBuilder(256)
+    var linkIdx = -1
+    val linkBuf = new java.lang.StringBuilder(32)
+    def flushLink(): Unit = if (linkIdx >= 0) {
+      out.append('[').append(linkBuf).append("](").append(outLinks(linkIdx)).append(')')
+      linkIdx = -1; linkBuf.setLength(0)
+    }
+    def emit(s: CharSequence): Unit =
+      if (linkIdx >= 0) linkBuf.append(s) else out.append(s)
+    def ensureBlock(): Unit = {
+      flushLink()
+      var n = out.length
+      while (n > 0 && (out.charAt(n - 1) == ' ' || out.charAt(n - 1) == '\n')) n -= 1
+      out.setLength(n)
+      if (n > 0) out.append("\n\n")
+    }
+    def ensureLine(): Unit = {
+      flushLink()
+      var n = out.length
+      while (n > 0 && out.charAt(n - 1) == ' ') n -= 1
+      out.setLength(n)
+      if (n > 0 && out.charAt(n - 1) != '\n') out.append('\n')
+    }
+    // list state: one entry per open ul/ol — ordered flag + item counter
+    val listOrdered = new BoolVec(8)
+    val listCount = new IntVec(8)
+    val tmp = new IntVec(8)
+    val cellStack = new IntVec(16)
+    def cellText(cell: Int, sb: java.lang.StringBuilder): Unit = {
+      cellStack.clear()
+      pushChildrenReversed(cellStack, cell, tmp)
+      while (cellStack.nonEmpty) {
+        val t = cellStack(cellStack.length - 1)
+        cellStack.dropRightInPlace(1)
+        if (arena.name(t) == null) {
+          val si = spanIdxOfTextNode(t)
+          if (si >= 0) sb.append(text, spStart(si), spEnd(si))
+        } else pushChildrenReversed(cellStack, t, tmp)
+      }
+    }
+    def renderTable(tNode: Int): Unit = {
+      ensureBlock()
+      val rowStack = new IntVec(16)
+      val sb = new java.lang.StringBuilder(32)
+      var rIdx = 0
+      rowStack.clear()
+      pushChildrenReversed(rowStack, tNode, tmp)
+      while (rowStack.nonEmpty) {
+        val nd = rowStack(rowStack.length - 1)
+        rowStack.dropRightInPlace(1)
+        val nm = arena.name(nd)
+        if (nm == "tr") {
+          var nCells = 0
+          out.append('|')
+          var c = arena.firstChild(nd)
+          while (c >= 0) {
+            val cn = arena.name(c)
+            if (cn == "td" || cn == "th") {
+              sb.setLength(0)
+              cellText(c, sb)
+              out.append(' ').append(sb.toString.replace("|", "\\|")).append(" |")
+              nCells += 1
+            }
+            c = arena.nextSibling(c)
+          }
+          out.append('\n')
+          if (rIdx == 0 && nCells > 0) {
+            out.append('|')
+            var i = 0
+            while (i < nCells) { out.append(" --- |"); i += 1 }
+            out.append('\n')
+          }
+          rIdx += 1
+        } else if (nm != null && nm != "table") pushChildrenReversed(rowStack, nd, tmp)
+      }
+      ensureBlock()
+    }
+    // ENTER/EXIT DFS over every root (surgery can leave detached roots;
+    // visit them in id order), exit encoded as ~id
+    val stack = new IntVec(64)
+    val roots = new IntVec(4)
+    var id = 0
+    while (id < arena.size) { if (arena.parent(id) < 0) roots += id; id += 1 }
+    var r = roots.length - 1
+    while (r >= 0) { stack += roots(r); r -= 1 }
+    var preDepth = 0
+    while (stack.nonEmpty) {
+      val e = stack(stack.length - 1)
+      stack.dropRightInPlace(1)
+      if (e < 0) { // EXIT
+        val nm = arena.name(~e)
+        if (isHeadingName(nm)) ensureBlock()
+        else nm match {
+          case "p" | "div" | "section" | "article" | "blockquote" => ensureBlock()
+          case "ul" | "ol" =>
+            listOrdered.dropRightInPlace(1); listCount.dropRightInPlace(1)
+            if (listCount.length == 0) ensureBlock()
+          case "pre" => preDepth -= 1; ensureLine(); out.append("```"); ensureBlock()
+          case "code" => if (preDepth == 0) emit("`")
+          case "strong" | "b" => emit("**")
+          case "em" | "i" => emit("*")
+          case "a" => flushLink()
+          case _ =>
+        }
+      } else {
+        val nm = arena.name(e)
+        if (nm == null) {
+          val si = spanIdxOfTextNode(e)
+          if (si >= 0) {
+            val li = if (spLink(si)) spLinkIdx(si) else -1
+            if (li >= 0) {
+              if (linkIdx != li) { flushLink(); linkIdx = li }
+              linkBuf.append(text, spStart(si), spEnd(si))
+            } else {
+              flushLink()
+              emit(text.subSequence(spStart(si), spEnd(si)))
+            }
+          }
+        } else if (nm == "table") {
+          renderTable(e) // subtree handled; not descended
+        } else {
+          // EXIT marker first, then children reversed
+          stack += ~e
+          if (isHeadingName(nm)) {
+            ensureBlock()
+            var i = 0; val lvl = nm.charAt(1) - '0'
+            while (i < lvl) { out.append('#'); i += 1 }
+            out.append(' ')
+          } else nm match {
+            case "p" | "div" | "section" | "article" => ensureBlock()
+            case "blockquote" => ensureBlock(); out.append("> ")
+            case "ul" => if (listCount.length == 0) ensureBlock()
+              listOrdered += false; listCount += 0
+            case "ol" => if (listCount.length == 0) ensureBlock()
+              listOrdered += true; listCount += 0
+            case "li" =>
+              ensureLine()
+              var i = 1
+              while (i < listCount.length) { out.append("  "); i += 1 }
+              if (listCount.length > 0 && listOrdered(listOrdered.length - 1)) {
+                listCount(listCount.length - 1) = listCount(listCount.length - 1) + 1
+                out.append(listCount(listCount.length - 1)).append(". ")
+              } else out.append("- ")
+            case "pre" => ensureBlock(); out.append("```\n"); preDepth += 1
+            case "code" => if (preDepth == 0) emit("`")
+            case "strong" | "b" => emit("**")
+            case "em" | "i" => emit("*")
+            case "br" => ensureLine()
+            case "a" => flushLink()
+            case _ =>
+          }
+          pushChildrenReversed(stack, e, tmp)
+          // pushChildrenReversed pushes children to visit in document
+          // order ON TOP of the exit marker we just planted
+        }
+      }
+    }
+    flushLink()
+    // trim
+    var b = 0
+    var t2 = out.length
+    while (b < t2 && (out.charAt(b) == '\n' || out.charAt(b) == ' ')) b += 1
+    while (t2 > b && (out.charAt(t2 - 1) == '\n' || out.charAt(t2 - 1) == ' ')) t2 -= 1
+    out.substring(b, t2)
+  }
 }
 
 /** Per-document extraction entry point: html bytes → extracted text + spans.
