@@ -882,6 +882,26 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_wet_roundtrip" -> ((s, dir) => {
+      // the CC WET layout end-to-end: extracted text lands as conversion
+      // records (gzip members, tmp/rename commit) and a text-only consumer
+      // streams it back without ever touching html archives
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wet_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val recs = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        "doc_id", "text").as[(String, Long, String)]
+        .map { case (u, id, t) => graft.sources.Warc.WarcRec(u, 1700000000000L + id, t.getBytes("UTF-8")) }
+        .repartition(8)
+      graft.sources.Warc.writeWet(recs, root)
+      graft.sources.Warc.readWet(s, root).toDF()
+        .selectExpr("url", "md5(CAST(html AS STRING)) AS text_md5")
+    }),
     "q_cdx_lookup" -> ((s, dir) => {
       // the Common-Crawl INDEX access path: the corpus lands as .warc.gz
       // with a CDX sidecar (member-exact offsets), and "fetch THIS url's
@@ -2387,6 +2407,10 @@ object SparkEntry {
     // the isolation/divergence/expiry semantics live in WapBranchSpec
     "q_wap" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // the WET round-trip is byte-transparent on the text
+    "q_wet_roundtrip" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       md5(text) AS text_md5 FROM documents""".stripMargin,
     // index random access is transparent: the fetched records are exactly
     // the lookup set's documents
     "q_cdx_lookup" ->

@@ -155,6 +155,27 @@ object Warc {
       zstd: Boolean = false): Unit =
     writeFiles(recs, dir, gzip, zstd)(r => recordBlock(r.url, r.tsMillis, r.block))
 
+  /** WET write: the EXTRACTED text as `conversion` records — the Common-
+    * Crawl WET layout (what text-only consumers stream instead of
+    * re-parsing archives). Same per-partition writer, same gzip-member
+    * layout, same tmp/rename commit.
+    */
+  def writeWet(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit =
+    writeFiles(recs, dir, gzip, zstd = false)(r =>
+      recordBlock(r.url, r.tsMillis, r.block, warcType = "conversion"))
+
+  /** WET read (file-per-partition, streaming decode like the DSv2 response
+    * reader — WET files are sized for exactly this file-level parallelism).
+    */
+  def readWet(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc*")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(b =>
+        parseWetStream(decompress(new java.io.ByteArrayInputStream(b)))))
+  }
+
   private def writeFiles[T](ds: Dataset[T], dir: String, gzip: Boolean, zstd: Boolean)(
       ser: T => Array[Byte]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -207,7 +228,16 @@ object Warc {
   /** Streaming record parse; `in` must already be decompressed. Bodies are
     * charset-normalized to UTF-8 (see object doc).
     */
-  def parseStream(in: java.io.InputStream): Iterator[PageRow] = new Iterator[PageRow] {
+  def parseStream(in: java.io.InputStream): Iterator[PageRow] = parseTyped(in, "response")
+
+  /** WET read: `conversion` records (extracted text) — the Common-Crawl
+    * WET layout. Bodies are plain text, so no HTTP-header strip applies;
+    * charset normalization still rides (WET is UTF-8 by convention, the
+    * sniff is a no-op there).
+    */
+  def parseWetStream(in: java.io.InputStream): Iterator[PageRow] = parseTyped(in, "conversion")
+
+  private def parseTyped(in: java.io.InputStream, wantType: String): Iterator[PageRow] = new Iterator[PageRow] {
     private val bin = new java.io.BufferedInputStream(in, 1 << 16)
     private var nextRow: PageRow = advance()
 
@@ -257,8 +287,10 @@ object Warc {
           }
           if (len >= 0) {
             val block = bin.readNBytes(len)
-            if (block.length == len && (typ == null || typ == "response") && url != null) {
-              val (raw, charset) = stripHttpHeadersCs(block)
+            if (block.length == len && (typ == null || typ == wantType) && url != null) {
+              // conversion records carry plain text — no HTTP envelope
+              val (raw, charset) =
+                if (wantType == "response") stripHttpHeadersCs(block) else (block, null)
               val body = CharsetSniff.toUtf8(raw, charset)
               val ts = new java.sql.Timestamp(
                 if (date != null) java.time.Instant.parse(date).toEpochMilli else 0L)
