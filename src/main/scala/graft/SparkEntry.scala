@@ -882,6 +882,26 @@ object SparkEntry {
       val (est, nz) = cat.hllDistinctStat("t", "text").get
       s.createDataFrame(Seq((est, nz))).toDF("raw_est", "n_zero")
     }),
+    "q_catalog_write" -> ((s, dir) => {
+      // the DSv2 WRITE path: the odd docs land via
+      // df.write.format("graft-catalog").mode("append") — task-level
+      // parquet part files + ONE metadata-only job commit (the same atomic
+      // snapshot every other write path produces) — and the read is the
+      // plain catalog read over both halves
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_catwrite_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "md5(text) AS text_md5")
+      cat.commit(d.where("doc_id % 2 = 0"), "t")
+      d.where("doc_id % 2 = 1")
+        .write.format("graft-catalog").option("root", root).option("table", "t")
+        .mode("append").save()
+      cat.read(s, "t")
+    }),
     "q_wet_roundtrip" -> ((s, dir) => {
       // the CC WET layout end-to-end: extracted text lands as conversion
       // records (gzip members, tmp/rename commit) and a text-only consumer
@@ -2406,6 +2426,9 @@ object SparkEntry {
     // the published table after write-audit-publish is simply the corpus —
     // the isolation/divergence/expiry semantics live in WapBranchSpec
     "q_wap" ->
+      "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // the DSv2-written half unions with the catalog-committed half exactly
+    "q_catalog_write" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
     // the WET round-trip is byte-transparent on the text
     "q_wet_roundtrip" ->

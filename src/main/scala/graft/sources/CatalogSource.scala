@@ -106,13 +106,18 @@ object CatalogSource {
 
 final class CatalogTable(tableSchema: StructType, root: String, table: String,
                          maxSnaps: Int, startSnap: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-catalog:$root/$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CatalogScanBuilder(tableSchema, root, table, maxSnaps, startSnap)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CatalogWriteBuilder(info.schema(), root, table)
 }
 
 final class CatalogScanBuilder(tableSchema: StructType, root: String, table: String,
@@ -219,6 +224,180 @@ final class CatalogMicroBatchStream(scan: CatalogScan, root: String, table: Stri
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+// ----------------------------------------------------------------------
+// DSv2 WRITE path — the other half of the connector:
+//   df.write.format("graft-catalog").mode("append")… and
+//   ds.writeStream.format("graft-catalog")… (exactly-once via epoch
+// markers). Tasks write parquet part files under a job-scoped staging
+// directory; the JOB-level commit is one metadata-only fast-append
+// (appendFiles / appendFilesAsBatch), so a failed job leaves only
+// unreferenced staging files (orphan-GC'd) and a committed job is the same
+// atomic snapshot every other write path produces. The table must already
+// exist (first commit via the catalog API) — DSv2 writes are appends.
+// ----------------------------------------------------------------------
+import org.apache.spark.sql.connector.write.{Write, WriteBuilder, BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{streaming => wstreaming}
+import org.apache.parquet.schema.{MessageType => PMessageType, Types => PTypes,
+  PrimitiveType => PPrimitiveType, LogicalTypeAnnotation => PLogical}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+final class CatalogWriteBuilder(schema: StructType, root: String, table: String)
+    extends WriteBuilder {
+  override def build(): Write = new CatalogWrite(schema, root, table)
+}
+
+final case class CatalogCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+
+final class CatalogWrite(schema: StructType, root: String, table: String) extends Write {
+  private val stagingId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new CatalogWriterFactory(schema, root, table, stagingId)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val files = messages.map(_.asInstanceOf[CatalogCommitMessage].file).toSeq.sorted
+      if (files.nonEmpty)
+        new ParquetSnapshotCatalog(root).appendFiles(files, table)
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      CatalogWrite.deleteAll(messages)
+  }
+
+  override def toStreaming: wstreaming.StreamingWrite = new wstreaming.StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): wstreaming.StreamingDataWriterFactory =
+      new CatalogStreamingWriterFactory(schema, root, table, stagingId)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val files = messages.map(_.asInstanceOf[CatalogCommitMessage].file).toSeq.sorted
+      if (files.nonEmpty &&
+          !new ParquetSnapshotCatalog(root).appendFilesAsBatch(files, table, epochId))
+        CatalogWrite.deleteAll(messages) // replayed epoch: drop the duplicate outputs
+    }
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      CatalogWrite.deleteAll(messages)
+  }
+}
+
+object CatalogWrite {
+  private[sources] def deleteAll(messages: Array[WriterCommitMessage]): Unit = {
+    import org.apache.hadoop.fs.Path
+    messages.foreach {
+      case CatalogCommitMessage(f, _) =>
+        val p = new Path(f)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ =>
+    }
+  }
+}
+
+final class CatalogWriterFactory(schema: StructType, root: String, table: String,
+                                 stagingId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId)
+}
+
+final class CatalogStreamingWriterFactory(schema: StructType, root: String, table: String,
+                                          stagingId: String)
+    extends wstreaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new CatalogDataWriter(schema, root, table, s"$stagingId-e$epochId", partitionId, taskId)
+}
+
+/** One parquet part file per task, written with parquet-hadoop directly
+  * (atomic column types, timestamps as INT64 micros — both Spark's reader
+  * and the connector's own read path handle them). The task-attempt id is
+  * in the file name, so speculative/retried attempts never collide; only
+  * the attempt whose commit message reaches the driver is referenced.
+  */
+final class CatalogDataWriter(schema: StructType, root: String, table: String,
+                              stagingId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.api.WriteSupport
+  import org.apache.parquet.io.api.{Binary, RecordConsumer}
+
+  private val message: PMessageType = {
+    val b = PTypes.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case StringType =>
+          PTypes.optional(BINARY).as(PLogical.stringType())
+        case BinaryType => PTypes.optional(BINARY)
+        case LongType => PTypes.optional(INT64)
+        case IntegerType => PTypes.optional(INT32)
+        case DoubleType => PTypes.optional(DOUBLE)
+        case FloatType => PTypes.optional(FLOAT)
+        case BooleanType => PTypes.optional(BOOLEAN)
+        case TimestampType =>
+          PTypes.optional(INT64).as(PLogical.timestampType(true, PLogical.TimeUnit.MICROS))
+        case DateType => PTypes.optional(INT32).as(PLogical.dateType())
+        case other => throw new IllegalArgumentException(
+          s"graft-catalog writer: unsupported column type $other for '${f.name}'")
+      }
+      b.addField(t.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+
+  private val file = new Path(root,
+    f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId.parquet")
+
+  private final class RowWriteSupport extends WriteSupport[InternalRow] {
+    private var rc: RecordConsumer = _
+    override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext =
+      new WriteSupport.WriteContext(message, java.util.Collections.emptyMap[String, String]())
+    override def prepareForWrite(consumer: RecordConsumer): Unit = rc = consumer
+    override def write(row: InternalRow): Unit = {
+      rc.startMessage()
+      var i = 0
+      while (i < schema.length) {
+        if (!row.isNullAt(i)) {
+          val name = schema.fields(i).name
+          rc.startField(name, i)
+          schema.fields(i).dataType match {
+            case StringType => rc.addBinary(Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+            case BinaryType => rc.addBinary(Binary.fromConstantByteArray(row.getBinary(i)))
+            case LongType | TimestampType => rc.addLong(row.getLong(i))
+            case IntegerType | DateType => rc.addInteger(row.getInt(i))
+            case DoubleType => rc.addDouble(row.getDouble(i))
+            case FloatType => rc.addFloat(row.getFloat(i))
+            case BooleanType => rc.addBoolean(row.getBoolean(i))
+            case other => throw new IllegalStateException(s"unreachable: $other")
+          }
+          rc.endField(name, i)
+        }
+        i += 1
+      }
+      rc.endMessage()
+    }
+  }
+
+  private final class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
+    override def self(): B = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration): WriteSupport[InternalRow] =
+      new RowWriteSupport
+  }
+
+  private val writer = new B(file)
+    .withConf(new org.apache.hadoop.conf.Configuration())
+    .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+    .build()
+  private var rows = 0L
+
+  override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    CatalogCommitMessage(file.toUri.getPath, rows)
+  }
+  override def abort(): Unit = {
+    writer.close()
+    val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(file)) fs.delete(file, false)
+  }
+  override def close(): Unit = ()
 }
 
 final class CatalogReaderFactory(required: StructType) extends PartitionReaderFactory {

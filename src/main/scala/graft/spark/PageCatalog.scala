@@ -621,6 +621,41 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     snap
   }
 
+  /** Metadata-only fast-APPEND of files already on storage — what the DSv2
+    * batch writer's job-level commit calls after its tasks landed their
+    * parquet outputs: one delta manifest, previous entries carried forward,
+    * same commit lock as every other append path.
+    */
+  def appendFiles(files: Seq[String], table: String): Long = {
+    val snap = claimSnapshotId(table)
+    withCommitLock(table) {
+      val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
+      commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    }
+    snap
+  }
+
+  /** [[appendFiles]] under the exactly-once batch-marker contract — the
+    * DSv2 STREAMING writer's epoch commit: a replayed epoch is skipped (and
+    * reports false so the caller can GC its duplicate task outputs), the
+    * marker lands only after the manifest, mid-commit crashes self-heal
+    * through the same fallback as [[appendBatch]].
+    */
+  def appendFilesAsBatch(files: Seq[String], table: String, batchId: Long): Boolean = {
+    if (batchCommitted(table, batchId)) {
+      System.err.println(s"[catalog] appendFilesAsBatch skip: batch $batchId already " +
+        s"committed to '$table' (replay)")
+      return false
+    }
+    val snap = claimSnapshotId(table)
+    withCommitLock(table) {
+      val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
+      commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files))
+    }
+    writeStr(batchMarker(table, batchId), "")
+    true
+  }
+
   /** Iceberg-style equality delete (row-level takedown — DMCA/GDPR "remove
     * these urls everywhere"): commits a tombstone file of `column` values as
     * a NEW snapshot whose manifest list carries the same data files plus a
