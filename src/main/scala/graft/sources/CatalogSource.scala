@@ -69,11 +69,14 @@ class CatalogSource extends TableProvider with DataSourceRegister {
     val cat = new ParquetSnapshotCatalog(root)
     val snap = cat.currentSnapshot(table).getOrElse(throw new IllegalArgumentException(
       s"graft-catalog source: table '$table' under '$root' has no committed snapshot"))
-    val first = cat.filesWithAddOrder(table, snap).map(_._1).sorted.headOption
+    val files = cat.filesWithAddOrder(table, snap).map(_._1).sorted
+    // one footer, driver-side — Spark's own parquet schema inference; walk
+    // the list so a missing first file (mid-maintenance) degrades gracefully
+    files.iterator
+      .map(f => scala.util.Try(SparkSession.active.read.parquet(f).schema))
+      .collectFirst { case scala.util.Success(s) => s }
       .getOrElse(throw new IllegalArgumentException(
-        s"graft-catalog source: snapshot $snap of '$table' has no data files"))
-    // one footer, driver-side — Spark's own parquet schema inference
-    SparkSession.active.read.parquet(first).schema
+        s"graft-catalog source: snapshot $snap of '$table' has no readable data files"))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -122,11 +125,35 @@ final class CatalogTable(tableSchema: StructType, root: String, table: String,
 
 final class CatalogScanBuilder(tableSchema: StructType, root: String, table: String,
                                maxSnaps: Int, startSnap: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Accept equality/range filters on atomic columns for FILE PRUNING
+    * (zone maps + blooms + the partition transform consulted at planning);
+    * every filter is also RETURNED as residual so Spark re-applies it row-
+    * level — pruning is an optimization, never load-bearing, exactly like
+    * the catalog's own pruned-read contract.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def prunable(f: Filter): Boolean = f match {
+      case EqualTo(_, v) => v != null && CatalogScan.literalOk(v)
+      case GreaterThan(_, v) => v != null && CatalogScan.literalOk(v)
+      case GreaterThanOrEqual(_, v) => v != null && CatalogScan.literalOk(v)
+      case LessThan(_, v) => v != null && CatalogScan.literalOk(v)
+      case LessThanOrEqual(_, v) => v != null && CatalogScan.literalOk(v)
+      case _ => false
+    }
+    pushed = filters.filter(prunable)
+    filters // all residual: the scan prunes FILES, Spark keeps the row filter
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
   override def build(): Scan =
-    new CatalogScan(tableSchema, required, root, table, maxSnaps, startSnap)
+    new CatalogScan(tableSchema, required, root, table, maxSnaps, startSnap, pushed)
 }
 
 /** One data file + the equality deletes that apply to it (sequence rule
@@ -136,15 +163,75 @@ final case class CatalogFilePartition(file: String,
                                       deletes: Seq[(String, Seq[String])])
     extends InputPartition
 
+object CatalogScan {
+  private[sources] def literalOk(v: Any): Boolean = v match {
+    case _: String | _: Long | _: Int | _: java.lang.Long | _: java.lang.Integer |
+         _: Double | _: java.lang.Double | _: java.sql.Timestamp | _: java.time.Instant => true
+    case _ => false
+  }
+  private[sources] def lit(v: Any): String = v match {
+    case t: java.time.Instant => java.sql.Timestamp.from(t).toString
+    case other => other.toString
+  }
+}
+
 final class CatalogScan(tableSchema: StructType, required: StructType,
-                        root: String, table: String, maxSnaps: Int, startSnap: Long)
+                        root: String, table: String, maxSnaps: Int, startSnap: Long,
+                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   private def cat = new ParquetSnapshotCatalog(root)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCatalogScan(root=$root, table=$table, columns=${required.fieldNames.mkString(",")})"
+    s"GraftCatalogScan(root=$root, table=$table, columns=${required.fieldNames.mkString(",")}" +
+      (if (pushed.nonEmpty) s", prunedBy=${pushed.mkString(";")}" else "") + ")"
+
+  /** File pruning from the pushed filters: every applicable metadata
+    * structure is consulted and the candidate sets INTERSECT — zone maps
+    * (range + equality), bloom sidecars (equality), and the partition
+    * transform (equality always; range only when order-preserving). A file
+    * without stats is conservatively kept by each pruner, and Spark
+    * re-applies the row-level filter on top.
+    */
+  private[sources] def pruneByFilters(files: Seq[(String, Long)], snap: Long): Seq[(String, Long)] = {
+    import org.apache.spark.sql.sources._
+    import CatalogScan.lit
+    var keep = files.map(_._1).toSet
+    pushed.foreach { f =>
+      val cand: Option[Set[String]] = f match {
+        case EqualTo(c, v) =>
+          val z = cat.pruneFilesAt(table, snap, c, lit(v), lit(v)).toSet
+          val b = cat.pruneFilesByBloom(table, c, lit(v)).toSet
+          val p = cat.partitionSpec(table) match {
+            case Some(spec) if spec.col == c =>
+              val t = spec.literal(lit(v))
+              cat.pruneFilesAt(table, snap, spec.statName, t, t).toSet
+            case _ => files.map(_._1).toSet
+          }
+          Some(z & b & p)
+        case GreaterThan(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
+        case GreaterThanOrEqual(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
+        case LessThan(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))
+        case LessThanOrEqual(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))
+        case _ => None
+      }
+      cand.foreach(s => keep = keep & s)
+    }
+    files.filter(p => keep(p._1))
+  }
+
+  private def rangePrune(snap: Long, c: String, lo: Option[String], hi: Option[String],
+                         files: Seq[(String, Long)]): Set[String] = {
+    val z = cat.pruneFilesAtBounds(table, snap, c, lo, hi).toSet
+    val p = cat.partitionSpec(table) match {
+      case Some(spec) if spec.col == c && spec.orderPreserving =>
+        cat.pruneFilesAtBounds(table, snap, spec.statName,
+          lo.map(spec.literal), hi.map(spec.literal)).toSet
+      case _ => files.map(_._1).toSet
+    }
+    z & p
+  }
 
   /** Attach the sequence-rule-applicable deletes to each planned file and
     * validate that every delete column is readable by this scan (present in
@@ -166,11 +253,11 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     }.toArray[InputPartition]
   }
 
-  // batch read: the full current snapshot through the same reader
+  // batch read: the current snapshot, file-pruned by the pushed filters
   override def planInputPartitions(): Array[InputPartition] = {
     val snap = cat.currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    withDeletes(cat.filesWithAddOrder(table, snap), snap)
+    withDeletes(pruneByFilters(cat.filesWithAddOrder(table, snap), snap), snap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -218,7 +305,8 @@ final class CatalogMicroBatchStream(scan: CatalogScan, root: String, table: Stri
     val files =
       if (s <= 0) cat.filesWithAddOrder(table, e)             // bootstrap: full snapshot
       else cat.incrementalFilesWithAddOrder(table, s, e)       // O(delta) window
-    scan.withDeletes(files, e)
+    // pushed filters prune the window's files too (sidecars permitting)
+    scan.withDeletes(scan.pruneByFilters(files, e), e)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()

@@ -1385,8 +1385,17 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   /** [[pruneFiles]] against an explicit snapshot — the changelog's pre-image
     * side prunes the FROM snapshot, not CURRENT.
     */
-  private def pruneFilesAt(table: String, snap: Long, column: String,
-                           lo: String, hi: String): Seq[String] = {
+  def pruneFilesAt(table: String, snap: Long, column: String,
+                           lo: String, hi: String): Seq[String] =
+    pruneFilesAtBounds(table, snap, column, Some(lo), Some(hi))
+
+  /** One- or two-sided zone-map pruning (None = unbounded side) — what the
+    * DSv2 scan's pushed `<`/`>` ranges need; an unbounded side must NOT be
+    * faked with a sentinel string (it would force the byte-wise compare
+    * tier and mis-prune numeric columns).
+    */
+  def pruneFilesAtBounds(table: String, snap: Long, column: String,
+                         lo: Option[String], hi: Option[String]): Seq[String] = {
     val all = manifestFiles(table, snap)
     val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
     if (!fsExists(sidecar)) return all
@@ -1395,8 +1404,8 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
         f -> ((unescStat(mn), unescStat(mx))) }.toMap
     def overlaps(mnO: Option[String], mxO: Option[String]): Boolean = (mnO, mxO) match {
       case (Some(mn), Some(mx)) =>
-        val cmp = statCmp(Seq(lo, hi, mn, mx))
-        cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+        val cmp = statCmp(Seq(mn, mx) ++ lo ++ hi)
+        lo.forall(l => cmp(mx, l) >= 0) && hi.forall(h => cmp(mn, h) <= 0)
       case _ => true // all-null stats: conservatively keep
     }
     all.filter(f => stats.get(f).forall { case (mn, mx) => overlaps(mn, mx) })
