@@ -178,8 +178,42 @@ object CatalogScan {
 final class CatalogScan(tableSchema: StructType, required: StructType,
                         root: String, table: String, maxSnaps: Int, startSnap: Long,
                         pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   private def cat = new ParquetSnapshotCatalog(root)
+
+  /** Planner statistics from METADATA only: bytes = the pruned file set's
+    * on-disk sizes, rows = the stats sidecar's __count when complete — what
+    * lets Catalyst broadcast a small catalog table in a join without
+    * scanning it first. O(files) driver work, zero data opened.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (bytes, rows) = {
+      import org.apache.hadoop.fs.Path
+      val snapO = cat.currentSnapshot(table)
+      snapO match {
+        case None => (0L, None)
+        case Some(snap) =>
+          val files = pruneByFilters(cat.filesWithAddOrder(table, snap), snap).map(_._1)
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val sz = files.map { f =>
+            val p = new Path(f)
+            scala.util.Try(p.getFileSystem(conf).getFileStatus(p).getLen).getOrElse(0L)
+          }.sum
+          val nRows = scala.util.Try {
+            val fdf = cat.filesDF(SparkSession.active, table)
+              .where(org.apache.spark.sql.functions.col("file").isin(files: _*))
+            val counted = fdf.collect()
+            if (counted.nonEmpty && counted.forall(!_.isNullAt(3)))
+              Some(counted.map(_.getLong(3)).sum)
+            else None
+          }.toOption.flatten
+          (sz, nRows)
+      }
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      rows.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

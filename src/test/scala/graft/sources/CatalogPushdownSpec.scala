@@ -92,6 +92,21 @@ class CatalogPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q2.selectExpr("min(v)").collect().head.getLong(0) == 350L)
   }
 
+  test("reported statistics let Catalyst broadcast a small catalog table without scanning it") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commitWithStats((0 until 10).map(i => (s"k$i", i.toLong)).toDF("k", "dim"),
+      "small", Seq("dim")): Unit
+    val smallDf = spark.read.format("graft-catalog")
+      .option("root", root).option("table", "small").load()
+    val big = (0 until 5000).map(i => (s"k${i % 10}", i.toLong)).toDF("k", "v")
+    val plan = big.join(smallDf, "k")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small catalog side not broadcast (stats not reported?):\n$plan")
+  }
+
   test("conjunction intersects pruners; rows still re-filter (pruning never over-returns)") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
