@@ -227,6 +227,20 @@ object SparkEntry {
         }
       }.toDF("url", "md")
     }),
+    "q_markdown_tables" -> ((s, dir) => {
+      // the markdown render's TABLE path over the layout corpus: pipe rows
+      // with the header separator, the intro paragraph block above — the
+      // oracle rebuilds every byte (row lines, separator width, blank-line
+      // blocks) closed-form
+      import s.implicits._
+      Pages.synthesizeTablePages(s, dir).mapPartitions { it =>
+        val sink = new graft.dom.ExtractSink
+        it.map { p =>
+          Extractor.extractInto(p.html, sink)
+          (p.url, sink.collectMarkdown())
+        }
+      }.toDF("url", "md")
+    }),
     "q_pagerank" -> ((s, dir) => {
       // host-level PageRank (the Common-Crawl domain-rank artifact): extract
       // → absolute edge list → distinct host graph → 3 fixed-point
@@ -2440,6 +2454,26 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       md5(text) AS text_md5
         |FROM documents WHERE doc_id % 50 = 11 AND doc_id < 500""".stripMargin,
+    // the table corpus's exact markdown: intro block + pipe rows + the
+    // '---' separator sized to the column count — every byte closed-form
+    "q_markdown_tables" ->
+      """WITH grid AS (SELECT doc_id, r, unnest(generate_series(0, doc_id % 2 + 1)) AS c
+        |              FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS r
+        |                    FROM documents)),
+        |rows_ AS (SELECT doc_id, r,
+        |                 '| ' || string_agg('r' || CAST(r AS VARCHAR) || 'c' || CAST(c AS VARCHAR) ||
+        |                                    'd' || CAST(doc_id AS VARCHAR), ' | ' ORDER BY c) || ' |' AS line
+        |          FROM grid GROUP BY doc_id, r),
+        |lines AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS ord, line FROM rows_ WHERE r = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, '|' || repeat(' --- |', CAST(doc_id % 2 + 2 AS INTEGER)) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, r + 1, line FROM rows_ WHERE r >= 1),
+        |tbl AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS t FROM lines GROUP BY doc_id)
+        |SELECT 'https://example.com/tables/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |       'intro ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10) || t AS md
+        |FROM tbl""".stripMargin,
     // the outline corpus's exact markdown rebuilt closed-form: '#'·level
     // headings, blank-line blocks, the odd-doc h3+tail suffix — bit-checked
     "q_markdown" ->
