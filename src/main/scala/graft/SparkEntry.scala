@@ -267,6 +267,16 @@ object SparkEntry {
         .toDF("host", "robots_txt")
       graft.operators.Robots.robotsFilter(frontier, robots, "graftbot")
     }),
+    "q_sitemap_discovery" -> ((s, dir) => {
+      // the discovery channel BEFORE any sitemap fetch: per-host robots.txt
+      // Sitemap: directives harvested file-wide (RFC 9309 extension field —
+      // mixed case, trailing comments), one narrow map, document order
+      import s.implicits._
+      val robots = s.range(11).as[Long]
+        .map(h => (s"site$h.example.com", Pages.renderRobots(h.toInt)))
+        .toDF("host", "robots_txt")
+      graft.operators.Robots.sitemapDirectives(robots)
+    }),
     "q_sitemap" -> ((s, dir) => {
       // crawl-frontier discovery: per-host sitemap XML (urlset or
       // sitemapindex, with entities, CDATA locs, attributes, optional
@@ -1583,6 +1593,19 @@ object SparkEntry {
     // entries: index docs (id%4=0) carry 2 nested-sitemap entries; the rest
     // carry id%3+1 url entries whose &amp;/CDATA forms both decode to the
     // same plain loc; lastmod only on the first url entry
+    // hosts ≡0 (mod 4) declare two sitemaps in document order; the comment
+    // and the lowercase field both parse
+    "q_sitemap_discovery" ->
+      """WITH h AS (SELECT unnest(generate_series(0, 10)) AS h)
+        |SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |       'https://site' || CAST(h AS VARCHAR) || '.example.com/sitemap.xml' AS sitemap_url,
+        |       CAST(0 AS INTEGER) AS pos
+        |FROM h WHERE h % 4 = 0
+        |UNION ALL
+        |SELECT 'site' || CAST(h AS VARCHAR) || '.example.com',
+        |       'https://site' || CAST(h AS VARCHAR) || '.example.com/sitemap-news.xml',
+        |       CAST(1 AS INTEGER)
+        |FROM h WHERE h % 4 = 0""".stripMargin,
     "q_sitemap" ->
       """WITH d AS (SELECT doc_id, 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host FROM documents),
         |idx AS (SELECT doc_id, host, unnest(generate_series(0, 1)) AS k FROM d WHERE doc_id % 4 = 0),

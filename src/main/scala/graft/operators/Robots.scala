@@ -67,6 +67,38 @@ object Robots {
     else groups.filter(_.spec == best).flatMap(_.rules).toVector
   }
 
+  /** `Sitemap:` directives of a robots.txt — RFC 9309 treats them as an
+    * extension outside any user-agent group (they apply file-wide, and real
+    * crawlers harvest them as the primary sitemap-DISCOVERY channel before
+    * ever fetching /sitemap.xml blind). Absolute URLs per the sitemaps.org
+    * protocol; comments stripped; document order kept.
+    */
+  def sitemapsOf(txt: String): Vector[String] =
+    txt.split('\n').iterator.flatMap { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }.toVector
+
+  /** Per-host sitemap discovery over a (host, robots_txt) frame: one narrow
+    * map, (host, sitemap_url, pos) out — the feed the [[Sitemap]] parser
+    * then expands into the crawl frontier.
+    */
+  def sitemapDirectives(robots: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select("host", "robots_txt").as[(String, String)]
+      .flatMap { case (h, txt) =>
+        sitemapsOf(txt).zipWithIndex.map { case (u, i) => (h, u, i) }
+      }
+      .toDF("host", "sitemap_url", "pos")
+  }
+
   /** RFC 9309 path match: literal prefix with `*` wildcards, `$` anchor.
     * Middle segments match greedy-leftmost; the final segment matches
     * anywhere after them (unanchored) or exactly at the end (`$`).

@@ -268,6 +268,13 @@ object Pages {
     if (h % 2 == 0) sb.append("Disallow: /g/\n")
     if (h % 3 == 0) sb.append("Allow: /g/x1\n")
     sb.append("Disallow:\n") // empty pattern: matches nothing
+    // sitemap DISCOVERY directives (file-wide per RFC 9309 / sitemaps.org;
+    // mixed case + trailing comment exercise the parser); ignored by the
+    // rule groups, harvested by Robots.sitemapDirectives
+    if (h % 4 == 0) {
+      sb.append("Sitemap: https://site").append(h).append(".example.com/sitemap.xml\n")
+      sb.append("sitemap: https://site").append(h).append(".example.com/sitemap-news.xml # daily\n")
+    }
     if (h % 5 == 0) sb.append("\nUser-agent: graftbot\nDisallow: /\n")
     sb.toString
   }

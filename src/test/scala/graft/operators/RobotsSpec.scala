@@ -104,4 +104,25 @@ class RobotsSpec extends AnyFunSuite {
       assert(got == expect, s"h=$h i=$i expect=$expect got=$got")
     }
   }
+
+  test("sitemap discovery: file-wide directives harvested in order, case-folded, comment-stripped") {
+    val txt = "User-agent: *\nDisallow: /x/\n" +
+      "Sitemap: https://a.example.com/s1.xml\n" +
+      "sitemap: https://a.example.com/s2.xml # refreshed daily\n" +
+      "SITEMAP: https://a.example.com/s3.xml\n" +
+      "# sitemap: https://a.example.com/commented-out.xml\n"
+    assert(Robots.sitemapsOf(txt) == Vector(
+      "https://a.example.com/s1.xml",
+      "https://a.example.com/s2.xml",
+      "https://a.example.com/s3.xml"))
+    // directives do NOT leak into the rule groups
+    assert(decide(txt, "bot", "/x/1") == false)
+    assert(decide(txt, "bot", "/ok") == true)
+    // corpus: only h%4==0 hosts declare sitemaps, two each
+    for (h <- 0 until 11) {
+      val got = Robots.sitemapsOf(graft.spark.Pages.renderRobots(h))
+      if (h % 4 == 0) assert(got.length == 2 && got.forall(_.contains(s"site$h.example.com")))
+      else assert(got.isEmpty)
+    }
+  }
 }
