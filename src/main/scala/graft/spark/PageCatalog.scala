@@ -849,13 +849,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val specO = partitionSpec(table)
-    val bloomCols = listNames(manifestDir(table))
-      .filter(n => n.startsWith(s"v$snap.bloom.") && n.endsWith(".tsv"))
-      .map(_.stripPrefix(s"v$snap.bloom.").stripSuffix(".tsv"))
+    val bloomCols = bloomColumnsAt(table, snap)
     val bloomBits: Map[String, Int] = bloomCols.map { c =>
-      c -> readStr(new HPath(manifestDir(table), s"v$snap.bloom.$c.tsv"))
-        .split('\n').filter(_.nonEmpty).headOption
-        .map(_.split('\t')(1).toInt).getOrElse(1 << 17)
+      c -> bloomLinesAt(table, snap, c).headOption
+        .map(_(1).toInt).getOrElse(1 << 17)
     }.toMap
     val cur = readSnapshot(spark, table, snap)
     val n = if (nFiles > 0) nFiles else spark.sessionState.conf.numShufflePartitions
@@ -871,10 +868,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       specO.map(s => (s.statName, s.sparkExprSql)).toSeq ++
         sortCols.map(c => (c, s"`$c`"))
     if (statNamed.nonEmpty)
-      writeStr(new HPath(manifestDir(table), s"v$newSnap.stats.tsv"),
+      writeStr(new HPath(manifestDir(table), s"m$newSnap.stats.tsv"),
         statsTsv(spark, files, statNamed))
     bloomCols.foreach { c =>
-      writeStr(new HPath(manifestDir(table), s"v$newSnap.bloom.$c.tsv"),
+      writeStr(new HPath(manifestDir(table), s"m$newSnap.bloom.$c.tsv"),
         bloomTsv(spark, files, c, bloomBits(c)))
     }
     newSnap
@@ -923,11 +920,8 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def filesDF(spark: SparkSession, table: String): DataFrame = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
-    val counts: Map[String, Long] =
-      if (!fsExists(sidecar)) Map.empty
-      else readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
-        .collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
+    val counts: Map[String, Long] = statsLinesAt(table, snap)
+      .collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
     val rows = filesWithAddOrder(table, snap).map { case (f, add) =>
       val p = new HPath(f)
       (f, add, fsOf(p).getFileStatus(p).getLen,
@@ -1101,11 +1095,27 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       .foreach(f => fsDelete(new HPath(f)))
     val liveRefs = keep.flatMap(s => entriesOf(table, s)).filter(e =>
       e.startsWith("@") || e.startsWith("!"))
+    val allNames = listNames(manifestDir(table))
     expired.flatMap(s => entriesOf(table, s)).distinct
       .filter(e => e.startsWith("@") || e.startsWith("!"))
       .filterNot(liveRefs)
-      .foreach(e => fsDelete(new HPath(manifestDir(table), e.drop(1))))
-    expired.foreach(s => fsDelete(new HPath(manifestDir(table), s"v$s.json")))
+      .foreach { e =>
+        fsDelete(new HPath(manifestDir(table), e.drop(1)))
+        // a dead delta manifest takes its stats/bloom sidecars with it
+        if (e.startsWith("@")) {
+          val id = e.stripPrefix("@m").stripSuffix(".json")
+          allNames.filter(n => n == s"m$id.stats.tsv" ||
+              (n.startsWith(s"m$id.bloom.") && n.endsWith(".tsv")))
+            .foreach(n => fsDelete(new HPath(manifestDir(table), n)))
+        }
+      }
+    expired.foreach { s =>
+      fsDelete(new HPath(manifestDir(table), s"v$s.json"))
+      // legacy whole-table sidecars are snapshot-keyed — expire with it
+      allNames.filter(n => n == s"v$s.stats.tsv" ||
+          (n.startsWith(s"v$s.bloom.") && n.endsWith(".tsv")))
+        .foreach(n => fsDelete(new HPath(manifestDir(table), n)))
+    }
     expired
   }
 
@@ -1121,9 +1131,62 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def commitWithStats(df: DataFrame, table: String, statsCols: Seq[String]): Long = {
     val snap = commit(df, table)
     val files = manifestFiles(table, snap)
-    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"),
+    writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
       statsTsv(df.sparkSession, files, statsCols.map(c => (c, s"`$c`"))))
     snap
+  }
+
+  /** All per-file stats lines visible at `snap`: the snapshot's legacy
+    * whole-table `v<N>.stats.tsv` (pre-two-level tables keep reading) plus
+    * every delta manifest's OWN `m<K>.stats.tsv` — the sidecar mirror of
+    * the two-level manifest metadata. An append writes O(delta) stats
+    * bytes; the old carry-forward copy was O(table) per append, i.e.
+    * O(drops²) cumulative — the same quadratic-metadata shape the round-3
+    * manifest fix killed, eliminated here the same way.
+    */
+  private def statsLinesAt(table: String, snap: Long): Seq[Array[String]] = {
+    val dir = manifestDir(table)
+    val legacy = {
+      val p = new HPath(dir, s"v$snap.stats.tsv")
+      if (fsExists(p)) Seq(readStr(p)) else Nil
+    }
+    val deltas = entriesOf(table, snap).filter(_.startsWith("@")).flatMap { e =>
+      val k = e.stripPrefix("@m").stripSuffix(".json")
+      val p = new HPath(dir, s"m$k.stats.tsv")
+      if (fsExists(p)) Some(readStr(p)) else None
+    }
+    (legacy ++ deltas).flatMap(_.split('\n')).filter(_.nonEmpty).map(_.split('\t'))
+  }
+
+  /** [[statsLinesAt]] for bloom sidecars of one column. */
+  private def bloomLinesAt(table: String, snap: Long, col: String): Seq[Array[String]] = {
+    val dir = manifestDir(table)
+    val legacy = {
+      val p = new HPath(dir, s"v$snap.bloom.$col.tsv")
+      if (fsExists(p)) Seq(readStr(p)) else Nil
+    }
+    val deltas = entriesOf(table, snap).filter(_.startsWith("@")).flatMap { e =>
+      val k = e.stripPrefix("@m").stripSuffix(".json")
+      val p = new HPath(dir, s"m$k.bloom.$col.tsv")
+      if (fsExists(p)) Some(readStr(p)) else None
+    }
+    (legacy ++ deltas).flatMap(_.split('\n')).filter(_.nonEmpty).map(_.split('\t'))
+  }
+
+  /** Columns with a bloom sidecar anywhere in `snap`'s metadata. */
+  private def bloomColumnsAt(table: String, snap: Long): Seq[String] = {
+    val names = listNames(manifestDir(table))
+    val legacy = names.filter(n => n.startsWith(s"v$snap.bloom.") && n.endsWith(".tsv"))
+      .map(_.stripPrefix(s"v$snap.bloom.").stripSuffix(".tsv"))
+    val deltaIds = entriesOf(table, snap).filter(_.startsWith("@"))
+      .map(_.stripPrefix("@m").stripSuffix(".json")).toSet
+    val deltas = names.filter(n => n.startsWith("m") && n.contains(".bloom.") && n.endsWith(".tsv"))
+      .flatMap { n =>
+        val id = n.substring(1, n.indexOf(".bloom."))
+        if (deltaIds(id)) Some(n.substring(n.indexOf(".bloom.") + 7).stripSuffix(".tsv"))
+        else None
+      }
+    (legacy ++ deltas).distinct
   }
 
   /** Per-file (min, max) stats TSV body for `files` — one aggregation pass
@@ -1203,7 +1266,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       .drop("__graft_part")
     val snap = commit(clustered, table)
     val files = manifestFiles(table, snap)
-    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"),
+    writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
       statsTsv(df.sparkSession, files,
         (spec.statName, spec.sparkExprSql) +: statsCols.map(c => (c, s"`$c`"))))
     putMeta(table, "partition.spec", spec.render)
@@ -1211,10 +1274,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   }
 
   /** Partitioned fast-append (the incremental crawl-drop write): the drop
-    * clusters by the table's declared transform, appends as one delta, and
-    * the sidecar CARRIES FORWARD — new sidecar = previous snapshot's lines
-    * plus the delta files' lines, so pruning stays exact across any number
-    * of drops while each append pays stats for ITS files only.
+    * clusters by the table's declared transform and appends as one delta
+    * carrying its OWN `m<K>.stats.tsv` — O(delta) stats bytes per append
+    * (readers merge the chain via [[statsLinesAt]]); pruning stays exact
+    * across any number of drops.
     */
   def appendPartitioned(df: DataFrame, table: String,
                         statsCols: Seq[String] = Nil, nFiles: Int = 0): Long = {
@@ -1223,8 +1286,6 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       s"table '$table' has no partition spec — commitPartitioned first"))
     val prevSnap = currentSnapshot(table).getOrElse(throw new IllegalStateException(
       s"table '$table' has no committed snapshot — commitPartitioned first"))
-    val prevSidecar = new HPath(manifestDir(table), s"v$prevSnap.stats.tsv")
-    val prevLines = if (fsExists(prevSidecar)) readStr(prevSidecar) else ""
     val n = if (nFiles > 0) nFiles else spec match {
       case BucketTransform(b, _) => b
       case _ => df.sparkSession.sessionState.conf.numShufflePartitions
@@ -1234,8 +1295,8 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       .drop("__graft_part")
     val snap = append(clustered, table)
     val delta = manifestFiles(table, snap).toSet -- manifestFiles(table, prevSnap).toSet
-    writeStr(new HPath(manifestDir(table), s"v$snap.stats.tsv"),
-      prevLines + statsTsv(df.sparkSession, delta.toSeq.sorted,
+    writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
+      statsTsv(df.sparkSession, delta.toSeq.sorted,
         (spec.statName, spec.sparkExprSql) +: statsCols.map(c => (c, s"`$c`"))))
     snap
   }
@@ -1335,9 +1396,8 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val all = manifestFiles(table, snap)
-    val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
-    if (!fsExists(sidecar)) return None
-    val lines = readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+    val lines = statsLinesAt(table, snap)
+    if (lines.isEmpty) return None
     val counts = lines.collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
     val stats = lines.collect { case Array(f, c, mn, mx) if c == column =>
       f -> ((unescStat(mn), unescStat(mx))) }.toMap
@@ -1397,9 +1457,9 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def pruneFilesAtBounds(table: String, snap: Long, column: String,
                          lo: Option[String], hi: Option[String]): Seq[String] = {
     val all = manifestFiles(table, snap)
-    val sidecar = new HPath(manifestDir(table), s"v$snap.stats.tsv")
-    if (!fsExists(sidecar)) return all
-    val stats = readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+    val lines = statsLinesAt(table, snap)
+    if (lines.isEmpty) return all
+    val stats = lines
       .collect { case Array(f, c, mn, mx) if c == column =>
         f -> ((unescStat(mn), unescStat(mx))) }.toMap
     def overlaps(mnO: Option[String], mxO: Option[String]): Boolean = (mnO, mxO) match {
@@ -1501,24 +1561,23 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
                       bits: Int = 1 << 17): Long = {
     require(bits >= 64 && (bits & (bits - 1)) == 0, s"bloom bits must be a power of two >= 64: $bits")
     val snap = commit(df, table)
-    writeStr(new HPath(manifestDir(table), s"v$snap.bloom.$col.tsv"),
+    writeStr(new HPath(manifestDir(table), s"m$snap.bloom.$col.tsv"),
       bloomTsv(df.sparkSession, manifestFiles(table, snap), col, bits))
     snap
   }
 
-  /** Fast-append with bloom carry-forward: the drop pays one bloom pass
-    * over ITS files only; previous files keep their filters. */
+  /** Fast-append with bloom: the drop pays one bloom pass over ITS files
+    * only, written as the delta's own `m<K>.bloom.<col>.tsv` — O(delta)
+    * sidecar bytes per append (readers merge the chain). */
   def appendWithBloom(df: DataFrame, table: String, col: String,
                       bits: Int = 1 << 17): Long = {
     require(bits >= 64 && (bits & (bits - 1)) == 0, s"bloom bits must be a power of two >= 64: $bits")
     val prevSnap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table — commitWithBloom first"))
-    val prevSidecar = new HPath(manifestDir(table), s"v$prevSnap.bloom.$col.tsv")
-    val prevLines = if (fsExists(prevSidecar)) readStr(prevSidecar) else ""
     val snap = append(df, table)
     val delta = manifestFiles(table, snap).toSet -- manifestFiles(table, prevSnap).toSet
-    writeStr(new HPath(manifestDir(table), s"v$snap.bloom.$col.tsv"),
-      prevLines + bloomTsv(df.sparkSession, delta.toSeq.sorted, col, bits))
+    writeStr(new HPath(manifestDir(table), s"m$snap.bloom.$col.tsv"),
+      bloomTsv(df.sparkSession, delta.toSeq.sorted, col, bits))
     snap
   }
 
@@ -1530,10 +1589,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val all = manifestFiles(table, snap)
-    val sidecar = new HPath(manifestDir(table), s"v$snap.bloom.$col.tsv")
-    if (!fsExists(sidecar)) return all
+    val lines = bloomLinesAt(table, snap, col)
+    if (lines.isEmpty) return all
     val dec = java.util.Base64.getDecoder
-    val blooms = readStr(sidecar).split('\n').filter(_.nonEmpty).map(_.split('\t'))
+    val blooms = lines
       .collect { case Array(f, b, bs) => f -> ((b.toInt, dec.decode(bs))) }.toMap
     all.filter { f =>
       blooms.get(f).forall { case (bits, bs) =>

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import org.apache.spark.sql.SparkSession
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Hidden partitioning: Iceberg-style partition transforms (bucket / days /
   * truncate / identity) declared once at write time, pruned through at read
@@ -105,6 +106,47 @@ class PartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 400L && mn.get.toLong >= 0L && mx.get.toLong <= 7L)
     // a column that was never a stats column refuses, never guesses
     assert(cat.statsAgg("t", "v").isEmpty)
+  }
+
+  test("sidecars are O(delta): the 10th drop writes stats for ITS files only, never a table copy") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commitPartitioned((0 until 40).map(i => (s"https://example.com/doc$i", i.toLong))
+      .toDF("url", "v"), "t", BucketTransform(4, "url"))
+    (1 until 10).foreach { d =>
+      cat.appendPartitioned((d * 40 until (d + 1) * 40)
+        .map(i => (s"https://example.com/doc$i", i.toLong)).toDF("url", "v"), "t")
+    }
+    val snaps = cat.snapshots("t")
+    assert(snaps.size == 10)
+    // per-snapshot sidecars are delta-keyed m<K>.stats.tsv; the LAST one
+    // covers only the last delta's files — the old carry-forward copy grew
+    // linearly per append (O(drops²) cumulative, the quadratic-metadata
+    // shape the manifest-list fix killed)
+    val dir = java.nio.file.Paths.get(root, "t", "_manifests")
+    val lastLines = new String(java.nio.file.Files.readAllBytes(
+      dir.resolve(s"m${snaps.last}.stats.tsv"))).split('\n').count(_.nonEmpty)
+    val lastDelta = cat.filesWithAddOrder("t", snaps.last).count(_._2 == snaps.last)
+    assert(lastLines == lastDelta * 2, // transform stat + __count per file
+      s"last sidecar has $lastLines lines for $lastDelta delta files")
+    assert(!java.nio.file.Files.exists(dir.resolve(s"v${snaps.last}.stats.tsv")))
+    // the merged chain still answers exactly across all 10 drops
+    Seq(7L, 142L, 375L).foreach { v =>
+      val got = cat.readPartitionEq(spark, "t", s"https://example.com/doc$v").collect()
+      assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq((s"https://example.com/doc$v", v)))
+    }
+    val (_, _, n) = cat.statsAgg("t", cat.partitionSpec("t").get.statName).get
+    assert(n == 400L)
+    // expiry GCs the dead deltas' sidecars, keeps the live chain
+    cat.compact(spark, "t")
+    cat.expireSnapshots("t", keepLast = 1)
+    val left = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".stats.tsv")).toSeq
+    }
+    assert(left.isEmpty, s"expired delta sidecars leaked: $left")
   }
 
   test("days(warc_ts): a one-day range scan opens only that day's files — prune-proof") {
