@@ -1062,6 +1062,33 @@ object SparkEntry {
       (targets ++ ghosts).map(u => cat.readBloomLookup(s, "t", "url", u))
         .reduce(_.unionByName(_))
     }),
+    "q_zorder" -> ((s, dir) => {
+      // Z-ORDER clustering (Delta OPTIMIZE ZORDER shape): one Morton-key
+      // rewrite of the events table makes BOTH event_id and user_id
+      // prunable at once — each rewritten file covers a small rectangle in
+      // (event_id × user_id) space, so a range probe on either raw column
+      // opens a fraction of the files (the prune-proof-by-deletion and the
+      // sorted-contrast live in ZOrderSpec). The probes' union is the
+      // plain two-filter SQL — pruning is semantically invisible.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .selectExpr("event_id", "user_id", "event_type")
+      cat.commit(e, "t")
+      cat.compactZOrder(s, "t", Seq("event_id", "user_id"), nFiles = 16)
+      val byEvent = cat.readPruned(s, "t", "event_id", "100", "250")
+        .where("event_id BETWEEN 100 AND 250")
+        .selectExpr("'event_id' AS probe", "event_id", "user_id", "event_type")
+      val byUser = cat.readPruned(s, "t", "user_id", "40", "45")
+        .where("user_id BETWEEN 40 AND 45")
+        .selectExpr("'user_id' AS probe", "event_id", "user_id", "event_type")
+      byEvent.unionByName(byUser)
+    }),
     "q_wap" -> ((s, dir) => {
       // WRITE-AUDIT-PUBLISH: the odd docs stage on a branch (invisible to
       // CURRENT readers — asserted mid-flight), a real audit runs against
@@ -2531,6 +2558,14 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 50 = 9 AND doc_id < 500""".stripMargin,
+    // z-order: pruning is transparent — the probes' union is exactly the
+    // two range filters, tagged by which zone-mapped column answered
+    "q_zorder" ->
+      """SELECT 'event_id' AS probe, event_id, user_id, event_type
+        |FROM events WHERE event_id BETWEEN 100 AND 250
+        |UNION ALL
+        |SELECT 'user_id', event_id, user_id, event_type
+        |FROM events WHERE user_id BETWEEN 40 AND 45""".stripMargin,
     // hidden partitioning: pruning is transparent — the lookups' union is
     // exactly the equality filter over the lookup key set
     "q_hidden_partition" ->

@@ -877,6 +877,114 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     newSnap
   }
 
+  /** Z-ORDER clustering rewrite (the Delta `OPTIMIZE ZORDER BY` / Iceberg
+    * multi-dimensional sort-order rewrite): [[compactSorted]] makes ONE
+    * column prunable — files cover disjoint ranges of the sort key, and any
+    * OTHER column's values scatter across every file, so its zone maps all
+    * span the full domain and prune nothing. Z-ordering interleaves the
+    * bits of several columns' RANK-bucket ids into one Morton key and
+    * range-clusters on that, so each file covers a small hyper-rectangle
+    * in (col1 × col2 × …) space and zone-map pruning works on EVERY
+    * z-ordered column at once — the "point lookups by url AND range scans
+    * by timestamp on the same 100 TB table" shape.
+    *
+    * Buckets are RANK-based (per-column quantile boundaries from
+    * `approxQuantile`, the sample-derived range boundaries Delta's
+    * `range_partition_id` uses), not linear min/max scaling: a skewed
+    * dimension (web-scale host frequencies, long-tail doc lengths) under
+    * linear scaling collapses most rows into a few buckets and its bits
+    * stop partitioning the space. Boundary lookup per row is a
+    * `size(filter(boundsArray, b -> v >= b))` HOF — interpreted, not
+    * codegen'd, which is acceptable ONLY because this is a one-time
+    * maintenance rewrite, never a query-path expression.
+    *
+    * Numeric (castable-to-double) columns only — string clustering goes
+    * through [[compactSorted]] / a partition transform. Stats sidecars are
+    * written for every z column (that is the entire point), blooms are
+    * rebuilt, and pending equality deletes are materialized as in
+    * [[compact]]. Scale shape: one quantile pass + one range shuffle of
+    * the data — identical cost to compactSorted plus the O(cols) quantile
+    * sketch pass.
+    */
+  def compactZOrder(spark: SparkSession, table: String, cols: Seq[String],
+                    bitsPerCol: Int = 8, nFiles: Int = 0): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    require(cols.size >= 2 && cols.size <= 4,
+      s"compactZOrder on '$table': need 2..4 columns, got ${cols.size}")
+    require(bitsPerCol >= 1 && bitsPerCol * cols.size <= 60,
+      s"compactZOrder on '$table': ${bitsPerCol * cols.size} interleaved bits exceed a long")
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val bloomCols = bloomColumnsAt(table, snap)
+    val bloomBits: Map[String, Int] = bloomCols.map { c =>
+      c -> bloomLinesAt(table, snap, c).headOption
+        .map(_(1).toInt).getOrElse(1 << 17)
+    }.toMap
+    val cur = readSnapshot(spark, table, snap)
+    val buckets = 1 << bitsPerCol
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one GK-sketch pass per column; boundaries are MBs at most and ride
+    // into the bucket expression as literals (driver state, not a shuffle)
+    val bounds: Seq[Array[Double]] = cols.map { c =>
+      val b = cur.stat.approxQuantile(c, probs, 0.001)
+      require(b.nonEmpty, s"compactZOrder: no quantiles for '$c' (all null?)")
+      b
+    }
+    val withBuckets = cols.zip(bounds).zipWithIndex.foldLeft(cur) {
+      case (d, ((c, bs), i)) =>
+        val arr = bs.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
+        d.withColumn(s"_zb$i",
+          expr(s"size(filter($arr, b -> CAST(`$c` AS DOUBLE) >= b))"))
+    }
+    // Morton interleave: bit j of column i lands at position j*ncols + i
+    val zTerms = for (i <- cols.indices; j <- 0 until bitsPerCol)
+      yield s"shiftleft(CAST(shiftright(_zb$i, $j) & 1 AS BIGINT), ${j * cols.size + i})"
+    val n = if (nFiles > 0) nFiles else spark.sessionState.conf.numShufflePartitions
+    // Range-partition on the z-value's TOP bits (one Morton tile-group per
+    // key), not the raw z-value: the range partitioner's sampled boundaries
+    // would otherwise cut mid-tile and widen every file's per-column bounds
+    // past its tile. Equal keys never split across range partitions, so
+    // files hold WHOLE tiles and their zone maps stay hyper-rectangles.
+    val totalBits = bitsPerCol * cols.size
+    val fileBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(n - 1L).toInt)
+    val shift0 = math.max(0, totalBits - fileBits)
+    val withZv = withBuckets.withColumn("_zv", expr(zTerms.mkString(" + ")))
+    // Skew adaptation: a low-cardinality/skewed column contributes near-zero
+    // information in its high bits, collapsing the naive top-bit grouping to
+    // far fewer than n groups (few fat files, no pruning). ONE pass of
+    // simultaneous approx_count_distinct over every candidate shift (no
+    // Expand — approximate distincts share the scan) picks the COARSEST
+    // shift that still yields >= n tile-groups.
+    import org.apache.spark.sql.functions.approx_count_distinct
+    val candShifts = (0 to shift0).reverse
+    val shift =
+      if (shift0 == 0) 0
+      else {
+        val row = withZv.agg(
+          approx_count_distinct(expr(s"shiftright(_zv, ${candShifts.head})")).as("d0"),
+          candShifts.tail.map(s =>
+            approx_count_distinct(expr(s"shiftright(_zv, $s)")).as(s"d$s")): _*).head()
+        candShifts.zipWithIndex.collectFirst {
+          case (s, i) if row.getLong(i) >= n => s
+        }.getOrElse(0)
+      }
+    val withZ = withZv.withColumn("_zf", expr(s"shiftright(_zv, $shift)"))
+    val helper = Seq("_zv", "_zf") ++ cols.indices.map(i => s"_zb$i")
+    val clustered = withZ.repartitionByRange(n, col("_zf"))
+      .sortWithinPartitions("_zv")
+      .drop(helper: _*)
+    val newSnap = commit(clustered, table)
+    val files = manifestFiles(table, newSnap)
+    writeStr(new HPath(manifestDir(table), s"m$newSnap.stats.tsv"),
+      statsTsv(spark, files, cols.map(c => (c, s"`$c`"))))
+    bloomCols.foreach { c =>
+      writeStr(new HPath(manifestDir(table), s"m$newSnap.bloom.$c.tsv"),
+        bloomTsv(spark, files, c, bloomBits(c)))
+    }
+    putMeta(table, "zorder.cols", cols.mkString(","))
+    newSnap
+  }
+
   /** Iceberg-style remove_orphan_files — the third maintenance op (next to
     * compaction and snapshot expiry): data files on storage that NO
     * retained manifest references are crash debris (a mid-append death
