@@ -1402,6 +1402,18 @@ object SparkEntry {
           .selectExpr("event_type",
             "concat(CAST(user_id AS STRING), ':', CAST(event_id % 20 AS STRING)) AS v"),
         groupCol = "event_type", valueCol = "v")),
+    "q_kmv_ops" -> ((s, dir) =>
+      // KMV / theta bottom-k sketch (third sketch family): crawl-drop SET
+      // ALGEBRA — "how much of drop B is new vs drop A" is an INTERSECTION
+      // estimate, which HLL registers cannot answer. Both drop sketches
+      // ride ONE partial-agged scan (NULL-gated inputs); the exchange
+      // carries <=256 longs per partition, never the (user, session)
+      // values; every estimate is integer + one BigInt floor division, so
+      // the DuckDB oracle replays sketches AND estimates bit-for-bit.
+      graft.operators.Sketch.kmvSetOps(
+        s.read.parquet(s"$dir/events.parquet"),
+        aExpr = "CASE WHEN event_id % 2 = 0 THEN concat(CAST(user_id AS STRING), ':', CAST(event_id % 37 AS STRING)) END",
+        bExpr = "CASE WHEN event_id % 2 = 1 THEN concat(CAST(user_id AS STRING), ':', CAST(event_id % 37 AS STRING)) END")),
     "q_json_props" -> ((s, dir) =>
       // semi-structured operator family: JSON extraction + aggregation over
       // the events.props payload column
@@ -2722,6 +2734,39 @@ object SparkEntry {
         |       CAST((((CAST(65536 AS BIGINT) * (CAST(1 AS BIGINT) << 33)) // s) * 718272) // 1000000 AS BIGINT) AS raw_est,
         |       n_zero
         |FROM f""".stripMargin
+    },
+    // KMV bottom-k sketches replayed exactly: per-drop bottom-256 distinct
+    // 60-bit hashes (15 md5 hex digits via nibble-positional sum), theta =
+    // k-th smallest (or the full domain below k), every estimate one
+    // HUGEINT multiply + floor division — the same integers as the JVM's
+    // BigInt path, so all five outputs are bit-exact
+    "q_kmv_ops" -> {
+      val v = "CAST(user_id AS VARCHAR) || ':' || CAST(event_id % 37 AS VARCHAR)"
+      val h = graft.operators.Sketch.kmvHashDuck("v")
+      val D = graft.operators.Sketch.kmvDomain
+      s"""WITH ea AS (SELECT $v AS v FROM events WHERE event_id % 2 = 0),
+        |eb AS (SELECT $v AS v FROM events WHERE event_id % 2 = 1),
+        |ska AS (SELECT h FROM (SELECT DISTINCT $h AS h FROM ea) ORDER BY h LIMIT 256),
+        |skb AS (SELECT h FROM (SELECT DISTINCT $h AS h FROM eb) ORDER BY h LIMIT 256),
+        |pa AS (SELECT count(*) AS na, max(h) AS ma FROM ska),
+        |pb AS (SELECT count(*) AS nb, max(h) AS mb FROM skb),
+        |t2 AS (SELECT least(CASE WHEN na < 256 THEN $D ELSE ma END,
+        |                    CASE WHEN nb < 256 THEN $D ELSE mb END) AS t,
+        |              na, nb, ma, mb
+        |       FROM pa CROSS JOIN pb),
+        |mu AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) u
+        |       CROSS JOIN t2 WHERE u.h < t2.t ORDER BY h LIMIT 256),
+        |pu AS (SELECT count(*) AS nu, max(h) AS mx FROM mu),
+        |ix AS (SELECT count(*) AS ni FROM ska JOIN skb USING (h)
+        |       CROSS JOIN t2 WHERE ska.h < t2.t)
+        |SELECT est_a, est_b, est_union, est_inter, est_b - est_inter AS est_only_b
+        |FROM (SELECT
+        |  CASE WHEN na < 256 THEN na ELSE CAST((CAST(255 AS HUGEINT) * $D) // ma AS BIGINT) END AS est_a,
+        |  CASE WHEN nb < 256 THEN nb ELSE CAST((CAST(255 AS HUGEINT) * $D) // mb AS BIGINT) END AS est_b,
+        |  CASE WHEN nu >= 256 THEN CAST((CAST(255 AS HUGEINT) * $D) // mx AS BIGINT)
+        |       ELSE CAST((CAST(nu AS HUGEINT) * $D) // t AS BIGINT) END AS est_union,
+        |  CAST((CAST(ni AS HUGEINT) * $D) // t AS BIGINT) AS est_inter
+        |  FROM t2 CROSS JOIN pu CROSS JOIN ix)""".stripMargin
     },
     "q_redact_pii" ->
       s"""WITH d AS (SELECT doc_id,

@@ -258,6 +258,118 @@ object Sketch {
     val t = (hllM.toLong * hllM * (1L << 33)) / s
     ((t * hllAlphaScaled) / 1000000L, zeros)
   }
+
+  // ------------------------------------------------------------------
+  // KMV / theta sketch (bottom-k distinct hashes — Bar-Yossef et al. 2002;
+  // Dasgupta et al.'s theta-sketch framing): the third sketch family, and
+  // the one HLL cannot replace — bottom-k sketches support SET OPERATIONS.
+  // "How many of drop B's urls are NEW vs drop A" is an intersection
+  // estimate, and HLL registers only union. A KMV sketch keeps the k
+  // smallest 60-bit hashes of the distinct values; θ = k-th smallest / 2^60
+  // estimates the sampled fraction of the hash domain, so |D| ≈ (k-1)/θ,
+  // and because every sketch retains literal hash VALUES, A∩B is just the
+  // shared hashes below min(θ_A, θ_B), scaled back up.
+  //
+  // Scale shape: one partial-agged pass per drop; the exchange carries at
+  // most k longs per (partition, group) — never the values. Merge = union
+  // + trim to k (associative, commutative, idempotent — duplicate rows and
+  // at-least-once replay change nothing). Every estimate step is integer
+  // (one BigInt floor division), and the hash is the first 15 md5 hex
+  // digits, so the DuckDB oracle replays sketches AND estimates
+  // bit-for-bit (q_kmv_ops).
+  // ------------------------------------------------------------------
+
+  /** k = 256 retained hashes: relative error ~1/sqrt(k-2) ≈ 6.3%. */
+  val kmvK = 256
+
+  /** Hash domain: 15 md5 hex digits = [0, 2^60) — BIGINT-safe on both
+    * engines (DuckDB's nibble-sum replay never exceeds 15 * 2^56 < 2^63).
+    */
+  val kmvDomain: Long = 1L << 60
+
+  /** First 15 hex digits of md5(v) as a long — must stay in lock-step
+    * with [[kmvHashSql]] and [[kmvHashDuck]].
+    */
+  def kmvHash(v: String): Long = {
+    val d = md5Of(v)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** The same hash as a Spark SQL expression (the SketchSpec parity pin). */
+  def kmvHashSql(col: String): String =
+    s"CAST(conv(substr(md5($col), 1, 15), 16, 10) AS BIGINT)"
+
+  /** The same hash as a DuckDB expression (no conv(); the proven
+    * nibble-positional-sum idiom).
+    */
+  def kmvHashDuck(col: String): String = {
+    val terms = (1 to 15)
+      .map(j => s"(strpos('0123456789abcdef', substr(md5($col), $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+      .mkString(" + ")
+    s"($terms)"
+  }
+
+  def registerKmv(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo("graft.operators.Sketch", "kmv_sketch"),
+      (args: Seq[Expression]) => KmvAgg(args.head, kmvK))
+
+  /** θ as an absolute hash bound: a sketch holding fewer than k hashes saw
+    * its WHOLE distinct set (exact regime), so θ = the full domain.
+    */
+  def kmvTheta(sk: Array[Long]): Long =
+    if (sk.length < kmvK) kmvDomain else sk.last
+
+  /** Distinct estimate: exact below k; (k-1) · 2^60 / h_k above. */
+  def kmvEstimate(sk: Array[Long]): Long =
+    if (sk.length < kmvK) sk.length
+    else ((BigInt(kmvK - 1) * kmvDomain) / sk.last).toLong
+
+  /** Intersection estimate: shared hashes below min(θ_A, θ_B), scaled by
+    * the sampled fraction. Exact when both sketches are exact.
+    */
+  def kmvIntersect(a: Array[Long], b: Array[Long]): Long = {
+    val theta = math.min(kmvTheta(a), kmvTheta(b))
+    val bs = b.toSet
+    val n = a.count(h => h < theta && bs(h))
+    ((BigInt(n) * kmvDomain) / theta).toLong
+  }
+
+  /** Union estimate: merged distinct hashes below min(θ_A, θ_B), re-trimmed
+    * to k (the union SKETCH — this is why merge stays a valid sketch).
+    */
+  def kmvUnion(a: Array[Long], b: Array[Long]): Long = {
+    val theta = math.min(kmvTheta(a), kmvTheta(b))
+    val m = (a ++ b).distinct.filter(_ < theta).sorted
+    if (m.length >= kmvK) ((BigInt(kmvK - 1) * kmvDomain) / m(kmvK - 1)).toLong
+    else ((BigInt(m.length) * kmvDomain) / theta).toLong
+  }
+
+  /** Crawl-drop set algebra in ONE partial-agged pass: `aExpr` / `bExpr`
+    * are SQL expressions yielding the value when the row belongs to the
+    * drop and NULL otherwise (nulls never enter a sketch), so both drop
+    * sketches share a single scan. Returns one row:
+    * (est_a, est_b, est_union, est_inter, est_only_b) — "only_b" is the
+    * new-content question by inclusion-exclusion on the B side.
+    */
+  def kmvSetOps(df: DataFrame, aExpr: String, bExpr: String): DataFrame = {
+    val spark = df.sparkSession
+    registerKmv(spark)
+    val r = df.agg(
+      expr(s"kmv_sketch(CAST(($aExpr) AS STRING))").as("a"),
+      expr(s"kmv_sketch(CAST(($bExpr) AS STRING))").as("b")).head()
+    val a = r.getSeq[Long](0).toArray
+    val b = r.getSeq[Long](1).toArray
+    val (ea, eb) = (kmvEstimate(a), kmvEstimate(b))
+    val ei = kmvIntersect(a, b)
+    import spark.implicits._
+    Seq((ea, eb, kmvUnion(a, b), ei, eb - ei))
+      .toDF("est_a", "est_b", "est_union", "est_inter", "est_only_b")
+  }
 }
 
 /** Count-Min sketch as a typed imperative aggregate: buffer = flat
@@ -382,4 +494,78 @@ case class HllAgg(
   override protected def withNewChildInternal(newChild: Expression): HllAgg =
     copy(child = newChild)
   override def prettyName: String = "hll_sketch"
+}
+
+/** Bottom-k hashes as a typed imperative aggregate: buffer = an ordered set
+  * of at most k distinct 60-bit hashes, update = insert-if-below-cap-or-
+  * below-max, merge = set union + trim — associative/commutative/idempotent
+  * (re-processing a row can never change the result). The exchange carries
+  * at most k longs per partition; the values themselves never shuffle.
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  // see CountMinAgg.inputTypes — analysis-time coercion, not runtime CCE
+  override def inputTypes = Seq(StringType)  // inferred: AbstractDataType is private[sql]
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last()) {
+      if (buf.add(h)) { buf.remove(buf.last()); () }
+    }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, Sketch.kmvHash(v.asInstanceOf[UTF8String].toString))
+    buf
+  }
+
+  override def merge(b1: java.util.TreeSet[java.lang.Long],
+                     b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b2.iterator()
+    while (it.hasNext) insert(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    ArrayData.toArrayData(out) // ascending — out.last IS the k-th smallest
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.size * 8)
+    val lb = bb.asLongBuffer()
+    val it = buf.iterator()
+    while (it.hasNext) lb.put(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    val lb = ByteBuffer.wrap(bytes).asLongBuffer()
+    while (lb.hasRemaining) buf.add(lb.get())
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_sketch"
 }

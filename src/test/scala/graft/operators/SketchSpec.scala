@@ -184,4 +184,71 @@ class SketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     val aggCount = "(?i)(objecthashaggregate|sortaggregate)".r.findAllIn(plan).size
     assert(aggCount >= 2, s"expected partial+final aggregate, got:\n$plan")
   }
+
+  test("kmv: JVM 60-bit hash matches the Spark SQL conv() spelling for every value") {
+    val vals = Seq("alpha", "züge", "漢字", "a:b", "", "x" * 500)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("v")
+    val got = df.selectExpr("v", s"${Sketch.kmvHashSql("v")} AS h")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (v <- vals) assert(got(v) == Sketch.kmvHash(v), s"value '$v'")
+    assert(vals.forall(v => Sketch.kmvHash(v) >= 0 && Sketch.kmvHash(v) < Sketch.kmvDomain))
+  }
+
+  private def kmvOf(n: Int, dups: Int, parts: Int, prefix: String = "value"): Array[Long] = {
+    Sketch.registerKmv(spark)
+    val vs = (0 until n).flatMap(i => Seq.fill(dups)(s"$prefix-$i"))
+    spark.createDataFrame(vs.map(Tuple1(_))).toDF("v").repartition(parts)
+      .agg(expr("kmv_sketch(v)")).head().getSeq[Long](0).toArray
+  }
+
+  test("kmv: exact below k; within 15% at 5000 distinct; duplicates and partitioning change NOTHING") {
+    // below k: the sketch IS the distinct hash set — estimate is exact
+    assert(Sketch.kmvEstimate(kmvOf(100, 3, 5)) == 100L)
+    val sk = kmvOf(5000, 1, 6)
+    assert(sk.length == Sketch.kmvK && sk.toSeq == sk.toSeq.sorted)
+    val est = Sketch.kmvEstimate(sk)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.15, s"est=$est")
+    // idempotence (merge = set union) and partition-independence: the
+    // sketch is a pure function of the distinct value set
+    assert(kmvOf(5000, 3, 6).toSeq == sk.toSeq)
+    assert(kmvOf(5000, 1, 13).toSeq == sk.toSeq)
+  }
+
+  test("kmv: set algebra — disjoint drops intersect to ~0, identical drops to themselves, overlap near truth") {
+    val a = kmvOf(3000, 1, 4, "left")
+    val b = kmvOf(3000, 1, 4, "right")          // disjoint from a
+    val c = kmvOf(3000, 1, 4, "left")           // identical to a
+    assert(Sketch.kmvIntersect(a, c) == Sketch.kmvEstimate(a))
+    val disjoint = Sketch.kmvIntersect(a, b)
+    assert(disjoint < 3000 / 10, s"disjoint intersect est=$disjoint")
+    val u = Sketch.kmvUnion(a, b)
+    assert(math.abs(u - 6000.0) / 6000.0 < 0.20, s"union est=$u")
+    // 50% overlap: left-1500..2999 == overlap-0..1499? build explicitly
+    val x = {
+      Sketch.registerKmv(spark)
+      val vs = (0 until 3000).map(i => s"k-$i")
+      spark.createDataFrame(vs.map(Tuple1(_))).toDF("v")
+        .agg(expr("kmv_sketch(v)")).head().getSeq[Long](0).toArray
+    }
+    val y = {
+      val vs = (1500 until 4500).map(i => s"k-$i")
+      spark.createDataFrame(vs.map(Tuple1(_))).toDF("v")
+        .agg(expr("kmv_sketch(v)")).head().getSeq[Long](0).toArray
+    }
+    val inter = Sketch.kmvIntersect(x, y)
+    assert(math.abs(inter - 1500.0) / 1500.0 < 0.35, s"overlap inter est=$inter")
+  }
+
+  test("kmv: plan is partial+final aggregate — the exchange carries <=k longs, not values") {
+    Sketch.registerKmv(spark)
+    val plan = kmvCorpusPlan()
+    val aggCount = "(?i)(objecthashaggregate|sortaggregate)".r.findAllIn(plan).size
+    assert(aggCount >= 2, s"expected partial+final aggregate, got:\n$plan")
+  }
+
+  private def kmvCorpusPlan(): String = {
+    val vs = (0 until 100).map(i => Tuple1(s"value-$i"))
+    spark.createDataFrame(vs).toDF("v").repartition(4)
+      .agg(expr("kmv_sketch(v)")).queryExecution.executedPlan.toString
+  }
 }
