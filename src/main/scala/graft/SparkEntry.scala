@@ -344,6 +344,16 @@ object SparkEntry {
         .selectExpr("url", "CAST(idx AS INT) AS idx",
           "pv.og_props AS prop", "pv.og_vals AS content")
     }),
+    "q_jsonld" -> ((s, dir) => {
+      // JSON-LD harvest: every <script type=application/ld+json> block rides
+      // the output row raw (rawtext — char-refs NOT decoded), document
+      // order, MIME essence matched case-insensitively with ;parameters
+      // ignored; plain/typeless scripts never captured
+      val n = s.sparkContext.defaultParallelism
+      ExtractJob.extract(Pages.synthesizeMediaPages(s, dir), "ld", n)
+        .toDF().selectExpr("url", "posexplode(json_ld) AS (idx, ld)")
+        .selectExpr("url", "CAST(idx AS INT) AS idx", "ld")
+    }),
     "q_meta_robots" -> ((s, dir) => {
       // noindex compliance: first <meta name=robots> content rides the
       // output row; corpora drop noindex pages before training
@@ -1669,6 +1679,18 @@ object SparkEntry {
         |SELECT url, CAST(k + 1 AS INTEGER), 'og:image',
         |       'https://img.example.org/og' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR) || '.jpg'
         |FROM (SELECT doc_id, url, unnest(generate_series(0, 1)) AS k FROM d WHERE doc_id % 3 = 0)""".stripMargin,
+    // closed-form JSON-LD blocks: head Article on even ids (idx 0, &amp;
+    // kept RAW — rawtext), body Product on multiples of 5 (idx 1 when the
+    // Article precedes it, else 0); js/typeless scripts never appear
+    "q_jsonld" ->
+      """WITH d AS (SELECT doc_id, 'https://example.com/media/doc' || CAST(doc_id AS VARCHAR) AS url FROM documents)
+        |SELECT url, 0 AS idx,
+        |       '{"@type":"Article","headline":"M ' || CAST(doc_id AS VARCHAR) || ' &amp; co","wordCount":' || CAST(doc_id % 7 AS VARCHAR) || '}' AS ld
+        |FROM d WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT url, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS idx,
+        |       '{"@type":"Product","sku":"P' || CAST(doc_id AS VARCHAR) || '"}'
+        |FROM d WHERE doc_id % 5 = 0""".stripMargin,
     "q_meta_robots" ->
       """SELECT 'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
         |       CASE doc_id % 2 WHEN 1 THEN 'noindex,nofollow' ELSE '' END AS meta_robots

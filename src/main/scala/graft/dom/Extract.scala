@@ -45,6 +45,14 @@ final case class ExtractResult(
     // attributes onto the root element), which "first tag WITH lang wins"
     // realizes exactly.
     declaredLang: String,
+    // raw text content of every <script type="application/ld+json"> block,
+    // document order — schema.org structured data (Article/Product/FAQ
+    // markup) is the highest-precision metadata a page publishes and real
+    // pipelines harvest it before any heuristic. Content is RAWTEXT (no
+    // char-ref decoding happens inside script, per spec) and is NEVER part
+    // of the extracted text; parsing the JSON itself is the engine's job
+    // downstream (get_json_object over this column).
+    jsonLd: Vector[String],
     nTokens: Long,
     nTags: Long,
     nErrors: Int,
@@ -407,6 +415,13 @@ final class ExtractSink extends TokenSink {
   private val titleBuf = new java.lang.StringBuilder
   private var inTitle = false
   private var titleDone = false
+  // JSON-LD capture: <script type="application/ld+json"> content buffers on
+  // the side like the title (script is blacklisted — its chars never reach
+  // the content text, so this is the ONLY way they survive). Script data is
+  // rawtext: nested tags can't occur, one boolean suffices.
+  private val jsonLd = ArrayBuffer.empty[String]
+  private val ldBuf = new java.lang.StringBuilder
+  private var inLd = false
   // pending spans: each text run becomes an arena TEXT NODE (name = null)
   // under its anchor element, so adoption-agency tree surgery moves text
   // with its block and span paths are materialized from the FINAL tree in
@@ -448,6 +463,7 @@ final class ExtractSink extends TokenSink {
     outLinks.clear(); metaRobots = ""; baseHref = ""; canonicalHref = ""; declaredLang = ""; pendingLinkIdx = -1
     imgSrcs.clear(); imgAlts.clear(); ogProps.clear(); ogVals.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
+    jsonLd.clear(); ldBuf.setLength(0); inLd = false
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
     pathMemo.clear()
     runStart = -1; runBlock = root; runLink = false; runLinkIdx = -1; runAnchor = root; runFosterRef = -1
@@ -552,6 +568,7 @@ final class ExtractSink extends TokenSink {
   override def char(cp: Int): Unit = {
     nTokens += 1
     if (inTitle) titleBuf.appendCodePoint(cp)
+    if (inLd) ldBuf.appendCodePoint(cp)
     if (dropNl) { dropNl = false; if (cp == '\n') return }
     if (preText(!isWsCp(cp))) {
       startRunIfNeeded()
@@ -565,6 +582,7 @@ final class ExtractSink extends TokenSink {
     var from = from0
     if (dropNl) { dropNl = false; if (src(from) == '\n') from += 1 }
     if (inTitle) { var i = from; while (i < until) { titleBuf.appendCodePoint(src(i)); i += 1 } }
+    if (inLd) { var i = from; while (i < until) { ldBuf.appendCodePoint(src(i)); i += 1 } }
     if (until <= from) return
     var nonWs = false
     var start = from
@@ -588,6 +606,7 @@ final class ExtractSink extends TokenSink {
     var from = from0
     if (dropNl) { dropNl = false; if (src(from) == '\n') from += 1 }
     if (inTitle) { var i = from; while (i < until) { titleBuf.append(src(i).toChar); i += 1 } }
+    if (inLd) { var i = from; while (i < until) { ldBuf.append(src(i).toChar); i += 1 } }
     if (until <= from) return
     var nonWs = false
     var start = from
@@ -650,6 +669,7 @@ final class ExtractSink extends TokenSink {
       if ((f & FFormatting) != 0 && nm == "a") linkDepth -= 1
       if (nm == "svg" || nm == "math") foreignDepth -= 1
       if (inTitle && nm == "title") { inTitle = false; titleDone = true }
+      if (inLd && nm == "script") flushLd()
       if ((f & FMarker) != 0 && fmtMarkers.nonEmpty) {
         // clear active formatting up to the marker (§ "clear ... to last marker")
         val m = fmtMarkers.remove(fmtMarkers.length - 1)
@@ -829,6 +849,18 @@ final class ExtractSink extends TokenSink {
         }
         if (rel != null && href != null && hasLinkToken(rel, "canonical"))
           canonicalHref = href
+      } else if (name == "script" && attrs.nonEmpty) {
+        // <script type="application/ld+json">: schema.org structured data.
+        // MIME match is essence-only (parameters after ';' ignored, ASCII
+        // case-insensitive, surrounding whitespace trimmed) — the rule
+        // browsers and search crawlers apply to the type attribute.
+        var i = 0
+        var ty: String = null
+        while (i < attrs.length && ty == null) {
+          if (attrs(i)._1 == "type") ty = attrs(i)._2
+          i += 1
+        }
+        if (ty != null && isLdJsonMime(ty)) { inLd = true; ldBuf.setLength(0) }
       } else if (name == "meta" && attrs.nonEmpty) {
         // <meta name=robots content=...>: corpora respect noindex; first
         // wins. <meta property="og:*" content=...>: Open Graph pairs (the
@@ -879,6 +911,28 @@ final class ExtractSink extends TokenSink {
   }
   private def relWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  /** True when the script `type` attribute's MIME essence (whitespace
+    * trimmed, any ";parameters" dropped) is application/ld+json, matched
+    * ASCII-case-insensitively.
+    */
+  private def isLdJsonMime(ty: String): Boolean = {
+    var a = 0
+    var b = ty.length
+    while (a < b && relWs(ty.charAt(a))) a += 1
+    val semi = ty.indexOf(';', a)
+    if (semi >= 0) b = semi
+    while (b > a && relWs(ty.charAt(b - 1))) b -= 1
+    val t = "application/ld+json"
+    b - a == t.length && ty.regionMatches(true, a, t, 0, t.length)
+  }
+
+  /** Close an open JSON-LD capture: flush the buffered script content. */
+  private def flushLd(): Unit = {
+    jsonLd += ldBuf.toString
+    ldBuf.setLength(0)
+    inLd = false
+  }
 
   private def startTag(name: String, selfClosing: Boolean): Unit = {
     val f = flagsOf(name) // the ONE name-hash of the per-tag hot path
@@ -1028,6 +1082,7 @@ final class ExtractSink extends TokenSink {
     if ((fl & FFormatting) != 0 && nm == "a") linkDepth -= 1
     if (nm == "svg" || nm == "math") foreignDepth -= 1
     if (inTitle && nm == "title") { inTitle = false; titleDone = true }
+    if (inLd && nm == "script") flushLd()
     stkName.remove(i); stkNode.remove(i); stkFlags.remove(i)
   }
 
@@ -1242,9 +1297,14 @@ final class ExtractSink extends TokenSink {
     val anchors =
       if (anch == null) Vector.empty[String]
       else Vector.tabulate(anch.length)(i => if (anch(i) == null) "" else anch(i).toString)
+    // EOF inside an open ld+json script (truncated document): keep the
+    // partial content — downstream JSON parsing rejects it if malformed.
+    val lds =
+      if (inLd && ldBuf.length > 0) (jsonLd.toVector :+ ldBuf.toString)
+      else jsonLd.toVector
     ExtractResult(full, if (allKept) full else main.toString, titleBuf.toString,
       outSpans.result(), outLinks.toVector, anchors, imgSrcs.toVector,
-      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, canonicalHref, declaredLang, nTokens,
+      imgAlts.toVector, ogProps.toVector, ogVals.toVector, metaRobots, baseHref, canonicalHref, declaredLang, lds, nTokens,
       nTags, errors.length, errors.toVector, truncated, stateHits)
   }
 

@@ -131,6 +131,21 @@ object HtmlOg {
     StructField("content", StringType, nullable = false))), containsNull = false)
 }
 
+/** Raw `<script type="application/ld+json">` blocks in document order —
+  * schema.org structured data, ready for `get_json_object`/`from_json`.
+  */
+case class HtmlJsonLd(child: Expression) extends HtmlKernelExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ex(input.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      r.jsonLd.map(UTF8String.fromString).toArray[Any])
+  }
+  override protected def withNewChildInternal(newChild: Expression): HtmlJsonLd = copy(child = newChild)
+  override def prettyName: String = "html_jsonld"
+}
+
 case class HtmlErrors(child: Expression) extends HtmlKernelExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -248,6 +263,7 @@ object HtmlFunctions {
     "html_errors" -> (args => HtmlErrors(args.head)),
     "html_links" -> (args => HtmlLinks(args.head)),
     "html_og" -> (args => HtmlOg(args.head)),
+    "html_jsonld" -> (args => HtmlJsonLd(args.head)),
     "html_extract_all" -> (args => HtmlExtractAll(args.head))
   )
 
@@ -279,6 +295,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ("html_errors", (args: Seq[Expression]) => HtmlErrors(args.head)),
     ("html_links", (args: Seq[Expression]) => HtmlLinks(args.head)),
     ("html_og", (args: Seq[Expression]) => HtmlOg(args.head)),
+    ("html_jsonld", (args: Seq[Expression]) => HtmlJsonLd(args.head)),
     ("html_extract_all", (args: Seq[Expression]) => HtmlExtractAll(args.head))
   ).foreach { case (name, builder) =>
     ext.injectFunction((FunctionIdentifier(name),

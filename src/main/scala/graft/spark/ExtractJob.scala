@@ -29,6 +29,7 @@ final case class Extracted(
     base_href: String,
     canonical: String, // first <link rel=canonical href> ("" absent) — crawl-dedup cluster key
     declared_lang: String, // first <html lang> ("" absent), lowercased — declared-vs-detected quality signal
+    json_ld: Seq[String], // raw <script type=application/ld+json> blocks, document order — schema.org structured data
     errors: Seq[String],
     n_spans: Int,
     n_tokens: Long,
@@ -98,7 +99,7 @@ object ExtractJob {
     */
   def extractRow(p: PageRow): Extracted = {
     val r = Extractor.extract(p.html)
-    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links, r.anchors, r.imgSrcs, r.imgAlts, r.ogProps, r.ogVals, r.metaRobots, r.baseHref, r.canonical, r.declaredLang, r.errors,
+    Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links, r.anchors, r.imgSrcs, r.imgAlts, r.ogProps, r.ogVals, r.metaRobots, r.baseHref, r.canonical, r.declaredLang, r.jsonLd, r.errors,
       r.spans.length, r.nTokens, r.nTags, r.nErrors, r.truncated,
       p.html.length.toLong)
   }
@@ -222,12 +223,12 @@ object ExtractJob {
         if (p.html == null) {
           // real crawl tables carry null bodies (fetch failures, truncated
           // records): an error row, never an NPE'd task at 100 TB
-          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, Nil, Nil, "", "", "", "", Seq("NULL_HTML"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, Nil, Nil, "", "", "", "", Nil, Seq("NULL_HTML"),
             0, 0L, 0L, 1, truncated = false, 0L)
         } else if (bytes >= maxTaskBytes) {
           capped += 1
           bytes += p.html.length
-          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, Nil, Nil, "", "", "", "", Seq("TASK_BYTE_CAP"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, Nil, Nil, "", "", "", "", Nil, Seq("TASK_BYTE_CAP"),
             0, 0L, 0L, 1, truncated = true, p.html.length.toLong)
         } else {
           val r = Extractor.extractInto(p.html, sink)
@@ -238,7 +239,7 @@ object ExtractJob {
           // spans still index it, and main_text == full_text on pages whose
           // spans are all kept) — schema stays contract-identical
           Extracted(p.url, p.lang, r.mainText, if (lean) "" else r.text,
-            r.title, r.spans, r.links, r.anchors, r.imgSrcs, r.imgAlts, r.ogProps, r.ogVals, r.metaRobots, r.baseHref, r.canonical, r.declaredLang, r.errors, r.spans.length, r.nTokens, r.nTags,
+            r.title, r.spans, r.links, r.anchors, r.imgSrcs, r.imgAlts, r.ogProps, r.ogVals, r.metaRobots, r.baseHref, r.canonical, r.declaredLang, r.jsonLd, r.errors, r.spans.length, r.nTokens, r.nTags,
             r.nErrors, r.truncated, p.html.length.toLong)
         }
       }

@@ -298,7 +298,21 @@ object Pages {
     }
     sb.append("<meta property=\"twitter:card\" content=\"summary\">") // non-og: ignored
     sb.append("<meta property=\"og:nocontent\">") // content-less: skipped
+    // JSON-LD block #1 (head) on even ids: schema.org Article. The &amp;
+    // stays RAW — script is rawtext, char-refs are never decoded inside it.
+    if (docId % 2 == 0)
+      sb.append("<script type=\"application/ld+json\">{\"@type\":\"Article\",\"headline\":\"M ")
+        .append(docId).append(" &amp; co\",\"wordCount\":").append(docId % 7).append("}</script>")
     sb.append("</head><body><p>media doc ").append(docId).append("</p>")
+    // negative probes: plain/typeless scripts must NOT be captured (and,
+    // being blacklisted, never reach the extracted text either)
+    sb.append("<script type=\"text/javascript\">var m=").append(docId).append(";</script>")
+    sb.append("<script>ignore()</script>")
+    // JSON-LD block #2 (body) on multiples of 5: MIME-essence matching —
+    // mixed case, surrounding whitespace and a ;parameter must all match
+    if (docId % 5 == 0)
+      sb.append("<script type=\" Application/LD+JSON; charset=utf-8\">{\"@type\":\"Product\",\"sku\":\"P")
+        .append(docId).append("\"}</script>")
     var i = 0
     while (i < k) {
       sb.append("<figure><img src=\"https://img.example.org/i").append(docId)

@@ -47,12 +47,12 @@ object ExtractStream {
       val sink = new graft.dom.ExtractSink
       it.map { p =>
         if (p.html == null)
-          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, Nil, Nil, "", "", "", "", Seq("NULL_HTML"),
+          Extracted(p.url, p.lang, "", "", "", Nil, Nil, Nil, Nil, Nil, Nil, Nil, "", "", "", "", Nil, Seq("NULL_HTML"),
             0, 0L, 0L, 1, truncated = false, 0L)
         else {
           val r = graft.dom.Extractor.extractInto(p.html, sink)
           Extracted(p.url, p.lang, r.mainText, r.text, r.title, r.spans, r.links,
-            r.anchors, r.imgSrcs, r.imgAlts, r.ogProps, r.ogVals, r.metaRobots, r.baseHref, r.canonical, r.declaredLang, r.errors, r.spans.length, r.nTokens,
+            r.anchors, r.imgSrcs, r.imgAlts, r.ogProps, r.ogVals, r.metaRobots, r.baseHref, r.canonical, r.declaredLang, r.jsonLd, r.errors, r.spans.length, r.nTokens,
             r.nTags, r.nErrors, r.truncated, p.html.length.toLong)
         }
       }
