@@ -1237,6 +1237,41 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_rewrite_manifests" -> ((s, dir) => {
+      // Iceberg-style rewrite_manifests: after four crawl drops and a
+      // takedown, consolidate the delta-manifest chain METADATA-ONLY —
+      // reads then parse O(deletes+1) manifests instead of O(appends),
+      // the read-side twin of the O(delta) append fix. The sequence rule
+      // must hold through it: the takedown keeps applying to pre-delete
+      // drops, the post-delete re-adds of the same keys survive. The
+      // require pins the consolidation shape (2 merged refs + 1 tombstone).
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_rwm_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "md5(text) AS text_md5",
+        "md5(concat(text, ' v2')) AS text_md5_v2")
+      cat.commit(d.where("doc_id % 4 = 0").select("doc_id", "text_md5"), "t")
+      cat.append(d.where("doc_id % 4 = 1").select("doc_id", "text_md5"), "t")
+      val keys = d.where("doc_id % 20 = 0").select("doc_id")
+        .collect().map(_.getLong(0).toString).toSeq
+      cat.deleteWhere("t", "doc_id", keys)
+      cat.append(d.where("doc_id % 4 = 2").select("doc_id", "text_md5"), "t")
+      cat.append(d.where("doc_id % 4 = 3").select("doc_id", "text_md5")
+        .unionByName(d.where("doc_id % 20 = 0")
+          .selectExpr("doc_id", "text_md5_v2 AS text_md5")), "t")
+      val rw = cat.rewriteManifests("t")
+      val refs = Files.readString(Paths.get(root, "t", "_manifests", s"v$rw.json"))
+        .split('\n').map(_.trim.stripPrefix("\"").stripSuffix(",").stripSuffix("\""))
+      val dataRefs = refs.filter(_.startsWith("@"))
+      require(dataRefs.length == 2 && dataRefs.forall(_.contains("-")),
+        s"expected 2 consolidated refs, got ${dataRefs.toSeq}")
+      require(refs.count(_.startsWith("!")) == 1, "tombstone ref lost in rewrite")
+      cat.read(s, "t")
+    }),
     "q_incremental_scan" -> ((s, dir) => {
       // Iceberg-style changelog read: commit drop A, append drop B, then
       // read ONLY the rows added in (A, B] — O(delta) metadata planning via
@@ -2612,6 +2647,14 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // manifest consolidation is metadata-only: content = the four drops
+    // with the takedown applied to its pre-delete drops and the post-
+    // delete re-adds (v2 captures) surviving the sequence rule
+    "q_rewrite_manifests" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id % 4 <> 0 OR doc_id % 20 <> 0
+        |UNION ALL
+        |SELECT doc_id, md5(text || ' v2') FROM documents WHERE doc_id % 20 = 0""".stripMargin,
     // the changelog window (A, B] is exactly drop B
     "q_incremental_scan" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 3 = 2",

@@ -180,11 +180,17 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def filesWithAddOrder(table: String, snap: Long): Seq[(String, Long)] =
     entriesOf(table, snap).flatMap { e =>
       if (e.startsWith("@")) {
-        val k = e.stripPrefix("@m").stripSuffix(".json").toLong
+        val k = addOrderOfId(e.stripPrefix("@m").stripSuffix(".json"))
         parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@")))).map(_ -> k)
       } else if (e.startsWith("!")) Nil
       else Seq(e -> 0L)
     }.distinctBy(_._1)
+
+  /** Effective add order of a manifest id: `m<K>.json` → K;
+    * a consolidated manifest `m<K>-<snap>.json` (see [[rewriteManifests]])
+    * keeps the MERGED GROUP's smallest add order as its digits prefix.
+    */
+  private def addOrderOfId(id: String): Long = id.takeWhile(_.isDigit).toLong
 
   /** The (data file, add order) pairs ADDED in (fromSnap, toSnap] — the
     * incremental window's file plan, O(delta) metadata (entry-list diff
@@ -209,7 +215,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
         "read the full snapshot instead")
     val newPairs = toEntries.filterNot(fromEntries).flatMap { e =>
       if (e.startsWith("@")) {
-        val k = e.stripPrefix("@m").stripSuffix(".json").toLong
+        val k = addOrderOfId(e.stripPrefix("@m").stripSuffix(".json"))
         parseJsonArray(readStr(new HPath(manifestDir(table), e.stripPrefix("@")))).map(_ -> k)
       } else if (e.startsWith("!")) Nil
       else Seq(e -> 0L)
@@ -1180,6 +1186,73 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * referenced ONLY by expired manifest lists — snapshots sharing metadata
     * with a live version keep it on disk. Returns the expired snapshot ids.
     */
+  /** Iceberg-style rewrite_manifests: METADATA-ONLY consolidation of the
+    * current snapshot's delta-manifest chain. After n streaming appends a
+    * read parses n small manifest files — O(appends) metadata per read,
+    * the read-side twin of the append-time carry-forward this catalog
+    * already killed. Delta manifests merge WITHIN each equality-delete gap
+    * into one consolidated manifest named `m<effK>-<snap>.json` (effK =
+    * the group's smallest add order, snap = the rewriting snapshot — the
+    * digits-prefix convention [[addOrderOfId]] reads back). The sequence
+    * rule is preserved EXACTLY: a delete at D applies to a file iff
+    * D > addOrder, and no delete snapshot lies strictly inside a group's
+    * add-order interval by construction, so collapsing the interval to its
+    * minimum changes no file's applicable-delete set. Consolidated
+    * manifests are bounded by the DELETE count + 1, never the append
+    * count. Data files untouched; stats/bloom sidecars merge by
+    * concatenation under the consolidated id (files without coverage stay
+    * uncovered — pruning keeps them conservatively, same as pre-rewrite);
+    * tombstones and legacy raw-path entries pass through; older snapshots
+    * keep their original manifests (time travel intact) until expired,
+    * when ref-counted GC collects the superseded deltas and their
+    * sidecars. Incremental windows crossing the rewrite refuse, like
+    * compaction. Returns the new snapshot id, or the current one when no
+    * group has two manifests to merge.
+    */
+  def rewriteManifests(table: String): Long = withCommitLock(table) {
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val entries = entriesOf(table, cur)
+    val delSnaps = entries.filter(_.startsWith("!"))
+      .map(_.stripPrefix("!d").split('.')(0).toLong).sorted
+    val groups = entries.filter(_.startsWith("@")).groupBy { e =>
+      delSnaps.count(_ <= addOrderOfId(e.stripPrefix("@m").stripSuffix(".json")))
+    }
+    if (!groups.values.exists(_.size > 1)) cur
+    else {
+      val snap = claimSnapshotId(table)
+      val dir = manifestDir(table)
+      val names = listNames(dir)
+      val merged = groups.toSeq.sortBy(_._1).map { case (_, refs) =>
+        if (refs.size == 1) refs.head
+        else {
+          val ids = refs.map(_.stripPrefix("@m").stripSuffix(".json"))
+          val newId = s"${ids.map(addOrderOfId).min}-$snap"
+          val files = refs.flatMap(e =>
+            parseJsonArray(readStr(new HPath(dir, e.stripPrefix("@")))))
+            .distinct.sorted
+          writeStr(new HPath(dir, s"m$newId.json"),
+            files.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]"))
+          def mergeSidecar(suffix: String): Unit = {
+            val parts = ids.map(i => new HPath(dir, s"m$i$suffix"))
+              .filter(fsExists).map(readStr)
+            if (parts.nonEmpty)
+              writeStr(new HPath(dir, s"m$newId$suffix"),
+                parts.map(_.stripSuffix("\n")).mkString("", "\n", "\n"))
+          }
+          mergeSidecar(".stats.tsv")
+          ids.flatMap { i =>
+            names.filter(n => n.startsWith(s"m$i.bloom.") && n.endsWith(".tsv"))
+              .map(_.stripPrefix(s"m$i.bloom.").stripSuffix(".tsv"))
+          }.distinct.foreach(c => mergeSidecar(s".bloom.$c.tsv"))
+          s"@m$newId.json"
+        }
+      }
+      commitSnapshot(table, snap, merged ++ entries.filterNot(_.startsWith("@")))
+      snap
+    }
+  }
+
   def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
     val snaps = snapshots(table)
     val keep: Set[Long] = snaps.takeRight(math.max(keepLast, 1)).toSet ++
