@@ -919,6 +919,11 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       s"compactZOrder on '$table': need 2..4 columns, got ${cols.size}")
     require(bitsPerCol >= 1 && bitsPerCol * cols.size <= 60,
       s"compactZOrder on '$table': ${bitsPerCol * cols.size} interleaved bits exceed a long")
+    def zdbg[A](l: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_ZDBG")) println(f"ZDBG $l ${(System.nanoTime()-t0)/1e9}%.2f s")
+      r
+    }
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val bloomCols = bloomColumnsAt(table, snap)
@@ -929,18 +934,41 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val cur = readSnapshot(spark, table, snap)
     val buckets = 1 << bitsPerCol
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // one GK-sketch pass per column; boundaries are MBs at most and ride
-    // into the bucket expression as literals (driver state, not a shuffle)
-    val bounds: Seq[Array[Double]] = cols.map { c =>
-      val b = cur.stat.approxQuantile(c, probs, 0.001)
+    // ONE GK-sketch pass for ALL columns (multi-column approxQuantile);
+    // boundaries are MBs at most and ride into the bucket expression as
+    // literals (driver state, not a shuffle)
+    val bounds: Seq[Array[Double]] =
+      zdbg("quantiles")(cur.stat.approxQuantile(cols.toArray, probs, 0.001)).toSeq
+    cols.zip(bounds).foreach { case (c, b) =>
       require(b.nonEmpty, s"compactZOrder: no quantiles for '$c' (all null?)")
-      b
     }
+    // rank bucket = upper_bound(boundaries, x): power-of-two binary search
+    // over the constant-folded boundary array — bitsPerCol element_at
+    // probes per row, not a 2^bits-element filter scan. Each refinement
+    // step is its OWN withColumn (a Project referencing the previous step
+    // as an attribute): building one nested Column would copy the partial-
+    // position subtree twice per level — an exponentially-sized expression
+    // tree that stalls every analysis pass — while the Project chain stays
+    // linear (CollapseProject's multiply-referenced-non-cheap guard) and
+    // whole-stage codegen fuses it into straight-line code.
+    // boundaries.length = 2^b - 1, so pos + step never exceeds the array
+    // (no bounds guard); a NULL x fails every <= probe and lands in bucket
+    // 0, exactly like the filter-scan form this replaces.
     val withBuckets = cols.zip(bounds).zipWithIndex.foldLeft(cur) {
       case (d, ((c, bs), i)) =>
-        val arr = bs.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")")
-        d.withColumn(s"_zb$i",
-          expr(s"size(filter($arr, b -> CAST(`$c` AS DOUBLE) >= b))"))
+        import org.apache.spark.sql.functions.{element_at, lit, when}
+        val arr = expr(bs.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ",", ")"))
+        def x = expr(s"CAST(`$c` AS DOUBLE)")
+        val zb = s"_zb$i"
+        var d2 = d.withColumn(zb,
+          when(element_at(arr, lit(buckets / 2)) <= x, lit(buckets / 2)).otherwise(lit(0)))
+        var step = buckets / 4
+        while (step >= 1) {
+          d2 = d2.withColumn(zb,
+            col(zb) + when(element_at(arr, col(zb) + lit(step)) <= x, lit(step)).otherwise(lit(0)))
+          step /= 2
+        }
+        d2
     }
     // Morton interleave: bit j of column i lands at position j*ncols + i
     val zTerms = for (i <- cols.indices; j <- 0 until bitsPerCol)
@@ -957,19 +985,29 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val withZv = withBuckets.withColumn("_zv", expr(zTerms.mkString(" + ")))
     // Skew adaptation: a low-cardinality/skewed column contributes near-zero
     // information in its high bits, collapsing the naive top-bit grouping to
-    // far fewer than n groups (few fat files, no pruning). ONE pass of
-    // simultaneous approx_count_distinct over every candidate shift (no
-    // Expand — approximate distincts share the scan) picks the COARSEST
-    // shift that still yields >= n tile-groups.
+    // far fewer than n groups (few fat files, no pruning). Pick the COARSEST
+    // shift that still yields >= n tile-groups. Up to 2^20 interleaved bits
+    // the z-value's distinct set itself is small: one EXACT partial-agged
+    // distinct (tiny shuffle of <= 2^totalBits longs) reaches the driver and
+    // every candidate shift's group count is a driver-side fold — one cheap
+    // pass instead of one HLL sketch per candidate. Wider bit spaces fall
+    // back to the simultaneous approx_count_distinct pass (no Expand —
+    // approximate distincts share the scan).
     import org.apache.spark.sql.functions.approx_count_distinct
     val candShifts = (0 to shift0).reverse
     val shift =
       if (shift0 == 0) 0
-      else {
-        val row = withZv.agg(
+      else if (totalBits <= 20) {
+        val zv = zdbg("distinct-zv")(
+          withZv.select(col("_zv")).distinct().collect().map(_.getLong(0)))
+        candShifts.collectFirst {
+          case s if zv.iterator.map(_ >> s).toSet.size >= n => s
+        }.getOrElse(0)
+      } else {
+        val row = zdbg("acd")(withZv.agg(
           approx_count_distinct(expr(s"shiftright(_zv, ${candShifts.head})")).as("d0"),
           candShifts.tail.map(s =>
-            approx_count_distinct(expr(s"shiftright(_zv, $s)")).as(s"d$s")): _*).head()
+            approx_count_distinct(expr(s"shiftright(_zv, $s)")).as(s"d$s")): _*).head())
         candShifts.zipWithIndex.collectFirst {
           case (s, i) if row.getLong(i) >= n => s
         }.getOrElse(0)
@@ -979,10 +1017,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val clustered = withZ.repartitionByRange(n, col("_zf"))
       .sortWithinPartitions("_zv")
       .drop(helper: _*)
-    val newSnap = commit(clustered, table)
+    val newSnap = zdbg("commit")(commit(clustered, table))
     val files = manifestFiles(table, newSnap)
-    writeStr(new HPath(manifestDir(table), s"m$newSnap.stats.tsv"),
-      statsTsv(spark, files, cols.map(c => (c, s"`$c`"))))
+    zdbg("stats")(writeStr(new HPath(manifestDir(table), s"m$newSnap.stats.tsv"),
+      statsTsv(spark, files, cols.map(c => (c, s"`$c`")))))
     bloomCols.foreach { c =>
       writeStr(new HPath(manifestDir(table), s"m$newSnap.bloom.$c.tsv"),
         bloomTsv(spark, files, c, bloomBits(c)))
