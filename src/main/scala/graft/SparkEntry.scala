@@ -563,6 +563,38 @@ object SparkEntry {
         d.selectExpr("doc_id + 1000 AS doc_id", "text"))
       cat.read(s, "pages").select("doc_id")
     }),
+    "q_incremental_neardup" -> ((s, dir) => {
+      // incremental NEAR-dup ingest (the RefinedWeb/FineWeb loop): drop 2's
+      // trimmed mutants of committed docs are rejected by MinHash signature
+      // match against the <table>__minhash COMPANION (16 longs/row — old
+      // text never re-read), its verbatim re-crawls by the digest column,
+      // its genuinely-new odd docs admitted. The md5-based 60-bit component
+      // hashes make the WHOLE admission decision (shingles → signatures →
+      // band condition → >=12/16 floor) DuckDB-replayable bit-for-bit.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_incnear_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir)
+      graft.spark.IncrementalIngest.appendNearDeduped(s, cat, "pages",
+        d.where("doc_id % 2 = 0").select("doc_id", "text"))
+      import s.implicits._
+      val mutants = d.where("doc_id % 10 = 0").select("doc_id", "text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split(' ')
+          (id + 1000000L, ws.take(math.max(ws.length - 2, 1)).mkString(" "))
+        }.toDF("doc_id", "text")
+      val dropB = d.where("doc_id % 2 = 1").select("doc_id", "text")
+        .unionByName(mutants)
+        .unionByName(d.where("doc_id % 14 = 0")
+          .selectExpr("doc_id + 2000000 AS doc_id", "text"))
+      graft.spark.IncrementalIngest.appendNearDeduped(s, cat, "pages", dropB)
+      cat.read(s, "pages").selectExpr("doc_id", "md5(text) AS text_md5")
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withPlantedDups(docs(s, dir), every = 7, dropWords = 0))),
     "q_dedup_paragraph" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir))),
@@ -1924,6 +1956,48 @@ object SparkEntry {
         |SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keeper_id,
         |       CAST(count(*) AS BIGINT) AS n_copies
         |FROM all_docs GROUP BY md5(text)""".stripMargin,
+    // incremental near-dup admission replayed whole: the oracle re-derives
+    // shingles, the 16 md5-based 60-bit minhash components, the 4-band LSH
+    // condition (4 consecutive equal components) and the >=12/16 match
+    // floor for every (drop-2 doc, committed doc) pair — the final table is
+    // drop 1 plus exactly the drop-2 rows that survive all three gates
+    "q_incremental_neardup" -> {
+      val hTerms = (1 to 15)
+        .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
+        .mkString(" + ")
+      s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         array_to_string(list_slice(string_split(text,' '), 1, greatest(len(string_split(text,' '))-2, 1)), ' ')
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 14 = 0),
+        |bx AS (SELECT * FROM b WHERE text NOT IN (SELECT text FROM a)),
+        |rel AS (SELECT doc_id, text, 'a' AS side FROM a
+        |        UNION ALL SELECT doc_id, text, 'b' FROM bx),
+        |w AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM rel),
+        |sh AS (SELECT DISTINCT doc_id, side,
+        |         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+        |              ELSE array_to_string(list_slice(ws, k, k + 2), ' ') END AS s
+        |       FROM (SELECT doc_id, side, ws,
+        |                    unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS k FROM w)),
+        |hm AS (SELECT doc_id, side, i, md5(CAST(i AS VARCHAR) || ':' || s) AS m
+        |       FROM (SELECT doc_id, side, s, unnest(generate_series(0, 15)) AS i FROM sh)),
+        |hs AS (SELECT doc_id, side, i, min($hTerms) AS mv FROM hm GROUP BY doc_id, side, i),
+        |pm AS (SELECT hb.doc_id AS bid, ha.doc_id AS aid, hb.i AS i
+        |       FROM hs hb JOIN hs ha ON hb.i = ha.i AND hb.mv = ha.mv
+        |       WHERE hb.side = 'b' AND ha.side = 'a'),
+        |cnt AS (SELECT bid, aid, count(*) AS c FROM pm GROUP BY bid, aid),
+        |band AS (SELECT DISTINCT bid, aid
+        |         FROM (SELECT bid, aid, i // 4 AS bb, count(*) AS bc FROM pm GROUP BY bid, aid, bb)
+        |         WHERE bc = 4),
+        |rej AS (SELECT DISTINCT cnt.bid FROM cnt JOIN band USING (bid, aid) WHERE cnt.c >= 12)
+        |SELECT doc_id, md5(text) AS text_md5 FROM a
+        |UNION ALL
+        |SELECT doc_id, md5(text) FROM bx WHERE doc_id NOT IN (SELECT bid FROM rej)""".stripMargin
+    },
     "q_dedup_paragraph" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents

@@ -59,6 +59,160 @@ object IncrementalIngest {
     (snap, appended)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental NEAR-dup ingestion (the RefinedWeb/FineWeb production
+  // loop): each new crawl drop is MinHash-deduped against everything
+  // already committed WITHOUT recomputing old signatures — the catalog
+  // keeps a `<table>__minhash` companion (digest + k signature columns,
+  // ~16 longs per committed row), so admitting a 1 TB drop against a
+  // 100 TB table scans O(rows·sizeof(signature)), never old text.
+  //
+  // The hash family is md5-based (60-bit `conv(substr(md5(i:shingle)))`,
+  // the KMV/CMS parity trick) so the WHOLE admission decision — shingles,
+  // signatures, LSH band condition, match-count floor — replays bit-exactly
+  // in DuckDB; at cluster scale you would swap in xxhash64 (one constant).
+  //
+  // Contract: cross-drop near-dups are rejected by "shares >= 1 LSH band
+  // (r consecutive equal components) AND >= simFloor of k components
+  // equal" against the companion; within-drop dedup stays EXACT-only (the
+  // within-drop near-dup clustering problem needs connected components —
+  // Dedup.dupClusters — and a drop is one dump in the FineWeb per-dump
+  // convention anyway).
+  // ------------------------------------------------------------------
+
+  /** Signature width / LSH shape: k = 16 components, 4 bands of r = 4. */
+  val minhashK = 16
+  val minhashBands = 4
+
+  /** (doc_id, sh) — distinct w-word shingle STRINGS per doc (strings, not
+    * xxhash64 values, so the oracle can re-derive them; the md5 component
+    * hash below is where they collapse to integers).
+    */
+  def shingleStrings(docs: DataFrame, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(' ')
+        if (ws.length < w) Iterator((id, text))
+        else ws.sliding(w).map(g => (id, g.mkString(" ")))
+      }
+      .toDF("doc_id", "sh")
+      .distinct()
+  }
+
+  /** The i-th MinHash component hash of shingle column `sh`: a 60-bit
+    * positive integer both engines compute identically.
+    */
+  private def h60(i: Int): String =
+    s"CAST(conv(substr(md5(concat('$i:', sh)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** (doc_id, m0..m{k-1}) signatures — k partial-aggregatable mins in ONE
+    * doc-keyed groupBy, the same single-shuffle shape as
+    * [[graft.operators.Dedup.minhashSignatures]].
+    */
+  def mdSignatures(docs: DataFrame): DataFrame = {
+    val aggs = (0 until minhashK).map(i => min(expr(h60(i))).as(s"m$i"))
+    shingleStrings(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (idCol, band, key) LSH band keys from signature columns — derived from
+    * the STORED companion signatures, so the table side never re-reads text.
+    */
+  private def bandKeys(sig: DataFrame, idCol: String): DataFrame = {
+    val r = minhashK / minhashBands
+    val bands = (0 until minhashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+  }
+
+  /** Append `docs` deduped exactly within the drop, then exactly AND
+    * near-dup (MinHash) against all prior snapshots via the signature
+    * companion. `simFloor` = minimum equal components (of [[minhashK]]);
+    * `maxBucket` caps a degenerate LSH bucket's table side (the standard
+    * O(n²)-candidate guard). Returns (snapshotId, rowsAppended).
+    *
+    * Scale shape per drop: one shingle projection + one doc-keyed signature
+    * groupBy over the DROP only; one band-key equijoin drop-vs-companion
+    * (signatures are 16 longs/row — the whole companion of a 10^12-row
+    * table is ~128 GB spread across the cluster, joined by band key, never
+    * broadcast); one component-compare per candidate pair. Old text is
+    * never touched. Crash contract identical to [[appendDeduped]]: data
+    * commits first, companion second, behind-repair rebuilds signatures
+    * from the table.
+    */
+  def appendNearDeduped(spark: SparkSession, cat: PageCatalog, table: String,
+                        docs: DataFrame, simFloor: Int = 12,
+                        maxBucket: Int = 1024): (Long, Long) = {
+    require(simFloor >= 1 && simFloor <= minhashK, s"simFloor out of range: $simFloor")
+    val mhTable = table + "__minhash"
+    val withDig = docs.withColumn("digest", md5(col("text")))
+    val inDrop = withDig
+      .groupBy("digest").agg(min("doc_id").as("doc_id"))
+      .join(withDig.dropDuplicates("digest", "doc_id"), Seq("digest", "doc_id"))
+    val survivors = cat.currentSnapshot(table) match {
+      case None => inDrop
+      case Some(_) =>
+        repairMinhashIfBehind(spark, cat, table)
+        val prior = cat.read(spark, mhTable)
+        // exact cross-drop rejection: 16-byte digest anti-join
+        val fresh = inDrop.join(prior.select("digest"), Seq("digest"), "left_anti")
+        // near-dup rejection: candidates share an LSH band with a committed
+        // row (bucket-capped on the table side), then the exact component
+        // compare applies the simFloor
+        val sigs = mdSignatures(fresh)
+        val tblBands = bandKeys(prior, "digest")
+        val okBuckets = tblBands.groupBy("band", "key")
+          .agg(count(lit(1)).as("__bn")).where(col("__bn") <= maxBucket)
+          .select("band", "key")
+        val cand = bandKeys(sigs, "doc_id")
+          .join(tblBands.join(okBuckets, Seq("band", "key"))
+            .withColumnRenamed("digest", "__tdig"), Seq("band", "key"))
+          .select("doc_id", "__tdig").distinct()
+        val matchCnt = (0 until minhashK)
+          .map(i => when(col(s"m$i") === col(s"t_m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val tSigs = prior.select(col("digest").as("__tdig") +:
+          (0 until minhashK).map(i => col(s"m$i").as(s"t_m$i")): _*)
+        val rejected = cand
+          .join(sigs, "doc_id")
+          .join(tSigs, "__tdig")
+          .where(matchCnt >= simFloor)
+          .select("doc_id").distinct()
+        fresh.join(rejected, Seq("doc_id"), "left_anti")
+    }
+    val staged = survivors.persist()
+    val appended = staged.count()
+    val snap =
+      if (appended == 0) cat.currentSnapshot(table).getOrElse(0L)
+      else {
+        val s = cat.append(staged.drop("digest"), table) // data FIRST
+        cat.append(staged.select("digest", "doc_id")
+          .join(mdSignatures(staged), "doc_id").drop("doc_id"), mhTable)
+        s
+      }
+    staged.unpersist()
+    (snap, appended)
+  }
+
+  /** Companion-behind repair for the signature table: rebuild digests AND
+    * signatures from the data table (one text scan — exceptional path).
+    */
+  def repairMinhashIfBehind(spark: SparkSession, cat: PageCatalog, table: String): Unit = {
+    val mhTable = table + "__minhash"
+    val tableRows = cat.read(spark, table).count()
+    val mhRows = cat.currentSnapshot(mhTable)
+      .map(_ => cat.read(spark, mhTable).count()).getOrElse(0L)
+    if (mhRows < tableRows) {
+      val d = cat.read(spark, table)
+      cat.commit(d.select(md5(col("text")).as("digest"), col("doc_id"))
+        .join(mdSignatures(d), "doc_id").drop("doc_id"), mhTable)
+    }
+  }
+
   /** Companion-behind repair: a crash between the two commits leaves the
     * digest table short; rebuild it from the data table (one hashing scan —
     * the exceptional path, not the steady state).

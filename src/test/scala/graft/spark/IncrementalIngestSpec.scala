@@ -86,4 +86,55 @@ class IncrementalIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 1)
     assert(ids(cat) == Set(1L, 2L, 21L))
   }
+
+  // ---- incremental NEAR-dup (MinHash companion) ----------------------
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+
+  test("near-dup ingest: trimmed mutants rejected via the signature companion, fresh texts admitted") {
+    val (cat, _) = freshCat("near")
+    val (_, n1) = IncrementalIngest.appendNearDeduped(spark, cat, "t",
+      df(1L -> base, 2L -> "completely different words about spark catalyst plans and parquet file pruning strategies"))
+    assert(n1 == 2)
+    val mutant = base.split(' ').dropRight(2).mkString(" ") // J ~ 13/15 shingles
+    val (_, n2) = IncrementalIngest.appendNearDeduped(spark, cat, "t",
+      df(10L -> mutant, 11L -> "a genuinely new document with its own vocabulary and no overlap at all whatsoever"))
+    assert(n2 == 1, "mutant must be rejected by the minhash companion, fresh doc admitted")
+    assert(ids(cat) == Set(1L, 2L, 11L))
+    // and the EXACT path still rejects verbatim re-crawls
+    val (_, n3) = IncrementalIngest.appendNearDeduped(spark, cat, "t", df(20L -> base))
+    assert(n3 == 0)
+  }
+
+  test("near-dup ingest: the companion carries signatures, not text; old text never re-read") {
+    val (cat, _) = freshCat("nearcomp")
+    IncrementalIngest.appendNearDeduped(spark, cat, "t", df(1L -> base))
+    val comp = cat.read(spark, "t__minhash")
+    assert(comp.columns.toSet ==
+      (Set("digest") ++ (0 until IncrementalIngest.minhashK).map(i => s"m$i")))
+    assert(comp.count() == 1)
+    // a second drop grows the companion by exactly its admitted rows
+    IncrementalIngest.appendNearDeduped(spark, cat, "t",
+      df(2L -> "some other text entirely with many distinct tokens to shingle over properly here"))
+    assert(cat.read(spark, "t__minhash").count() == 2)
+  }
+
+  test("near-dup crash repair: companion lag rebuilt from the table, mutants still rejected") {
+    val (cat, _) = freshCat("nearcrash")
+    IncrementalIngest.appendNearDeduped(spark, cat, "t", df(1L -> base))
+    // crash-sim: a drop's data landed, its companion rows never did
+    cat.append(df(2L -> "an orphaned drop whose signatures were lost in the crash window right here"), "t")
+    val mutant = "an orphaned drop whose signatures were lost in the crash window right"
+    val (_, n) = IncrementalIngest.appendNearDeduped(spark, cat, "t", df(10L -> mutant))
+    assert(n == 0, "repair must rebuild signatures so the lagging drop's mutants are caught")
+    assert(ids(cat) == Set(1L, 2L))
+  }
+
+  test("near-dup ingest: re-dropping the same drop is idempotent (exact path)") {
+    val (cat, _) = freshCat("nearidem")
+    val drop = df(1L -> base, 2L -> "other words forming a second document body for the idempotence check case")
+    val (_, n1) = IncrementalIngest.appendNearDeduped(spark, cat, "t", drop)
+    val (_, n2) = IncrementalIngest.appendNearDeduped(spark, cat, "t", drop)
+    assert(n1 == 2 && n2 == 0)
+  }
 }
