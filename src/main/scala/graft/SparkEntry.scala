@@ -1269,6 +1269,29 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_takedown_pos" -> ((s, dir) => {
+      // POSITIONAL-delete takedown (Iceberg v2's second delete type): the
+      // predicate does NOT reduce to key values — deleteMatching finds the
+      // matching rows' (file, row ordinal) pairs in one _metadata scan and
+      // commits them as a tombstone, zero data rewritten. File-scoped
+      // semantics proven in-query: rows matching the predicate re-appended
+      // AFTER the delete land in new files a positional tombstone cannot
+      // name, so they all survive.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_takedownpos_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).select("doc_id", "text")
+      cat.commit(d.where("doc_id % 2 = 0"), "t")
+      cat.append(d.where("doc_id % 2 = 1"), "t")
+      cat.deleteMatching(s, "t", "length(text) % 7 = 0")
+      cat.append(d.where("doc_id % 9 = 0")
+        .selectExpr("doc_id + 3000000 AS doc_id", "text"), "t")
+      cat.read(s, "t").selectExpr("doc_id", "md5(text) AS text_md5")
+    }),
     "q_rewrite_manifests" -> ((s, dir) => {
       // Iceberg-style rewrite_manifests: after four crawl drops and a
       // takedown, consolidate the delta-manifest chain METADATA-ONLY —
@@ -2721,6 +2744,14 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // positional-delete takedown: survivors = the predicate's anti-filter
+    // over BOTH drops, plus EVERY post-delete re-add (file-scoped
+    // tombstones never touch new files, even for matching text)
+    "q_takedown_pos" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE length(text) % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 9 = 0""".stripMargin,
     // manifest consolidation is metadata-only: content = the four drops
     // with the takedown applied to its pre-delete drops and the post-
     // delete re-adds (v2 captures) surviving the sequence rule

@@ -273,6 +273,13 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     */
   private[sources] def withDeletes(files: Seq[(String, Long)],
                                    snap: Long): Array[InputPartition] = {
+    // positional deletes are row-ordinal facts the streaming per-file
+    // readers don't track (they read row groups, not global ordinals) —
+    // refuse rather than silently resurrect deleted rows; compaction
+    // materializes the tombstones and re-enables the connector
+    require(cat.positionalDeletes(table, snap).isEmpty,
+      s"graft-catalog source: snapshot $snap of '$table' carries positional " +
+      "deletes the connector cannot apply — compact the table first")
     val deletes = cat.equalityDeletes(table, snap)
     deletes.map(_._2).distinct.foreach { c =>
       val f = tableSchema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(

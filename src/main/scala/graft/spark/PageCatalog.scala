@@ -235,7 +235,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * to apply the sequence rule itself.
     */
   def equalityDeletes(table: String, snap: Long): Seq[(Long, String, Seq[String])] =
-    deleteRefsOf(table, snap).map { ref =>
+    deleteRefsOf(table, snap).filter(_.startsWith("d")).map { ref =>
       val head = ref.stripPrefix("d").split('.')
       (head(0).toLong, head(1),
         readStr(new HPath(manifestDir(table), ref))
@@ -422,8 +422,17 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val fromEntries =
       if (fromSnap <= 0) Set.empty[String]
       else entriesOf(table, fromSnap).toSet
-    val rows = entriesOf(table, to).filterNot(fromEntries)
+    val winRefs = entriesOf(table, to).filterNot(fromEntries)
       .filter(_.startsWith("!")).map(_.stripPrefix("!"))
+    // positional deletes are PHYSICAL (file, ordinal) facts about THIS
+    // table's layout — a mirror has its own layout and cannot apply them,
+    // so a key feed over such a window would silently under-delete. Refuse
+    // (the compaction-crossing refusal precedent): compact the source
+    // first, or re-sync the mirror from the full snapshot.
+    require(!winRefs.exists(_.startsWith("p")),
+      s"delete window ($fromSnap, $to] of '$table' contains positional deletes, " +
+      "which have no key representation — compact the source table first")
+    val rows = winRefs
       .flatMap { ref =>
         val column = ref.stripPrefix("d").split('.')(1)
         readStr(new HPath(manifestDir(table), ref))
@@ -691,6 +700,96 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     }
   }
 
+  // ------------------------------------------------------------------
+  // POSITIONAL deletes (Iceberg v2's second delete-file type): tombstones
+  // of (data file, row ordinal) pairs — the row-level delete for
+  // predicates that do NOT reduce to key values. Metadata-only like
+  // equality deletes (zero data rewritten at 100 TB); readers apply them
+  // as a broadcast anti-join on (_metadata.file_path, _metadata.row_index);
+  // compaction materializes them. A positional tombstone names its files
+  // explicitly, so the sequence rule holds by construction: rows appended
+  // AFTER the delete live in new files the tombstone cannot name —
+  // re-adding a deleted row survives, exactly like equality deletes'
+  // add-order rule.
+  // ------------------------------------------------------------------
+
+  /** Scheme/authority-normalization for tombstoned file paths: the manifest
+    * stores `/root/x` (local) or `s3a://b/x` (remote) while the scan reports
+    * qualified URIs (`file:///root/x`) — both sides reduce to the bare path,
+    * with the SAME Java-regex semantics driver-side and in the codegen'd
+    * `regexp_replace` on the scan.
+    */
+  private val posNormRx = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+  private def normFile(s: String): String = s.replaceFirst(posNormRx, "")
+
+  /** The snapshot's positional-delete (normalized file path, row ordinal)
+    * pairs — the planning surface a non-Spark reader (DSv2 per-file
+    * readers) checks before claiming it can scan the snapshot.
+    */
+  def positionalDeletes(table: String, snap: Long): Seq[(String, Long)] =
+    deleteRefsOf(table, snap).filter(_.startsWith("p")).flatMap { ref =>
+      readStr(new HPath(manifestDir(table), ref))
+        .split('\n').filter(_.nonEmpty).map { l =>
+          val i = l.lastIndexOf('\t')
+          (unescStat(l.take(i)).getOrElse(
+             throw new IllegalStateException(s"null path in $ref")),
+           l.drop(i + 1).toLong)
+        }
+    }
+
+  /** Commit a positional-delete tombstone as a NEW snapshot (metadata-only;
+    * time travel to the pre-delete snapshot stays complete). `positions`
+    * are (file path as the scan reports or the manifest stores it — both
+    * normalize, row ordinal within that file). The pairs are takedown-sized
+    * by contract: they ARE the tombstone file's contents.
+    */
+  def deleteAtPositions(table: String, positions: Seq[(String, Long)]): Long = {
+    require(positions.nonEmpty, "empty positional delete")
+    withCommitLock(table) {
+      val cur = currentSnapshot(table).getOrElse(
+        throw new IllegalStateException(s"no committed snapshot for $table"))
+      val prev = entriesOf(table, cur)
+      val snap = claimSnapshotId(table)
+      val del = s"p$snap.tsv"
+      writeStr(new HPath(manifestDir(table), del),
+        positions.map { case (f, p) => (normFile(f), p) }.distinct.sorted
+          .map { case (f, p) => s"${escStat(f)}\t$p" }.mkString("", "\n", "\n"))
+      commitSnapshot(table, snap, prev :+ ("!" + del))
+      snap
+    }
+  }
+
+  /** Row-level delete by ARBITRARY predicate — the takedown shape equality
+    * keys cannot express ("remove every row whose text matches this
+    * pattern"): one scan of the current snapshot with the `_metadata`
+    * columns finds the matching rows' (file, position) pairs, committed as
+    * a positional tombstone. Zero data rewritten; the scan reads only the
+    * predicate's columns (+ _metadata) thanks to parquet column pruning.
+    * Matched positions collect to the driver — takedown-sized, the same
+    * economics as [[upsertByKey]]'s key collect (the tombstone file stores
+    * exactly these pairs). Returns (snapshotId, physical rows tombstoned);
+    * rows an earlier tombstone already removed may be re-tombstoned —
+    * harmless, the subtraction is idempotent.
+    */
+  def deleteMatching(spark: SparkSession, table: String,
+                     predicate: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val renames = renameHistory(table)
+    val files = filesWithAddOrder(table, cur).map(_._1)
+    val scan = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .select(col("*"),
+        col("_metadata.file_path").as("__pd_nf"),
+        col("_metadata.row_index").as("__pd_pos"))
+    val matched = applyRenames(scan, renames) // predicate sees the CURRENT schema
+      .where(expr(predicate))
+      .select("__pd_nf", "__pd_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (matched.isEmpty) (cur, 0L)
+    else (deleteAtPositions(table, matched), matched.size.toLong)
+  }
+
   /** Apply a snapshot's equality-delete files: one broadcast anti-join per
     * tombstone (the delete sets are takedown-sized — thousands of keys, not
     * table-sized — so the join never shuffles the data side).
@@ -774,7 +873,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
 
   private def readWithDeletes(spark: SparkSession, table: String, snap: Long,
                               only: Option[Set[String]] = None): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_replace}
     val renames = renameHistory(table)
     val drops = droppedColumns(table)
     val addSnap: Seq[(String, Long)] = filesWithAddOrder(table, snap)
@@ -783,8 +882,19 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       case None => addSnap
     }
     // ref = d<snap>.<col>.tsv (delete columns cannot contain '.')
-    val deletes = deleteRefsOf(table, snap)
+    val deletes = deleteRefsOf(table, snap).filter(_.startsWith("d"))
       .map(ref => (ref.stripPrefix("d").split('.')(0).toLong, ref)).sortBy(_._1)
+    // positional tombstones (p<snap>.tsv): (normalized file path, row
+    // ordinal). They name their files explicitly, so no add-order grouping
+    // is needed — the sequence rule holds by construction (a file added
+    // after the delete is a NEW path the tombstone cannot name).
+    val posDels = positionalDeletes(table, snap)
+    // a tombstoned path matching NO snapshot file would silently not apply
+    // if the path normalization ever disagreed with the scan's reported
+    // form — the conservative direction is to hand such entries to EVERY
+    // file group (the row-level join no-ops when the file truly is absent)
+    val allNorm = addSnap.map(p => normFile(p._1)).toSet
+    val posUnmatched = posDels.filterNot(pd => allNorm(pd._1))
     if (wanted.isEmpty) {
       // only reachable through a pruned subset (every snapshot owns >= 1
       // data file): schema from the unpruned snapshot, zero rows
@@ -800,11 +910,32 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       val delDf = spark.createDataFrame(vals.map(Tuple1(_))).toDF("__del_key")
       d.join(broadcast(delDf), d(column).cast("string") === delDf("__del_key"), "left_anti")
     }
+    // positional anti-join per file group: the _metadata columns ride the
+    // scan ONLY when a tombstone touches the group (zero cost otherwise);
+    // row ordinals are physical (_metadata.row_index), so projections and
+    // renames never shift them
+    def scanGroup(files: Seq[String]): DataFrame = {
+      val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val groupNorm = files.map(normFile).toSet
+      val rel = (posDels.filter(pd => groupNorm(pd._1)) ++ posUnmatched).distinct
+      if (rel.isEmpty) applyRenames(raw, renames)
+      else {
+        val withMeta = raw.select(col("*"),
+          regexp_replace(col("_metadata.file_path"), lit(posNormRx), lit(""))
+            .as("__pd_nf"),
+          col("_metadata.row_index").as("__pd_pos"))
+        val pdDf = spark.createDataFrame(rel).toDF("__pd_f", "__pd_p")
+        applyRenames(withMeta, renames)
+          .join(broadcast(pdDf),
+            col("__pd_nf") === col("__pd_f") && col("__pd_pos") === col("__pd_p"),
+            "left_anti")
+          .drop("__pd_nf", "__pd_pos")
+      }
+    }
     val unioned = wanted.groupBy { case (_, k) => deletes.count(_._1 <= k) }
       .toSeq.sortBy(_._1)
       .map { case (idx, fs) =>
-        val df = applyRenames(
-          spark.read.option("mergeSchema", "true").parquet(fs.map(_._1): _*), renames)
+        val df = scanGroup(fs.map(_._1))
         deletes.drop(idx).foldLeft(df) { (d, del) => antiJoin(d, del._2) }
       }
       // allowMissingColumns: with ADD-column evolution an older file group
@@ -1251,7 +1382,11 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val cur = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
     val entries = entriesOf(table, cur)
-    val delSnaps = entries.filter(_.startsWith("!"))
+    // only EQUALITY deletes constrain consolidation (their applicability
+    // depends on file add order); positional refs name files explicitly,
+    // are immune to add-order changes, and pass through with the other
+    // non-@ entries below
+    val delSnaps = entries.filter(_.startsWith("!d"))
       .map(_.stripPrefix("!d").split('.')(0).toLong).sorted
     val groups = entries.filter(_.startsWith("@")).groupBy { e =>
       delSnaps.count(_ <= addOrderOfId(e.stripPrefix("@m").stripSuffix(".json")))
@@ -1614,6 +1749,13 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def statsAgg(table: String, column: String): Option[(Option[String], Option[String], Long)] = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
+    // a snapshot carrying delete tombstones (equality OR positional) cannot
+    // answer from file-level stats: the sidecars count rows the deletes
+    // remove, so the metadata path would silently overcount after a
+    // takedown. Refuse instead (Iceberg disables metadata aggregates under
+    // delete files the same way); compaction materializes the deletes and
+    // compactSorted restores the sidecar, re-enabling this path.
+    if (deleteRefsOf(table, snap).nonEmpty) return None
     val all = manifestFiles(table, snap)
     val lines = statsLinesAt(table, snap)
     if (lines.isEmpty) return None
