@@ -1269,6 +1269,93 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_sql_agg" -> ((s, dir) => {
+      // metadata-only aggregate pushdown through PURE SQL: every data file
+      // is DELETED before the query runs, so count/min/max can only come
+      // from the stats sidecars via the scan's SupportsPushDownAggregates
+      // (zero-data-access proven by deletion — the SQL twin of q_stats_agg)
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlagg_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gsqa", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gsqa.root", root)
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      s.sql("CREATE TABLE gsqa.docs (doc_id BIGINT, text STRING)") // records the schema
+      cat.commitWithStats(docs(s, dir).select("doc_id", "text"), "docs", Seq("doc_id", "text"))
+      cat.filesWithAddOrder("docs", cat.currentSnapshot("docs").get)
+        .foreach { case (f, _) => Files.delete(Paths.get(f)) }
+      s.sql("""SELECT count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+              |       min(text) AS min_text, max(text) AS max_text FROM gsqa.docs""".stripMargin)
+    }),
+    "q_sql_catalog" -> ((s, dir) => {
+      // the SQL TableCatalog plugin end-to-end with ZERO Scala calls on the
+      // data path: CTAS, fast-append INSERT, an equality-tombstone DELETE
+      // (key IN-list) and a positional-tombstone DELETE (non-key predicate)
+      // — every statement metadata-only except the inserted bytes — then a
+      // SELECT through the connector's pruned per-file readers applying
+      // both tombstone kinds.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcat_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gsql_q", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gsql_q.root", root)
+      docs(s, dir).select("doc_id", "text").createOrReplaceTempView("gsql_src")
+      s.sql("CREATE TABLE gsql_q.docs AS SELECT doc_id, text FROM gsql_src WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO gsql_q.docs SELECT doc_id, text FROM gsql_src WHERE doc_id % 2 = 1")
+      s.sql("DELETE FROM gsql_q.docs WHERE doc_id IN (3, 5, 7)")
+      s.sql("DELETE FROM gsql_q.docs WHERE contains(text, 'the') AND doc_id < 50")
+      s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gsql_q.docs")
+    }),
+    "q_spj" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN (Iceberg SPJ shape): both sides written
+      // exact-clustered on identity(lang) (one transform value per data
+      // file), so the DSv2 scans report KeyGroupedPartitioning, Spark
+      // aligns equal-keyed partitions, and the join runs with ZERO
+      // exchange — the shuffle that dominates a 100 TB fact-to-fact join
+      // never happens. The zero-exchange shape is REQUIRED in-query (a
+      // cloned session pins the SPJ flags and disables broadcast so the
+      // plan cannot silently fall back); rows are oracle-checked.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_spj_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s2, dir)
+      cat.commitPartitionedExact(
+        d.selectExpr("doc_id", "lang", "md5(text) AS text_md5"), "a",
+        graft.spark.IdentityTransform("lang"))
+      cat.commitPartitionedExact(
+        d.groupBy("lang").agg(
+          org.apache.spark.sql.functions.count("*").as("lang_docs"),
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text"))).as("lang_bytes")),
+        "b", graft.spark.IdentityTransform("lang"))
+      def rd(t: String) = s2.read.format("graft-catalog")
+        .option("root", root).option("table", t).load()
+      val j = rd("a").join(rd("b"), "lang")
+        .select("doc_id", "lang", "text_md5", "lang_docs", "lang_bytes")
+      val nEx = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      require(nEx == 0,
+        s"q_spj: expected a zero-exchange storage-partitioned join, got $nEx exchanges:\n" +
+          j.queryExecution.executedPlan)
+      j
+    }),
     "q_takedown_pos" -> ((s, dir) => {
       // POSITIONAL-delete takedown (Iceberg v2's second delete type): the
       // predicate does NOT reduce to key values — deleteMatching finds the
@@ -2747,6 +2834,26 @@ object SparkEntry {
     // positional-delete takedown: survivors = the predicate's anti-filter
     // over BOTH drops, plus EVERY post-delete re-add (file-scoped
     // tombstones never touch new files, even for matching text)
+    // the pure-SQL catalog lifecycle: CTAS+INSERT reassemble all documents;
+    // the two DELETEs (equality IN-list, positional contains+range) replay
+    // as plain anti-filters
+    // the SQL aggregate ran with every data file deleted — these values can
+    // only have come from the stats-sidecar metadata path
+    "q_sql_agg" ->
+      """SELECT count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       min(text) AS min_text, max(text) AS max_text FROM documents""".stripMargin,
+    "q_sql_catalog" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id NOT IN (3, 5, 7)
+        |  AND NOT (contains(text, 'the') AND doc_id < 50)""".stripMargin,
+    // the storage-partitioned join is plan-shaped (zero exchanges, required
+    // in-query); its CONTENT is this plain join against the per-lang agg
+    "q_spj" ->
+      """SELECT d.doc_id, d.lang, md5(d.text) AS text_md5, g.lang_docs, g.lang_bytes
+        |FROM documents d
+        |JOIN (SELECT lang, count(*) AS lang_docs,
+        |             CAST(sum(length(text)) AS BIGINT) AS lang_bytes
+        |      FROM documents GROUP BY lang) g USING (lang)""".stripMargin,
     "q_takedown_pos" ->
       """SELECT doc_id, md5(text) AS text_md5 FROM documents
         |WHERE length(text) % 7 <> 0

@@ -107,30 +107,89 @@ object CatalogSource {
   }
 }
 
-final class CatalogTable(tableSchema: StructType, root: String, table: String,
-                         maxSnaps: Int, startSnap: Long)
+class CatalogTable(tableSchema: StructType, root: String, table: String,
+                   maxSnaps: Int, startSnap: Long, asOf: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-catalog:$root/$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CatalogScanBuilder(tableSchema, root, table, maxSnaps, startSnap)
+    new CatalogScanBuilder(tableSchema, root, table, maxSnaps, startSnap, asOf)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CatalogWriteBuilder(info.schema(), root, table)
 }
 
 final class CatalogScanBuilder(tableSchema: StructType, root: String, table: String,
-                               maxSnaps: Int, startSnap: Long)
+                               maxSnaps: Int, startSnap: Long, asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  /** Global MIN/MAX/COUNT(*) answered from the stats sidecars — zero data
+    * files opened (Iceberg's metadata-aggregate optimization). Pushable
+    * only when the answer is PROVABLY exact: no WHERE residue (we return
+    * every filter as residual, so any filter blocks this), no GROUP BY, no
+    * time travel, every file of the snapshot counted, no delete tombstone
+    * pending ([[ParquetSnapshotCatalog.statsAgg]]'s refusal rule), and the
+    * column's stat string round-trips its type exactly (long/int/string —
+    * doubles are deliberately excluded: a formatted bound may not be the
+    * exact stored double).
+    */
+  private def tryPushAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (asOf.nonEmpty || pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val cat = new ParquetSnapshotCatalog(root)
+    if (cat.currentSnapshot(table).isEmpty) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case f: NamedReference if f.fieldNames().length == 1 =>
+          tableSchema.fields.find(_.name == f.fieldNames()(0))
+        case _ => None
+      }
+    def statVal(dt: DataType, s: String): Option[Any] = dt match {
+      case LongType => s.toLongOption
+      case IntegerType => s.toIntOption
+      case StringType => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+    val res: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        cat.countStar(table).map(n => (StructField("count_star", LongType, nullable = false), n: Any))
+      case m: Min => colOf(m.column).flatMap { f =>
+        cat.statsAgg(table, f.name).flatMap(_._1).flatMap(statVal(f.dataType, _))
+          .map(v => (StructField(s"min_${f.name}", f.dataType), v))
+      }
+      case m: Max => colOf(m.column).flatMap { f =>
+        cat.statsAgg(table, f.name).flatMap(_._2).flatMap(statVal(f.dataType, _))
+          .map(v => (StructField(s"max_${f.name}", f.dataType), v))
+      }
+      case _ => None // COUNT(col) needs null counts the sidecar doesn't track
+    }
+    if (res.isEmpty || res.exists(_.isEmpty)) None
+    else Some((StructType(res.map(_.get._1)), res.map(_.get._2).toArray))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryPushAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = tryPushAgg(agg)
+    pushedAgg.isDefined
+  }
 
   /** Accept equality/range filters on atomic columns for FILE PRUNING
     * (zone maps + blooms + the partition transform consulted at planning);
@@ -152,15 +211,47 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new CatalogScan(tableSchema, required, root, table, maxSnaps, startSnap, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values)) => new CatalogAggScan(table, schema, values)
+    case None =>
+      new CatalogScan(tableSchema, required, root, table, maxSnaps, startSnap, pushed, asOf)
+  }
 }
 
-/** One data file + the equality deletes that apply to it (sequence rule
-  * already resolved at planning): (column, keys) pairs in commit order.
+/** The metadata-only aggregate result: one row, computed at PLANNING time
+  * from the stats sidecars — the executor task only materializes it.
+  */
+final case class CatalogAggPartition(values: Array[Any]) extends InputPartition
+
+final class CatalogAggScan(table: String, out: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCatalogAggScan(table=$table, metadata-only: ${out.fieldNames.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CatalogAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val vs = partition.asInstanceOf[CatalogAggPartition].values
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = new GenericInternalRow(vs.clone())
+          override def close(): Unit = ()
+        }
+    }
+}
+
+/** One data file + the deletes that apply to it, both kinds resolved at
+  * planning: equality tombstones as (column, keys) pairs in commit order
+  * (sequence rule already applied), positional tombstones as the file's
+  * sorted row ordinals.
   */
 final case class CatalogFilePartition(file: String,
-                                      deletes: Seq[(String, Seq[String])])
+                                      deletes: Seq[(String, Seq[String])],
+                                      posDeletes: Seq[Long] = Nil)
     extends InputPartition
 
 object CatalogScan {
@@ -177,9 +268,87 @@ object CatalogScan {
 
 final class CatalogScan(tableSchema: StructType, required: StructType,
                         root: String, table: String, maxSnaps: Int, startSnap: Long,
-                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+                        pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                        asOf: Option[Long] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
   private def cat = new ParquetSnapshotCatalog(root)
+
+  // ------------------------------------------------------------------
+  // STORAGE-PARTITIONED JOIN surface (Iceberg's SPJ shape): when the table
+  // was written exact-clustered on an identity transform
+  // (commitPartitionedExact — ONE transform value per file), the scan
+  // reports KeyGroupedPartitioning and returns one keyed multi-file
+  // partition per value, so two tables partitioned on the same key join
+  // with ZERO shuffle (spark.sql.sources.v2.bucketing.enabled=true).
+  // Snapshot and file set are PINNED per scan so outputPartitioning and
+  // planInputPartitions can never disagree under a concurrent commit.
+  // ------------------------------------------------------------------
+  private lazy val batchSnap: Long = effSnap
+  private lazy val batchFiles: Seq[(String, Long)] =
+    pruneByFilters(cat.filesWithAddOrder(table, batchSnap), batchSnap)
+
+  /** One keyed file-group per partition value, or None when the layout
+    * cannot guarantee it (no spec, non-identity transform, a file with
+    * unpinned value, unsupported key type, time travel). Identity only:
+    * bucket/days keys would need a FunctionCatalog resolution; identity
+    * resolves to the raw column reference.
+    */
+  private lazy val keyGroups: Option[(String, Array[InputPartition])] = {
+    if (asOf.nonEmpty) None
+    else cat.partitionSpec(table) match {
+      case Some(spec: graft.spark.IdentityTransform) =>
+        tableSchema.fields.find(_.name == spec.col).flatMap { field =>
+          def internal(v: Option[String]): Option[Any] = v match {
+            case None => Some(null)
+            case Some(s) => field.dataType match {
+              case LongType => s.toLongOption
+              case IntegerType => s.toIntOption
+              case StringType => Some(UTF8String.fromString(s))
+              case _ => None
+            }
+          }
+          cat.partitionValuesAt(table, batchSnap).flatMap { vals =>
+            val byFile = vals.toMap
+            val conv = byFile.values.toSeq.distinct.map(v => v -> internal(v)).toMap
+            if (conv.values.exists(_.isEmpty)) None
+            else {
+              val parts = withDeletes(batchFiles, batchSnap)
+                .map(_.asInstanceOf[CatalogFilePartition])
+              val grouped = parts.groupBy(p => byFile(p.file))
+                .toSeq.sortBy { case (v, _) => v.getOrElse("") }
+                .map { case (v, fs) =>
+                  CatalogKeyGroupPartition(fs, conv(v).get): InputPartition
+                }
+              Some((field.name, grouped.toArray))
+            }
+          }
+        }
+      case _ => None
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = keyGroups match {
+    case Some((col, groups)) =>
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
+        groups.length)
+    case None =>
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
+
+  /** The snapshot this batch scan reads: a pinned `VERSION AS OF` id (must
+    * still be retained), or CURRENT.
+    */
+  private def effSnap: Long = asOf match {
+    case Some(s) =>
+      require(cat.snapshots(table).contains(s),
+        s"graft-catalog: no retained snapshot $s for '$table' (VERSION AS OF)")
+      s
+    case None => cat.currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+  }
 
   /** Planner statistics from METADATA only: bytes = the pruned file set's
     * on-disk sizes, rows = the stats sidecar's __count when complete — what
@@ -189,7 +358,7 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private val (bytes, rows) = {
       import org.apache.hadoop.fs.Path
-      val snapO = cat.currentSnapshot(table)
+      val snapO = asOf.orElse(cat.currentSnapshot(table))
       snapO match {
         case None => (0L, None)
         case Some(snap) =>
@@ -273,13 +442,28 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     */
   private[sources] def withDeletes(files: Seq[(String, Long)],
                                    snap: Long): Array[InputPartition] = {
-    // positional deletes are row-ordinal facts the streaming per-file
-    // readers don't track (they read row groups, not global ordinals) —
-    // refuse rather than silently resurrect deleted rows; compaction
-    // materializes the tombstones and re-enables the connector
-    require(cat.positionalDeletes(table, snap).isEmpty,
-      s"graft-catalog source: snapshot $snap of '$table' carries positional " +
-      "deletes the connector cannot apply — compact the table first")
+    // positional tombstones: (normalized path, row ordinal). The per-file
+    // reader streams its file's row groups in order, so the running record
+    // count IS `_metadata.row_index` — each file's sorted ordinal set rides
+    // its partition and costs untouched files nothing. No add-order
+    // grouping needed (tombstones name files; the sequence rule holds by
+    // construction). A tombstoned path naming NO file of the snapshot has
+    // nowhere to apply — refuse loudly rather than silently resurrect
+    // (readWithDeletes' hand-to-every-group fallback has no per-file
+    // equivalent here; both sides normalize identically, so this fires only
+    // on genuine metadata corruption).
+    val posAll = cat.positionalDeletes(table, snap)
+    val posByFile: Map[String, Seq[Long]] =
+      if (posAll.isEmpty) Map.empty
+      else {
+        val snapNorm = cat.filesWithAddOrder(table, snap)
+          .map(p => cat.normFile(p._1)).toSet
+        val orphans = posAll.collect { case (f, _) if !snapNorm(f) => f }.distinct
+        require(orphans.isEmpty,
+          s"graft-catalog source: positional tombstones of '$table' name files " +
+          s"absent from snapshot $snap: ${orphans.take(3).mkString(", ")}")
+        posAll.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).distinct.sorted }
+      }
     val deletes = cat.equalityDeletes(table, snap)
     deletes.map(_._2).distinct.foreach { c =>
       val f = tableSchema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
@@ -290,22 +474,38 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     }
     files.sortBy(_._1).map { case (f, addSnap) =>
       CatalogFilePartition(f,
-        deletes.filter(_._1 > addSnap).map(d => (d._2, d._3)))
+        deletes.filter(_._1 > addSnap).map(d => (d._2, d._3)),
+        posByFile.getOrElse(cat.normFile(f), Nil))
     }.toArray[InputPartition]
   }
 
-  // batch read: the current snapshot, file-pruned by the pushed filters
+  // batch read: the effective snapshot (VERSION AS OF or CURRENT),
+  // file-pruned by the pushed filters
   override def planInputPartitions(): Array[InputPartition] = {
-    val snap = cat.currentSnapshot(table).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot for $table"))
-    withDeletes(pruneByFilters(cat.filesWithAddOrder(table, snap), snap), snap)
+    // a ZERO-column unfiltered scan (`df.count()`, `HashAggregate([])` over
+    // the relation after column pruning) only needs the row cardinality —
+    // when every file is __count-ed and no tombstone is pending, emit the
+    // rows synthetically and never open a data file
+    if (required.isEmpty && pushed.isEmpty && asOf.isEmpty) {
+      cat.countStar(table) match {
+        case Some(n) => return Array(CatalogRowCountPartition(n))
+        case None => ()
+      }
+    }
+    keyGroups match {
+      case Some((_, groups)) => groups
+      case None => withDeletes(batchFiles, batchSnap)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CatalogReaderFactory(required)
+    new CatalogReaderFactory(required, cat.renameHistory(table))
 
-  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream = {
+    require(asOf.isEmpty,
+      "graft-catalog: VERSION AS OF is a batch read; streaming starts from startSnapshot")
     new CatalogMicroBatchStream(this, root, table, maxSnaps, startSnap)
+  }
 }
 
 /** Offset = last fully-emitted snapshot id (0 = nothing emitted yet). */
@@ -373,28 +573,52 @@ import org.apache.parquet.schema.{MessageType => PMessageType, Types => PTypes,
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
 final class CatalogWriteBuilder(schema: StructType, root: String, table: String)
-    extends WriteBuilder {
-  override def build(): Write = new CatalogWrite(schema, root, table)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var overwrite = false
+  /** `INSERT OVERWRITE` / `df.write.mode("overwrite")`: the job commit
+    * becomes a REPLACE snapshot (commitFiles) instead of a fast-append —
+    * still one atomic metadata swap, and time travel to the overwritten
+    * snapshot stays complete (overwrites are snapshots, not mutations).
+    */
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new CatalogWrite(schema, root, table, overwrite)
 }
 
 final case class CatalogCommitMessage(file: String, rows: Long) extends WriterCommitMessage
 
-final class CatalogWrite(schema: StructType, root: String, table: String) extends Write {
+final class CatalogWrite(schema: StructType, root: String, table: String,
+                         overwrite: Boolean = false) extends Write {
   private val stagingId = java.util.UUID.randomUUID().toString.take(8)
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       new CatalogWriterFactory(schema, root, table, stagingId)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val files = messages.map(_.asInstanceOf[CatalogCommitMessage].file).toSeq.sorted
-      if (files.nonEmpty)
-        new ParquetSnapshotCatalog(root).appendFiles(files, table)
+      // per-file row counts ride the commit messages for free — recorded as
+      // __count sidecar lines so COUNT(*) over SQL-written tables stays a
+      // metadata-only answer
+      val files = messages.map(_.asInstanceOf[CatalogCommitMessage])
+        .toSeq.map(m => (m.file, m.rows)).sortBy(_._1)
+      if (overwrite) {
+        // every snapshot owns >= 1 data file — an empty overwrite would
+        // commit an unreadable snapshot; refuse loudly (DROP TABLE is the
+        // empty-the-table operation)
+        require(files.nonEmpty,
+          s"graft-catalog: refusing empty INSERT OVERWRITE of '$table'")
+        new ParquetSnapshotCatalog(root).commitFilesWithCounts(files, table)
+      } else if (files.nonEmpty)
+        new ParquetSnapshotCatalog(root).appendFilesWithCounts(files, table)
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       CatalogWrite.deleteAll(messages)
   }
 
-  override def toStreaming: wstreaming.StreamingWrite = new wstreaming.StreamingWrite {
+  override def toStreaming: wstreaming.StreamingWrite = {
+    require(!overwrite,
+      "graft-catalog sink: only append output mode is supported (truncate " +
+      "per epoch would rewrite the table every micro-batch)")
+    new wstreaming.StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): wstreaming.StreamingDataWriterFactory =
       new CatalogStreamingWriterFactory(schema, root, table, stagingId)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -405,6 +629,7 @@ final class CatalogWrite(schema: StructType, root: String, table: String) extend
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       CatalogWrite.deleteAll(messages)
+    }
   }
 }
 
@@ -529,11 +754,53 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
   override def close(): Unit = ()
 }
 
-final class CatalogReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CatalogFilePartition]
-    new CatalogPartitionReader(p.file, required, p.deletes)
-  }
+/** Zero-column cardinality partition: `n` synthetic empty rows from the
+  * `__count` sidecar metadata — no data file opened.
+  */
+final case class CatalogRowCountPartition(n: Long) extends InputPartition
+
+/** One storage-partition: every file pinned to the SAME partition value,
+  * read as a sequential chain. `partitionKey` is what lets Spark align two
+  * scans' equal-keyed partitions without an exchange.
+  */
+final case class CatalogKeyGroupPartition(files: Seq[CatalogFilePartition], keyVal: Any)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = new GenericInternalRow(Array(keyVal))
+}
+
+final class CatalogReaderFactory(required: StructType,
+                                 renames: Seq[(String, String)] = Nil)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case CatalogRowCountPartition(n) => new PartitionReader[InternalRow] {
+        private var left = n
+        private val empty = new GenericInternalRow(0)
+        override def next(): Boolean = if (left > 0) { left -= 1; true } else false
+        override def get(): InternalRow = empty
+        override def close(): Unit = ()
+      }
+      case p: CatalogFilePartition =>
+        new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
+      case g: CatalogKeyGroupPartition => new PartitionReader[InternalRow] {
+        private val it = g.files.iterator
+        private var cur: CatalogPartitionReader = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              val p = it.next()
+              cur = new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    }
 }
 
 /** Streams one parquet data file through parquet-hadoop's record reader
@@ -545,7 +812,9 @@ final class CatalogReaderFactory(required: StructType) extends PartitionReaderFa
   * nested/decimal columns fail loudly with the column name.
   */
 final class CatalogPartitionReader(file: String, required: StructType,
-                                   deletes: Seq[(String, Seq[String])])
+                                   deletes: Seq[(String, Seq[String])],
+                                   posDeletes: Seq[Long] = Nil,
+                                   renames: Seq[(String, String)] = Nil)
     extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -559,29 +828,57 @@ final class CatalogPartitionReader(file: String, required: StructType,
   private val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
   private val fileSchema = reader.getFooter.getFileMetaData.getSchema
 
+  /** CURRENT-name → this file's physical field name, computed by replaying
+    * the rename chain over the file's own fields — the per-file equivalent
+    * of the catalog read path's `applyRenames` fold (the coalesce case
+    * there is a merged-GROUP artifact; a single file never carries both
+    * spellings of one column). A current name absent from the map is a
+    * column this file predates (ADD-column evolution) — emitted as NULL,
+    * matching `unionByName(allowMissingColumns)`.
+    */
+  private val physicalOf: Map[String, String] = {
+    var cur: Map[String, String] = // physical -> current spelling
+      (0 until fileSchema.getFieldCount)
+        .map(i => fileSchema.getFieldName(i)).map(f => f -> f).toMap
+    renames.foreach { case (o, n) =>
+      if (!cur.values.exists(_ == n))
+        cur = cur.map { case (p, c) => (p, if (c == o) n else c) }
+    }
+    cur.map(_.swap)
+  }
+
   // projection = required columns ∪ delete-key columns (a pruned scan must
-  // still decode the key column to apply the tombstones)
+  // still decode the key column to apply the tombstones), resolved to the
+  // file's physical names; columns the file predates simply don't project
   private val delCols = deletes.map(_._1).distinct
   private val projNames = (required.fieldNames.toSeq ++ delCols).distinct
-    .filter(fileSchema.containsField)
+    .flatMap(physicalOf.get).distinct
   private val projection = new MessageType(fileSchema.getName,
     projNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
   reader.setRequestedSchema(projection)
 
-  private val delSets: Seq[(Int, Set[String])] = deletes.map { case (c, keys) =>
-    (projection.getFieldIndex(c), keys.toSet)
+  // a delete key column the file predates can never match (the row's key is
+  // NULL under the anti-join) — skip it for this file
+  private val delSets: Seq[(Int, Set[String])] = deletes.flatMap { case (c, keys) =>
+    physicalOf.get(c).map(p => (projection.getFieldIndex(p), keys.toSet))
   }
-  // output field -> (projection index, parquet primitive), resolved once
-  private val outFields: Array[(Int, PrimitiveType, DataType)] =
+  // output field -> (projection index, parquet primitive); None = the file
+  // predates this column (always NULL)
+  private val outFields: Array[Option[(Int, PrimitiveType, DataType)]] =
     required.fields.map { f =>
-      require(projection.containsField(f.name),
-        s"column '${f.name}' not present in parquet file $file")
-      val idx = projection.getFieldIndex(f.name)
-      val t = projection.getType(idx)
-      require(t.isPrimitive, s"graft-catalog reader: column '${f.name}' is nested " +
-        "(group type); only atomic columns are supported")
-      (idx, t.asPrimitiveType(), f.dataType)
+      physicalOf.get(f.name).map { p =>
+        val idx = projection.getFieldIndex(p)
+        val t = projection.getType(idx)
+        require(t.isPrimitive, s"graft-catalog reader: column '${f.name}' is nested " +
+          "(group type); only atomic columns are supported")
+        (idx, t.asPrimitiveType(), f.dataType)
+      }
     }
+
+  // positional tombstones for THIS file: the running record count below is
+  // exactly `_metadata.row_index` (row groups stream in file order)
+  private val posSet: Set[Long] = posDeletes.toSet
+  private var ordinal: Long = -1L
 
   private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
   private var rowsLeft: Long = 0L
@@ -621,7 +918,10 @@ final class CatalogPartitionReader(file: String, required: StructType,
       while (rowsLeft > 0L) {
         val g = recordReader.read()
         rowsLeft -= 1
-        if (g != null && !deleted(g)) { cur = g; return true }
+        ordinal += 1
+        if (g != null && !posSet.contains(ordinal) && !deleted(g)) {
+          cur = g; return true
+        }
       }
     }
     false
@@ -633,7 +933,9 @@ final class CatalogPartitionReader(file: String, required: StructType,
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < outFields.length) {
-      val (idx, prim, dt) = outFields(i)
+      if (outFields(i).isEmpty) { row.setNullAt(i); i += 1 }
+      else {
+      val (idx, prim, dt) = outFields(i).get
       if (cur.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
       else {
         import PrimitiveType.PrimitiveTypeName._
@@ -669,6 +971,7 @@ final class CatalogPartitionReader(file: String, required: StructType,
         }
       }
       i += 1
+      }
     }
     row
   }

@@ -1,0 +1,349 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expression => VExpr, GeneralScalarExpression, Literal => VLiteral, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue, Predicate => VPredicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.spark.ParquetSnapshotCatalog
+
+/** Spark SQL `TableCatalog` plugin over the snapshot catalog — the Iceberg
+  * `spark.sql.catalog.<name>` integration shape, so the whole table surface
+  * is reachable from PURE SQL with zero Scala:
+  *
+  *   spark.sql.catalog.gsql      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.gsql.root = /warehouse/graft
+  *
+  *   CREATE TABLE gsql.pages (url STRING, html BINARY, ...)
+  *   INSERT INTO gsql.pages SELECT ...          -- metadata-only fast-append
+  *   INSERT OVERWRITE gsql.pages SELECT ...     -- atomic replace snapshot
+  *   SELECT * FROM gsql.pages                   -- pruned DSv2 scan w/ deletes
+  *   SELECT * FROM gsql.pages VERSION AS OF 3   -- time travel (id or tag)
+  *   SELECT * FROM gsql.pages TIMESTAMP AS OF '2026-01-01'
+  *   DELETE FROM gsql.pages WHERE url = '...'   -- equality tombstone
+  *   DELETE FROM gsql.pages WHERE length(text) % 7 = 0
+  *                                              -- positional tombstone
+  *   ALTER TABLE gsql.pages RENAME COLUMN a TO b -- metadata-only
+  *   SHOW TABLES IN gsql / DROP TABLE gsql.pages
+  *
+  * Reads plan through [[CatalogScan]] (file pruning from zone maps ∩ blooms
+  * ∩ partition transform, per-file equality AND positional delete
+  * application, rename/add-column evolution resolved per file), writes
+  * through [[CatalogWrite]] (task-staged parquet + one atomic metadata
+  * commit), and every DML statement is METADATA-ONLY except the actual new
+  * data bytes — the property that matters at 100 TB: a SQL `DELETE` never
+  * rewrites data, it commits a tombstone snapshot.
+  *
+  * The catalog is FLAT (tables directly under the root, like a Hive
+  * database): the only namespace is the implicit default one.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catName: String = _
+  private var root: String = _
+  private def cat = new ParquetSnapshotCatalog(root)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name' needs spark.sql.catalog.$name.root"))
+  }
+  override def name(): String = catName
+
+  private def okNs(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns(0) == "default")
+
+  private def flat(ident: Identifier): String = {
+    if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
+    ident.name()
+  }
+
+  private def existing(t: String): Boolean =
+    cat.currentSnapshot(t).isDefined || cat.getMeta(t, "sql.schema").isDefined
+
+  /** The table's CURRENT logical schema, from the authoritative read path
+    * (parquet footers + rename/drop history); for a CREATEd table with no
+    * data yet — or one whose data files are unreachable but whose metadata
+    * can still answer (the stats-sidecar aggregate path) — the schema
+    * recorded at CREATE time.
+    */
+  private def schemaOf(t: String): StructType = {
+    def recorded = cat.getMeta(t, "sql.schema")
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+    cat.currentSnapshot(t) match {
+      case Some(_) =>
+        scala.util.Try(cat.read(SparkSession.active, t).schema).toOption
+          .orElse(recorded)
+          .getOrElse(throw new IllegalStateException(
+            s"graft catalog: cannot derive schema of '$t' (unreadable data files, " +
+            "no recorded schema)"))
+      case None => recorded.get
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!okNs(namespace)) throw new NoSuchNamespaceException(namespace)
+    cat.tableNames.map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    okNs(ident.namespace()) && existing(ident.name())
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = flat(ident)
+    if (!existing(t)) throw new NoSuchTableException(ident)
+    new GraftSqlTable(schemaOf(t), root, t, None)
+  }
+
+  /** `VERSION AS OF x`: a snapshot id, a tag name, or a branch name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = flat(ident)
+    if (!existing(t)) throw new NoSuchTableException(ident)
+    val snap = version.toLongOption
+      .orElse(cat.tags(t).get(version))
+      .orElse(cat.branches(t).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: '$version' is not a snapshot id, tag, or branch of '$t'"))
+    new GraftSqlTable(cat.readSnapshot(SparkSession.active, t, snap).schema, root, t, Some(snap))
+  }
+
+  /** `TIMESTAMP AS OF x`: Spark hands MICROseconds; resolved against the
+    * manifest lists' commit mtimes (newest snapshot at-or-before).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = flat(ident)
+    if (!existing(t)) throw new NoSuchTableException(ident)
+    val snap = cat.snapshotAsOfTimestamp(t, timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog: no snapshot of '$t' at or before timestamp $timestamp"))
+    new GraftSqlTable(cat.readSnapshot(SparkSession.active, t, snap).schema, root, t, Some(snap))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val t = flat(ident)
+    if (existing(t)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported in SQL DDL — use " +
+      "ParquetSnapshotCatalog.commitPartitioned for hidden partitioning")
+    val writable = Set[DataType](StringType, BinaryType, LongType, IntegerType,
+      DoubleType, FloatType, BooleanType, TimestampType, DateType)
+    schema.fields.foreach(f => require(writable(f.dataType),
+      s"graft catalog: unsupported column type ${f.dataType.simpleString} for '${f.name}' " +
+      "(atomic parquet types only)"))
+    // schema-only CREATE: the first INSERT's job commit writes snapshot 1;
+    // until then reads answer zero rows with this schema
+    cat.putMeta(t, "sql.schema", schema.json)
+    new GraftSqlTable(schema, root, t, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = flat(ident)
+    if (!existing(t)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1, "graft catalog: nested columns unsupported")
+        if (cat.currentSnapshot(t).isDefined) cat.renameColumn(t, rc.fieldNames()(0), rc.newName())
+        else { // schema-only table: rewrite the recorded schema
+          val s = schemaOf(t)
+          cat.putMeta(t, "sql.schema", StructType(s.fields.map(f =>
+            if (f.name == rc.fieldNames()(0)) f.copy(name = rc.newName()) else f)).json)
+        }
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames().length == 1, "graft catalog: nested columns unsupported")
+        if (cat.currentSnapshot(t).isDefined) cat.dropColumn(t, dc.fieldNames()(0))
+        else cat.putMeta(t, "sql.schema",
+          StructType(schemaOf(t).fields.filterNot(_.name == dc.fieldNames()(0))).json)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other (RENAME/DROP COLUMN only)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    okNs(ident.namespace()) && cat.dropTableDir(ident.name())
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  /** Manifests store ABSOLUTE data-file paths — renaming the table dir
+    * would orphan every reference. Refuse rather than corrupt.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME TABLE is not supported (manifests reference absolute paths)")
+
+  override def invalidateTable(ident: Identifier): Unit = () // nothing cached
+
+  // ---- SupportsNamespaces: the single implicit default namespace ----
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (!okNs(namespace)) throw new NoSuchNamespaceException(namespace)
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+  }
+  override def namespaceExists(namespace: Array[String]): Boolean = okNs(namespace)
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!okNs(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("graft catalog: namespaces are fixed (flat catalog)")
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: namespaces are fixed (flat catalog)")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException("graft catalog: namespaces are fixed (flat catalog)")
+}
+
+/** The SQL-loaded table: the DSv2 connector table plus row-level SQL
+  * `DELETE` — equality predicates on a key column become metadata-only
+  * equality tombstones ([[ParquetSnapshotCatalog.deleteWhere]]); anything
+  * else translatable to a deterministic Spark SQL expression becomes a
+  * positional tombstone via ONE `_metadata` scan
+  * ([[ParquetSnapshotCatalog.deleteMatching]]). Either way zero data files
+  * are rewritten.
+  */
+final class GraftSqlTable(tableSchema: StructType, root: String, table: String,
+                          asOf: Option[Long])
+    extends CatalogTable(tableSchema, root, table, Int.MaxValue, 0L, asOf)
+    with SupportsDeleteV2 {
+  private def cat = new ParquetSnapshotCatalog(root)
+  override def name(): String = table
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (asOf.isEmpty && cat.currentSnapshot(table).isEmpty)
+      new GraftEmptyScanBuilder(tableSchema) // CREATEd, nothing committed yet
+    else super.newScanBuilder(options)
+
+  override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
+    asOf.isEmpty && !predicates.exists(_.isInstanceOf[AlwaysTrue]) &&
+      (V2PredicateSql.asEqualityKeys(predicates, tableSchema).isDefined ||
+        predicates.forall(p => V2PredicateSql.toSql(p).isDefined))
+
+  override def deleteWhere(predicates: Array[VPredicate]): Unit = {
+    require(asOf.isEmpty, "graft catalog: DELETE on a time-travel read")
+    if (predicates.exists(_.isInstanceOf[AlwaysTrue]))
+      throw new UnsupportedOperationException(
+        "graft catalog: TRUNCATE would tombstone every row — use DROP TABLE " +
+        "or INSERT OVERWRITE instead")
+    if (cat.currentSnapshot(table).isEmpty) return // empty table: nothing to delete
+    V2PredicateSql.asEqualityKeys(predicates, tableSchema) match {
+      case Some((column, keys)) => cat.deleteWhere(table, column, keys)
+      case None =>
+        val conj = predicates.toSeq.map(p => V2PredicateSql.toSql(p).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft catalog: cannot translate DELETE predicate $p")))
+        cat.deleteMatching(SparkSession.active, table,
+          conj.mkString("(", ") AND (", ")"))
+    }
+  }
+}
+
+/** Scan of a CREATEd-but-never-written table: the recorded schema, zero
+  * rows, zero partitions.
+  */
+private[sources] final class GraftEmptyScanBuilder(schema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required = schema
+  override def pruneColumns(r: StructType): Unit = required = r
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = Array.empty
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CatalogReaderFactory(required)
+    override def description(): String = "GraftCatalogScan(empty table)"
+  }
+}
+
+/** DSv2 `Predicate` → Spark SQL text, for the safe deterministic subset a
+  * `DELETE` condition may use — comparisons, boolean algebra, arithmetic,
+  * and a whitelist of scalar functions whose V2 canonical names have exact
+  * Spark SQL spellings. Anything outside the subset returns None and the
+  * statement fails at analysis (never a silently-wrong delete). The
+  * rendered text is evaluated by `deleteMatching` with Spark's OWN `expr`,
+  * so the semantics are Spark's by construction.
+  */
+private[sources] object V2PredicateSql {
+  import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+
+  private val infix = Set("+", "-", "*", "/", "%",
+    "=", "<>", "!=", "<", "<=", ">", ">=", "<=>", "AND", "OR")
+  private val fns = Map(
+    "ABS" -> "abs", "FLOOR" -> "floor", "CEIL" -> "ceil", "ROUND" -> "round",
+    "COALESCE" -> "coalesce", "GREATEST" -> "greatest", "LEAST" -> "least",
+    "CHAR_LENGTH" -> "char_length", "BIT_LENGTH" -> "bit_length",
+    "OCTET_LENGTH" -> "octet_length", "LOWER" -> "lower", "UPPER" -> "upper",
+    "SUBSTRING" -> "substring", "CONCAT" -> "concat", "TRIM" -> "trim",
+    "LTRIM" -> "ltrim", "RTRIM" -> "rtrim")
+
+  def toSql(e: VExpr): Option[String] = e match {
+    case f: NamedReference =>
+      if (f.fieldNames().length != 1) None
+      else Some("`" + f.fieldNames()(0).replace("`", "``") + "`")
+    case l: VLiteral[_] =>
+      scala.util.Try(CLit(l.value, l.dataType).sql).toOption
+    case _: AlwaysTrue => Some("TRUE")
+    case _: AlwaysFalse => Some("FALSE")
+    case g: GeneralScalarExpression =>
+      val kids = g.children().toSeq.map(toSql)
+      if (kids.exists(_.isEmpty)) None
+      else {
+        val k = kids.map(_.get)
+        g.name() match {
+          case "IN" if k.length >= 2 => Some(s"(${k.head} IN (${k.tail.mkString(", ")}))")
+          case "IS_NULL" if k.length == 1 => Some(s"(${k.head} IS NULL)")
+          case "IS_NOT_NULL" if k.length == 1 => Some(s"(${k.head} IS NOT NULL)")
+          case "NOT" if k.length == 1 => Some(s"(NOT ${k.head})")
+          case "STARTS_WITH" if k.length == 2 => Some(s"startswith(${k(0)}, ${k(1)})")
+          case "ENDS_WITH" if k.length == 2 => Some(s"endswith(${k(0)}, ${k(1)})")
+          case "CONTAINS" if k.length == 2 => Some(s"contains(${k(0)}, ${k(1)})")
+          case "-" if k.length == 1 => Some(s"(- ${k.head})")
+          case op if infix(op) && k.length == 2 =>
+            Some(s"(${k(0)} ${if (op == "!=") "<>" else op} ${k(1)})")
+          case fn if fns.contains(fn) => Some(s"${fns(fn)}(${k.mkString(", ")})")
+          case _ => None
+        }
+      }
+    case _ => None
+  }
+
+  /** The preferred DELETE shape: one `col = lit` or `col IN (lits)` on a
+    * string/long/int column — exactly an equality tombstone's key set
+    * (matched against `CAST(col AS STRING)`, which these types replay
+    * faithfully).
+    */
+  def asEqualityKeys(ps: Array[VPredicate],
+                     schema: StructType): Option[(String, Seq[String])] = {
+    if (ps.length != 1) return None
+    val p = ps(0)
+    def colOf(e: VExpr): Option[String] = e match {
+      case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+      case _ => None
+    }
+    def keyOf(e: VExpr): Option[String] = e match {
+      case l: VLiteral[_] => l.dataType match {
+        case StringType | LongType | IntegerType => Option(l.value).map(_.toString)
+        case _ => None
+      }
+      case _ => None
+    }
+    val kv: Option[(String, Seq[String])] = p.name() match {
+      case "=" if p.children().length == 2 =>
+        for (c <- colOf(p.children()(0)); v <- keyOf(p.children()(1))) yield (c, Seq(v))
+      case "IN" if p.children().length >= 2 =>
+        val c = colOf(p.children()(0))
+        val vs = p.children().drop(1).toSeq.map(keyOf)
+        if (c.isEmpty || vs.exists(_.isEmpty)) None else Some((c.get, vs.map(_.get)))
+      case _ => None
+    }
+    kv.filter { case (c, _) =>
+      schema.fields.find(_.name == c).exists(f => CatalogSource.deletableType(f.dataType))
+    }
+  }
+}

@@ -650,6 +650,48 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     snap
   }
 
+  /** [[appendFiles]] that also records each file's row count in the delta's
+    * stats sidecar (`__count` lines) — what the DSv2 batch writer calls with
+    * the per-task row counts it already has, so `COUNT(*)` over a purely
+    * SQL-written table stays a METADATA-ONLY answer ([[countStar]]).
+    */
+  def appendFilesWithCounts(files: Seq[(String, Long)], table: String): Long = {
+    val snap = claimSnapshotId(table)
+    withCommitLock(table) {
+      val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
+      writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
+        files.map { case (f, n) => s"$f\t__count\t$n\t$n" }.mkString("", "\n", "\n"))
+      commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files.map(_._1)))
+    }
+    snap
+  }
+
+  /** [[commitFiles]] (replace snapshot) with `__count` sidecar lines — the
+    * DSv2 `INSERT OVERWRITE` commit. */
+  def commitFilesWithCounts(files: Seq[(String, Long)], table: String): Long = {
+    val snap = claimSnapshotId(table)
+    writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
+      files.map { case (f, n) => s"$f\t__count\t$n\t$n" }.mkString("", "\n", "\n"))
+    commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, files.map(_._1))))
+    snap
+  }
+
+  /** Metadata-only `COUNT(*)`: the sum of per-file `__count` sidecar lines,
+    * answerable only when EVERY file of the current snapshot is counted and
+    * no delete tombstone is pending (same refusal rule as [[statsAgg]] —
+    * never a silently-wrong overcount).
+    */
+  def countStar(table: String): Option[Long] = currentSnapshot(table).flatMap { snap =>
+    if (deleteRefsOf(table, snap).nonEmpty) None
+    else {
+      val all = manifestFiles(table, snap)
+      val counts = statsLinesAt(table, snap)
+        .collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
+      if (all.nonEmpty && all.forall(counts.contains)) Some(all.map(counts(_)).sum)
+      else None
+    }
+  }
+
   /** [[appendFiles]] under the exactly-once batch-marker contract — the
     * DSv2 STREAMING writer's epoch commit: a replayed epoch is skipped (and
     * reports false so the caller can GC its duplicate task outputs), the
@@ -719,8 +761,8 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * with the SAME Java-regex semantics driver-side and in the codegen'd
     * `regexp_replace` on the scan.
     */
-  private val posNormRx = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
-  private def normFile(s: String): String = s.replaceFirst(posNormRx, "")
+  private[graft] val posNormRx = "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?"
+  private[graft] def normFile(s: String): String = s.replaceFirst(posNormRx, "")
 
   /** The snapshot's positional-delete (normalized file path, row ordinal)
     * pairs — the planning surface a non-Spark reader (DSv2 per-file
@@ -843,7 +885,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     putMeta(table, "schema.drops", ds + name + "\n")
   }
 
-  private def renameHistory(table: String): Seq[(String, String)] =
+  private[graft] def renameHistory(table: String): Seq[(String, String)] =
     getMeta(table, "schema.renames").toSeq
       .flatMap(_.split('\n')).filter(_.nonEmpty)
       .map { l => val p = l.split('\t'); (p(0), p(1)) }
@@ -1627,6 +1669,68 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     snap
   }
 
+  /** EXACT-clustered partitioned commit: ONE transform value per data file —
+    * the layout storage-partitioned joins need ([[partitionValuesAt]] /
+    * the DSv2 scan's `SupportsReportPartitioning`). [[commitPartitioned]]'s
+    * range clustering BOUNDS each file's values but does not pin them; this
+    * path stages the write with dynamic `partitionBy` (a writer task emits
+    * one file per transform value it holds), then flattens the value
+    * directories away so the layout stays hidden — the value lives ONLY in
+    * the stats sidecar, recomputed from the file contents like every other
+    * stat. Same pruning metadata, same hidden-partitioning contract.
+    */
+  def commitPartitionedExact(df: DataFrame, table: String, spec: PartTransform,
+                             statsCols: Seq[String] = Nil, nTasks: Int = 0): Long = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val spark = df.sparkSession
+    val n = if (nTasks > 0) nTasks else spec match {
+      case BucketTransform(b, _) => b
+      case _ => spark.sessionState.conf.numShufflePartitions
+    }
+    val staging = new HPath(root,
+      s"$table/data/exact-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.withColumn("__graft_part", expr(spec.sparkExprSql))
+      .repartition(n, col("__graft_part"))
+      .write.partitionBy("__graft_part").parquet(staging.toString)
+    val fs = fsOf(staging)
+    // flatten <staging>/__graft_part=v/part-x.parquet -> <staging>/i-part-x
+    // (pure renames, O(files) driver metadata) so no reader can ever
+    // resurrect the value as a discovered partition column
+    val files = fs.globStatus(new HPath(staging, "__graft_part=*/part-*"))
+      .toSeq.sortBy(_.getPath.toString).zipWithIndex.map { case (st, i) =>
+        val dst = new HPath(staging, f"$i%05d-${st.getPath.getName}")
+        require(fs.rename(st.getPath, dst), s"rename failed: ${st.getPath}")
+        pathStr(dst)
+      }.sorted
+    fs.globStatus(new HPath(staging, "__graft_part=*"))
+      .foreach(d => fs.delete(d.getPath, true))
+    require(files.nonEmpty, "commitPartitionedExact: empty input")
+    val snap = commitFiles(files, table)
+    writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
+      statsTsv(spark, files,
+        (spec.statName, spec.sparkExprSql) +: statsCols.map(c => (c, s"`$c`"))))
+    putMeta(table, "partition.spec", spec.render)
+    snap
+  }
+
+  /** Per-file SINGLE transform values at `snap` — Some only when EVERY data
+    * file's transform bounds satisfy lo == hi (the exact-clustered layout).
+    * A `None` value entry is a file whose rows all transform to NULL. This
+    * is the storage-partitioned-join planning surface: when it answers, the
+    * scan can report `KeyGroupedPartitioning` and equal-keyed tables join
+    * with ZERO shuffle.
+    */
+  def partitionValuesAt(table: String, snap: Long): Option[Seq[(String, Option[String])]] =
+    partitionSpec(table).flatMap { spec =>
+      val all = manifestFiles(table, snap)
+      val bounds = statsLinesAt(table, snap)
+        .collect { case Array(f, c, mn, mx) if c == spec.statName =>
+          (f, (unescStat(mn), unescStat(mx))) }.toMap
+      val ok = all.nonEmpty &&
+        all.forall(f => bounds.get(f).exists { case (mn, mx) => mn == mx })
+      if (ok) Some(all.map(f => (f, bounds(f)._1))) else None
+    }
+
   /** Partitioned fast-append (the incremental crawl-drop write): the drop
     * clusters by the table's declared transform and appends as one delta
     * carrying its OWN `m<K>.stats.tsv` — O(delta) stats bytes per append
@@ -2124,6 +2228,43 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def getMeta(table: String, key: String): Option[String] = {
     val p = new HPath(manifestDir(table), s"meta.$key")
     if (fsExists(p)) Some(readStr(p)) else None
+  }
+
+  // ------------------------------------------------------------------
+  // SQL-catalog support surface (graft.sources.GraftCatalog — the Spark
+  // TableCatalog plugin that exposes these tables to pure SQL)
+  // ------------------------------------------------------------------
+
+  /** Tables under this catalog root: any directory owning a `_manifests`
+    * metadata dir — committed tables AND merely-CREATEd ones (a SQL
+    * `CREATE TABLE` records only a schema via [[putMeta]], which makes the
+    * dir). One listStatus of the root; O(tables) driver metadata.
+    */
+  def tableNames: Seq[String] =
+    listNames(new HPath(root)).filter(n => fsExists(manifestDir(n))).sorted
+
+  /** Newest snapshot whose commit time is <= `millis` — the `TIMESTAMP AS
+    * OF` resolution rule. Commit time = the manifest list's filesystem
+    * mtime, the same clock [[snapshotsDF]] reports as `committed_at`.
+    */
+  def snapshotAsOfTimestamp(table: String, millis: Long): Option[Long] =
+    snapshots(table).filter { s =>
+      val mp = new HPath(manifestDir(table), s"v$s.json")
+      fsOf(mp).getFileStatus(mp).getModificationTime <= millis
+    }.lastOption
+
+  /** DROP TABLE: recursively removes `<root>/<table>` — every write path
+    * lands data files under the table dir, so this collects data AND
+    * metadata in one delete. Files referenced from OUTSIDE the table dir
+    * ([[commitFiles]] of foreign paths) are deliberately not chased: the
+    * catalog never claimed ownership of them.
+    */
+  def dropTableDir(table: String): Boolean = {
+    require(table.nonEmpty && !table.contains('/') && !table.contains(".."),
+      s"unsupported table name: $table")
+    val p = new HPath(root, table)
+    val f = fsOf(p)
+    f.exists(p) && f.delete(p, true)
   }
 
   /** Sidecar value escaping: SQL NULL → `\N` (distinct from the 4-char

@@ -148,16 +148,24 @@ class PositionalDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.positionalDeletes("t", snap).size == 1)
   }
 
-  test("DSv2 connector refuses a snapshot carrying positional deletes (no silent resurrection)") {
+  test("DSv2 connector applies positional deletes (per-file ordinal skip == cat.read)") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
-    cat.commit(docs(6), "t")
-    cat.deleteMatching(spark, "t", "id = 2")
-    val e = intercept[Exception] {
-      spark.read.format("graft-catalog").option("root", root).option("table", "t")
-        .load().count()
-    }
-    assert(e.getMessage.contains("positional"), s"got: ${e.getMessage}")
+    cat.commit(docs(30), "t")
+    cat.append(docs(30).selectExpr("id + 100 AS id", "text"), "t")
+    cat.deleteMatching(spark, "t", "id % 7 = 2")
+    cat.deleteWhere("t", "id", Seq("5", "105")) // equality composes on the same scan
+    val viaConnector = spark.read.format("graft-catalog")
+      .option("root", root).option("table", "t").load()
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaCatalog = ids(cat)
+    assert(viaConnector == viaCatalog && !viaConnector.exists(i => i % 7 == 2) &&
+      !viaConnector(5L) && !viaConnector(105L))
+    // column-pruned connector read (text only) must still skip the ordinals
+    val texts = spark.read.format("graft-catalog")
+      .option("root", root).option("table", "t").load()
+      .select("text").count()
+    assert(texts == viaCatalog.size)
   }
 
   test("deletedInWindow refuses a window containing positional deletes (mirrors cannot apply ordinals)") {
