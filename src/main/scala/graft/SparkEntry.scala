@@ -1314,6 +1314,54 @@ object SparkEntry {
       s.sql("DELETE FROM gsql_q.docs WHERE contains(text, 'the') AND doc_id < 50")
       s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gsql_q.docs")
     }),
+    "q_sql_update" -> ((s, dir) => {
+      // SQL UPDATE as a MERGE-ON-READ position delta (SupportsRowLevel-
+      // Operations + SupportsDelta): per-row deletes stream into task-
+      // staged positional tombstones and the rewritten rows into one
+      // appended delta, committed as ONE atomic snapshot — zero existing
+      // data rewritten at any update size, the Iceberg position-delta
+      // shape. Read back through the connector's per-file readers applying
+      // the tombstones.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlupd_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gupd", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gupd.root", root)
+      docs(s, dir).select("doc_id", "text").createOrReplaceTempView("gupd_src")
+      s.sql("CREATE TABLE gupd.docs AS SELECT doc_id, text FROM gupd_src")
+      s.sql("UPDATE gupd.docs SET text = concat(text, ' [rev2]') WHERE doc_id % 11 = 4")
+      s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gupd.docs")
+    }),
+    "q_sql_merge" -> ((s, dir) => {
+      // SQL MERGE INTO through the same delta write: matched rows DELETE or
+      // UPDATE (positional tombstone + replacement row), unmatched source
+      // rows INSERT — all three actions land in ONE atomic snapshot. Target
+      // = the even docs; source = the multiples of 3 re-captured as ' v2'.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlmrg_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gmrg", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmrg.root", root)
+      docs(s, dir).select("doc_id", "text").createOrReplaceTempView("gmrg_src")
+      s.sql("CREATE TABLE gmrg.docs AS SELECT doc_id, text FROM gmrg_src WHERE doc_id % 2 = 0")
+      s.sql("""MERGE INTO gmrg.docs t
+              |USING (SELECT doc_id, concat(text, ' v2') AS text FROM gmrg_src
+              |       WHERE doc_id % 3 = 0) src
+              |ON t.doc_id = src.doc_id
+              |WHEN MATCHED AND t.doc_id % 12 = 6 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET text = src.text
+              |WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (src.doc_id, src.text)
+              |""".stripMargin)
+      s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gmrg.docs")
+    }),
     "q_spj" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN (Iceberg SPJ shape): both sides written
       // exact-clustered on identity(lang) (one transform value per data
@@ -2846,6 +2894,25 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5 FROM documents
         |WHERE doc_id NOT IN (3, 5, 7)
         |  AND NOT (contains(text, 'the') AND doc_id < 50)""".stripMargin,
+    // the UPDATE replays as a CASE over the predicate — every matched row
+    // carries the rewritten text, everything else the original
+    "q_sql_update" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 11 = 4 THEN md5(concat(text, ' [rev2]'))
+        |            ELSE md5(text) END AS text_md5
+        |FROM documents""".stripMargin,
+    // MERGE replay: surviving evens (matched-DELETE took the %12=6 rows),
+    // the %12=0 rows updated to ' v2', the odd multiples of 3 inserted as
+    // ' v2'
+    "q_sql_merge" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+        |UNION ALL
+        |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
+        |WHERE doc_id % 12 = 0
+        |UNION ALL
+        |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin,
     // the storage-partitioned join is plan-shaped (zero exchanges, required
     // in-query); its CONTENT is this plain join against the per-lang agg
     "q_spj" ->

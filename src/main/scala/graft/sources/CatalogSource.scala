@@ -88,6 +88,16 @@ class CatalogSource extends TableProvider with DataSourceRegister {
   }
 }
 
+object CatalogTable {
+  private[sources] def metaCol(colName: String, dt: DataType)
+      : org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): DataType = dt
+      override def isNullable: Boolean = false
+    }
+}
+
 object CatalogSource {
   private[sources] def rootTable(options: CaseInsensitiveStringMap): (String, String) = {
     val root = Option(options.get("root")).getOrElse(
@@ -110,9 +120,23 @@ object CatalogSource {
 class CatalogTable(tableSchema: StructType, root: String, table: String,
                    maxSnaps: Int, startSnap: Long, asOf: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-catalog:$root/$table"
   override def schema(): StructType = tableSchema
+
+  /** Iceberg-shape metadata columns: `_file` (the data file path as the
+    * manifest stores it) and `_pos` (the row's PHYSICAL ordinal within that
+    * file — rows suppressed by pending tombstones still advance it, so it
+    * is exactly the coordinate a positional tombstone names). They are what
+    * row-level SQL DML keys on (`SupportsDelta.rowId`) and are directly
+    * SELECTable for lineage queries. A data column with the same name wins
+    * (Spark omits the conflicting metadata column).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = Array(
+    CatalogTable.metaCol("_file", StringType),
+    CatalogTable.metaCol("_pos", LongType))
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -659,21 +683,19 @@ final class CatalogStreamingWriterFactory(schema: StructType, root: String, tabl
     new CatalogDataWriter(schema, root, table, s"$stagingId-e$epochId", partitionId, taskId)
 }
 
-/** One parquet part file per task, written with parquet-hadoop directly
-  * (atomic column types, timestamps as INT64 micros — both Spark's reader
-  * and the connector's own read path handle them). The task-attempt id is
-  * in the file name, so speculative/retried attempts never collide; only
-  * the attempt whose commit message reaches the driver is referenced.
+/** The shared parquet-hadoop row writer: schema mapping + record
+  * serialization for one part file (atomic column types, timestamps as
+  * INT64 micros — both Spark's reader and the connector's own read path
+  * handle them), used by the append/overwrite writer and the row-level
+  * (delta) writer alike.
   */
-final class CatalogDataWriter(schema: StructType, root: String, table: String,
-                              stagingId: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
+private[sources] object PqRow {
   import org.apache.hadoop.fs.Path
   import org.apache.parquet.hadoop.ParquetWriter
   import org.apache.parquet.hadoop.api.WriteSupport
   import org.apache.parquet.io.api.{Binary, RecordConsumer}
 
-  private val message: PMessageType = {
+  private[sources] def message(schema: StructType): PMessageType = {
     val b = PTypes.buildMessage()
     schema.fields.foreach { f =>
       val t = f.dataType match {
@@ -696,13 +718,10 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
     b.named("spark_schema")
   }
 
-  private val file = new Path(root,
-    f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId.parquet")
-
-  private final class RowWriteSupport extends WriteSupport[InternalRow] {
+  private final class RowWriteSupport(schema: StructType) extends WriteSupport[InternalRow] {
     private var rc: RecordConsumer = _
     override def init(conf: org.apache.hadoop.conf.Configuration): WriteSupport.WriteContext =
-      new WriteSupport.WriteContext(message, java.util.Collections.emptyMap[String, String]())
+      new WriteSupport.WriteContext(message(schema), java.util.Collections.emptyMap[String, String]())
     override def prepareForWrite(consumer: RecordConsumer): Unit = rc = consumer
     override def write(row: InternalRow): Unit = {
       rc.startMessage()
@@ -729,16 +748,28 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
     }
   }
 
-  private final class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
+  private final class B(p: Path, schema: StructType)
+      extends ParquetWriter.Builder[InternalRow, B](p) {
     override def self(): B = this
     override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration): WriteSupport[InternalRow] =
-      new RowWriteSupport
+      new RowWriteSupport(schema)
   }
 
-  private val writer = new B(file)
-    .withConf(new org.apache.hadoop.conf.Configuration())
-    .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-    .build()
+  private[sources] def open(schema: StructType, file: Path): ParquetWriter[InternalRow] =
+    new B(file, schema)
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+}
+
+final class CatalogDataWriter(schema: StructType, root: String, table: String,
+                              stagingId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+
+  private val file = new Path(root,
+    f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId.parquet")
+  private val writer = PqRow.open(schema, file)
   private var rows = 0L
 
   override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }
@@ -751,6 +782,134 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
     val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (fs.exists(file)) fs.delete(file, false)
   }
+  override def close(): Unit = ()
+}
+
+// ----------------------------------------------------------------------
+// ROW-LEVEL SQL DML (SupportsDelta) — UPDATE / MERGE INTO / arbitrary-
+// predicate DELETE as Iceberg-style MERGE-ON-READ position deltas: each
+// task streams its deleted rows' (file, ordinal) coordinates into a staged
+// positional-tombstone file (O(1) task memory — the pairs never pass
+// through the driver) and its replacement/inserted rows into a staged
+// parquet file; the job commit renames the tombstones into the manifest
+// dir and references them + one delta manifest in ONE atomic snapshot
+// (ParquetSnapshotCatalog.commitRowDelta). Zero existing data rewritten,
+// at any UPDATE/MERGE size.
+// ----------------------------------------------------------------------
+
+final case class DeltaCommitMessage(dataFile: Option[(String, Long)],
+                                    deleteFile: Option[String],
+                                    touched: Seq[String]) extends WriterCommitMessage
+
+final class GraftDeltaWrite(dataSchema: StructType, rowId: StructType,
+                            root: String, table: String)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  private val stagingId = java.util.UUID.randomUUID().toString.take(8)
+  override def description(): String = s"GraftCatalogDeltaWrite(table=$table)"
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new org.apache.spark.sql.connector.write.DeltaBatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo)
+          : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+        new GraftDeltaWriterFactory(dataSchema, rowId, root, table, stagingId)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val ms = messages.collect { case m: DeltaCommitMessage => m }.toSeq
+        val dels = ms.flatMap(_.deleteFile).sorted
+        val datas = ms.flatMap(_.dataFile).sortBy(_._1)
+        val touched = ms.flatMap(_.touched).distinct
+        // a statement matching zero rows commits nothing (no empty snapshot)
+        if (dels.nonEmpty || datas.nonEmpty)
+          new ParquetSnapshotCatalog(root).commitRowDelta(table, dels, touched, datas)
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        import org.apache.hadoop.fs.Path
+        val conf = new org.apache.hadoop.conf.Configuration()
+        messages.collect { case m: DeltaCommitMessage => m }
+          .flatMap(m => m.dataFile.map(_._1) ++ m.deleteFile)
+          .foreach { f =>
+            val p = new Path(f)
+            val fs = p.getFileSystem(conf)
+            if (fs.exists(p)) fs.delete(p, false)
+          }
+      }
+    }
+}
+
+final class GraftDeltaWriterFactory(dataSchema: StructType, rowId: StructType,
+                                    root: String, table: String, stagingId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dataSchema, rowId, root, table, stagingId, partitionId, taskId)
+}
+
+/** Per-task delta writer: deletes stream straight to a staged tombstone tsv
+  * (normalized + escaped exactly as the tombstone commit paths write them),
+  * inserts to a staged parquet part file — both lazily created, so a task
+  * that only deletes stages no parquet and vice versa. `touched` collects
+  * the DISTINCT files this task tombstoned (O(files), not O(rows)) for the
+  * commit-time conflict validation. With `representUpdateAsDeleteAndInsert`
+  * the update path is split upstream; the direct `update` is kept correct
+  * anyway (delete + insert).
+  */
+final class GraftDeltaWriter(dataSchema: StructType, rowId: StructType,
+                             root: String, table: String, stagingId: String,
+                             partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+
+  private val cat = new ParquetSnapshotCatalog(root)
+  private val fileIdx = rowId.fieldIndex("_file")
+  private val posIdx = rowId.fieldIndex("_pos")
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
+  private val dataPath = new Path(root,
+    f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId.parquet")
+  private var dataWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var rows = 0L
+
+  private val delPath = new Path(root,
+    f"$table/data/dsv2-$stagingId/del-$partitionId%05d-$taskId.tsv")
+  private var delOut: java.io.Writer = _
+  private val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    if (delOut == null)
+      delOut = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        delPath.getFileSystem(conf).create(delPath, true),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val f = id.getUTF8String(fileIdx).toString
+    delOut.write(cat.posTombstoneLine(f, id.getLong(posIdx)))
+    delOut.write('\n')
+    touched += f
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id); insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null) dataWriter = PqRow.open(dataSchema, dataPath)
+    dataWriter.write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (dataWriter != null) dataWriter.close()
+    if (delOut != null) delOut.close()
+    DeltaCommitMessage(
+      if (dataWriter != null) Some((dataPath.toUri.getPath, rows)) else None,
+      if (delOut != null) Some(delPath.toUri.getPath) else None,
+      touched.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (dataWriter != null) dataWriter.close()
+    if (delOut != null) delOut.close()
+    val fs = dataPath.getFileSystem(conf)
+    Seq(dataPath, delPath).foreach(p => if (fs.exists(p)) fs.delete(p, false))
+  }
+
   override def close(): Unit = ()
 }
 
@@ -851,8 +1010,21 @@ final class CatalogPartitionReader(file: String, required: StructType,
   // still decode the key column to apply the tombstones), resolved to the
   // file's physical names; columns the file predates simply don't project
   private val delCols = deletes.map(_._1).distinct
-  private val projNames = (required.fieldNames.toSeq ++ delCols).distinct
+  private val projNames0 = (required.fieldNames.toSeq ++ delCols).distinct
     .flatMap(physicalOf.get).distinct
+  // a pure-metadata projection (`SELECT _file, _pos`, a row-level DELETE's
+  // scan) still needs one decoded column to drive record iteration
+  private val projNames =
+    if (projNames0.nonEmpty) projNames0 else Seq(fileSchema.getFieldName(0))
+
+  // `_file`/`_pos` are SYNTHESIZED by the reader (SupportsMetadataColumns),
+  // never decoded; a physical column of the same name wins, matching the
+  // connector's metadata-conflict rule
+  private val metaKind: Array[Int] = required.fields.map { f =>
+    if (physicalOf.contains(f.name)) 0
+    else f.name match { case "_file" => 1; case "_pos" => 2; case _ => 0 }
+  }
+  private val fileUtf8 = UTF8String.fromString(file)
   private val projection = new MessageType(fileSchema.getName,
     projNames.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))): _*)
   reader.setRequestedSchema(projection)
@@ -933,7 +1105,9 @@ final class CatalogPartitionReader(file: String, required: StructType,
     val row = new GenericInternalRow(required.length)
     var i = 0
     while (i < outFields.length) {
-      if (outFields(i).isEmpty) { row.setNullAt(i); i += 1 }
+      if (metaKind(i) == 1) { row.update(i, fileUtf8); i += 1 }
+      else if (metaKind(i) == 2) { row.setLong(i, ordinal); i += 1 }
+      else if (outFields(i).isEmpty) { row.setNullAt(i); i += 1 }
       else {
       val (idx, prim, dt) = outFields(i).get
       if (cur.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)

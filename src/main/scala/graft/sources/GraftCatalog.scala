@@ -211,9 +211,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 final class GraftSqlTable(tableSchema: StructType, root: String, table: String,
                           asOf: Option[Long])
     extends CatalogTable(tableSchema, root, table, Int.MaxValue, 0L, asOf)
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsRowLevelOperations {
   private def cat = new ParquetSnapshotCatalog(root)
   override def name(): String = table
+
+  /** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` (the predicates the
+    * metadata-only paths can't take) as MERGE-ON-READ position deltas:
+    * Spark scans the table with the `_file`/`_pos` metadata columns as the
+    * row id, and the delta write turns per-row deletes into task-staged
+    * positional tombstones and updates/inserts into appended parquet files,
+    * committed as ONE atomic snapshot — zero existing data rewritten. A
+    * translatable `DELETE` still collapses to the metadata-only tombstone
+    * commit (Spark's metadata-delete optimization over [[SupportsDeleteV2]]);
+    * this path is everything else.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"graft catalog: ${info.command} on a time-travel read of '$table'")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new GraftRowLevelOperation(info.command(), tableSchema, root, table)
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (asOf.isEmpty && cat.currentSnapshot(table).isEmpty)
@@ -242,6 +263,42 @@ final class GraftSqlTable(tableSchema: StructType, root: String, table: String,
           conj.mkString("(", ") AND (", ")"))
     }
   }
+}
+
+/** The delta-based row-level operation (Iceberg's position-delta shape):
+  * row id = the connector's `_file`/`_pos` metadata columns (synthesized by
+  * the per-file readers, physical ordinals — exactly the coordinates a
+  * positional tombstone names); updates split into delete + reinsert
+  * upstream, so the writer only ever streams tombstone lines and appended
+  * rows. The operation scan is the table's ordinary pruned scan — pending
+  * tombstones are applied first, so an already-deleted row can never be
+  * re-matched.
+  */
+final class GraftRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    tableSchema: StructType, root: String, table: String)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  private def cat = new ParquetSnapshotCatalog(root)
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation($cmd, $table)"
+  override def rowId(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions.column("_file"),
+    org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (cat.currentSnapshot(table).isEmpty)
+      new GraftEmptyScanBuilder(tableSchema) // MERGE into a CREATEd-empty table
+    else new CatalogScanBuilder(tableSchema, root, table, Int.MaxValue, 0L, None)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite = {
+        val rowIdSchema = if (info.rowIdSchema().isPresent) info.rowIdSchema().get()
+          else StructType(Seq(StructField("_file", StringType, nullable = false),
+            StructField("_pos", LongType, nullable = false)))
+        new GraftDeltaWrite(info.schema(), rowIdSchema, root, table)
+      }
+    }
 }
 
 /** Scan of a CREATEd-but-never-written table: the recorded schema, zero

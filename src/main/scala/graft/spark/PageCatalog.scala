@@ -90,6 +90,12 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
 
   private def fsExists(p: HPath): Boolean = fsOf(p).exists(p)
   private def fsDelete(p: HPath): Unit = { val f = fsOf(p); if (f.exists(p)) f.delete(p, false) }
+  /** Same-filesystem move (staged tombstones → manifest dir). Plain rename,
+    * not the atomic-swap primitive: the file only becomes visible to readers
+    * through the manifest list committed after it, so atomicity rides the
+    * CURRENT swap as with every other ref. */
+  private def fsRename(src: HPath, dest: HPath): Unit =
+    require(fsOf(src).rename(src, dest), s"rename $src -> $dest failed")
   private def listNames(dir: HPath): Seq[String] = {
     val f = fsOf(dir)
     if (!f.exists(dir)) Nil
@@ -831,6 +837,68 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     if (matched.isEmpty) (cur, 0L)
     else (deleteAtPositions(table, matched), matched.size.toLong)
   }
+
+  /** One-snapshot ROW-LEVEL DELTA commit — the SQL `UPDATE` / `MERGE INTO` /
+    * row-level `DELETE` write path (Iceberg's merge-on-read position-delta
+    * commit). `deleteFiles` are TASK-STAGED positional tombstone files
+    * (escaped-normalized-path \t ordinal lines, written by the DSv2 delta
+    * writers with O(1) task memory); they are RENAMED into the manifest dir
+    * as this snapshot's `p<snap>-<k>.tsv` refs — the pairs never pass
+    * through the driver, unlike [[deleteMatching]]'s collect. `dataFiles`
+    * (replacement/inserted rows, with row counts for the `__count` sidecar)
+    * ride the same snapshot as one delta manifest, so no reader can observe
+    * rows deleted-but-not-yet-replaced ([[upsertByKey]]'s atomicity, the
+    * positional edition). The sequence rule holds by construction: the
+    * tombstones name OLD files explicitly and the delta's files are new
+    * paths they cannot name.
+    *
+    * `touchedFiles` — the distinct data files the tombstones name,
+    * task-collected (O(files), not O(rows)) — is validated against the
+    * CURRENT snapshot under the commit lock: a concurrent compaction or
+    * rewrite that dropped a touched file fails this commit loudly
+    * (Iceberg's `validateDataFilesExist` serializable-isolation check)
+    * instead of committing tombstones whose coordinates now point at
+    * nothing and which every reader would refuse as corruption.
+    */
+  def commitRowDelta(table: String, deleteFiles: Seq[String],
+                     touchedFiles: Seq[String], dataFiles: Seq[(String, Long)]): Long = {
+    require(deleteFiles.nonEmpty || dataFiles.nonEmpty, "empty row-level delta commit")
+    withCommitLock(table) {
+      val curO = currentSnapshot(table)
+      require(curO.nonEmpty || deleteFiles.isEmpty,
+        s"row-level delta: positional deletes against uncommitted table '$table'")
+      val prev = curO.map(entriesOf(table, _)).getOrElse(Seq.empty)
+      if (touchedFiles.nonEmpty) {
+        val live = manifestFiles(table, curO.get).map(normFile).toSet
+        val gone = touchedFiles.map(normFile).distinct.filterNot(live)
+        require(gone.isEmpty,
+          s"row-level delta conflict on '$table': tombstoned data files are no longer " +
+          s"in the current snapshot (concurrent rewrite/expire?) — retry the statement: " +
+          gone.take(3).mkString(", "))
+      }
+      val snap = claimSnapshotId(table)
+      val delRefs = deleteFiles.sorted.zipWithIndex.map { case (f, k) =>
+        val ref = s"p$snap-$k.tsv"
+        fsRename(new HPath(f), new HPath(manifestDir(table), ref))
+        "!" + ref
+      }
+      val dataEntry =
+        if (dataFiles.isEmpty) Nil
+        else {
+          writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
+            dataFiles.map { case (f, n) => s"$f\t__count\t$n\t$n" }.mkString("", "\n", "\n"))
+          Seq(writeDeltaManifest(table, snap, dataFiles.map(_._1)))
+        }
+      commitSnapshot(table, snap, prev ++ delRefs ++ dataEntry)
+      snap
+    }
+  }
+
+  /** One positional-tombstone line as the task-staged delete files store it
+    * — shared between [[commitRowDelta]]'s writers and the tombstone commit
+    * paths so the escape/normalization rules can never diverge. */
+  private[graft] def posTombstoneLine(file: String, pos: Long): String =
+    s"${escStat(normFile(file))}\t$pos"
 
   /** Apply a snapshot's equality-delete files: one broadcast anti-join per
     * tombstone (the delete sets are takedown-sized — thousands of keys, not

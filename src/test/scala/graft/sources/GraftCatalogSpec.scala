@@ -158,16 +158,23 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
-  test("arithmetic DELETE predicates need ANSI mode to translate (wrapping semantics are not portable); positional path engages") {
+  test("arithmetic DELETE predicates: ANSI translates to the metadata-only path, non-ANSI falls back to the row-level delta (both positional, both correct)") {
     docs(12).createOrReplaceTempView("src12")
     spark.sql("CREATE TABLE gsql.t12 AS SELECT * FROM src12")
-    // non-ANSI: Spark refuses to hand `%` to a source (documented guard)
-    intercept[Exception](spark.sql("DELETE FROM gsql.t12 WHERE id % 4 = 1"))
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    try spark.sql("DELETE FROM gsql.t12 WHERE id % 4 = 1")
-    finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    // non-ANSI: Spark refuses to hand `%` to a source (wrapping semantics
+    // are not portable), so the metadata-only optimization can't fire — the
+    // SupportsDelta row-level plan takes it instead (pre-round-4-delta this
+    // statement FAILED outright)
+    spark.sql("DELETE FROM gsql.t12 WHERE id % 4 = 1")
     assert(sqlIds("t12") == (0 until 12).map(_.toLong).filterNot(_ % 4 == 1).toSet)
-    assert(cat.positionalDeletes("t12", cat.currentSnapshot("t12").get).nonEmpty)
+    assert(cat.positionalDeletes("t12", cat.currentSnapshot("t12").get).size == 3)
+    // ANSI: translatable → the metadata-only deleteMatching path (one
+    // _metadata scan, no delta write job) commits the tombstone
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try spark.sql("DELETE FROM gsql.t12 WHERE id % 4 = 2")
+    finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    assert(sqlIds("t12") == (0 until 12).map(_.toLong)
+      .filterNot(i => i % 4 == 1 || i % 4 == 2).toSet)
   }
 
   test("pushed filters still prune through the SQL path (pruned read stays correct)") {
