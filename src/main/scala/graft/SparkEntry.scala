@@ -1362,6 +1362,50 @@ object SparkEntry {
               |""".stripMargin)
       s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gmrg.docs")
     }),
+    "q_runtime_filter" -> ((s, dir) => {
+      // RUNTIME file pruning (SupportsRuntimeV2Filtering — Iceberg's
+      // dynamic file filtering): the broadcast side of the join runs
+      // first, its doc_id values arrive at the fact scan as a runtime IN,
+      // and the zone maps drop every fact file whose range cannot hold
+      // them — at 100 TB the fact scan reads the join's footprint, not
+      // the table. REQUIRED in-query: the dynamic-pruning expression in
+      // the plan AND an opened-files bound (a pruned file is never
+      // opened); rows are oracle-checked.
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_rtf_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir)
+      cat.commitWithStats(
+        d.selectExpr("doc_id", "md5(text) AS text_md5")
+          .repartitionByRange(8, col("doc_id")), "fact", Seq("doc_id"))
+      cat.commit(d.selectExpr("doc_id",
+        "CAST(CASE WHEN doc_id % 97 = 3 AND doc_id < 250 THEN 1 ELSE 0 END AS INT) AS keep"),
+        "dim")
+      def rd(t: String) = s.read.format("graft-catalog")
+        .option("root", root).option("table", t).load()
+      val j = rd("fact")
+        .join(broadcast(rd("dim").where("keep = 1")), "doc_id")
+        .select("doc_id", "text_md5")
+      val plan = j.queryExecution.executedPlan.toString
+      require(plan.toLowerCase.contains("dynamicpruning"),
+        s"q_runtime_filter: no dynamic-pruning runtime filter in the plan:\n$plan")
+      val snap = cat.currentSnapshot("fact").get
+      val factFiles = cat.filesWithAddOrder("fact", snap).size
+      val dimFiles = cat.filesWithAddOrder("dim", cat.currentSnapshot("dim").get).size
+      val before = graft.sources.CatalogPartitionReader.opened.get()
+      val out = j.collect()
+      val opened = graft.sources.CatalogPartitionReader.opened.get() - before
+      require(opened < factFiles + dimFiles,
+        s"q_runtime_filter: runtime filter pruned nothing ($opened opened, " +
+          s"fact=$factFiles dim=$dimFiles)")
+      import s.implicits._
+      out.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text_md5")
+    }),
     "q_spj" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN (Iceberg SPJ shape): both sides written
       // exact-clustered on identity(lang) (one transform value per data
@@ -2913,6 +2957,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin,
+    // the runtime-filtered join is plan-shaped in-query (dynamic pruning +
+    // opened-files bound); its CONTENT is the plain filtered join
+    "q_runtime_filter" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id % 97 = 3 AND doc_id < 250""".stripMargin,
     // the storage-partitioned join is plan-shaped (zero exchanges, required
     // in-query); its CONTENT is this plain join against the per-lang agg
     "q_spj" ->

@@ -295,8 +295,94 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
                         pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                         asOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   private def cat = new ParquetSnapshotCatalog(root)
+
+  // ------------------------------------------------------------------
+  // RUNTIME file pruning (Iceberg's dynamic file filtering shape): Spark's
+  // dynamic-partition-pruning rule sees `filterAttributes`, runs the join's
+  // build side first, and hands the collected key values to `filter` as an
+  // IN predicate — the scan then drops every data file whose zone map /
+  // bloom sidecar / partition transform PROVES it cannot hold any of the
+  // values, before a single fact byte is read. At 100 TB this is the
+  // difference between scanning the table and scanning the join's actual
+  // footprint. Pruning is never load-bearing: a file without stats is
+  // kept, and Spark re-applies the join itself row-level.
+  // ------------------------------------------------------------------
+  private var runtimeKeep: Option[Set[String]] = None // surviving data files
+  // allowed partition-column values, EXTERNALIZED strings — both the runtime
+  // literals and the group keys normalize through [[externalize]], so the
+  // internal-vs-external literal representation can never mis-drop a group
+  private var runtimeKeyVals: Option[Set[String]] = None
+
+  /** Columns a runtime IN can prune files on: stats/bloom/partition-spec
+    * columns that exist in the schema at a literal type the stat strings
+    * can replay (string/long/int — mirrors [[pruneByFilters]]'s tiers).
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val snapO = asOf.orElse(cat.currentSnapshot(table))
+    snapO match {
+      case None => Array.empty
+      case Some(snap) =>
+        cat.runtimePrunableColumns(table, snap)
+          .filter(c => tableSchema.fields.exists(f => f.name == c && (f.dataType match {
+            case StringType | LongType | IntegerType => true
+            case _ => false
+          })))
+          .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+          .toArray
+    }
+  }
+
+  /** The per-value equality candidate set — zone maps ∩ blooms ∩ the
+    * partition transform, each conservative on missing stats (shared by the
+    * planning-time EqualTo path and the runtime IN path).
+    */
+  private def eqCandidates(snap: Long, allFiles: Seq[String],
+                           c: String, lit: String): Set[String] = {
+    val z = cat.pruneFilesAt(table, snap, c, lit, lit).toSet
+    val b = cat.pruneFilesByBloom(table, c, lit).toSet
+    val p = cat.partitionSpec(table) match {
+      case Some(spec) if spec.col == c =>
+        val t = spec.literal(lit)
+        cat.pruneFilesAt(table, snap, spec.statName, t, t).toSet
+      case _ => allFiles.toSet
+    }
+    z & b & p
+  }
+
+  private def externalize(v: Any): Option[String] = v match {
+    case u: UTF8String => Some(u.toString) // runtime IN values arrive internal
+    case s: String => Some(s)
+    case l: java.lang.Long => Some(l.toString)
+    case i: java.lang.Integer => Some(i.toString)
+    case _ => None
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    predicates.foreach { p =>
+      val kids = p.children()
+      if ((p.name() == "IN" || p.name() == "=") && kids.length >= 2) kids.head match {
+        case ref: NamedReference if ref.fieldNames().length == 1 &&
+            kids.tail.forall(_.isInstanceOf[Literal[_]]) =>
+          val c = ref.fieldNames()(0)
+          val vals: Seq[Any] = kids.tail.map(_.asInstanceOf[Literal[_]].value: Any).toSeq
+          val lits = vals.flatMap(externalize(_))
+          if (lits.length == vals.length) { // every value replayable, else skip whole predicate
+            val all = batchFiles.map(_._1)
+            val cand = lits.foldLeft(Set.empty[String])(_ | eqCandidates(batchSnap, all, c, _))
+            runtimeKeep = Some(runtimeKeep.fold(cand)(_ & cand))
+            if (cat.partitionSpec(table).exists(s => s.col == c &&
+                s.isInstanceOf[graft.spark.IdentityTransform]))
+              runtimeKeyVals = Some(runtimeKeyVals.fold(lits.toSet)(_ & lits.toSet))
+          }
+        case _ => ()
+      }
+    }
+  }
 
   // ------------------------------------------------------------------
   // STORAGE-PARTITIONED JOIN surface (Iceberg's SPJ shape): when the table
@@ -510,15 +596,41 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     // the relation after column pruning) only needs the row cardinality —
     // when every file is __count-ed and no tombstone is pending, emit the
     // rows synthetically and never open a data file
-    if (required.isEmpty && pushed.isEmpty && asOf.isEmpty) {
+    if (required.isEmpty && pushed.isEmpty && asOf.isEmpty && runtimeKeep.isEmpty) {
       cat.countStar(table) match {
         case Some(n) => return Array(CatalogRowCountPartition(n))
         case None => ()
       }
     }
     keyGroups match {
-      case Some((_, groups)) => groups
-      case None => withDeletes(batchFiles, batchSnap)
+      case Some((_, groups)) =>
+        // runtime pruning keeps the KeyGroupedPartitioning contract: files
+        // may drop out of a group and whole groups may disappear (Spark
+        // back-fills missing partition values with empty partitions), but a
+        // surviving group's key never changes.
+        val byKey = runtimeKeyVals match {
+          case Some(allowed) => groups.filter { g =>
+            // a key that cannot externalize (incl. null) is conservatively
+            // KEPT — only a provably-absent value drops its group
+            externalize(g.asInstanceOf[CatalogKeyGroupPartition].keyVal)
+              .forall(allowed.contains)
+          }
+          case None => groups
+        }
+        runtimeKeep match {
+          case Some(keep) => byKey.flatMap { gp =>
+            val g = gp.asInstanceOf[CatalogKeyGroupPartition]
+            val fs = g.files.filter(f => keep(f.file))
+            if (fs.isEmpty) None else Some(CatalogKeyGroupPartition(fs, g.keyVal): InputPartition)
+          }
+          case None => byKey
+        }
+      case None =>
+        val files = runtimeKeep match {
+          case Some(keep) => batchFiles.filter(f => keep(f._1))
+          case None => batchFiles
+        }
+        withDeletes(files, batchSnap)
     }
   }
 
@@ -970,11 +1082,20 @@ final class CatalogReaderFactory(required: StructType,
   * binary, long, int, double, float, boolean, timestamp INT96/INT64, date);
   * nested/decimal columns fail loudly with the column name.
   */
+object CatalogPartitionReader {
+  /** Data files actually OPENED by this JVM's readers — the observable the
+    * runtime-filter and metadata-only specs assert on (a pruned file must
+    * never be opened; a metadata-answered query must open zero).
+    */
+  val opened = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 final class CatalogPartitionReader(file: String, required: StructType,
                                    deletes: Seq[(String, Seq[String])],
                                    posDeletes: Seq[Long] = Nil,
                                    renames: Seq[(String, String)] = Nil)
     extends PartitionReader[InternalRow] {
+  CatalogPartitionReader.opened.incrementAndGet()
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
   import org.apache.parquet.example.data.Group

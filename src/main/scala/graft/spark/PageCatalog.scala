@@ -1622,6 +1622,21 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     (legacy ++ deltas).flatMap(_.split('\n')).filter(_.nonEmpty).map(_.split('\t'))
   }
 
+  /** Columns the DSv2 scan can prune FILES on at runtime (dynamic file
+    * pruning): every column carrying a zone-map stat line at `snap`, every
+    * bloom-sidecar column, and the partition transform's source column.
+    * The `__count` bookkeeping pseudo-column and `part:`-prefixed transform
+    * stats are metadata names, not filterable columns, and are excluded —
+    * transform stats are still CONSULTED when the spec's source column is
+    * filtered (the scan translates the literal through the transform).
+    */
+  def runtimePrunableColumns(table: String, snap: Long): Seq[String] = {
+    val statCols = statsLinesAt(table, snap).collect {
+      case l if l.length >= 2 && l(1) != "__count" && !l(1).startsWith("part:") => l(1)
+    }
+    (statCols ++ bloomColumnsAt(table, snap) ++ partitionSpec(table).map(_.col)).distinct
+  }
+
   /** [[statsLinesAt]] for bloom sidecars of one column. */
   private def bloomLinesAt(table: String, snap: Long, col: String): Seq[Array[String]] = {
     val dir = manifestDir(table)
