@@ -69,14 +69,20 @@ class CatalogSource extends TableProvider with DataSourceRegister {
     val cat = new ParquetSnapshotCatalog(root)
     val snap = cat.currentSnapshot(table).getOrElse(throw new IllegalArgumentException(
       s"graft-catalog source: table '$table' under '$root' has no committed snapshot"))
-    val files = cat.filesWithAddOrder(table, snap).map(_._1).sorted
-    // one footer, driver-side — Spark's own parquet schema inference; walk
-    // the list so a missing first file (mid-maintenance) degrades gracefully
-    files.iterator
-      .map(f => scala.util.Try(SparkSession.active.read.parquet(f).schema))
-      .collectFirst { case scala.util.Success(s) => s }
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft-catalog source: snapshot $snap of '$table' has no readable data files"))
+    // the authoritative read path's schema — rename history applied and
+    // ADD-column evolution unioned by name (a first-footer-only inference
+    // would miss columns the first file predates); driver-side planning
+    // only, no data read
+    scala.util.Try(cat.read(SparkSession.active, table).schema).getOrElse {
+      val files = cat.filesWithAddOrder(table, snap).map(_._1).sorted
+      // fallback: one footer, driver-side — walk the list so a missing
+      // first file (mid-maintenance) degrades gracefully
+      files.iterator
+        .map(f => scala.util.Try(SparkSession.active.read.parquet(f).schema))
+        .collectFirst { case scala.util.Success(s) => s }
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-catalog source: snapshot $snap of '$table' has no readable data files"))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -634,7 +640,38 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  /** Columnar (vectorized) reads iff snapshot-immutable facts allow them:
+    * no key grouping (SPJ partitions chain files), no delete tombstone of
+    * either kind at the pinned snapshot, no rename to resolve, no
+    * synthesized metadata column, and every required type the vectorized
+    * reader handles. Facts are per-SNAPSHOT metadata (immutable once
+    * committed), so the flag cannot be invalidated between planning and
+    * execution; runtime filters only REMOVE files. Anything else falls back
+    * to the row reader — never a wrong answer, just the slower path.
+    */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val columnarOk = scala.util.Try {
+      def vectorizable(dt: DataType): Boolean = dt match {
+        case StringType | BinaryType | LongType | IntegerType | DateType |
+             DoubleType | FloatType | BooleanType | TimestampType => true
+        case _ => false
+      }
+      required.nonEmpty && keyGroups.isEmpty &&
+        !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
+        cat.renameHistory(table).isEmpty &&
+        cat.equalityDeletes(table, batchSnap).isEmpty &&
+        cat.positionalDeletes(table, batchSnap).isEmpty &&
+        required.fields.forall(f => vectorizable(f.dataType))
+    }.getOrElse(false)
+    new CatalogReaderFactory(required, cat.renameHistory(table), columnarOk)
+  }
+
+  /** The row-based factory for STREAMING reads: a window's delete state is
+    * not knowable when the stream's factory is created, so the columnar
+    * flag could go stale mid-stream — streaming always rides the
+    * delete-applying row reader.
+    */
+  private[sources] def rowReaderFactory(): PartitionReaderFactory =
     new CatalogReaderFactory(required, cat.renameHistory(table))
 
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream = {
@@ -686,7 +723,7 @@ final class CatalogMicroBatchStream(scan: CatalogScan, root: String, table: Stri
     scan.withDeletes(scan.pruneByFilters(files, e), e)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = scan.rowReaderFactory()
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1040,8 +1077,27 @@ final case class CatalogKeyGroupPartition(files: Seq[CatalogFilePartition], keyV
 }
 
 final class CatalogReaderFactory(required: StructType,
-                                 renames: Seq[(String, String)] = Nil)
+                                 renames: Seq[(String, String)] = Nil,
+                                 columnarOk: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Columnar reads are an ALL-OR-NOTHING per-scan property (Spark refuses
+    * mixed row/columnar partitions), so the decision is the factory-level
+    * flag the scan computed from snapshot-immutable facts — never
+    * per-partition state.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnarOk
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = partition match {
+    case p: CatalogFilePartition =>
+      require(p.deletes.isEmpty && p.posDeletes.isEmpty,
+        s"graft-catalog: columnar read planned for a delete-carrying file ${p.file}")
+      new CatalogVectorReader(p.file, required)
+    case other => throw new IllegalStateException(
+      s"graft-catalog: columnar read of non-file partition $other")
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case CatalogRowCountPartition(n) => new PartitionReader[InternalRow] {
@@ -1090,6 +1146,53 @@ object CatalogPartitionReader {
   val opened = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
+/** The COLUMNAR fast path: Spark's own `VectorizedParquetRecordReader`
+  * (the engine's production parquet reader — batched column decoding into
+  * `ColumnarBatch`, the same machinery `spark.read.parquet` runs) driving a
+  * DSv2 columnar partition. Planned only when the snapshot carries no
+  * deletes, no renames and no metadata columns — exactly the Iceberg rule
+  * (vectorize clean scans, fall back to the row reader when row-level
+  * semantics must apply). Schema evolution still works: the requested
+  * schema rides the conf (`ParquetReadSupport` clips by name; a column the
+  * file predates reads as a null vector).
+  */
+final class CatalogVectorReader(file: String, required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  CatalogPartitionReader.opened.incrementAndGet()
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+  import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  conf.set("org.apache.spark.sql.parquet.row.requested_schema", required.json)
+  conf.set("parquet.read.support.class",
+    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+  // the schema converter / read support read these SQLConf keys from the
+  // Hadoop conf WITHOUT defaults (Spark's own scan pre-seeds them the same
+  // way); values = Spark's defaults for the session shapes this engine runs
+  conf.set("spark.sql.parquet.binaryAsString", "false")
+  conf.set("spark.sql.parquet.int96AsTimestamp", "true")
+  conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+  conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+  conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+  conf.set("spark.sql.caseSensitive", "false")
+  conf.set("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", /*useOffHeap=*/ false, /*capacity=*/ 4096)
+  // the base reader casts to the OLD-API split type (which extends the new)
+  private val split = new org.apache.hadoop.mapred.FileSplit(
+    new org.apache.hadoop.fs.Path(file), 0, Long.MaxValue, null: Array[String])
+  reader.initialize(split, new TaskAttemptContextImpl(conf,
+    new TaskAttemptID(new TaskID(new JobID(), TaskType.MAP, 0), 0)))
+  reader.initBatch(new StructType(), new GenericInternalRow(0))
+  reader.enableReturningBatches()
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
 final class CatalogPartitionReader(file: String, required: StructType,
                                    deletes: Seq[(String, Seq[String])],
                                    posDeletes: Seq[Long] = Nil,
@@ -1098,9 +1201,8 @@ final class CatalogPartitionReader(file: String, required: StructType,
   CatalogPartitionReader.opened.incrementAndGet()
   import org.apache.parquet.hadoop.ParquetFileReader
   import org.apache.parquet.hadoop.util.HadoopInputFile
-  import org.apache.parquet.example.data.Group
-  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
   import org.apache.parquet.io.ColumnIOFactory
+  import org.apache.parquet.io.api.{Binary, Converter, GroupConverter, PrimitiveConverter, RecordMaterializer}
   import org.apache.parquet.schema.{MessageType, PrimitiveType, LogicalTypeAnnotation}
   import org.apache.hadoop.fs.Path
 
@@ -1173,16 +1275,78 @@ final class CatalogPartitionReader(file: String, required: StructType,
   private val posSet: Set[Long] = posDeletes.toSet
   private var ordinal: Long = -1L
 
-  private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+  /** Direct-to-typed-slots record materialization — the per-row
+    * `SimpleGroup` (one object + per-field list + boxed value each) that the
+    * example `GroupRecordConverter` allocates is the read path's dominant
+    * garbage at scale, so values land straight in one long slot (fixed-width
+    * types, floating bits raw) or one ref slot (byte[] for BINARY/INT96)
+    * per projected field; dictionary-encoded binary pages decode each
+    * dictionary entry ONCE and share the byte[] across rows (immutable —
+    * output wraps, never mutates).
+    */
+  private final class Slots extends RecordMaterializer[InternalRow] {
+    val n = projection.getFieldCount
+    val longs = new Array[Long](n)
+    val refs = new Array[AnyRef](n)
+    val nulls = new Array[Boolean](n)
+    private val marker: InternalRow = new GenericInternalRow(0)
+    private val root: GroupConverter = new GroupConverter {
+      private val convs: Array[Converter] = Array.tabulate(n) { i =>
+        import PrimitiveType.PrimitiveTypeName._
+        projection.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+          case BINARY | FIXED_LEN_BYTE_ARRAY | INT96 => new PrimitiveConverter {
+            private var dict: Array[Array[Byte]] = _
+            override def addBinary(b: Binary): Unit = { refs(i) = b.getBytes; nulls(i) = false }
+            override def hasDictionarySupport: Boolean = true
+            override def setDictionary(d: org.apache.parquet.column.Dictionary): Unit =
+              dict = Array.tabulate(d.getMaxId + 1)(k => d.decodeToBinary(k).getBytes)
+            override def addValueFromDictionary(id: Int): Unit = {
+              refs(i) = dict(id); nulls(i) = false
+            }
+          }
+          case INT64 => new PrimitiveConverter {
+            override def addLong(v: Long): Unit = { longs(i) = v; nulls(i) = false }
+          }
+          case INT32 => new PrimitiveConverter {
+            override def addInt(v: Int): Unit = { longs(i) = v; nulls(i) = false }
+          }
+          case DOUBLE => new PrimitiveConverter {
+            override def addDouble(v: Double): Unit = {
+              longs(i) = java.lang.Double.doubleToRawLongBits(v); nulls(i) = false
+            }
+          }
+          case FLOAT => new PrimitiveConverter {
+            override def addFloat(v: Float): Unit = {
+              longs(i) = java.lang.Float.floatToRawIntBits(v).toLong; nulls(i) = false
+            }
+          }
+          case BOOLEAN => new PrimitiveConverter {
+            override def addBoolean(v: Boolean): Unit = {
+              longs(i) = if (v) 1L else 0L; nulls(i) = false
+            }
+          }
+          case other => throw new IllegalStateException(
+            s"graft-catalog reader: unsupported parquet primitive $other in $file")
+        }
+      }
+      override def getConverter(i: Int): Converter = convs(i)
+      override def start(): Unit = java.util.Arrays.fill(nulls, true)
+      override def end(): Unit = ()
+    }
+    override def getRootConverter: GroupConverter = root
+    override def getCurrentRecord: InternalRow = marker
+  }
+
+  private val slots = new Slots
+  private var recordReader: org.apache.parquet.io.RecordReader[InternalRow] = _
   private var rowsLeft: Long = 0L
-  private var cur: Group = _
 
   private def nextRowGroup(): Boolean = {
     val pages = reader.readNextRowGroup()
     if (pages == null) false
     else {
       val columnIO = new ColumnIOFactory().getColumnIO(projection)
-      recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(projection))
+      recordReader = columnIO.getRecordReader(pages, slots)
       rowsLeft = pages.getRowCount
       true
     }
@@ -1192,13 +1356,14 @@ final class CatalogPartitionReader(file: String, required: StructType,
     * gated at planning). A null key column never matches (anti-join keeps
     * the row).
     */
-  private def deleted(g: Group): Boolean = delSets.exists { case (idx, keys) =>
-    g.getFieldRepetitionCount(idx) > 0 && {
+  private def deleted(): Boolean = delSets.exists { case (idx, keys) =>
+    !slots.nulls(idx) && {
       val prim = projection.getType(idx).asPrimitiveType()
       val s = prim.getPrimitiveTypeName match {
-        case PrimitiveType.PrimitiveTypeName.BINARY => g.getBinary(idx, 0).toStringUsingUTF8
-        case PrimitiveType.PrimitiveTypeName.INT64 => g.getLong(idx, 0).toString
-        case PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(idx, 0).toString
+        case PrimitiveType.PrimitiveTypeName.BINARY =>
+          UTF8String.fromBytes(slots.refs(idx).asInstanceOf[Array[Byte]]).toString
+        case PrimitiveType.PrimitiveTypeName.INT64 => slots.longs(idx).toString
+        case PrimitiveType.PrimitiveTypeName.INT32 => slots.longs(idx).toString
         case other => throw new IllegalStateException(s"undeletable primitive $other")
       }
       keys.contains(s)
@@ -1212,9 +1377,7 @@ final class CatalogPartitionReader(file: String, required: StructType,
         val g = recordReader.read()
         rowsLeft -= 1
         ordinal += 1
-        if (g != null && !posSet.contains(ordinal) && !deleted(g)) {
-          cur = g; return true
-        }
+        if (g != null && !posSet.contains(ordinal) && !deleted()) return true
       }
     }
     false
@@ -1231,24 +1394,26 @@ final class CatalogPartitionReader(file: String, required: StructType,
       else if (outFields(i).isEmpty) { row.setNullAt(i); i += 1 }
       else {
       val (idx, prim, dt) = outFields(i).get
-      if (cur.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
+      if (slots.nulls(idx)) row.setNullAt(i)
       else {
         import PrimitiveType.PrimitiveTypeName._
         (dt, prim.getPrimitiveTypeName) match {
-          case (StringType, BINARY) =>
-            row.update(i, UTF8String.fromBytes(cur.getBinary(idx, 0).getBytes))
+          case (StringType, BINARY) => // wrap, never copy — slot bytes are per-row or immutable dict entries
+            row.update(i, UTF8String.fromBytes(slots.refs(idx).asInstanceOf[Array[Byte]]))
           case (BinaryType, BINARY | FIXED_LEN_BYTE_ARRAY) =>
-            row.update(i, cur.getBinary(idx, 0).getBytes)
-          case (LongType, INT64) => row.setLong(i, cur.getLong(idx, 0))
-          case (IntegerType | DateType, INT32) => row.setInt(i, cur.getInteger(idx, 0))
-          case (LongType, INT32) => row.setLong(i, cur.getInteger(idx, 0).toLong)
-          case (DoubleType, DOUBLE) => row.setDouble(i, cur.getDouble(idx, 0))
-          case (FloatType, FLOAT) => row.setFloat(i, cur.getFloat(idx, 0))
-          case (BooleanType, BOOLEAN) => row.setBoolean(i, cur.getBoolean(idx, 0))
+            row.update(i, slots.refs(idx))
+          case (LongType, INT64) => row.setLong(i, slots.longs(idx))
+          case (IntegerType | DateType, INT32) => row.setInt(i, slots.longs(idx).toInt)
+          case (LongType, INT32) => row.setLong(i, slots.longs(idx))
+          case (DoubleType, DOUBLE) =>
+            row.setDouble(i, java.lang.Double.longBitsToDouble(slots.longs(idx)))
+          case (FloatType, FLOAT) =>
+            row.setFloat(i, java.lang.Float.intBitsToFloat(slots.longs(idx).toInt))
+          case (BooleanType, BOOLEAN) => row.setBoolean(i, slots.longs(idx) != 0L)
           case (TimestampType, INT96) =>
             // spark's default parquet timestamp: 8B little-endian nanos-of-
             // day + 4B little-endian julian day
-            val buf = java.nio.ByteBuffer.wrap(cur.getInt96(idx, 0).getBytes)
+            val buf = java.nio.ByteBuffer.wrap(slots.refs(idx).asInstanceOf[Array[Byte]])
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             val nanos = buf.getLong; val jday = buf.getInt
             row.setLong(i, (jday - JULIAN_EPOCH_DAY) * 86400000000L + nanos / 1000L)
@@ -1256,8 +1421,8 @@ final class CatalogPartitionReader(file: String, required: StructType,
             val micros = prim.getLogicalTypeAnnotation match {
               case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
                   if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
-                cur.getLong(idx, 0) * 1000L
-              case _ => cur.getLong(idx, 0) // micros (spark's INT64 output)
+                slots.longs(idx) * 1000L
+              case _ => slots.longs(idx) // micros (spark's INT64 output)
             }
             row.setLong(i, micros)
           case (d, p) => throw new IllegalStateException(
