@@ -1269,6 +1269,48 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_sql_meta" -> ((s, dir) => {
+      // SQL METADATA TABLES (Iceberg's inspection shape): files/snapshots/
+      // refs reachable as `SELECT ... FROM cat.t.files` — what a 100 TB
+      // operator's dashboards join against, all answered from catalog
+      // metadata with ZERO data files opened (asserted in-query via the
+      // opened-files counter). Three drops with pinned file counts
+      // (REPARTITION(1) per insert) + a metadata-only DELETE + a tag make
+      // every row closed-form.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlmeta_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gmeta", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gmeta.root", root)
+      docs(s, dir).select("doc_id", "text").createOrReplaceTempView("gmeta_src")
+      s.sql("CREATE TABLE gmeta.docs AS SELECT /*+ REPARTITION(1) */ * FROM gmeta_src WHERE doc_id % 3 = 0")
+      s.sql("INSERT INTO gmeta.docs SELECT /*+ REPARTITION(1) */ * FROM gmeta_src WHERE doc_id % 3 = 1")
+      s.sql("INSERT INTO gmeta.docs SELECT /*+ REPARTITION(1) */ * FROM gmeta_src WHERE doc_id % 3 = 2")
+      s.sql("DELETE FROM gmeta.docs WHERE doc_id = 0")
+      new graft.spark.ParquetSnapshotCatalog(root).tagSnapshot("docs", "audit", 2L)
+      val before = graft.sources.CatalogPartitionReader.opened.get()
+      val out = s.sql(
+        """SELECT 'file' AS kind, CAST(f.add_snapshot AS STRING) AS k,
+          |       CAST(f.n_rows AS BIGINT) AS v
+          |FROM gmeta.docs.files f
+          |UNION ALL
+          |SELECT 'snap', CAST(s.snapshot AS STRING),
+          |       s.n_data_files * 10 + s.n_delete_files
+          |         + CASE WHEN s.is_current THEN 100 ELSE 0 END
+          |FROM gmeta.docs.snapshots s
+          |UNION ALL
+          |SELECT 'ref', concat(r.name, '/', r.kind), r.snapshot
+          |FROM gmeta.docs.refs r""".stripMargin).collect()
+      require(graft.sources.CatalogPartitionReader.opened.get() == before,
+        "q_sql_meta: a metadata table opened a data file")
+      import s.implicits._
+      out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        .toDF("kind", "k", "v")
+    }),
     "q_sql_agg" -> ((s, dir) => {
       // metadata-only aggregate pushdown through PURE SQL: every data file
       // is DELETED before the query runs, so count/min/max can only come
@@ -2957,6 +2999,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin,
+    // metadata tables replay closed-form: per-drop row counts (files), the
+    // pinned REPARTITION(1) file ledger packed per snapshot, and the refs
+    "q_sql_meta" ->
+      """SELECT 'file' AS kind, '1' AS k, CAST(count(*) AS BIGINT) AS v
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL SELECT 'file', '2', CAST(count(*) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 1
+        |UNION ALL SELECT 'file', '3', CAST(count(*) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 2
+        |UNION ALL SELECT 'snap', '1', CAST(10 AS BIGINT)
+        |UNION ALL SELECT 'snap', '2', CAST(20 AS BIGINT)
+        |UNION ALL SELECT 'snap', '3', CAST(30 AS BIGINT)
+        |UNION ALL SELECT 'snap', '4', CAST(131 AS BIGINT)
+        |UNION ALL SELECT 'ref', 'CURRENT/current', CAST(4 AS BIGINT)
+        |UNION ALL SELECT 'ref', 'audit/tag', CAST(2 AS BIGINT)""".stripMargin,
     // the runtime-filtered join is plan-shaped in-query (dynamic pruning +
     // opened-files bound); its CONTENT is the plain filtered join
     "q_runtime_filter" ->

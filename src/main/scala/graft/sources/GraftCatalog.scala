@@ -95,6 +95,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     okNs(ident.namespace()) && existing(ident.name())
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style SQL METADATA TABLES: `SELECT * FROM cat.t.files|
+    // snapshots|refs` — the identifier parses as namespace [t] + the meta
+    // kind, so intercept before the flat-namespace rule (a real table named
+    // "files" at the top level still resolves normally: its namespace is
+    // empty)
+    val mns = ident.namespace() match {
+      case Array("default", t) => Some(t)
+      case Array(t) => Some(t)
+      case _ => None
+    }
+    mns match {
+      case Some(t) if GraftMetaTable.kinds(ident.name()) && existing(t) =>
+        return new GraftMetaTable(root, t, ident.name())
+      case _ => ()
+    }
     val t = flat(ident)
     if (!existing(t)) throw new NoSuchTableException(ident)
     new GraftSqlTable(schemaOf(t), root, t, None)
@@ -404,3 +419,95 @@ private[sources] object V2PredicateSql {
     }
   }
 }
+
+object GraftMetaTable {
+  /** The SQL-reachable inspection tables, one per catalog metadata surface. */
+  val kinds: Set[String] = Set("files", "snapshots", "refs")
+}
+
+/** An Iceberg-style metadata table (`SELECT * FROM cat.t.files` /
+  * `.snapshots` / `.refs`): rows are computed DRIVER-SIDE at scan planning
+  * from the same catalog APIs the maintenance jobs use (zero data files
+  * opened — `n_rows` comes from the `__count` stats sidecar), and ride one
+  * synthetic input partition. What a 100 TB operator points a dashboard
+  * at: file/row growth per drop, tombstone pressure, ref heads.
+  */
+final class GraftMetaTable(root: String, table: String, kind: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val metaSchema: StructType = kind match {
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("add_snapshot", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true)))
+    case "snapshots" => StructType(Seq(
+      StructField("snapshot", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("n_data_files", LongType, nullable = false),
+      StructField("n_delete_files", LongType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("snapshot", LongType, nullable = false)))
+    case other => throw new IllegalArgumentException(s"unknown metadata table '$other'")
+  }
+
+  override def name(): String = s"$table.$kind"
+  override def schema(): StructType = metaSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = metaSchema
+        override def toBatch: Batch = this
+        override def description(): String = s"GraftMetaTableScan($table.$kind)"
+        override def planInputPartitions(): Array[InputPartition] = {
+          val cat = new ParquetSnapshotCatalog(root)
+          val spark = SparkSession.active
+          val df = kind match {
+            case "files" => cat.filesDF(spark, table)
+            case "snapshots" => cat.snapshotsDF(spark, table)
+            case "refs" => cat.refsDF(spark, table)
+          }
+          // the metadata DFs are LocalRelations over driver rows — collect
+          // is driver-only, no job
+          val rows: Array[Array[Any]] = df.collect().map { r =>
+            metaSchema.fields.zipWithIndex.map[Any] { case (f, i) =>
+              if (r.isNullAt(i)) null
+              else f.dataType match {
+                case StringType => UTF8String.fromString(r.getString(i))
+                case LongType => r.getLong(i)
+                case BooleanType => r.getBoolean(i)
+                case TimestampType =>
+                  val ts = r.getTimestamp(i)
+                  ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+                case other => throw new IllegalStateException(s"meta type $other")
+              }
+            }
+          }
+          Array(GraftMetaPartition(rows))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(partition: InputPartition)
+                : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+              new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+                private val rows = partition.asInstanceOf[GraftMetaPartition].rows
+                private var i = -1
+                override def next(): Boolean = { i += 1; i < rows.length }
+                override def get(): InternalRow = new GenericInternalRow(rows(i))
+                override def close(): Unit = ()
+              }
+          }
+      }
+    }
+}
+
+final case class GraftMetaPartition(rows: Array[Array[Any]]) extends InputPartition
