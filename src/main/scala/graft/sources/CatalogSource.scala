@@ -284,6 +284,15 @@ final case class CatalogFilePartition(file: String,
                                       posDeletes: Seq[Long] = Nil)
     extends InputPartition
 
+/** Several small data files bin-packed into ONE scan partition (Spark's
+  * `FilePartition` behavior for the connector): a streaming-append table
+  * accumulates many sub-target files between compactions, and one task per
+  * tiny file is pure scheduling overhead at 100 TB. Each file keeps its own
+  * delete state; readers chain per-file (row and columnar alike).
+  */
+final case class CatalogFileGroupPartition(files: Seq[CatalogFilePartition])
+    extends InputPartition
+
 object CatalogScan {
   private[sources] def literalOk(v: Any): Boolean = v match {
     case _: String | _: Long | _: Int | _: java.lang.Long | _: java.lang.Integer |
@@ -293,6 +302,46 @@ object CatalogScan {
   private[sources] def lit(v: Any): String = v match {
     case t: java.time.Instant => java.sql.Timestamp.from(t).toString
     case other => other.toString
+  }
+
+  /** First-fit-decreasing bin packing of per-file partitions into
+    * `spark.sql.files.maxPartitionBytes` bins, each file padded by
+    * `spark.sql.files.openCostInBytes` — Spark's own `FilePartition`
+    * coalescing rule, applied to the connector so a between-compactions
+    * small-file table doesn't pay one task per file. Singleton bins stay
+    * plain [[CatalogFilePartition]]s; per-file delete state rides along
+    * untouched. Driver cost: one `getFileStatus` per file (the same listing
+    * [[CatalogScan.estimateStatistics]] already pays).
+    */
+  private[sources] def binPack(parts: Array[InputPartition]): Array[InputPartition] = {
+    if (parts.length <= 1) return parts
+    val (maxBytes, openCost) = scala.util.Try {
+      val c = SparkSession.active.conf
+      def bytes(k: String, dflt: Long): Long =
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          c.get(k, dflt.toString))
+      (bytes("spark.sql.files.maxPartitionBytes", 128L << 20),
+       bytes("spark.sql.files.openCostInBytes", 4L << 20))
+    }.getOrElse((128L << 20, 4L << 20))
+    val hconf = new org.apache.hadoop.conf.Configuration()
+    val sized = parts.map { p =>
+      val f = p.asInstanceOf[CatalogFilePartition]
+      val hp = new org.apache.hadoop.fs.Path(f.file)
+      val len = scala.util.Try(hp.getFileSystem(hconf).getFileStatus(hp).getLen).getOrElse(0L)
+      (f, len + openCost)
+    }.sortBy(-_._2)
+    val bins = scala.collection.mutable.ArrayBuffer[
+      (scala.collection.mutable.ArrayBuffer[CatalogFilePartition], Long)]()
+    sized.foreach { case (f, sz) =>
+      bins.indexWhere(_._2 + sz <= maxBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
+        case i => bins(i) = (bins(i)._1 += f, bins(i)._2 + sz)
+      }
+    }
+    bins.map { case (fs, _) =>
+      if (fs.length == 1) fs.head: InputPartition
+      else CatalogFileGroupPartition(fs.sortBy(_.file).toSeq): InputPartition
+    }.toArray
   }
 }
 
@@ -636,7 +685,7 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
           case Some(keep) => batchFiles.filter(f => keep(f._1))
           case None => batchFiles
         }
-        withDeletes(files, batchSnap)
+        CatalogScan.binPack(withDeletes(files, batchSnap))
     }
   }
 
@@ -719,8 +768,9 @@ final class CatalogMicroBatchStream(scan: CatalogScan, root: String, table: Stri
     val files =
       if (s <= 0) cat.filesWithAddOrder(table, e)             // bootstrap: full snapshot
       else cat.incrementalFilesWithAddOrder(table, s, e)       // O(delta) window
-    // pushed filters prune the window's files too (sidecars permitting)
-    scan.withDeletes(scan.pruneByFilters(files, e), e)
+    // pushed filters prune the window's files too (sidecars permitting);
+    // small streamed drops bin-pack like batch partitions
+    CatalogScan.binPack(scan.withDeletes(scan.pruneByFilters(files, e), e))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.rowReaderFactory()
@@ -1089,13 +1139,35 @@ final class CatalogReaderFactory(required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean = columnarOk
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = partition match {
-    case p: CatalogFilePartition =>
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    def one(p: CatalogFilePartition): CatalogVectorReader = {
       require(p.deletes.isEmpty && p.posDeletes.isEmpty,
         s"graft-catalog: columnar read planned for a delete-carrying file ${p.file}")
       new CatalogVectorReader(p.file, required)
-    case other => throw new IllegalStateException(
-      s"graft-catalog: columnar read of non-file partition $other")
+    }
+    partition match {
+      case p: CatalogFilePartition => one(p)
+      case g: CatalogFileGroupPartition =>
+        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+          private val it = g.files.iterator
+          private var cur: CatalogVectorReader = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = one(it.next())
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case other => throw new IllegalStateException(
+        s"graft-catalog: columnar read of non-file partition $other")
+    }
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -1109,24 +1181,31 @@ final class CatalogReaderFactory(required: StructType,
       }
       case p: CatalogFilePartition =>
         new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
-      case g: CatalogKeyGroupPartition => new PartitionReader[InternalRow] {
-        private val it = g.files.iterator
-        private var cur: CatalogPartitionReader = _
-        override def next(): Boolean = {
-          while (true) {
-            if (cur == null) {
-              if (!it.hasNext) return false
-              val p = it.next()
-              cur = new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
-            }
-            if (cur.next()) return true
-            cur.close(); cur = null
+      case g: CatalogKeyGroupPartition => chain(g.files)
+      case g: CatalogFileGroupPartition => chain(g.files)
+    }
+
+  /** Sequential per-file chain — shared by key-grouped (SPJ) and bin-packed
+    * partitions; each file keeps its own delete state and `_pos` ordinals.
+    */
+  private def chain(files: Seq[CatalogFilePartition]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val it = files.iterator
+      private var cur: CatalogPartitionReader = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            val p = it.next()
+            cur = new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
           }
-          false
+          if (cur.next()) return true
+          cur.close(); cur = null
         }
-        override def get(): InternalRow = cur.get()
-        override def close(): Unit = if (cur != null) cur.close()
+        false
       }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
     }
 }
 

@@ -62,18 +62,27 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def nFiles(t: String): Int =
     cat.filesWithAddOrder(t, cat.currentSnapshot(t).get).size
 
+  /** Files across planned partitions (bin-packing may coalesce several
+    * small files into one partition — the pruning contract is on FILES). */
+  private def plannedFiles(parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Set[String] = parts.flatMap {
+    case f: CatalogFilePartition => Seq(f.file)
+    case g: CatalogFileGroupPartition => g.files.map(_.file)
+    case other => throw new IllegalStateException(other.toString)
+  }.toSet
+
   test("direct filter(): a runtime IN on a zone-mapped column drops non-overlapping files") {
     val s = scanOf("zf")
-    assert(s.planInputPartitions().length == nFiles("zf"))
+    assert(plannedFiles(s.planInputPartitions()).size == nFiles("zf"))
     assert(s.filterAttributes().map(_.fieldNames()(0)).toSet.contains("id"))
     s.filter(Array(new Predicate("IN",
       Array(Expressions.column("id"), Expressions.literal(5L), Expressions.literal(900L)))))
-    val kept = s.planInputPartitions()
-    assert(kept.length <= 2 && kept.nonEmpty, s"kept ${kept.length} of ${nFiles("zf")}")
-    // the surviving partitions are exactly the zone-map candidates
+    val kept = plannedFiles(s.planInputPartitions())
+    assert(kept.size <= 2 && kept.nonEmpty, s"kept ${kept.size} of ${nFiles("zf")}")
+    // the surviving files are exactly the zone-map candidates
     val expect = (cat.pruneFilesAt("zf", cat.currentSnapshot("zf").get, "id", "5", "5") ++
       cat.pruneFilesAt("zf", cat.currentSnapshot("zf").get, "id", "900", "900")).toSet
-    assert(kept.map(_.asInstanceOf[CatalogFilePartition].file).toSet == expect)
+    assert(kept == expect)
   }
 
   test("direct filter(): a column without any stats prunes NOTHING (conservative) and is not advertised") {
@@ -81,13 +90,13 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!s.filterAttributes().map(_.fieldNames()(0)).contains("text"))
     s.filter(Array(new Predicate("IN",
       Array(Expressions.column("text"), Expressions.literal("text 5")))))
-    assert(s.planInputPartitions().length == nFiles("zf"))
+    assert(plannedFiles(s.planInputPartitions()).size == nFiles("zf"))
   }
 
   test("direct filter(): non-literal / unsupported predicate shapes are ignored whole") {
     val s = scanOf("zf")
     s.filter(Array(new Predicate("IS_NOT_NULL", Array(Expressions.column("id")))))
-    assert(s.planInputPartitions().length == nFiles("zf"))
+    assert(plannedFiles(s.planInputPartitions()).size == nFiles("zf"))
   }
 
   test("broadcast join injects a DPP runtime filter; pruned fact files are never OPENED") {
@@ -130,7 +139,7 @@ class RuntimeFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.filterAttributes().map(_.fieldNames()(0)).toSet.contains("url"))
     s.filter(Array(new Predicate("IN", Array(Expressions.column("url"),
       Expressions.literal("https://example.com/p77")))))
-    val kept = s.planInputPartitions().length
+    val kept = plannedFiles(s.planInputPartitions()).size
     val bloomCand = cat.pruneFilesByBloom("bl", "url", "https://example.com/p77").size
     assert(kept == bloomCand && kept < nFiles("bl"),
       s"kept $kept, bloom candidates $bloomCand of ${nFiles("bl")}")
