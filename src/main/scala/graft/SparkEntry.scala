@@ -1448,6 +1448,45 @@ object SparkEntry {
       import s.implicits._
       out.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text_md5")
     }),
+    "q_sql_partition" -> ((s, dir) => {
+      // PARTITIONED BY from PURE SQL: CREATE declares the hidden identity
+      // transform, INSERT clusters+sorts on the source column (write
+      // distribution/ordering) and the value-rolling writer pins ONE
+      // transform value per data file — so two SQL-created tables join
+      // with ZERO exchange (storage-partitioned join), REQUIRED in-query
+      // under pinned SPJ flags; rows are oracle-checked. The whole layout
+      // — DDL, writes, SPJ — with no Scala.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlpart_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.catalog.gpart", classOf[graft.sources.GraftCatalog].getName)
+      s2.conf.set("spark.sql.catalog.gpart.root", root)
+      docs(s2, dir).selectExpr("doc_id", "lang", "text").createOrReplaceTempView("gpart_src")
+      s2.sql("""CREATE TABLE gpart.d (doc_id BIGINT, lang STRING, text_md5 STRING)
+               |PARTITIONED BY (lang)""".stripMargin)
+      s2.sql("INSERT INTO gpart.d SELECT doc_id, lang, md5(text) FROM gpart_src")
+      s2.sql("""CREATE TABLE gpart.g (lang STRING, lang_docs BIGINT)
+               |PARTITIONED BY (lang)""".stripMargin)
+      s2.sql("INSERT INTO gpart.g SELECT lang, count(*) FROM gpart_src GROUP BY lang")
+      val j = s2.sql(
+        """SELECT d.doc_id, d.lang, d.text_md5, g.lang_docs
+          |FROM gpart.d d JOIN gpart.g g ON d.lang = g.lang""".stripMargin)
+      val nEx = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      require(nEx == 0,
+        s"q_sql_partition: expected a zero-exchange SQL storage-partitioned join, " +
+          s"got $nEx exchanges:\n" + j.queryExecution.executedPlan)
+      j
+    }),
     "q_spj" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN (Iceberg SPJ shape): both sides written
       // exact-clustered on identity(lang) (one transform value per data
@@ -3019,6 +3058,13 @@ object SparkEntry {
     "q_runtime_filter" ->
       """SELECT doc_id, md5(text) AS text_md5 FROM documents
         |WHERE doc_id % 97 = 3 AND doc_id < 250""".stripMargin,
+    // the pure-SQL partitioned layout replays as the plain join against the
+    // per-lang count (the zero-exchange plan shape is required in-query)
+    "q_sql_partition" ->
+      """SELECT d.doc_id, d.lang, md5(d.text) AS text_md5, g.lang_docs
+        |FROM documents d
+        |JOIN (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang) g
+        |  USING (lang)""".stripMargin,
     // the storage-partitioned join is plan-shaped (zero exchanges, required
     // in-query); its CONTENT is this plain join against the per-lang agg
     "q_spj" ->

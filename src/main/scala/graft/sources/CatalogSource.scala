@@ -705,7 +705,7 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
              DoubleType | FloatType | BooleanType | TimestampType => true
         case _ => false
       }
-      required.nonEmpty && keyGroups.isEmpty &&
+      required.nonEmpty &&
         !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
         cat.renameHistory(table).isEmpty &&
         cat.equalityDeletes(table, batchSnap).isEmpty &&
@@ -805,33 +805,73 @@ final class CatalogWriteBuilder(schema: StructType, root: String, table: String)
     * snapshot stays complete (overwrites are snapshots, not mutations).
     */
   override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new CatalogWrite(schema, root, table, overwrite)
+  override def build(): Write = new CatalogWrite(schema, root, table, overwrite,
+    new ParquetSnapshotCatalog(root).partitionSpec(table))
 }
 
 final case class CatalogCommitMessage(file: String, rows: Long) extends WriterCommitMessage
 
+/** A partitioned batch writer's output: several files, each pinned to ONE
+  * transform value (the writer rolls at value boundaries). */
+final case class PartitionedCommitMessage(files: Seq[(String, Long, String)])
+    extends WriterCommitMessage
+
 final class CatalogWrite(schema: StructType, root: String, table: String,
-                         overwrite: Boolean = false) extends Write {
+                         overwrite: Boolean = false,
+                         spec: Option[graft.spark.PartTransform] = None)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val stagingId = java.util.UUID.randomUUID().toString.take(8)
+
+  // ------------------------------------------------------------------
+  // Write DISTRIBUTION + ORDERING (Iceberg's write-clustered shape): a
+  // table declared PARTITIONED BY asks Spark to shuffle same-key rows into
+  // the same task and sort within it, so the value-rolling writer emits the
+  // FEWEST one-value-per-file outputs. Correctness never depends on it —
+  // the writer rolls at every value boundary regardless; clustering only
+  // minimizes file count.
+  // ------------------------------------------------------------------
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    spec match {
+      case Some(s) => org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(s.col)
+          : org.apache.spark.sql.connector.expressions.Expression))
+      case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def distributionStrictlyRequired(): Boolean = false // advisory: rolling stays exact
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    spec match {
+      case Some(s) => Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(s.col),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
+    }
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new CatalogWriterFactory(schema, root, table, stagingId)
+      new CatalogWriterFactory(schema, root, table, stagingId, spec)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // per-file row counts ride the commit messages for free — recorded as
       // __count sidecar lines so COUNT(*) over SQL-written tables stays a
-      // metadata-only answer
-      val files = messages.map(_.asInstanceOf[CatalogCommitMessage])
-        .toSeq.map(m => (m.file, m.rows)).sortBy(_._1)
+      // metadata-only answer; a partitioned write additionally records each
+      // file's pinned transform value as its stats bounds (lo == hi), which
+      // is exactly what partition pruning and SPJ key grouping consume
+      val all: Seq[(String, Long, Option[String])] = messages.toSeq.flatMap {
+        case CatalogCommitMessage(f, n) => Seq((f, n, None))
+        case PartitionedCommitMessage(fs) => fs.map { case (f, n, v) => (f, n, Some(v)) }
+      }.sortBy(_._1)
+      val files = all.map(t => (t._1, t._2))
+      val statLines = spec.toSeq.flatMap(s =>
+        all.collect { case (f, _, Some(v)) => (f, s.statName, v, v) })
       if (overwrite) {
         // every snapshot owns >= 1 data file — an empty overwrite would
         // commit an unreadable snapshot; refuse loudly (DROP TABLE is the
         // empty-the-table operation)
         require(files.nonEmpty,
           s"graft-catalog: refusing empty INSERT OVERWRITE of '$table'")
-        new ParquetSnapshotCatalog(root).commitFilesWithCounts(files, table)
+        new ParquetSnapshotCatalog(root).commitFilesWithCounts(files, table, statLines)
       } else if (files.nonEmpty)
-        new ParquetSnapshotCatalog(root).appendFilesWithCounts(files, table)
+        new ParquetSnapshotCatalog(root).appendFilesWithCounts(files, table, statLines)
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       CatalogWrite.deleteAll(messages)
@@ -859,20 +899,29 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
 object CatalogWrite {
   private[sources] def deleteAll(messages: Array[WriterCommitMessage]): Unit = {
     import org.apache.hadoop.fs.Path
+    def del(f: String): Unit = {
+      val p = new Path(f)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.delete(p, false)
+    }
     messages.foreach {
-      case CatalogCommitMessage(f, _) =>
-        val p = new Path(f)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        if (fs.exists(p)) fs.delete(p, false)
+      case CatalogCommitMessage(f, _) => del(f)
+      case PartitionedCommitMessage(fs) => fs.foreach { case (f, _, _) => del(f) }
       case _ =>
     }
   }
 }
 
 final class CatalogWriterFactory(schema: StructType, root: String, table: String,
-                                 stagingId: String) extends DataWriterFactory {
+                                 stagingId: String,
+                                 spec: Option[graft.spark.PartTransform] = None)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId)
+    spec match {
+      case Some(s) =>
+        new CatalogPartitionedDataWriter(schema, root, table, stagingId, partitionId, taskId, s)
+      case None => new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId)
+    }
 }
 
 final class CatalogStreamingWriterFactory(schema: StructType, root: String, table: String,
@@ -980,6 +1029,87 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
     writer.close()
     val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (fs.exists(file)) fs.delete(file, false)
+  }
+  override def close(): Unit = ()
+}
+
+/** The VALUE-ROLLING writer for `PARTITIONED BY` tables: rows arrive
+  * clustered + sorted by the source column ([[CatalogWrite]]'s required
+  * distribution/ordering), and the writer starts a new data file whenever
+  * the TRANSFORM value changes — so every emitted file is pinned to exactly
+  * one transform value, the layout storage-partitioned joins and partition
+  * pruning key on. Rolling is exact regardless of input order (an unsorted
+  * run just fragments into more files, never a mixed one). NULL partition
+  * values are refused loudly — a null key can't be pruned or join-grouped.
+  */
+final class CatalogPartitionedDataWriter(schema: StructType, root: String, table: String,
+                                         stagingId: String, partitionId: Int, taskId: Long,
+                                         spec: graft.spark.PartTransform)
+    extends DataWriter[InternalRow] {
+  import org.apache.hadoop.fs.Path
+
+  private val colIdx = schema.fieldIndex(spec.col)
+  private val colType = schema.fields(colIdx).dataType
+
+  /** The row's raw column value in the SAME string form the stats sidecar
+    * and the read path's literal replay use (CAST AS STRING semantics for
+    * the supported key types). */
+  private def rawOf(r: InternalRow): String = {
+    require(!r.isNullAt(colIdx),
+      s"graft-catalog: NULL partition value in '${spec.col}' of table '$table' — " +
+      "hidden partitioning needs a non-null key on every row")
+    colType match {
+      case StringType => r.getUTF8String(colIdx).toString
+      case LongType => r.getLong(colIdx).toString
+      case IntegerType => r.getInt(colIdx).toString
+      case other => throw new IllegalStateException(
+        s"graft-catalog: unsupported partition column type $other")
+    }
+  }
+
+  private var curVal: String = _
+  private var curFile: Path = _
+  private var curWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var curRows = 0L
+  private var fileNo = 0
+  private val done = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+
+  private def roll(v: String): Unit = {
+    closeCurrent()
+    curVal = v
+    curFile = new Path(root,
+      f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId-$fileNo%04d.parquet")
+    fileNo += 1
+    curWriter = PqRow.open(schema, curFile)
+    curRows = 0L
+  }
+
+  private def closeCurrent(): Unit = if (curWriter != null) {
+    curWriter.close()
+    done += ((curFile.toUri.getPath, curRows, curVal))
+    curWriter = null
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val v = spec.literal(rawOf(record))
+    if (curWriter == null || v != curVal) roll(v)
+    curWriter.write(record)
+    curRows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeCurrent()
+    PartitionedCommitMessage(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (curWriter != null) { curWriter.close(); done += ((curFile.toUri.getPath, 0L, "")) }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    done.foreach { case (f, _, _) =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
   override def close(): Unit = ()
 }
@@ -1145,26 +1275,29 @@ final class CatalogReaderFactory(required: StructType,
         s"graft-catalog: columnar read planned for a delete-carrying file ${p.file}")
       new CatalogVectorReader(p.file, required)
     }
+    def chained(files: Seq[CatalogFilePartition])
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private val it = files.iterator
+        private var cur: CatalogVectorReader = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              cur = one(it.next())
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
     partition match {
       case p: CatalogFilePartition => one(p)
-      case g: CatalogFileGroupPartition =>
-        new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-          private val it = g.files.iterator
-          private var cur: CatalogVectorReader = _
-          override def next(): Boolean = {
-            while (true) {
-              if (cur == null) {
-                if (!it.hasNext) return false
-                cur = one(it.next())
-              }
-              if (cur.next()) return true
-              cur.close(); cur = null
-            }
-            false
-          }
-          override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = cur.get()
-          override def close(): Unit = if (cur != null) cur.close()
-        }
+      case g: CatalogFileGroupPartition => chained(g.files)
+      case g: CatalogKeyGroupPartition => chained(g.files)
       case other => throw new IllegalStateException(
         s"graft-catalog: columnar read of non-file partition $other")
     }

@@ -144,17 +144,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
                            properties: java.util.Map[String, String]): Table = {
     val t = flat(ident)
     if (existing(t)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported in SQL DDL — use " +
-      "ParquetSnapshotCatalog.commitPartitioned for hidden partitioning")
     val writable = Set[DataType](StringType, BinaryType, LongType, IntegerType,
       DoubleType, FloatType, BooleanType, TimestampType, DateType)
     schema.fields.foreach(f => require(writable(f.dataType),
       s"graft catalog: unsupported column type ${f.dataType.simpleString} for '${f.name}' " +
       "(atomic parquet types only)"))
+    // `PARTITIONED BY (col)` / `(truncate(w, col))` — Iceberg-style hidden
+    // partitioning from pure SQL: INSERTs cluster+sort on the source column
+    // and roll one data file per transform value, so the table is SPJ- and
+    // prune-ready with no Scala. Transforms whose ROW-side replay needs more
+    // machinery (bucket: a FunctionCatalog-resolved sort; days: session-tz
+    // timestamp rendering) stay on the commitPartitioned API, loudly.
+    val spec: Option[graft.spark.PartTransform] = partitions.toSeq match {
+      case Nil => None
+      case Seq(p) =>
+        def colOf(e: org.apache.spark.sql.connector.expressions.Expression): String = e match {
+          case r: NamedReference if r.fieldNames().length == 1 => r.fieldNames()(0)
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: unsupported partition reference $other")
+        }
+        val s = p.name() match {
+          case "identity" => graft.spark.IdentityTransform(colOf(p.references()(0)))
+          case "truncate" =>
+            val args = p.arguments()
+            val w = args.collectFirst { case l: VLiteral[_] => l.value.toString.toInt }
+            val c = args.collectFirst { case r: NamedReference => colOf(r) }
+            require(w.nonEmpty && c.nonEmpty,
+              s"graft catalog: cannot parse truncate transform $p")
+            graft.spark.TruncateTransform(w.get, c.get)
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: PARTITIONED BY $other is not supported in SQL DDL — " +
+            "use ParquetSnapshotCatalog.commitPartitioned (bucket/days need the API's " +
+            "write-side clustering)")
+        }
+        val f = schema.fields.find(_.name == s.col).getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: partition column '${s.col}' not in the table schema"))
+        val keyable = s match {
+          case _: graft.spark.TruncateTransform => f.dataType == StringType
+          case _ => Set[DataType](StringType, LongType, IntegerType)(f.dataType)
+        }
+        require(keyable,
+          s"graft catalog: partition column '${s.col}' has type ${f.dataType.simpleString}; " +
+          "supported keys: string/bigint/int (identity), string (truncate)")
+        Some(s)
+      case many => throw new IllegalArgumentException(
+        s"graft catalog: one partition transform max, got ${many.length}")
+    }
     // schema-only CREATE: the first INSERT's job commit writes snapshot 1;
     // until then reads answer zero rows with this schema
     cat.putMeta(t, "sql.schema", schema.json)
+    spec.foreach(s => cat.putMeta(t, "partition.spec", s.render))
     new GraftSqlTable(schema, root, t, None)
   }
 

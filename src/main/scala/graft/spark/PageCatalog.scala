@@ -661,12 +661,13 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * the per-task row counts it already has, so `COUNT(*)` over a purely
     * SQL-written table stays a METADATA-ONLY answer ([[countStar]]).
     */
-  def appendFilesWithCounts(files: Seq[(String, Long)], table: String): Long = {
+  def appendFilesWithCounts(files: Seq[(String, Long)], table: String,
+                            statLines: Seq[(String, String, String, String)] = Nil): Long = {
     val snap = claimSnapshotId(table)
     withCommitLock(table) {
       val prev = currentSnapshot(table).map(entriesOf(table, _)).getOrElse(Seq.empty)
       writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
-        files.map { case (f, n) => s"$f\t__count\t$n\t$n" }.mkString("", "\n", "\n"))
+        countAndStatTsv(files, statLines))
       commitSnapshot(table, snap, prev :+ writeDeltaManifest(table, snap, files.map(_._1)))
     }
     snap
@@ -674,13 +675,25 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
 
   /** [[commitFiles]] (replace snapshot) with `__count` sidecar lines — the
     * DSv2 `INSERT OVERWRITE` commit. */
-  def commitFilesWithCounts(files: Seq[(String, Long)], table: String): Long = {
+  def commitFilesWithCounts(files: Seq[(String, Long)], table: String,
+                            statLines: Seq[(String, String, String, String)] = Nil): Long = {
     val snap = claimSnapshotId(table)
     writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
-      files.map { case (f, n) => s"$f\t__count\t$n\t$n" }.mkString("", "\n", "\n"))
+      countAndStatTsv(files, statLines))
     commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, files.map(_._1))))
     snap
   }
+
+  /** `__count` lines plus caller-supplied extra stat lines (file, stat
+    * column, lo, hi) — e.g. the partitioned DSv2 writer's per-file transform
+    * bounds — escaped like every sidecar value.
+    */
+  private def countAndStatTsv(files: Seq[(String, Long)],
+                              statLines: Seq[(String, String, String, String)]): String =
+    (files.map { case (f, n) => s"$f\t__count\t$n\t$n" } ++
+      statLines.map { case (f, c, lo, hi) =>
+        s"$f\t$c\t${escStat(lo)}\t${escStat(hi)}" })
+      .mkString("", "\n", "\n")
 
   /** Metadata-only `COUNT(*)`: the sum of per-file `__count` sidecar lines,
     * answerable only when EVERY file of the current snapshot is counted and
