@@ -17,6 +17,7 @@ object Bench {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.sources.GraftSqlExtensions")
     .getOrCreate()
 
   /** Timed extraction pass over pre-materialized pages: (docs, bytes, sec). */

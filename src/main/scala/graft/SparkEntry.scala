@@ -1269,6 +1269,37 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_sql_call" -> ((s, dir) => {
+      // SQL CALL maintenance procedures (the Iceberg stored-procedure
+      // shape, as the full Catalyst extension ladder: delegating parser ->
+      // custom logical Command -> injected strategy -> custom physical
+      // node). The whole lifecycle in pure SQL: write two drops, row-level
+      // DELETE, CALL compact (materializes the tombstones), CALL tag, a
+      // junk insert, CALL rollback to the tag's snapshot — the final read
+      // replays closed-form.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlcall_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gcall", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcall.root", root)
+      docs(s, dir).select("doc_id", "text").createOrReplaceTempView("gcall_src")
+      s.sql("CREATE TABLE gcall.docs AS SELECT * FROM gcall_src WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO gcall.docs SELECT * FROM gcall_src WHERE doc_id % 2 = 1")
+      s.sql("DELETE FROM gcall.docs WHERE doc_id % 10 = 3")
+      val c = s.sql("CALL gcall.compact('docs')").collect()
+      require(c.length == 1 && c(0).getString(0) == "snapshot",
+        s"q_sql_call: compact returned ${c.mkString(",")}")
+      val cur = s.sql(
+        "SELECT snapshot FROM gcall.docs.refs WHERE name = 'CURRENT'").collect()(0).getLong(0)
+      s.sql(s"CALL gcall.tag('docs', 'preinsert', $cur)")
+      s.sql("INSERT INTO gcall.docs VALUES (99999999, 'junk row')")
+      s.sql(s"CALL gcall.rollback('docs', $cur)")
+      s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gcall.docs")
+    }),
     "q_sql_meta" -> ((s, dir) => {
       // SQL METADATA TABLES (Iceberg's inspection shape): files/snapshots/
       // refs reachable as `SELECT ... FROM cat.t.files` — what a 100 TB
@@ -3038,6 +3069,11 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin,
+    // the CALL lifecycle nets out to: both drops, minus the row-level
+    // delete, with the rollback erasing the junk insert
+    "q_sql_call" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id % 10 <> 3""".stripMargin,
     // metadata tables replay closed-form: per-drop row counts (files), the
     // pinned REPARTITION(1) file ledger packed per snapshot, and the refs
     "q_sql_meta" ->

@@ -55,6 +55,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
   override def name(): String = catName
 
+  /** The warehouse root — what `CALL <cat>.<proc>(...)` procedures operate
+    * on after resolving this catalog through the session's catalog manager. */
+  private[sources] def rootPath: String = root
+
   private def okNs(ns: Array[String]): Boolean =
     ns.isEmpty || (ns.length == 1 && ns(0) == "default")
 

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Command, LeafNode, LogicalPlan}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.spark.ParquetSnapshotCatalog
+
+/** SQL `CALL` maintenance procedures (the Iceberg stored-procedure shape),
+  * as the full Catalyst extension ladder: a delegating PARSER that turns
+  * `CALL <catalog>.<proc>(...)` into the custom LOGICAL command [[GraftCall]],
+  * an injected PLANNER STRATEGY mapping it to the custom PHYSICAL node
+  * [[GraftCallExec]], and eager command execution through Spark's own
+  * Command mechanics — so every catalog maintenance operation is drivable
+  * from pure SQL:
+  *
+  *   CALL gsql.compact('pages')            -- bin-pack rewrite
+  *   CALL gsql.compact_sorted('pages')     -- stats/bloom-preserving rewrite
+  *   CALL gsql.expire_snapshots('pages', 3)
+  *   CALL gsql.rollback('pages', 7)
+  *   CALL gsql.tag('pages', 'audit', 7) / CALL gsql.drop_tag('pages', 'audit')
+  *   CALL gsql.remove_orphans('pages')
+  *   CALL gsql.rewrite_manifests('pages')
+  *
+  * Registration: `spark.sql.extensions=graft.sources.GraftSqlExtensions`
+  * (composes with `graft.functions.GraftExtensions` — list both). Catalog
+  * resolution goes through the session's catalog manager, so the procedure
+  * operates on exactly the table the SQL name resolves to. Anything that is
+  * not a `CALL <ident>.<ident>(...)` statement is delegated to Spark's
+  * parser untouched.
+  */
+class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectPlannerStrategy(_ => GraftCallStrategy)
+  }
+}
+
+/** The logical CALL command: output = (k, v) string pairs (the procedure's
+  * report). A `Command`, so `spark.sql("CALL ...")` executes EAGERLY like
+  * any DDL statement.
+  */
+final case class GraftCall(catalog: String, proc: String, args: Seq[String])
+    extends LeafNode with Command {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("k", StringType, nullable = false)(),
+    AttributeReference("v", StringType, nullable = false)())
+}
+
+final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  // CALL <catalog>.<proc>(<scalar args>) — the only statement intercepted
+  private val Call =
+    """(?is)\s*CALL\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*""".r
+
+  override def parsePlan(text: String): LogicalPlan = text match {
+    case Call(cat, proc, argStr) =>
+      val args = argStr.trim match {
+        case "" => Seq.empty[String]
+        case s => s.split(",").toSeq.map(_.trim).map { a =>
+          if (a.length >= 2 && a.startsWith("'") && a.endsWith("'"))
+            a.substring(1, a.length - 1)
+          else a
+        }
+      }
+      GraftCall(cat, proc.toLowerCase(java.util.Locale.ROOT), args)
+    case _ => delegate.parsePlan(text)
+  }
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) = delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) = delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) = delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+}
+
+object GraftCallStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftCall => GraftCallExec(c) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Driver-side execution of the procedure against the named [[GraftCatalog]]
+  * (resolved through the session's catalog manager), reporting (k, v) rows.
+  */
+final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
+  override def output: Seq[Attribute] = call.output
+
+  private def rows(): Seq[(String, String)] = {
+    val spark = session
+    val plugin = spark.sessionState.catalogManager.catalog(call.catalog)
+    val g = plugin match {
+      case g: GraftCatalog => g
+      case other => throw new IllegalArgumentException(
+        s"CALL: catalog '${call.catalog}' is ${other.getClass.getName}, not a graft catalog")
+    }
+    val cat = new ParquetSnapshotCatalog(g.rootPath)
+    def str(i: Int): String = call.args.lift(i).getOrElse(throw new IllegalArgumentException(
+      s"CALL ${call.proc}: missing argument ${i + 1}"))
+    def num(i: Int): Long = str(i).toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"CALL ${call.proc}: argument ${i + 1} must be a number, got '${str(i)}'"))
+    call.proc match {
+      case "compact" =>
+        val target = call.args.lift(1).map(_.toLong << 20).getOrElse(128L << 20)
+        Seq(("snapshot", cat.compact(spark, str(0), target).toString))
+      case "compact_sorted" =>
+        val sortCols = call.args.drop(1)
+        Seq(("snapshot", cat.compactSorted(spark, str(0), sortCols).toString))
+      case "expire_snapshots" =>
+        cat.expireSnapshots(str(0), num(1).toInt).map(s => ("expired", s.toString))
+      case "rollback" =>
+        cat.rollbackTo(str(0), num(1))
+        Seq(("current", num(1).toString))
+      case "tag" =>
+        cat.tagSnapshot(str(0), str(1), num(2))
+        Seq(("tag", str(1)))
+      case "drop_tag" =>
+        cat.dropTag(str(0), str(1))
+        Seq(("dropped", str(1)))
+      case "remove_orphans" =>
+        val grace = call.args.lift(1).map(_.toLong).getOrElse(3L * 24 * 3600 * 1000)
+        cat.removeOrphanFiles(str(0), grace).map(f => ("removed", f))
+      case "rewrite_manifests" =>
+        Seq(("snapshot", cat.rewriteManifests(str(0)).toString))
+      case other => throw new IllegalArgumentException(
+        s"CALL: unknown procedure '$other' (compact, compact_sorted, expire_snapshots, " +
+        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests)")
+    }
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val out = rows().map { case (k, v) =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(k), UTF8String.fromString(v))): InternalRow
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      output.map(a => org.apache.spark.sql.types.StructField(a.name, a.dataType, a.nullable)))
+    // downstream collect paths require UnsafeRow
+    sparkContext.parallelize(out, 1).mapPartitions { it =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(outSchema)
+      it.map(r => proj(r).copy(): InternalRow)
+    }
+  }
+}

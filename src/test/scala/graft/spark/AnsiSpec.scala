@@ -21,6 +21,7 @@ class AnsiSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.ansi.enabled", "true") // the point of this spec
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.GraftSqlExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -23,6 +23,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.sources.GraftSqlExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
   }
