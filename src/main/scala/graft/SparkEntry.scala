@@ -1335,7 +1335,11 @@ object SparkEntry {
           |FROM gmeta.docs.snapshots s
           |UNION ALL
           |SELECT 'ref', concat(r.name, '/', r.kind), r.snapshot
-          |FROM gmeta.docs.refs r""".stripMargin).collect()
+          |FROM gmeta.docs.refs r
+          |UNION ALL
+          |SELECT 'hist', CAST(h.snapshot AS STRING),
+          |       CASE WHEN h.is_current THEN 1 ELSE 0 END
+          |FROM gmeta.docs.history h""".stripMargin).collect()
       require(graft.sources.CatalogPartitionReader.opened.get() == before,
         "q_sql_meta: a metadata table opened a data file")
       import s.implicits._
@@ -3088,7 +3092,11 @@ object SparkEntry {
         |UNION ALL SELECT 'snap', '3', CAST(30 AS BIGINT)
         |UNION ALL SELECT 'snap', '4', CAST(131 AS BIGINT)
         |UNION ALL SELECT 'ref', 'CURRENT/current', CAST(4 AS BIGINT)
-        |UNION ALL SELECT 'ref', 'audit/tag', CAST(2 AS BIGINT)""".stripMargin,
+        |UNION ALL SELECT 'ref', 'audit/tag', CAST(2 AS BIGINT)
+        |UNION ALL SELECT 'hist', '1', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'hist', '2', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'hist', '3', CAST(0 AS BIGINT)
+        |UNION ALL SELECT 'hist', '4', CAST(1 AS BIGINT)""".stripMargin,
     // the runtime-filtered join is plan-shaped in-query (dynamic pruning +
     // opened-files bound); its CONTENT is the plain filtered join
     "q_runtime_filter" ->

@@ -426,7 +426,10 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
           val c = ref.fieldNames()(0)
           val vals: Seq[Any] = kids.tail.map(_.asInstanceOf[Literal[_]].value: Any).toSeq
           val lits = vals.flatMap(externalize(_))
-          if (lits.length == vals.length) { // every value replayable, else skip whole predicate
+          // every value replayable AND the list small enough that per-value
+          // sidecar consultation stays cheap driver work — a huge runtime IN
+          // (low-selectivity build side) skips pruning, conservatively
+          if (lits.length == vals.length && lits.length <= 256) {
             val all = batchFiles.map(_._1)
             val cand = lits.foldLeft(Set.empty[String])(_ | eqCandidates(batchSnap, all, c, _))
             runtimeKeep = Some(runtimeKeep.fold(cand)(_ & cand))

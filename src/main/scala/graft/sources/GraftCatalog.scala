@@ -465,7 +465,7 @@ private[sources] object V2PredicateSql {
 
 object GraftMetaTable {
   /** The SQL-reachable inspection tables, one per catalog metadata surface. */
-  val kinds: Set[String] = Set("files", "snapshots", "refs")
+  val kinds: Set[String] = Set("files", "snapshots", "refs", "history")
 }
 
 /** An Iceberg-style metadata table (`SELECT * FROM cat.t.files` /
@@ -497,6 +497,10 @@ final class GraftMetaTable(root: String, table: String, kind: String)
       StructField("name", StringType, nullable = false),
       StructField("kind", StringType, nullable = false),
       StructField("snapshot", LongType, nullable = false)))
+    case "history" => StructType(Seq(
+      StructField("made_current_at", TimestampType, nullable = false),
+      StructField("snapshot", LongType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
     case other => throw new IllegalArgumentException(s"unknown metadata table '$other'")
   }
 
@@ -518,6 +522,7 @@ final class GraftMetaTable(root: String, table: String, kind: String)
             case "files" => cat.filesDF(spark, table)
             case "snapshots" => cat.snapshotsDF(spark, table)
             case "refs" => cat.refsDF(spark, table)
+            case "history" => cat.historyDF(spark, table)
           }
           // the metadata DFs are LocalRelations over driver rows — collect
           // is driver-only, no job

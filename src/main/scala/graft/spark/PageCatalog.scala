@@ -149,7 +149,55 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
 
   override def currentSnapshot(table: String): Option[Long] = {
     val cur = new HPath(manifestDir(table), "CURRENT")
-    if (fsExists(cur)) Some(readStr(cur).trim.toLong) else None
+    // line 1 = the pointer; trailing lines are the bounded metadata log
+    if (fsExists(cur)) Some(readStr(cur).linesIterator.next().trim.toLong) else None
+  }
+
+  // ------------------------------------------------------------------
+  // Metadata log (Iceberg's metadata-log shape, bounded): every CURRENT
+  // swap — commit OR rollback — appends a (made_current_at, snapshot)
+  // entry to the pointer file itself, capped at the most recent
+  // [[ParquetSnapshotCatalog.HistoryMax]] entries so the per-commit
+  // metadata write stays O(K) regardless of table age. Lineage is
+  // ADVISORY: an unlocked concurrent swap keeps last-writer-wins
+  // semantics for the log exactly as for the pointer.
+  // ------------------------------------------------------------------
+
+  /** The new CURRENT content: pointer line + bounded history. */
+  private def currentWithHistory(table: String, snap: Long): String = {
+    val cur = new HPath(manifestDir(table), "CURRENT")
+    val prev =
+      if (fsExists(cur)) readStr(cur).linesIterator.drop(1).filter(_.startsWith("h\t")).toSeq
+      else Seq.empty
+    val entries = (prev :+ s"h\t${System.currentTimeMillis()}\t$snap")
+      .takeRight(ParquetSnapshotCatalog.HistoryMax)
+    (snap.toString +: entries).mkString("\n")
+  }
+
+  /** The table's CURRENT-swap lineage, oldest first: (made_current_at ms,
+    * snapshot). A rollback appends a NEW entry re-pointing at the old
+    * snapshot — exactly how a reader discovers "the table was rolled back",
+    * which plain snapshot listings cannot show. Pre-log tables answer empty
+    * until their next swap.
+    */
+  def history(table: String): Seq[(Long, Long)] = {
+    val cur = new HPath(manifestDir(table), "CURRENT")
+    if (!fsExists(cur)) Seq.empty
+    else readStr(cur).linesIterator.drop(1).collect {
+      case l if l.startsWith("h\t") =>
+        val p = l.split('\t'); (p(1).toLong, p(2).toLong)
+    }.toSeq
+  }
+
+  /** The `table$history` metadata table: (made_current_at, snapshot,
+    * is_current) — one row per CURRENT swap retained in the bounded log. */
+  def historyDF(spark: SparkSession, table: String): DataFrame = {
+    val cur = currentSnapshot(table)
+    val h = history(table)
+    val rows = h.zipWithIndex.map { case ((ts, s), i) =>
+      (new java.sql.Timestamp(ts), s, i == h.length - 1 && cur.contains(s))
+    }
+    spark.createDataFrame(rows).toDF("made_current_at", "snapshot", "is_current")
   }
 
   private def parseJsonArray(s: String): Seq[String] =
@@ -279,7 +327,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     writeManifestList(table, snap, entries)
     val dir = manifestDir(table)
     val tmp = new HPath(dir, s".CURRENT.tmp$snap")
-    writeStr(tmp, snap.toString)
+    writeStr(tmp, currentWithHistory(table, snap))
     atomicSwap(tmp, new HPath(dir, "CURRENT"))
   }
 
@@ -555,7 +603,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     require(fsExists(new HPath(manifestDir(table), s"v$snap.json")),
       s"no snapshot $snap for $table")
     val tmp = new HPath(manifestDir(table), s".CURRENT.rb$snap")
-    writeStr(tmp, snap.toString)
+    writeStr(tmp, currentWithHistory(table, snap))
     atomicSwap(tmp, new HPath(manifestDir(table), "CURRENT"))
   }
 
@@ -2390,4 +2438,10 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     }
     Some(sb.toString)
   }
+}
+
+object ParquetSnapshotCatalog {
+  /** Bounded metadata-log depth carried in the CURRENT pointer (Iceberg's
+    * `write.metadata.previous-versions-max` shape). */
+  val HistoryMax = 100
 }

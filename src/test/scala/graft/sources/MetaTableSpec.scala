@@ -67,6 +67,23 @@ class MetaTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.toSeq == Seq(("audit", 2L)))
   }
 
+  test("t.history: one row per CURRENT swap; a rollback shows as a re-pointing entry") {
+    val ss = spark; import ss.implicits._
+    spark.sql("CREATE TABLE gm.h AS SELECT * FROM src WHERE id < 5")
+    spark.sql("INSERT INTO gm.h SELECT * FROM src WHERE id >= 5 AND id < 10")
+    cat.rollbackTo("h", 1L)
+    val h = spark.sql(
+      "SELECT snapshot, is_current FROM gm.h.history ORDER BY made_current_at, snapshot")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(h.map(_._1).toSeq == Seq(1L, 2L, 1L),
+      s"expected commit, commit, rollback-re-point; got ${h.mkString(",")}")
+    assert(h.count(_._2) == 1 && h.last == ((1L, true)))
+    // the log is bounded: a long swap chain retains only the newest K
+    (0 until graft.spark.ParquetSnapshotCatalog.HistoryMax + 7)
+      .foreach(_ => cat.rollbackTo("h", 1L))
+    assert(cat.history("h").length == graft.spark.ParquetSnapshotCatalog.HistoryMax)
+  }
+
   test("a metadata table of a missing base table fails loudly; writes are refused") {
     intercept[Exception](spark.sql("SELECT * FROM gm.nope.files").collect())
     intercept[Exception](
