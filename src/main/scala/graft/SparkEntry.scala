@@ -1269,6 +1269,32 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_sql_groupagg" -> ((s, dir) => {
+      // metadata-only GROUP BY <partition column> COUNT(*): per-group
+      // counts summed from the __count sidecar over value-pinned files —
+      // the per-language census over 100 TB with ZERO data files opened,
+      // proven by DELETING every data file before the query (the group-by
+      // twin of q_sql_agg / q_stats_agg).
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlgagg_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.ggrp", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ggrp.root", root)
+      docs(s, dir).select("doc_id", "lang").createOrReplaceTempView("ggrp_src")
+      s.sql("CREATE TABLE ggrp.d (doc_id BIGINT, lang STRING) PARTITIONED BY (lang)")
+      s.sql("INSERT INTO ggrp.d SELECT * FROM ggrp_src")
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      cat.filesWithAddOrder("d", cat.currentSnapshot("d").get)
+        .foreach { case (f, _) => Files.delete(Paths.get(f)) }
+      val q = s.sql("SELECT lang, count(*) AS lang_docs FROM ggrp.d GROUP BY lang")
+      require(q.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"),
+        s"q_sql_groupagg: expected the metadata-only scan:\n${q.queryExecution.executedPlan}")
+      q
+    }),
     "q_sql_call" -> ((s, dir) => {
       // SQL CALL maintenance procedures (the Iceberg stored-procedure
       // shape, as the full Catalyst extension ladder: delegating parser ->
@@ -3073,6 +3099,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin,
+    // the metadata-only group census replays as the plain per-lang count
+    "q_sql_groupagg" ->
+      "SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang",
     // the CALL lifecycle nets out to: both drops, minus the row-level
     // delete, with the rollback erasing the junk insert
     "q_sql_call" ->

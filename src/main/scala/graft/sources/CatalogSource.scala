@@ -162,7 +162,7 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
   import org.apache.spark.sql.sources._
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  private var pushedAgg: Option[(StructType, Array[Array[Any]])] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   /** Global MIN/MAX/COUNT(*) answered from the stats sidecars — zero data
@@ -176,10 +176,11 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
     * exact stored double).
     */
   private def tryPushAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Array[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (asOf.nonEmpty || pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    if (asOf.nonEmpty || pushed.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return tryPushGroupAgg(agg)
     val cat = new ParquetSnapshotCatalog(root)
     if (cat.currentSnapshot(table).isEmpty) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
@@ -208,7 +209,56 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
       case _ => None // COUNT(col) needs null counts the sidecar doesn't track
     }
     if (res.isEmpty || res.exists(_.isEmpty)) None
-    else Some((StructType(res.map(_.get._1)), res.map(_.get._2).toArray))
+    else Some((StructType(res.map(_.get._1)), Array(res.map(_.get._2).toArray)))
+  }
+
+  /** Metadata-only `GROUP BY <partition column> COUNT(*)` — the per-group
+    * twin of the global path: pushable only on an exact-clustered identity
+    * layout where every file is pinned to one value AND `__count`ed with no
+    * tombstone pending ([[ParquetSnapshotCatalog.partitionGroupCounts]]'s
+    * refusal rule); the per-language census over 100 TB from O(files)
+    * metadata, zero data opened. Complete-pushdown layout: group column
+    * first, then one count per aggregate expression.
+    */
+  private def tryPushGroupAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Array[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val gb = agg.groupByExpressions()
+    if (gb.length != 1) return None
+    val col = gb(0) match {
+      case f: NamedReference if f.fieldNames().length == 1 => f.fieldNames()(0)
+      case _ => return None
+    }
+    // zero aggregate expressions = a group-only aggregate (SELECT DISTINCT
+    // <partition col>, or an outer count() collapsing the inner counts) —
+    // the distinct partition values are metadata too
+    val aggs = agg.aggregateExpressions().toSeq
+    if (!aggs.forall(_.isInstanceOf[CountStar])) return None
+    val cat = new ParquetSnapshotCatalog(root)
+    if (!cat.partitionSpec(table).exists(s =>
+        s.col == col && s.isInstanceOf[graft.spark.IdentityTransform])) return None
+    val field = tableSchema.fields.find(_.name == col).getOrElse(return None)
+    def internal(v: Option[String]): Option[Any] = v match {
+      case None => Some(null)
+      case Some(s) => field.dataType match {
+        case LongType => s.toLongOption
+        case IntegerType => s.toIntOption
+        case StringType => Some(UTF8String.fromString(s))
+        case _ => None
+      }
+    }
+    val groups = cat.partitionGroupCounts(table).getOrElse(return None)
+    val conv = groups.map { case (v, n) => internal(v).map(iv => (iv, n)) }
+    if (conv.exists(_.isEmpty)) return None
+    val rows = conv.map(_.get).map { case (iv, n) =>
+      (iv +: aggs.map(_ => n: Any)).toArray[Any]
+    }
+    val schema = StructType(
+      StructField(col, field.dataType) +:
+        aggs.indices.map(i => StructField(s"count_star_$i", LongType, nullable = false)))
+    Some((schema, rows.toArray))
   }
 
   override def supportCompletePushDown(
@@ -248,27 +298,29 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
   }
 }
 
-/** The metadata-only aggregate result: one row, computed at PLANNING time
-  * from the stats sidecars — the executor task only materializes it.
+/** The metadata-only aggregate result — one row for the global path, one
+  * row per group for the partition-column GROUP BY path — computed at
+  * PLANNING time from the stats sidecars; the executor task only
+  * materializes it.
   */
-final case class CatalogAggPartition(values: Array[Any]) extends InputPartition
+final case class CatalogAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
-final class CatalogAggScan(table: String, out: StructType, values: Array[Any])
+final class CatalogAggScan(table: String, out: StructType, rows: Array[Array[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCatalogAggScan(table=$table, metadata-only: ${out.fieldNames.mkString(",")})"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(CatalogAggPartition(values))
+    Array(CatalogAggPartition(rows))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          private val vs = partition.asInstanceOf[CatalogAggPartition].values
-          override def next(): Boolean = if (done) false else { done = true; true }
-          override def get(): InternalRow = new GenericInternalRow(vs.clone())
+          private val rs = partition.asInstanceOf[CatalogAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = new GenericInternalRow(rs(i).clone())
           override def close(): Unit = ()
         }
     }

@@ -1994,6 +1994,28 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * semantics) while count(*) still includes their rows; a column whose
     * every file is all-null yields (None, None, count).
     */
+  /** Metadata-only `GROUP BY <partition column> COUNT(*)`: per-group row
+    * counts summed from the `__count` sidecar over files PINNED to one
+    * identity-transform value each — the per-language corpus census over
+    * 100 TB without opening a data file. Answerable (Some) only under the
+    * same refusal rules as [[statsAgg]] (no tombstone of either kind, every
+    * file counted) AND the exact-clustered layout (every file pinned to one
+    * value — [[partitionValuesAt]]); anything else → None and the scan
+    * falls back to the row path, never a wrong answer.
+    */
+  def partitionGroupCounts(table: String): Option[Seq[(Option[String], Long)]] = {
+    val snap = currentSnapshot(table).getOrElse(return None)
+    if (deleteRefsOf(table, snap).nonEmpty) return None
+    if (!partitionSpec(table).exists(_.isInstanceOf[IdentityTransform])) return None
+    val vals = partitionValuesAt(table, snap).getOrElse(return None).toMap
+    val all = manifestFiles(table, snap)
+    val counts = statsLinesAt(table, snap)
+      .collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
+    if (!all.forall(f => counts.contains(f) && vals.contains(f))) return None
+    Some(all.groupBy(vals).view.mapValues(_.map(counts).sum).toSeq
+      .sortBy(_._1.getOrElse("")))
+  }
+
   def statsAgg(table: String, column: String): Option[(Option[String], Option[String], Long)] = {
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
