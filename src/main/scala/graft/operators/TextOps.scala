@@ -1200,6 +1200,33 @@ object TextOps {
     manifest
   }
 
+  /** Deterministic EPOCH SHUFFLE: the seeded pseudorandom training-order
+    * permutation every data loader needs — order key = md5(seed ":" id),
+    * shard = first-8-hex-nibbles mod nShards (the repo's standard bucket
+    * idiom), pos = rank of the key within the shard. Changing the seed
+    * re-permutes the whole corpus; re-running the same seed reproduces the
+    * exact order on any engine (md5 is the randomness — no RNG state, no
+    * partition-order dependence, unlike `orderBy(rand(seed))` whose
+    * sampling is partition-layout-dependent).
+    *
+    * Scale shape: ONE hash shuffle into nShards groups + an external sort
+    * per shard (row_number streams the sorted run, O(1) memory per task) —
+    * the minimum any global permutation costs. nShards scales with the
+    * corpus so each shard's sort fits an executor's spill budget.
+    */
+  def epochShuffle(docs: DataFrame, seed: Long, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"epochShuffle: nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(s"$seed:"), col(idCol).cast("string")))
+    docs.select(col(idCol), key.as("__k"))
+      .withColumn("shard",
+        expr("CAST(conv(substr(__k, 1, 8), 16, 10) AS BIGINT)") % nShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol))).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   def multimodalMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -143,4 +143,21 @@ object UrlOps {
         expr(s"CAST(conv(substr(md5($hostCol), 1, 8), 16, 10) AS BIGINT) % 1000"))
       .withColumn("split",
         expr(s"CASE WHEN bucket < $valPermille THEN 'val' ELSE 'train' END"))
+
+  /** PER-DOMAIN FREQUENCY CAP (the C4/RefinedWeb domain-balancing step):
+    * keep at most `cap` documents per domain, best-ranked first (rank
+    * desc, id asc ties) — a handful of mega-hosts otherwise dominate any
+    * crawl-derived corpus. One hash shuffle on the domain; the rank filter
+    * is a row_number ≤ k, which Spark's WindowGroupLimit rewrite executes
+    * as a streaming per-group TOP-K (each task keeps k rows per group, not
+    * the group) — the 10⁹-page host never materializes or fully sorts
+    * inside a task (plan-guarded in DomainCapSpec).
+    */
+  def domainCap(docs: DataFrame, cap: Int, domainCol: String = "host",
+                rankCol: String = "quality", idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"domainCap: cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(rankCol).desc, col(idCol))
+    docs.withColumn("__rn", row_number().over(w)).where(col("__rn") <= cap).drop("__rn")
+  }
 }
