@@ -206,7 +206,25 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
         cat.statsAgg(table, f.name).flatMap(_._2).flatMap(statVal(f.dataType, _))
           .map(v => (StructField(s"max_${f.name}", f.dataType), v))
       }
-      case _ => None // COUNT(col) needs null counts the sidecar doesn't track
+      // COUNT(col) / COUNT(DISTINCT col) need null counts, which the stats
+      // sidecar does not track — EXCEPT for the identity partition column
+      // on an exact-clustered layout: every file is pinned to one value, so
+      // a file's rows are null exactly when its pin is null, and the
+      // distinct values are the pins themselves. partitionGroupCounts'
+      // refusal rules (every file pinned AND counted, no tombstone pending)
+      // carry over unchanged, so the answer is provably exact or refused.
+      case c: Count => colOf(c.column).flatMap { f =>
+        if (!cat.partitionSpec(table).exists(s =>
+            s.col == f.name && s.isInstanceOf[graft.spark.IdentityTransform])) None
+        else cat.partitionGroupCounts(table).map { groups =>
+          val n: Long =
+            if (c.isDistinct) groups.count { case (v, cnt) => v.isDefined && cnt > 0L }.toLong
+            else groups.collect { case (Some(_), cnt) => cnt }.sum
+          val nm = if (c.isDistinct) s"count_distinct_${f.name}" else s"count_${f.name}"
+          (StructField(nm, LongType, nullable = false), n: Any)
+        }
+      }
+      case _ => None // other aggregates (SUM/AVG/...) need the row scan
     }
     if (res.isEmpty || res.exists(_.isEmpty)) None
     else Some((StructType(res.map(_.get._1)), Array(res.map(_.get._2).toArray)))
@@ -365,9 +383,10 @@ object CatalogScan {
     * untouched. Driver cost: one `getFileStatus` per file (the same listing
     * [[CatalogScan.estimateStatistics]] already pays).
     */
-  private[sources] def binPack(parts: Array[InputPartition]): Array[InputPartition] = {
+  private[sources] def binPack(parts: Array[InputPartition],
+                               targetOverride: Option[Long] = None): Array[InputPartition] = {
     if (parts.length <= 1) return parts
-    val (maxBytes, openCost) = scala.util.Try {
+    val (confBytes, openCost) = scala.util.Try {
       val c = SparkSession.active.conf
       def bytes(k: String, dflt: Long): Long =
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -375,6 +394,9 @@ object CatalogScan {
       (bytes("spark.sql.files.maxPartitionBytes", 128L << 20),
        bytes("spark.sql.files.openCostInBytes", 4L << 20))
     }.getOrElse((128L << 20, 4L << 20))
+    // per-TABLE split override (the read.split.target-size TBLPROPERTY,
+    // Iceberg's table-level read knob) beats the session-wide conf
+    val maxBytes = targetOverride.getOrElse(confBytes)
     val hconf = new org.apache.hadoop.conf.Configuration()
     val sized = parts.map { p =>
       val f = p.asInstanceOf[CatalogFilePartition]
@@ -740,9 +762,16 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
           case Some(keep) => batchFiles.filter(f => keep(f._1))
           case None => batchFiles
         }
-        CatalogScan.binPack(withDeletes(files, batchSnap))
+        CatalogScan.binPack(withDeletes(files, batchSnap), splitOverride)
     }
   }
+
+  /** The table's `read.split.target-size` property as a bin-pack bound —
+    * read once per scan (planning-time metadata, same listing the stats
+    * consultation pays).
+    */
+  private[sources] lazy val splitOverride: Option[Long] =
+    cat.getMeta(table, "prop.read.split.target-size").flatMap(_.toLongOption)
 
   /** Columnar (vectorized) reads iff snapshot-immutable facts allow them:
     * no key grouping (SPJ partitions chain files), no delete tombstone of
@@ -825,7 +854,7 @@ final class CatalogMicroBatchStream(scan: CatalogScan, root: String, table: Stri
       else cat.incrementalFilesWithAddOrder(table, s, e)       // O(delta) window
     // pushed filters prune the window's files too (sidecars permitting);
     // small streamed drops bin-pack like batch partitions
-    CatalogScan.binPack(scan.withDeletes(scan.pruneByFilters(files, e), e))
+    CatalogScan.binPack(scan.withDeletes(scan.pruneByFilters(files, e), e), scan.splitOverride)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.rowReaderFactory()

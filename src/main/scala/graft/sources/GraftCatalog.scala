@@ -43,6 +43,13 @@ import graft.spark.ParquetSnapshotCatalog
   * The catalog is FLAT (tables directly under the root, like a Hive
   * database): the only namespace is the implicit default one.
   */
+object GraftCatalog {
+  /** Spark's reserved CREATE-time entries — engine bookkeeping, never
+    * persisted as user TBLPROPERTIES. */
+  private[sources] val reservedProps: Set[String] =
+    Set("provider", "location", "owner", "comment", "external", "is_managed_location")
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catName: String = _
   private var root: String = _
@@ -198,6 +205,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // until then reads answer zero rows with this schema
     cat.putMeta(t, "sql.schema", schema.json)
     spec.foreach(s => cat.putMeta(t, "partition.spec", s.render))
+    // user TBLPROPERTIES persist as prop.* metadata keys (Spark's reserved
+    // entries — provider/location/owner/... and option.* — are engine
+    // bookkeeping, not user properties)
+    properties.forEach { (k, v) =>
+      if (!GraftCatalog.reservedProps(k) && !k.startsWith("option."))
+        cat.putMeta(t, s"prop.$k", v)
+    }
     new GraftSqlTable(schema, root, t, None)
   }
 
@@ -218,8 +232,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         if (cat.currentSnapshot(t).isDefined) cat.dropColumn(t, dc.fieldNames()(0))
         else cat.putMeta(t, "sql.schema",
           StructType(schemaOf(t).fields.filterNot(_.name == dc.fieldNames()(0))).json)
+      case sp: TableChange.SetProperty =>
+        require(sp.property().matches("[A-Za-z0-9._-]+"),
+          s"graft catalog: unsupported property key '${sp.property()}'")
+        cat.putMeta(t, s"prop.${sp.property()}", sp.value())
+      case rp: TableChange.RemoveProperty =>
+        cat.removeMeta(t, s"prop.${rp.property()}")
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other (RENAME/DROP COLUMN only)")
+        s"graft catalog: unsupported ALTER TABLE change $other " +
+        "(RENAME/DROP COLUMN, SET/UNSET TBLPROPERTIES only)")
     }
     loadTable(ident)
   }
@@ -272,6 +293,18 @@ final class GraftSqlTable(tableSchema: StructType, root: String, table: String,
     with SupportsDeleteV2 with SupportsRowLevelOperations {
   private def cat = new ParquetSnapshotCatalog(root)
   override def name(): String = table
+
+  /** User TBLPROPERTIES (SET/UNSET TBLPROPERTIES, CREATE ... TBLPROPERTIES)
+    * from the prop.* metadata keys — what SHOW TBLPROPERTIES / DESCRIBE
+    * EXTENDED report.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    cat.listMeta(table, "prop.").foreach { case (k, v) =>
+      m.put(k.stripPrefix("prop."), v)
+    }
+    m
+  }
 
   /** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` (the predicates the
     * metadata-only paths can't take) as MERGE-ON-READ position deltas:
@@ -465,7 +498,8 @@ private[sources] object V2PredicateSql {
 
 object GraftMetaTable {
   /** The SQL-reachable inspection tables, one per catalog metadata surface. */
-  val kinds: Set[String] = Set("files", "snapshots", "refs", "history")
+  val kinds: Set[String] =
+    Set("files", "snapshots", "refs", "history", "properties", "partitions")
 }
 
 /** An Iceberg-style metadata table (`SELECT * FROM cat.t.files` /
@@ -501,6 +535,13 @@ final class GraftMetaTable(root: String, table: String, kind: String)
       StructField("made_current_at", TimestampType, nullable = false),
       StructField("snapshot", LongType, nullable = false),
       StructField("is_current", BooleanType, nullable = false)))
+    case "properties" => StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
+    case "partitions" => StructType(Seq(
+      StructField("value", StringType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
     case other => throw new IllegalArgumentException(s"unknown metadata table '$other'")
   }
 
@@ -523,6 +564,8 @@ final class GraftMetaTable(root: String, table: String, kind: String)
             case "snapshots" => cat.snapshotsDF(spark, table)
             case "refs" => cat.refsDF(spark, table)
             case "history" => cat.historyDF(spark, table)
+            case "properties" => cat.propertiesDF(spark, table)
+            case "partitions" => cat.partitionsDF(spark, table)
           }
           // the metadata DFs are LocalRelations over driver rows — collect
           // is driver-only, no job

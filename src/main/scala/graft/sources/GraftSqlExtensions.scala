@@ -27,6 +27,8 @@ import graft.spark.ParquetSnapshotCatalog
   *   CALL gsql.tag('pages', 'audit', 7) / CALL gsql.drop_tag('pages', 'audit')
   *   CALL gsql.remove_orphans('pages')
   *   CALL gsql.rewrite_manifests('pages')
+  *   CALL gsql.evolve_spec('pages', 'truncate(2,lang)')  -- spec evolution
+  *   CALL gsql.zorder('pages', 'doc_id', 'ts', 16)       -- Morton rewrite
   *
   * Registration: `spark.sql.extensions=graft.sources.GraftSqlExtensions`
   * (composes with `graft.functions.GraftExtensions` — list both). Catalog
@@ -60,13 +62,18 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(text: String): LogicalPlan = text match {
     case Call(cat, proc, argStr) =>
-      val args = argStr.trim match {
-        case "" => Seq.empty[String]
-        case s => s.split(",").toSeq.map(_.trim).map { a =>
-          if (a.length >= 2 && a.startsWith("'") && a.endsWith("'"))
-            a.substring(1, a.length - 1)
-          else a
+      // comma split OUTSIDE quotes only — 'truncate(2,lang)' is ONE arg
+      val args = if (argStr.trim.isEmpty) Seq.empty[String] else {
+        val out = Seq.newBuilder[String]
+        val cur = new StringBuilder
+        var inQ = false
+        argStr.foreach {
+          case '\'' => inQ = !inQ
+          case ',' if !inQ => out += cur.result().trim; cur.clear()
+          case c => cur += c
         }
+        out += cur.result().trim
+        out.result()
       }
       GraftCall(cat, proc.toLowerCase(java.util.Locale.ROOT), args)
     case _ => delegate.parsePlan(text)
@@ -130,9 +137,16 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
         cat.removeOrphanFiles(str(0), grace).map(f => ("removed", f))
       case "rewrite_manifests" =>
         Seq(("snapshot", cat.rewriteManifests(str(0)).toString))
+      case "evolve_spec" =>
+        cat.evolveSpec(str(0), graft.spark.PartTransform.parse(str(1)))
+        Seq(("spec", str(1)))
+      case "zorder" =>
+        val cols = call.args.drop(1).filter(_.toLongOption.isEmpty)
+        val n = call.args.drop(1).flatMap(_.toLongOption).headOption.map(_.toInt).getOrElse(0)
+        Seq(("snapshot", cat.compactZOrder(spark, str(0), cols, nFiles = n).toString))
       case other => throw new IllegalArgumentException(
         s"CALL: unknown procedure '$other' (compact, compact_sorted, expire_snapshots, " +
-        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests)")
+        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests, evolve_spec, zorder)")
     }
   }
 

@@ -1401,6 +1401,36 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       .toDF("snapshot", "committed_at", "n_data_files", "n_delete_files", "is_current")
   }
 
+  /** `cat.t.properties`: the user TBLPROPERTIES as (key, value) rows. */
+  def propertiesDF(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    listMeta(table, "prop.").map { case (k, v) => (k.stripPrefix("prop."), v) }
+      .toDF("key", "value")
+  }
+
+  /** `cat.t.partitions` (Iceberg's partitions inspection table): per
+    * partition-value file and row counts of the CURRENT snapshot, from the
+    * pins + `__count` sidecars — zero data files opened. Answers only on
+    * the exact-clustered layout with complete counts and no pending
+    * tombstone (the [[partitionGroupCounts]] refusal rules; a mixed-spec
+    * or unpinned table reports zero rows rather than a wrong census).
+    */
+  def partitionsDF(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val rows: Seq[(String, Long, Long)] = (for {
+      snap <- currentSnapshot(table)
+      if deleteRefsOf(table, snap).isEmpty
+      vals <- partitionValuesAt(table, snap).map(_.toMap)
+      counts = statsLinesAt(table, snap)
+        .collect { case Array(f, "__count", n, _) => f -> n.toLong }.toMap
+      all = manifestFiles(table, snap)
+      if all.forall(f => counts.contains(f) && vals.contains(f))
+    } yield all.groupBy(vals).toSeq.map { case (v, fs) =>
+      (v.orNull, fs.size.toLong, fs.map(counts).sum)
+    }.sortBy(r => Option(r._1).getOrElse(""))).getOrElse(Nil)
+    rows.toDF("value", "n_files", "n_rows")
+  }
+
   /** The `table$refs` metadata table: CURRENT plus every tag and branch —
     * (name, kind, snapshot). */
   def refsDF(spark: SparkSession, table: String): DataFrame = {
@@ -1783,6 +1813,43 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   def partitionSpec(table: String): Option[PartTransform] =
     getMeta(table, "partition.spec").map(PartTransform.parse)
 
+  /** PARTITION SPEC EVOLUTION (Iceberg's spec-evolution contract): change
+    * the table's transform WITHOUT rewriting a byte — old files keep the
+    * pruning metadata of the spec they were written under (their stats
+    * rows carry the OLD spec's statName), new appends cluster and stat
+    * under the new spec, and the read path prunes each era's files by its
+    * own spec ([[readPartitionEq]]/[[readPartitionRange]] intersect the
+    * per-spec keep-sets — a per-file "prunable by ANY era's bounds" OR,
+    * since a file without a given spec's stats is conservatively kept by
+    * that spec). Surfaces that REQUIRE a single pinned layout (storage-
+    * partitioned joins, the metadata group census) refuse automatically on
+    * a mixed table — old files lack the new statName, so
+    * [[partitionValuesAt]] answers None — and come back after
+    * [[compactSorted]] rewrites every file under the current spec. At
+    * 100 TB this is the "we bucketed by url, we need days(warc_ts) now"
+    * move: a metadata-only flip instead of a table rewrite.
+    */
+  def evolveSpec(table: String, next: PartTransform): Unit = {
+    val cur = partitionSpec(table).getOrElse(throw new IllegalStateException(
+      s"evolveSpec on '$table': no partition spec — commitPartitioned first"))
+    require(cur.render != next.render,
+      s"evolveSpec on '$table': already partitioned by ${next.render}")
+    val hist = (specHistory(table) :+ cur).map(_.render).mkString(";")
+    putMeta(table, "partition.spec.history", hist)
+    putMeta(table, "partition.spec", next.render)
+  }
+
+  /** Retired partition specs, oldest first (empty if never evolved). */
+  def specHistory(table: String): Seq[PartTransform] =
+    getMeta(table, "partition.spec.history").toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty).map(PartTransform.parse)
+
+  /** Current + retired specs filtering on `column` — the specs whose
+    * per-era bounds a point/range read on that column may prune with.
+    */
+  private def specsForCol(table: String, column: String): Seq[PartTransform] =
+    (partitionSpec(table).toSeq ++ specHistory(table)).filter(_.col == column)
+
   /** Initial partitioned write: cluster rows into `nFiles` outputs by the
     * transform value (range-partitioned, so each file covers a DISJOINT
     * transform range — pruning then opens ~1/n of the files for a point
@@ -1915,11 +1982,16 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     import org.apache.spark.sql.functions.col
     val spec = partitionSpec(table).getOrElse(throw new IllegalStateException(
       s"table '$table' has no partition spec"))
-    val t = spec.literal(value)
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    val pruned = readWithDeletes(spark, table, snap,
-      Some(pruneFilesAt(table, snap, spec.statName, t, t).toSet))
+    // each era's files prune under the spec they were written with: a file
+    // lacking a spec's stats is conservatively kept by that spec, so the
+    // keep-set INTERSECTION prunes every era by its own bounds
+    val kept = specsForCol(table, spec.col).map { s =>
+      val t = s.literal(value)
+      pruneFilesAt(table, snap, s.statName, t, t).toSet
+    }.reduce(_ intersect _)
+    val pruned = readWithDeletes(spark, table, snap, Some(kept))
     // literal cast to the COLUMN's type (never the column to string — that
     // would defeat parquet pushdown and mis-compare timestamp literals)
     val dt = pruned.schema(spec.col).dataType
@@ -1941,8 +2013,12 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       "through a hash bucket would silently drop files; use readPartitionEq")
     val snap = currentSnapshot(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for $table"))
-    val pruned = readWithDeletes(spark, table, snap,
-      Some(pruneFilesAt(table, snap, spec.statName, spec.literal(lo), spec.literal(hi)).toSet))
+    // range pruning per era, order-preserving retired specs only (a retired
+    // bucket spec cannot range-prune — its files are kept conservatively)
+    val kept = specsForCol(table, spec.col).filter(_.orderPreserving).map { s =>
+      pruneFilesAt(table, snap, s.statName, s.literal(lo), s.literal(hi)).toSet
+    }.reduce(_ intersect _)
+    val pruned = readWithDeletes(spark, table, snap, Some(kept))
     val dt = pruned.schema(spec.col).dataType
     // ISO-'T' timestamp literals normalize for the cast; other types pass
     // through verbatim (a string column may legitimately contain 'T')
@@ -2389,6 +2465,26 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     val tmp = new HPath(dir, s".meta.$key.tmp")
     writeStr(tmp, value)
     atomicSwap(tmp, new HPath(dir, s"meta.$key"))
+  }
+
+  /** Remove a metadata key (idempotent — absent keys are a no-op). */
+  def removeMeta(table: String, key: String): Unit = {
+    val p = new HPath(manifestDir(table), s"meta.$key")
+    val fs = fsOf(p)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** All metadata keys under `prefix` with their values, key-sorted —
+    * O(dir listing) driver work (the same listing every commit pays).
+    */
+  def listMeta(table: String, prefix: String): Seq[(String, String)] = {
+    val dir = manifestDir(table)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(s"meta.$prefix") => n.stripPrefix("meta.") }
+      .sorted
+      .flatMap(k => getMeta(table, k).map(v => k -> v))
   }
 
   def getMeta(table: String, key: String): Option[String] = {

@@ -51,6 +51,35 @@ class GroupAggPushdownSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("en" -> 100L, "de" -> 100L, "fr" -> 100L, "ja" -> 100L))
   }
 
+  test("COUNT(DISTINCT part) / COUNT(part) answer from the pins: data stays deleted") {
+    // runs after the deletion test — gg.d has NO data files left
+    val q = spark.sql(
+      "SELECT count(DISTINCT lang) AS d, count(lang) AS c, count(*) AS n FROM gg.d")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"))
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 400L, 400L)))
+  }
+
+  test("COUNT(DISTINCT) refusals: non-partition column, null pins counted right") {
+    val ss = spark; import ss.implicits._
+    // distinct on a NON-partition column: row scan
+    val q1 = spark.sql("SELECT count(DISTINCT id) FROM gg.d")
+    assert(!q1.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"))
+    // a table with NULL partition values: count(lang) excludes them,
+    // count(DISTINCT lang) excludes them, count(*) includes them
+    Seq((1L, "en"), (2L, null), (3L, "en"), (4L, null))
+      .toDF("id", "lang").createOrReplaceTempView("nsrc")
+    val cat2 = cat
+    cat2.commitPartitionedExact(spark.table("nsrc"), "nulled",
+      graft.spark.IdentityTransform("lang"))
+    val q2 = spark.sql(
+      "SELECT count(DISTINCT lang) AS d, count(lang) AS c, count(*) AS n FROM gg.nulled")
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"),
+      q2.queryExecution.executedPlan.toString)
+    val r = q2.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 4L)))
+  }
+
   test("refusals fall back to the row scan: non-partition column, extra agg, pending delete") {
     val ss = spark; import ss.implicits._
     spark.sql("CREATE TABLE gg.e (id BIGINT, lang STRING) PARTITIONED BY (lang)")

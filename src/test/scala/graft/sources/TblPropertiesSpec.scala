@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+import graft.spark.ParquetSnapshotCatalog
+
+/** Table properties: CREATE ... TBLPROPERTIES / ALTER TABLE SET/UNSET
+  * TBLPROPERTIES / SHOW TBLPROPERTIES round-trip through the prop.*
+  * metadata keys, and the read.split.target-size property actually
+  * governs the scan's bin-packing (a behavior knob, not an inert tag).
+  */
+class TblPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var root: String = _
+  private def cat = new ParquetSnapshotCatalog(root)
+
+  override def beforeAll(): Unit = {
+    root = Files.createTempDirectory("graftprop").toFile.getAbsolutePath
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.gp", classOf[GraftCatalog].getName)
+      .config("spark.sql.catalog.gp.root", root)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def props(t: String): Map[String, String] =
+    spark.sql(s"SHOW TBLPROPERTIES gp.$t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("CREATE TBLPROPERTIES persists; SET adds/overwrites; UNSET removes") {
+    spark.sql("CREATE TABLE gp.t (id BIGINT, v STRING) TBLPROPERTIES ('owner.team'='crawl', 'retention'='90d')")
+    assert(props("t") == Map("owner.team" -> "crawl", "retention" -> "90d"))
+    spark.sql("ALTER TABLE gp.t SET TBLPROPERTIES ('retention'='30d', 'tier'='hot')")
+    assert(props("t") == Map("owner.team" -> "crawl", "retention" -> "30d", "tier" -> "hot"))
+    spark.sql("ALTER TABLE gp.t UNSET TBLPROPERTIES ('owner.team')")
+    assert(props("t") == Map("retention" -> "30d", "tier" -> "hot"))
+    // idempotent unset of an absent key
+    spark.sql("ALTER TABLE gp.t UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    assert(props("t").size == 2)
+  }
+
+  test("read.split.target-size governs bin-packing: tiny target = one partition per file") {
+    val ss = spark; import ss.implicits._
+    spark.sql("CREATE TABLE gp.s (id BIGINT, v STRING)")
+    (1 to 4).foreach { i =>
+      (0 until 50).map(j => ((i * 100 + j).toLong, s"v$j")).toDF("id", "v")
+        .createOrReplaceTempView("srcp")
+      spark.sql("INSERT INTO gp.s SELECT /*+ REPARTITION(2) */ * FROM srcp")
+    }
+    val nFiles = cat.filesWithAddOrder("s", cat.currentSnapshot("s").get).size
+    assert(nFiles >= 8)
+    // default conf (128 MB bins): tiny files coalesce into few partitions
+    val coalesced = spark.sql("SELECT * FROM gp.s").rdd.getNumPartitions
+    assert(coalesced < nFiles, s"expected coalescing: $coalesced vs $nFiles files")
+    // a 1-byte target defeats packing: every file its own partition
+    spark.sql("ALTER TABLE gp.s SET TBLPROPERTIES ('read.split.target-size'='1')")
+    val perFile = spark.sql("SELECT * FROM gp.s").rdd.getNumPartitions
+    assert(perFile == nFiles, s"expected one partition per file: $perFile vs $nFiles")
+    // unset restores the conf-driven packing
+    spark.sql("ALTER TABLE gp.s UNSET TBLPROPERTIES ('read.split.target-size')")
+    assert(spark.sql("SELECT * FROM gp.s").rdd.getNumPartitions == coalesced)
+    // rows unaffected throughout
+    assert(spark.sql("SELECT count(*) FROM gp.s").collect()(0).getLong(0) == 200L)
+  }
+
+  test("cat.t.properties inspection table mirrors SHOW TBLPROPERTIES") {
+    spark.sql("CREATE TABLE gp.p (id BIGINT) TBLPROPERTIES ('a'='1', 'b'='2')")
+    val rows = spark.sql("SELECT key, value FROM gp.p.properties").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("a" -> "1", "b" -> "2"))
+  }
+
+  test("cat.t.partitions census on a pinned table; zero rows when unpinned") {
+    val ss = spark; import ss.implicits._
+    spark.sql("CREATE TABLE gp.c (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "en"))
+      .toDF("id", "lang").createOrReplaceTempView("csrc")
+    spark.sql("INSERT INTO gp.c SELECT * FROM csrc")
+    val census = spark.sql("SELECT value, n_rows FROM gp.c.partitions").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census == Map("en" -> 3L, "de" -> 1L))
+    // the unpartitioned table answers zero rows, not a wrong census
+    assert(spark.sql("SELECT * FROM gp.s.partitions").collect().isEmpty)
+  }
+}
