@@ -1131,6 +1131,38 @@ object SparkEntry {
         .selectExpr("'user_id' AS probe", "event_id", "user_id", "event_type")
       byEvent.unionByName(byUser)
     }),
+    "q_spec_evolution" -> ((s, dir) => {
+      // PARTITION SPEC EVOLUTION (Iceberg's metadata-only spec flip): era 1
+      // commits pinned under identity(lang), the spec evolves to
+      // truncate(1, lang) WITHOUT touching a byte, era 2 appends under the
+      // new spec — and a point read prunes EACH era by the spec it was
+      // written with (per-spec keep-set intersection; a file without a
+      // spec's stats is conservatively kept by that spec, never wrongly
+      // dropped). The prune proof requires the intersection strictly
+      // tighter than the current-spec-only keep-set AND the full file set.
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_specevo_${dir.hashCode.toHexString}"
+      val rootP = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootP))
+        java.nio.file.Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).select("doc_id", "lang")
+      val oldSpec = graft.spark.IdentityTransform("lang")
+      val newSpec = graft.spark.TruncateTransform(1, "lang")
+      cat.commitPartitionedExact(d.where("doc_id % 2 = 0"), "t", oldSpec, nTasks = 4)
+      cat.evolveSpec("t", newSpec)
+      cat.appendPartitioned(d.where("doc_id % 2 = 1"), "t", nFiles = 4)
+      val target = d.agg(org.apache.spark.sql.functions.min("lang")).head.getString(0)
+      val snap = cat.currentSnapshot("t").get
+      val all = cat.filesWithAddOrder("t", snap).map(_._1).toSet
+      val byOld = cat.pruneFilesAt("t", snap, oldSpec.statName, target, target).toSet
+      val byNew = cat.pruneFilesAt("t", snap, newSpec.statName,
+        newSpec.literal(target), newSpec.literal(target)).toSet
+      val kept = byOld intersect byNew
+      require(kept.size < byNew.size && kept.size < all.size,
+        s"q_spec_evolution: old-era pruning did not engage (${kept.size}/${byNew.size}/${all.size})")
+      cat.readPartitionEq(s, "t", target).select("doc_id", "lang")
+    }),
     "q_wap" -> ((s, dir) => {
       // WRITE-AUDIT-PUBLISH: the odd docs stage on a branch (invisible to
       // CURRENT readers — asserted mid-flight), a real audit runs against
@@ -1293,7 +1325,45 @@ object SparkEntry {
       val q = s.sql("SELECT lang, count(*) AS lang_docs FROM ggrp.d GROUP BY lang")
       require(q.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"),
         s"q_sql_groupagg: expected the metadata-only scan:\n${q.queryExecution.executedPlan}")
-      q
+      // COUNT(DISTINCT lang) / COUNT(lang): null counts are underivable
+      // from file stats in general, but the identity-pinned layout makes
+      // them exact (pins ARE the distinct values; a file's rows are null
+      // iff its pin is) — also answered with every data file deleted.
+      val d = s.sql("SELECT count(DISTINCT lang) AS n_langs, count(lang) AS n_lang_rows FROM ggrp.d")
+      require(d.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"),
+        s"q_sql_groupagg: expected the metadata-only distinct scan:\n${d.queryExecution.executedPlan}")
+      q.crossJoin(d)
+    }),
+    "q_sql_props" -> ((s, dir) => {
+      // TBLPROPERTIES lifecycle: CREATE-time properties persist, SET
+      // overwrites, UNSET removes — and read.split.target-size is a REAL
+      // read knob: with a 1-byte target the scan refuses to bin-pack and
+      // plans one partition per data file (required in-query), unset
+      // restores conf-driven coalescing. The returned rows are the final
+      // SHOW TBLPROPERTIES — closed-form.
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlprops_${dir.hashCode.toHexString}"
+      val rootP = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(rootP))
+        java.nio.file.Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      java.nio.file.Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gpr", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gpr.root", root)
+      docs(s, dir).select("doc_id", "lang").createOrReplaceTempView("gpr_src")
+      s.sql("CREATE TABLE gpr.d (doc_id BIGINT, lang STRING) TBLPROPERTIES ('retention'='90d')")
+      s.sql("INSERT INTO gpr.d SELECT /*+ REPARTITION(4) */ * FROM gpr_src WHERE doc_id % 2 = 0")
+      s.sql("INSERT INTO gpr.d SELECT /*+ REPARTITION(4) */ * FROM gpr_src WHERE doc_id % 2 = 1")
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val nFiles = cat.filesWithAddOrder("d", cat.currentSnapshot("d").get).size
+      s.sql("ALTER TABLE gpr.d SET TBLPROPERTIES ('read.split.target-size'='1')")
+      val perFile = s.sql("SELECT * FROM gpr.d").rdd.getNumPartitions
+      require(perFile == nFiles,
+        s"q_sql_props: 1-byte split target must defeat bin-packing ($perFile vs $nFiles files)")
+      s.sql("ALTER TABLE gpr.d SET TBLPROPERTIES ('retention'='30d', 'tier'='hot')")
+      s.sql("ALTER TABLE gpr.d UNSET TBLPROPERTIES ('read.split.target-size')")
+      require(s.sql("SELECT * FROM gpr.d").rdd.getNumPartitions < nFiles,
+        "q_sql_props: unset must restore conf-driven coalescing")
+      s.sql("SHOW TBLPROPERTIES gpr.d").selectExpr("key AS k", "value AS v")
     }),
     "q_sql_call" -> ((s, dir) => {
       // SQL CALL maintenance procedures (the Iceberg stored-procedure
@@ -1715,6 +1785,20 @@ object SparkEntry {
       // the spec additionally proves the files on disk match the manifest
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_${dir.hashCode.toHexString}"
       TextOps.writeTrainingShards(docs(s, dir).select("doc_id", "text"), out)
+    }),
+    "q_epoch_shuffle" -> ((s, dir) => {
+      // deterministic seeded epoch shuffle: the training-order permutation
+      // — order key md5(seed:id), shard + within-shard rank; the same seed
+      // reproduces the exact order on any engine (no RNG state, no
+      // partition-order dependence), a different seed re-permutes
+      TextOps.epochShuffle(docs(s, dir).select("doc_id"), seed = 42L, nShards = 8)
+    }),
+    "q_domain_cap" -> ((s, dir) => {
+      // per-domain frequency cap (C4/RefinedWeb domain balancing): at most
+      // 20 docs per source, longest-text first — executed as a streaming
+      // per-group top-k (WindowGroupLimit), never a full per-domain sort
+      UrlOps.domainCap(docs(s, dir).select("doc_id", "source", "n_chars"),
+        cap = 20, domainCol = "source", rankCol = "n_chars")
     }),
     "q_incremental_curate" -> ((s, dir) => {
       // the incremental curation loop end-to-end: drop 1 (even ids)
@@ -3099,9 +3183,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, md5(concat(text, ' v2')) FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1""".stripMargin,
-    // the metadata-only group census replays as the plain per-lang count
+    // spec evolution is pruning-only — the point read replays as the plain
+    // equality on the union of both eras (i.e. the whole table)
+    "q_spec_evolution" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang = (SELECT min(lang) FROM documents)""".stripMargin,
+    // the metadata-only group census replays as the plain per-lang count;
+    // the pinned-layout COUNT(DISTINCT)/COUNT(col) scalars ride along
     "q_sql_groupagg" ->
-      "SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang",
+      """SELECT lang, count(*) AS lang_docs,
+        |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+        |  (SELECT count(lang) FROM documents) AS n_lang_rows
+        |FROM documents GROUP BY lang""".stripMargin,
+    // the final TBLPROPERTIES state is closed-form
+    "q_sql_props" ->
+      """SELECT 'retention' AS k, '30d' AS v
+        |UNION ALL SELECT 'tier', 'hot'""".stripMargin,
     // the CALL lifecycle nets out to: both drops, minus the row-level
     // delete, with the rollback erasing the junk insert
     "q_sql_call" ->
@@ -3201,6 +3298,25 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM b GROUP BY shard""".stripMargin
     },
+    // the epoch shuffle replays exactly: same md5 order key, same nibble
+    // shard, same within-shard rank — determinism IS the contract
+    "q_epoch_shuffle" -> {
+      val terms = (1 to 8)
+        .map(j => s"(strpos('0123456789abcdef', substr(kk, $j, 1)) - 1) * ${1L << (4 * (8 - j))}")
+        .mkString(" + ")
+      s"""WITH k AS (SELECT doc_id,
+        |  md5(concat('42:', CAST(doc_id AS VARCHAR))) AS kk FROM documents),
+        |s AS (SELECT doc_id, kk, ($terms) % 8 AS shard FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) AS BIGINT) AS pos
+        |FROM s""".stripMargin
+    },
+    // the domain cap replays as the plain rank filter
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20""".stripMargin,
     // every gate-passing doc exactly once under its original id: the
     // replayed texts are rejected by the companion, so the table is just
     // the gate conjunction over the corpus (token floor + Gopher rules +
