@@ -1618,6 +1618,44 @@ object SparkEntry {
           s"got $nEx exchanges:\n" + j.queryExecution.executedPlan)
       j
     }),
+    "q_sql_bucket" -> ((s, dir) => {
+      // SQL bucket partitioning via the catalog's FunctionCatalog (the
+      // Iceberg bucket-SPJ shape): CREATE PARTITIONED BY (bucket(4, k))
+      // resolves the transform to the catalog's own V2 bucket function —
+      // the INSERT's distribution/ordering cluster by BUCKET ID, the
+      // value-rolling writer pins one bucket per file, and two
+      // same-bucketed tables join with ZERO exchange, REQUIRED in-query.
+      // The bucket hash is the repo-standard md5 nibble idiom, so the
+      // layout itself is oracle-replayable.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlbkt_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.catalog.gbkt", classOf[graft.sources.GraftCatalog].getName)
+      s2.conf.set("spark.sql.catalog.gbkt.root", root)
+      docs(s2, dir).selectExpr("concat('u', CAST(doc_id AS STRING)) AS k", "lang", "n_chars")
+        .createOrReplaceTempView("gbkt_src")
+      s2.sql("CREATE TABLE gbkt.a (k STRING, lang STRING) PARTITIONED BY (bucket(4, k))")
+      s2.sql("INSERT INTO gbkt.a SELECT k, lang FROM gbkt_src")
+      s2.sql("CREATE TABLE gbkt.b (k STRING, n_chars BIGINT) PARTITIONED BY (bucket(4, k))")
+      s2.sql("INSERT INTO gbkt.b SELECT k, n_chars FROM gbkt_src WHERE n_chars % 2 = 0")
+      val j = s2.sql(
+        "SELECT a.k, a.lang, b.n_chars FROM gbkt.a a JOIN gbkt.b b ON a.k = b.k")
+      val nEx = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      require(nEx == 0,
+        s"q_sql_bucket: expected a zero-exchange bucket storage-partitioned join, " +
+          s"got $nEx exchanges:\n" + j.queryExecution.executedPlan)
+      j
+    }),
     "q_spj" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN (Iceberg SPJ shape): both sides written
       // exact-clustered on identity(lang) (one transform value per data
@@ -3195,6 +3233,11 @@ object SparkEntry {
         |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
         |  (SELECT count(lang) FROM documents) AS n_lang_rows
         |FROM documents GROUP BY lang""".stripMargin,
+    // the bucket SPJ replays as the plain equi-join (layout is invisible
+    // to semantics; the zero-exchange plan is required in-query)
+    "q_sql_bucket" ->
+      """SELECT concat('u', CAST(doc_id AS VARCHAR)) AS k, lang, n_chars
+        |FROM documents WHERE n_chars % 2 = 0""".stripMargin,
     // the final TBLPROPERTIES state is closed-form
     "q_sql_props" ->
       """SELECT 'retention' AS k, '30d' AS v

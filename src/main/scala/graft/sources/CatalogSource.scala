@@ -531,19 +531,29 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     pruneByFilters(cat.filesWithAddOrder(table, batchSnap), batchSnap)
 
   /** One keyed file-group per partition value, or None when the layout
-    * cannot guarantee it (no spec, non-identity transform, a file with
-    * unpinned value, unsupported key type, time travel). Identity only:
-    * bucket/days keys would need a FunctionCatalog resolution; identity
-    * resolves to the raw column reference.
+    * cannot guarantee it (no spec, a file with unpinned value, unsupported
+    * key type, time travel). Identity groups key on the raw column value;
+    * BUCKET groups key on the bucket id, reported as the `bucket(n, col)`
+    * transform that Spark resolves through the catalog's FunctionCatalog
+    * ([[GraftBucketFunction]]) — which is what lets two same-bucketed
+    * tables compare partitionings and join with zero exchange. Days stays
+    * out (session-tz rendering); truncate stays out (ranges, not pins, is
+    * its usual write shape — and its SQL path pins too, but a truncate
+    * prefix is rarely a join key).
     */
-  private lazy val keyGroups: Option[(String, Array[InputPartition])] = {
+  private lazy val keyGroups: Option[(graft.spark.PartTransform, Array[InputPartition])] = {
     if (asOf.nonEmpty) None
     else cat.partitionSpec(table) match {
-      case Some(spec: graft.spark.IdentityTransform) =>
+      case Some(spec @ (_: graft.spark.IdentityTransform | _: graft.spark.BucketTransform)) =>
         tableSchema.fields.find(_.name == spec.col).flatMap { field =>
-          def internal(v: Option[String]): Option[Any] = v match {
-            case None => Some(null)
-            case Some(s) => field.dataType match {
+          def internal(v: Option[String]): Option[Any] = (spec, v) match {
+            // a bucket pin is the bucket id (INT result of the V2 function);
+            // null raw keys cannot exist under a bucket write (writer gate)
+            case (_: graft.spark.BucketTransform, Some(s)) =>
+              s.toIntOption.map(java.lang.Integer.valueOf)
+            case (_: graft.spark.BucketTransform, None) => None
+            case (_, None) => Some(null)
+            case (_, Some(s)) => field.dataType match {
               case LongType => s.toLongOption
               case IntegerType => s.toIntOption
               case StringType => Some(UTF8String.fromString(s))
@@ -562,7 +572,7 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
                 .map { case (v, fs) =>
                   CatalogKeyGroupPartition(fs, conv(v).get): InputPartition
                 }
-              Some((field.name, grouped.toArray))
+              Some((spec, grouped.toArray))
             }
           }
         }
@@ -572,10 +582,15 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = keyGroups match {
-    case Some((col, groups)) =>
+    case Some((spec, groups)) =>
+      val expr = spec match {
+        case graft.spark.BucketTransform(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+        case s =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(s.col)
+      }
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.identity(col)),
-        groups.length)
+        Array(expr), groups.length)
     case None =>
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }
@@ -915,18 +930,31 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
   // the writer rolls at every value boundary regardless; clustering only
   // minimizes file count.
   // ------------------------------------------------------------------
+  /** The write-side clustering key: the raw column for order-preserving
+    * transforms, the bucket TRANSFORM itself for bucket — Spark resolves
+    * `bucket(n, col)` through the table catalog's FunctionCatalog
+    * ([[GraftBucketFunction]]) and shuffles/sorts by the bucket id, so
+    * each task holds whole buckets and the value-rolling writer emits one
+    * file per bucket.
+    */
+  private def clusterExpr(s: graft.spark.PartTransform)
+      : org.apache.spark.sql.connector.expressions.Expression = s match {
+    case graft.spark.BucketTransform(n, c) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    case other => org.apache.spark.sql.connector.expressions.Expressions.column(other.col)
+  }
+
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     spec match {
       case Some(s) => org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        Array(org.apache.spark.sql.connector.expressions.Expressions.column(s.col)
-          : org.apache.spark.sql.connector.expressions.Expression))
+        Array(clusterExpr(s)))
       case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
   override def distributionStrictlyRequired(): Boolean = false // advisory: rolling stays exact
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     spec match {
       case Some(s) => Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-        org.apache.spark.sql.connector.expressions.Expressions.column(s.col),
+        clusterExpr(s),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       case None => Array.empty
     }

@@ -50,7 +50,7 @@ object GraftCatalog {
     Set("provider", "location", "owner", "comment", "external", "is_managed_location")
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   private var catName: String = _
   private var root: String = _
   private def cat = new ParquetSnapshotCatalog(root)
@@ -104,6 +104,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     okNs(ident.namespace()) && existing(ident.name())
+
+  // ------------------------------------------------------------------
+  // FunctionCatalog: the catalog-resolved V2 functions (Iceberg's shape).
+  // `bucket` is the one transforms need — Spark resolves it to plan the
+  // bucket-clustered write distribution and to compare the two sides of a
+  // bucket storage-partitioned join.
+  // ------------------------------------------------------------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] = {
+    if (!okNs(namespace)) throw new NoSuchNamespaceException(namespace)
+    Array(Identifier.of(namespace, "bucket"))
+  }
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (okNs(ident.namespace()) && ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style SQL METADATA TABLES: `SELECT * FROM cat.t.files|
@@ -183,10 +199,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             require(w.nonEmpty && c.nonEmpty,
               s"graft catalog: cannot parse truncate transform $p")
             graft.spark.TruncateTransform(w.get, c.get)
+          case "bucket" =>
+            // first-class via the catalog's FunctionCatalog: the write
+            // declares its distribution/ordering AS bucket(n, col) (Spark
+            // resolves it to GraftBucketFunction), the value-rolling writer
+            // pins one bucket id per file, and same-bucketed tables SPJ
+            val args = p.arguments()
+            val n = args.collectFirst { case l: VLiteral[_] => l.value.toString.toInt }
+            val c = args.collectFirst { case r: NamedReference => colOf(r) }
+            require(n.nonEmpty && c.nonEmpty,
+              s"graft catalog: cannot parse bucket transform $p")
+            graft.spark.BucketTransform(n.get, c.get)
           case other => throw new IllegalArgumentException(
             s"graft catalog: PARTITIONED BY $other is not supported in SQL DDL — " +
-            "use ParquetSnapshotCatalog.commitPartitioned (bucket/days need the API's " +
-            "write-side clustering)")
+            "use ParquetSnapshotCatalog.commitPartitioned (days needs the API's " +
+            "session-tz write-side rendering)")
         }
         val f = schema.fields.find(_.name == s.col).getOrElse(throw new IllegalArgumentException(
           s"graft catalog: partition column '${s.col}' not in the table schema"))
@@ -196,7 +223,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         require(keyable,
           s"graft catalog: partition column '${s.col}' has type ${f.dataType.simpleString}; " +
-          "supported keys: string/bigint/int (identity), string (truncate)")
+          "supported keys: string/bigint/int (identity, bucket), string (truncate)")
         Some(s)
       case many => throw new IllegalArgumentException(
         s"graft catalog: one partition transform max, got ${many.length}")
