@@ -333,6 +333,20 @@ final class GraftSqlTable(tableSchema: StructType, root: String, table: String,
     m
   }
 
+  /** The declared transform as V2 partitioning, so SHOW CREATE TABLE /
+    * DESCRIBE report the hidden layout (the data schema never carries it).
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    cat.partitionSpec(table).map {
+      case graft.spark.IdentityTransform(c) => Expressions.identity(c)
+      case graft.spark.BucketTransform(n, c) => Expressions.bucket(n, c)
+      case graft.spark.TruncateTransform(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+      case graft.spark.DaysTransform(c) => Expressions.days(c)
+    }.toArray
+  }
+
   /** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` (the predicates the
     * metadata-only paths can't take) as MERGE-ON-READ position deltas:
     * Spark scans the table with the `_file`/`_pos` metadata columns as the

@@ -1164,17 +1164,24 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     }.toMap
     val cur = readSnapshot(spark, table, snap)
     val n = if (nFiles > 0) nFiles else spark.sessionState.conf.numShufflePartitions
+    // explicit sort columns win; otherwise the write.sort-order TBLPROPERTY
+    // (Iceberg's table-level sort order) supplies the default
+    val effCols: Seq[String] =
+      if (sortCols.nonEmpty) sortCols
+      else getMeta(table, "prop.write.sort-order").toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val clusterExprs: Seq[String] = specO.map(s => Seq(s.sparkExprSql))
-      .getOrElse(sortCols.map(c => s"`$c`"))
+      .getOrElse(effCols.map(c => s"`$c`"))
     require(clusterExprs.nonEmpty,
-      s"compactSorted on '$table': no partition spec and no sort columns given")
+      s"compactSorted on '$table': no partition spec, no sort columns, " +
+      "and no write.sort-order property")
     val clustered = cur.repartitionByRange(n, clusterExprs.map(expr): _*)
       .sortWithinPartitions(clusterExprs.map(expr): _*)
     val newSnap = commit(clustered, table)
     val files = manifestFiles(table, newSnap)
     val statNamed: Seq[(String, String)] =
       specO.map(s => (s.statName, s.sparkExprSql)).toSeq ++
-        sortCols.map(c => (c, s"`$c`"))
+        effCols.map(c => (c, s"`$c`"))
     if (statNamed.nonEmpty)
       writeStr(new HPath(manifestDir(table), s"m$newSnap.stats.tsv"),
         statsTsv(spark, files, statNamed))

@@ -97,8 +97,9 @@ class SqlPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unsupported transforms and bad columns are refused at CREATE") {
+    // bucket is now first-class (SqlBucketSpec); days still needs the API
     intercept[Exception](spark.sql(
-      "CREATE TABLE gp.x (u STRING) PARTITIONED BY (bucket(8, u))"))
+      "CREATE TABLE gp.x (ts TIMESTAMP) PARTITIONED BY (days(ts))"))
     intercept[Exception](spark.sql(
       "CREATE TABLE gp.y (u STRING) PARTITIONED BY (nope)"))
     intercept[Exception](spark.sql(

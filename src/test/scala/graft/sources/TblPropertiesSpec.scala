@@ -80,6 +80,32 @@ class TblPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Map("a" -> "1", "b" -> "2"))
   }
 
+  test("SHOW CREATE TABLE reports the hidden transform and the properties") {
+    spark.sql("CREATE TABLE gp.w (id BIGINT, lang STRING) PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('retention'='7d')")
+    val ddl = spark.sql("SHOW CREATE TABLE gp.w").collect()(0).getString(0)
+    assert(ddl.contains("PARTITIONED BY") && ddl.contains("lang"), ddl)
+    assert(ddl.contains("retention"), ddl)
+  }
+
+  test("write.sort-order property drives compactSorted's default sort") {
+    val ss = spark; import ss.implicits._
+    spark.sql("CREATE TABLE gp.o (id BIGINT, v STRING) TBLPROPERTIES ('write.sort-order'='id')")
+    (0 until 100).map(i => ((i * 37 % 100).toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("osrc")
+    spark.sql("INSERT INTO gp.o SELECT /*+ REPARTITION(4) */ * FROM osrc")
+    // no explicit cols: the property supplies them; zone maps restored
+    cat.compactSorted(spark, "o")
+    val snap = cat.currentSnapshot("o").get
+    val kept = cat.pruneFilesAt("o", snap, "id", "0", "10")
+    assert(kept.size < cat.filesWithAddOrder("o", snap).size,
+      s"sorted compaction must leave id zone maps that prune: ${kept.size}")
+    // an unsorted table with neither spec nor property still refuses
+    spark.sql("CREATE TABLE gp.o2 (id BIGINT)")
+    spark.sql("INSERT INTO gp.o2 VALUES (1), (2)")
+    intercept[IllegalArgumentException](cat.compactSorted(spark, "o2"))
+  }
+
   test("cat.t.partitions census on a pinned table; zero rows when unpinned") {
     val ss = spark; import ss.implicits._
     spark.sql("CREATE TABLE gp.c (id BIGINT, lang STRING) PARTITIONED BY (lang)")
