@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{Pages, ExtractJob, PageRow}
-import graft.operators.{Dedup, Ann, TextOps, UrlOps, Graph}
+import graft.operators.{Dedup, Ann, TextOps, UrlOps, Graph, Feed}
 import graft.dom.Extractor
 
 /** Driver contract (see builder prompt + SURVEY.md §7). Each `queries` entry
@@ -1656,6 +1656,46 @@ object SparkEntry {
           s"got $nEx exchanges:\n" + j.queryExecution.executedPlan)
       j
     }),
+    "q_sql_days" -> ((s, dir) => {
+      // SQL days(ts) hidden partitioning: CREATE declares the calendar-day
+      // transform, the INSERT's raw-column clustering groups each day
+      // contiguously (days is order-preserving) and the writer pins one
+      // session-tz-rendered day per file; a week-windowed scan opens only
+      // the window's files — REQUIRED in-query via the opened-files
+      // counter against the transform candidate set.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqldays_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gdys", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdys.root", root)
+      s.read.parquet(s"$dir/events.parquet").selectExpr("event_id", "ts", "user_id")
+        .createOrReplaceTempView("gdys_src")
+      s.sql("CREATE TABLE gdys.e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT) " +
+        "PARTITIONED BY (days(ts))")
+      s.sql("INSERT INTO gdys.e SELECT * FROM gdys_src")
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val snap = cat.currentSnapshot("e").get
+      val total = cat.filesWithAddOrder("e", snap).size
+      val spec = graft.spark.DaysTransform("ts")
+      val cand = cat.pruneFilesAt("e", snap, spec.statName, "2024-01-10", "2024-01-16").size
+      require(cand < total, s"q_sql_days: day pruning must engage ($cand of $total)")
+      val before = graft.sources.CatalogPartitionReader.opened.get()
+      val q = s.sql(
+        """SELECT event_id, user_id, date_format(ts, 'yyyy-MM-dd') AS d FROM gdys.e
+          |WHERE ts BETWEEN timestamp'2024-01-10 00:00:00'
+          |             AND timestamp'2024-01-16 23:59:59'""".stripMargin)
+      val rows = q.collect()
+      val opened = graft.sources.CatalogPartitionReader.opened.get() - before
+      require(opened <= cand,
+        s"q_sql_days: scan must open only the window's files ($opened vs $cand of $total)")
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        .toDF("event_id", "user_id", "d")
+    }),
     "q_spj" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN (Iceberg SPJ shape): both sides written
       // exact-clustered on identity(lang) (one transform value per data
@@ -1823,6 +1863,48 @@ object SparkEntry {
       // the spec additionally proves the files on disk match the manifest
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_${dir.hashCode.toHexString}"
       TextOps.writeTrainingShards(docs(s, dir).select("doc_id", "text"), out)
+    }),
+    "q_feed_parse" -> ((s, dir) => {
+      // RSS/Atom feed parsing — crawl-discovery FRESHNESS (robots =
+      // permission, sitemaps = inventory, feeds = what changed): per-host
+      // synthetic feeds (Atom with rel-qualified link attributes and
+      // updated-fallback, RSS with CDATA/entity titles) parsed into
+      // (fmt, idx, title, link, published, guid) items in document order —
+      // a narrow zero-shuffle flatMap
+      import s.implicits._
+      val xmls = docs(s, dir).select("doc_id").as[Long].map { id =>
+        val host = s"h${id % 7}.example.org"
+        val n = (id % 2 + 1).toInt
+        val xml = if (id % 3 == 0) {
+          val entries = (0 until n).map { k =>
+            s"  <entry>\n    <title>Post $id &amp; $k</title>\n" +
+              s"    <link rel=\"self\" href=\"https://$host/self.xml\"/>\n" +
+              s"    <link rel=\"alternate\" href=\"https://$host/a/$id/$k\"/>\n" +
+              s"    <updated>2024-02-0${k + 1}T00:00:00Z</updated>\n" +
+              s"    <id>tag:ex,$id:$k</id>\n  </entry>"
+          }.mkString("\n")
+          "<?xml version=\"1.0\"?>\n<feed xmlns=\"http://www.w3.org/2005/Atom\">\n" +
+            entries + "\n</feed>"
+        } else {
+          val items = (0 until n).map { k =>
+            val title = if (id % 5 == 0) s"<![CDATA[Post $id & $k]]>"
+                        else s"Post $id &amp; $k"
+            s"  <item>\n    <title>$title</title>\n" +
+              s"    <link>https://$host/a/$id/$k</link>\n" +
+              s"    <pubDate>2024-02-0${k + 1}</pubDate>\n" +
+              s"    <guid>tag:ex,$id:$k</guid>\n  </item>"
+          }.mkString("\n")
+          s"<rss version=\"2.0\">\n<channel>\n$items\n</channel>\n</rss>"
+        }
+        (s"https://$host/feed.xml?d=$id", xml)
+      }.toDF("url", "xml")
+      Feed.parseFeeds(xmls)
+    }),
+    "q_chunk_docs" -> ((s, dir) => {
+      // sliding-window chunking (the RAG / long-context segment shape):
+      // 64-token windows advancing by 48 (overlapping), remainder chunk
+      // included — a pure zero-shuffle projection, linear at any corpus
+      TextOps.chunkDocs(docs(s, dir).select("doc_id", "text"), window = 64, stride = 48)
     }),
     "q_epoch_shuffle" -> ((s, dir) => {
       // deterministic seeded epoch shuffle: the training-order permutation
@@ -3233,6 +3315,11 @@ object SparkEntry {
         |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
         |  (SELECT count(lang) FROM documents) AS n_lang_rows
         |FROM documents GROUP BY lang""".stripMargin,
+    // the day-partitioned window scan replays as the plain BETWEEN
+    "q_sql_days" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS d FROM events
+        |WHERE ts BETWEEN timestamp'2024-01-10 00:00:00'
+        |             AND timestamp'2024-01-16 23:59:59'""".stripMargin,
     // the bucket SPJ replays as the plain equi-join (layout is invisible
     // to semantics; the zero-exchange plan is required in-query)
     "q_sql_bucket" ->
@@ -3341,6 +3428,37 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM b GROUP BY shard""".stripMargin
     },
+    // the feed corpus replays closed-form: decoded titles are branchless
+    // (entity and CDATA forms decode to the same string), Atom published
+    // falls back to updated, idx is the per-feed item ordinal
+    "q_feed_parse" ->
+      """WITH b AS (SELECT doc_id,
+        |             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |             doc_id % 2 AS m,
+        |             CASE WHEN doc_id % 3 = 0 THEN 'atom' ELSE 'rss' END AS fmt
+        |           FROM documents),
+        |g AS (SELECT doc_id, host, fmt, CAST(u.k AS INT) AS k
+        |      FROM b, UNNEST(range(0, m + 1)) u(k))
+        |SELECT 'https://' || host || '/feed.xml?d=' || CAST(doc_id AS VARCHAR) AS feed_url,
+        |       fmt, k AS idx,
+        |       'Post ' || CAST(doc_id AS VARCHAR) || ' & ' || CAST(k AS VARCHAR) AS title,
+        |       'https://' || host || '/a/' || CAST(doc_id AS VARCHAR) || '/' || CAST(k AS VARCHAR) AS link,
+        |       CASE WHEN fmt = 'atom'
+        |            THEN '2024-02-0' || CAST(k + 1 AS VARCHAR) || 'T00:00:00Z'
+        |            ELSE '2024-02-0' || CAST(k + 1 AS VARCHAR) END AS published,
+        |       'tag:ex,' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR) AS guid
+        |FROM g""".stripMargin,
+    // chunking replays as list slicing: same starts, same remainder rule,
+    // n_tokens = slice length (rejoin+resplit preserves word count)
+    "q_chunk_docs" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws,
+        |        CAST(ceil(greatest(len(ws) - 64, 0) / 48.0) + 1 AS INT) AS nc FROM w),
+        |g AS (SELECT doc_id, ws, CAST(u.i AS INT) AS i FROM n, UNNEST(range(0, nc)) AS u(i))
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(len(ws[(i*48+1):(i*48+64)]) AS BIGINT) AS n_tokens,
+        |       array_to_string(ws[(i*48+1):(i*48+64)], ' ') AS chunk
+        |FROM g""".stripMargin,
     // the epoch shuffle replays exactly: same md5 order key, same nibble
     // shard, same within-shard rank — determinism IS the contract
     "q_epoch_shuffle" -> {

@@ -28,7 +28,7 @@ object Sitemap {
     * `from`, or -1. A prefix collision (`<urlset` when probing `url`) is
     * rejected by requiring `>` or whitespace right after the name.
     */
-  private def tagOpen(s: String, name: String, from: Int): Int = {
+  private[operators] def tagOpen(s: String, name: String, from: Int): Int = {
     val probe = "<" + name
     var i = from
     while (i < s.length) {
@@ -47,7 +47,7 @@ object Sitemap {
   /** Decoded text content of the first `<name>` element between `from`
     * and `until`, or null if absent/unclosed in that window.
     */
-  private def textOf(s: String, name: String, from: Int, until: Int): String = {
+  private[operators] def textOf(s: String, name: String, from: Int, until: Int): String = {
     val start = tagOpen(s, name, from)
     if (start < 0 || start > until) return null
     val close = s.indexOf("</" + name + ">", start)

@@ -1200,6 +1200,37 @@ object TextOps {
     manifest
   }
 
+  /** SLIDING-WINDOW CHUNKING (the RAG / long-context training-segment
+    * shape): split each document into word-granular windows of `window`
+    * tokens advancing by `stride` (stride < window → overlapping chunks, a
+    * retrieval index's usual form; stride == window → disjoint packing).
+    * Emits (doc_id, chunk_id, n_tokens, chunk). The last window is the
+    * remainder (never empty, never past the end); a doc shorter than one
+    * window is a single chunk. Pure per-row projection — zero shuffle,
+    * codegen'd split + slice + array_join, linear at any corpus size.
+    */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunkDocs: need 0 < stride <= window, got window=$window stride=$stride")
+    // chunk starts: 0, stride, 2*stride, ... while start < nWords, but a
+    // start whose window would be a pure suffix of the previous window's
+    // coverage is dropped — i.e. starts while start == 0 OR start + ...
+    // the standard rule: last chunk starts at the largest multiple of
+    // stride < nWords (remainder chunk), so every word is covered >= once
+    docs.selectExpr(
+        s"`$idCol` AS doc_id",
+        s"split(`$textCol`, ' ') AS __w")
+      .selectExpr("doc_id", "__w",
+        // number of chunks: ceil(max(nWords - window, 0) / stride) + 1
+        s"CAST(ceil(greatest(size(__w) - $window, 0) / $stride) + 1 AS INT) AS __n")
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, __n - 1), " +
+          s"i -> array_join(slice(__w, i * $stride + 1, $window), ' ')))")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS chunk_id",
+        "CAST(size(split(col, ' ')) AS BIGINT) AS n_tokens", "col AS chunk")
+  }
+
   /** Deterministic EPOCH SHUFFLE: the seeded pseudorandom training-order
     * permutation every data loader needs — order key = md5(seed ":" id),
     * shard = first-8-hex-nibbles mod nShards (the repo's standard bucket

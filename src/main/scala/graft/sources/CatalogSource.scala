@@ -370,7 +370,16 @@ object CatalogScan {
     case _ => false
   }
   private[sources] def lit(v: Any): String = v match {
-    case t: java.time.Instant => java.sql.Timestamp.from(t).toString
+    // render in the SESSION time zone (planning-time, driver-side), the
+    // same zone the stats pass's CAST/date_format rendered the sidecar
+    // bounds and the partitioned writer rendered the pins — a JVM-default
+    // rendering (java.sql.Timestamp.toString) would silently mis-prune
+    // day-boundary rows whenever the JVM and session zones differ
+    case t: java.time.Instant =>
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .format(t)
     case other => other.toString
   }
 
@@ -961,7 +970,8 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      new CatalogWriterFactory(schema, root, table, stagingId, spec)
+      new CatalogWriterFactory(schema, root, table, stagingId, spec,
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // per-file row counts ride the commit messages for free — recorded as
       // __count sidecar lines so COUNT(*) over SQL-written tables stays a
@@ -1026,12 +1036,14 @@ object CatalogWrite {
 
 final class CatalogWriterFactory(schema: StructType, root: String, table: String,
                                  stagingId: String,
-                                 spec: Option[graft.spark.PartTransform] = None)
+                                 spec: Option[graft.spark.PartTransform] = None,
+                                 sessionTz: String = "UTC")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case Some(s) =>
-        new CatalogPartitionedDataWriter(schema, root, table, stagingId, partitionId, taskId, s)
+        new CatalogPartitionedDataWriter(schema, root, table, stagingId, partitionId, taskId,
+          s, sessionTz)
       case None => new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId)
     }
 }
@@ -1156,16 +1168,22 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
   */
 final class CatalogPartitionedDataWriter(schema: StructType, root: String, table: String,
                                          stagingId: String, partitionId: Int, taskId: Long,
-                                         spec: graft.spark.PartTransform)
+                                         spec: graft.spark.PartTransform,
+                                         sessionTz: String = "UTC")
     extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
 
   private val colIdx = schema.fieldIndex(spec.col)
   private val colType = schema.fields(colIdx).dataType
+  // days(ts): render internal micros in the WRITE SESSION's time zone —
+  // the same zone the stats pass's date_format uses, so the pin, the
+  // sidecar bounds, and the read path's literal replay all agree
+  private lazy val tzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneId.of(sessionTz))
 
   /** The row's raw column value in the SAME string form the stats sidecar
     * and the read path's literal replay use (CAST AS STRING semantics for
-    * the supported key types). */
+    * the supported key types; session-tz rendering for timestamps). */
   private def rawOf(r: InternalRow): String = {
     require(!r.isNullAt(colIdx),
       s"graft-catalog: NULL partition value in '${spec.col}' of table '$table' — " +
@@ -1174,6 +1192,10 @@ final class CatalogPartitionedDataWriter(schema: StructType, root: String, table
       case StringType => r.getUTF8String(colIdx).toString
       case LongType => r.getLong(colIdx).toString
       case IntegerType => r.getInt(colIdx).toString
+      case TimestampType =>
+        val micros = r.getLong(colIdx)
+        tzFmt.format(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
       case other => throw new IllegalStateException(
         s"graft-catalog: unsupported partition column type $other")
     }

@@ -210,20 +210,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             require(n.nonEmpty && c.nonEmpty,
               s"graft catalog: cannot parse bucket transform $p")
             graft.spark.BucketTransform(n.get, c.get)
+          case "days" =>
+            // days is ORDER-PRESERVING over the raw timestamp, so the
+            // standard raw-column write clustering already groups each day
+            // contiguously; the writer renders the pin in the write
+            // session's time zone — the same zone the stats pass and the
+            // read path's literal replay use
+            graft.spark.DaysTransform(colOf(p.references()(0)))
           case other => throw new IllegalArgumentException(
             s"graft catalog: PARTITIONED BY $other is not supported in SQL DDL — " +
-            "use ParquetSnapshotCatalog.commitPartitioned (days needs the API's " +
-            "session-tz write-side rendering)")
+            s"supported: identity, truncate(w, col), bucket(n, col), days(ts)")
         }
         val f = schema.fields.find(_.name == s.col).getOrElse(throw new IllegalArgumentException(
           s"graft catalog: partition column '${s.col}' not in the table schema"))
         val keyable = s match {
           case _: graft.spark.TruncateTransform => f.dataType == StringType
+          case _: graft.spark.DaysTransform => f.dataType == TimestampType
           case _ => Set[DataType](StringType, LongType, IntegerType)(f.dataType)
         }
         require(keyable,
           s"graft catalog: partition column '${s.col}' has type ${f.dataType.simpleString}; " +
-          "supported keys: string/bigint/int (identity, bucket), string (truncate)")
+          "supported keys: string/bigint/int (identity, bucket), string (truncate), " +
+          "timestamp (days)")
         Some(s)
       case many => throw new IllegalArgumentException(
         s"graft catalog: one partition transform max, got ${many.length}")

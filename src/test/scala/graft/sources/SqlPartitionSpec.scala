@@ -97,12 +97,15 @@ class SqlPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("unsupported transforms and bad columns are refused at CREATE") {
-    // bucket is now first-class (SqlBucketSpec); days still needs the API
+    // bucket and days are first-class now (SqlBucketSpec / SqlDaysSpec)
     intercept[Exception](spark.sql(
-      "CREATE TABLE gp.x (ts TIMESTAMP) PARTITIONED BY (days(ts))"))
+      "CREATE TABLE gp.x (ts TIMESTAMP) PARTITIONED BY (years(ts))"))
     intercept[Exception](spark.sql(
       "CREATE TABLE gp.y (u STRING) PARTITIONED BY (nope)"))
     intercept[Exception](spark.sql(
       "CREATE TABLE gp.z (d DOUBLE) PARTITIONED BY (d)"))
+    // days on a non-timestamp column is refused
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gp.w (u STRING) PARTITIONED BY (days(u))"))
   }
 }
