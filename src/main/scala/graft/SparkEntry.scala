@@ -1864,6 +1864,23 @@ object SparkEntry {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_${dir.hashCode.toHexString}"
       TextOps.writeTrainingShards(docs(s, dir).select("doc_id", "text"), out)
     }),
+    "q_recrawl_schedule" -> ((s, dir) => {
+      // adaptive recrawl scheduling (Cho & Garcia-Molina change-rate
+      // shape, integer-exact): per-url change rate from a synthetic
+      // capture history (digest flips every second capture), next fetch
+      // one estimated change-interval after the last capture, clamped to
+      // the politeness window — one url-keyed exchange shared by the lag
+      // window and the aggregation
+      import s.implicits._
+      val caps = docs(s, dir).select("doc_id").as[Long]
+        .flatMap(id => (0 until (id % 4 + 2).toInt).map(k => (id, k)))
+        .toDF("doc_id", "k")
+        .selectExpr(
+          "concat('https://h', CAST(doc_id % 7 AS STRING), '.example.org/p/', CAST(doc_id AS STRING)) AS url",
+          "CAST(1700000000 + doc_id + k * 86400 AS BIGINT) AS ts",
+          "md5(concat('d', CAST(doc_id AS STRING), ':', CAST(k DIV 2 AS STRING))) AS digest")
+      graft.operators.Crawl.recrawlSchedule(caps, minIntervalS = 3600L, maxIntervalS = 2592000L)
+    }),
     "q_feed_parse" -> ((s, dir) => {
       // RSS/Atom feed parsing — crawl-discovery FRESHNESS (robots =
       // permission, sitemaps = inventory, feeds = what changed): per-host
@@ -3428,6 +3445,23 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM b GROUP BY shard""".stripMargin
     },
+    // the schedule replays integer-exactly: same lag-flip count, same
+    // integer division, same clamp
+    "q_recrawl_schedule" ->
+      """WITH d AS (SELECT doc_id, CAST(u.k AS BIGINT) AS k
+        |           FROM documents, UNNEST(range(0, doc_id % 4 + 2)) u(k)),
+        |c AS (SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |             CAST(1700000000 + doc_id + k * 86400 AS BIGINT) AS ts,
+        |             md5('d' || CAST(doc_id AS VARCHAR) || ':' || CAST(k // 2 AS VARCHAR)) AS digest
+        |      FROM d),
+        |l AS (SELECT url, ts, digest,
+        |             lag(digest) OVER (PARTITION BY url ORDER BY ts) AS pd FROM c),
+        |a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+        |             CAST(sum(CASE WHEN pd IS NOT NULL AND digest <> pd THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |             max(ts) - min(ts) AS span, max(ts) AS last_ts FROM l GROUP BY url)
+        |SELECT url, n_captures, n_changes,
+        |       CAST(last_ts + least(greatest(span // greatest(n_changes, 1), 3600), 2592000) AS BIGINT) AS next_fetch
+        |FROM a""".stripMargin,
     // the feed corpus replays closed-form: decoded titles are branchless
     // (entity and CDATA forms decode to the same string), Atom published
     // falls back to updated, idx is the per-feed item ordinal

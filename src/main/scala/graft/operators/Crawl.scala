@@ -87,4 +87,37 @@ object Crawl {
       .join(seen.select("url"), Seq("url"), "left_anti")
     fresh.unionAll(verified)
   }
+
+  /** ADAPTIVE RECRAWL SCHEDULING (the Cho & Garcia-Molina change-rate
+    * shape, integer-exact): estimate each url's change rate from its
+    * capture history — `n_changes` = consecutive digest flips, observed
+    * over `span` seconds — and schedule the next fetch one estimated
+    * change-interval after the last capture, clamped to
+    * [minIntervalS, maxIntervalS]: a page that changed every crawl is
+    * revisited at the floor, a static page backs off to the ceiling. All
+    * arithmetic is integer (DIV), so the schedule replays bit-exactly in
+    * any engine. Shape: one url-keyed exchange shared by the lag window
+    * and the aggregation (plan-guarded) — at 10^12 capture rows this is
+    * the one shuffle a per-url schedule fundamentally needs.
+    */
+  def recrawlSchedule(captures: DataFrame, minIntervalS: Long, maxIntervalS: Long,
+                      urlCol: String = "url", tsCol: String = "ts",
+                      digestCol: String = "digest"): DataFrame = {
+    require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
+      s"recrawlSchedule: need 0 < min <= max, got $minIntervalS/$maxIntervalS")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(tsCol))
+    captures
+      .withColumn("__pd", lag(col(digestCol), 1).over(w))
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        count(lit(1)).as("n_captures"),
+        sum(when(col("__pd").isNotNull && col(digestCol) =!= col("__pd"), 1L)
+          .otherwise(0L)).as("n_changes"),
+        (max(col(tsCol)) - min(col(tsCol))).as("__span"),
+        max(col(tsCol)).as("__last"))
+      .selectExpr("url", "n_captures", "n_changes",
+        s"CAST(__last + least(greatest(__span DIV greatest(n_changes, 1), " +
+          s"${minIntervalS}L), ${maxIntervalS}L) AS BIGINT) AS next_fetch")
+  }
 }
