@@ -1350,11 +1350,22 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.gpr", classOf[graft.sources.GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.gpr.root", root)
       docs(s, dir).select("doc_id", "lang").createOrReplaceTempView("gpr_src")
-      s.sql("CREATE TABLE gpr.d (doc_id BIGINT, lang STRING) TBLPROPERTIES ('retention'='90d')")
-      s.sql("INSERT INTO gpr.d SELECT /*+ REPARTITION(4) */ * FROM gpr_src WHERE doc_id % 2 = 0")
-      s.sql("INSERT INTO gpr.d SELECT /*+ REPARTITION(4) */ * FROM gpr_src WHERE doc_id % 2 = 1")
+      s.sql("CREATE TABLE gpr.d (doc_id BIGINT, lang STRING) " +
+        "TBLPROPERTIES ('retention'='90d', 'write.sort-order'='doc_id')")
+      // write.sort-order: INSERTs range-sort globally and the writer tracks
+      // per-file min/max into the stats sidecar — zone-map pruning from
+      // pure SQL (AQE coalescing held open so the layout is observable)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try {
+        s.sql("INSERT INTO gpr.d SELECT * FROM gpr_src WHERE doc_id % 2 = 0")
+        s.sql("INSERT INTO gpr.d SELECT * FROM gpr_src WHERE doc_id % 2 = 1")
+      } finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       val cat = new graft.spark.ParquetSnapshotCatalog(root)
-      val nFiles = cat.filesWithAddOrder("d", cat.currentSnapshot("d").get).size
+      val snap0 = cat.currentSnapshot("d").get
+      val nFiles = cat.filesWithAddOrder("d", snap0).size
+      val cand = cat.pruneFilesAt("d", snap0, "doc_id", "0", "10").size
+      require(cand < nFiles,
+        s"q_sql_props: sorted SQL writes must leave prunable zone maps ($cand of $nFiles)")
       s.sql("ALTER TABLE gpr.d SET TBLPROPERTIES ('read.split.target-size'='1')")
       val perFile = s.sql("SELECT * FROM gpr.d").rdd.getNumPartitions
       require(perFile == nFiles,
@@ -3345,7 +3356,8 @@ object SparkEntry {
     // the final TBLPROPERTIES state is closed-form
     "q_sql_props" ->
       """SELECT 'retention' AS k, '30d' AS v
-        |UNION ALL SELECT 'tier', 'hot'""".stripMargin,
+        |UNION ALL SELECT 'tier', 'hot'
+        |UNION ALL SELECT 'write.sort-order', 'doc_id'""".stripMargin,
     // the CALL lifecycle nets out to: both drops, minus the row-level
     // delete, with the rollback erasing the junk insert
     "q_sql_call" ->

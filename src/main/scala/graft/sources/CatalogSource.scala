@@ -917,7 +917,8 @@ final class CatalogWriteBuilder(schema: StructType, root: String, table: String)
     new ParquetSnapshotCatalog(root).partitionSpec(table))
 }
 
-final case class CatalogCommitMessage(file: String, rows: Long) extends WriterCommitMessage
+final case class CatalogCommitMessage(file: String, rows: Long,
+    stats: Seq[(String, String, String)] = Nil) extends WriterCommitMessage
 
 /** A partitioned batch writer's output: several files, each pinned to ONE
   * transform value (the writer rolls at value boundaries). */
@@ -953,10 +954,28 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
     case other => org.apache.spark.sql.connector.expressions.Expressions.column(other.col)
   }
 
+  /** The write.sort-order TBLPROPERTY (unpartitioned tables only — a
+    * declared transform's clustering wins): INSERTs RANGE-sort globally on
+    * these columns and the writer tracks per-file min/max into the stats
+    * sidecar, so a pure-SQL table gets zone-map pruning with zero Scala —
+    * Iceberg's table sort order, end to end.
+    */
+  private lazy val sortOrderCols: Seq[String] =
+    if (spec.nonEmpty) Nil
+    else new ParquetSnapshotCatalog(root).getMeta(table, "prop.write.sort-order")
+      .toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  private def sortOrderSorts: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortOrderCols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+
   override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
     spec match {
       case Some(s) => org.apache.spark.sql.connector.distributions.Distributions.clustered(
         Array(clusterExpr(s)))
+      case None if sortOrderCols.nonEmpty =>
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(sortOrderSorts)
       case None => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
   override def distributionStrictlyRequired(): Boolean = false // advisory: rolling stays exact
@@ -965,13 +984,13 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
       case Some(s) => Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
         clusterExpr(s),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-      case None => Array.empty
+      case None => sortOrderSorts
     }
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       new CatalogWriterFactory(schema, root, table, stagingId, spec,
-        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, sortOrderCols)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // per-file row counts ride the commit messages for free — recorded as
       // __count sidecar lines so COUNT(*) over SQL-written tables stays a
@@ -979,12 +998,16 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
       // file's pinned transform value as its stats bounds (lo == hi), which
       // is exactly what partition pruning and SPJ key grouping consume
       val all: Seq[(String, Long, Option[String])] = messages.toSeq.flatMap {
-        case CatalogCommitMessage(f, n) => Seq((f, n, None))
+        case CatalogCommitMessage(f, n, _) => Seq((f, n, None))
         case PartitionedCommitMessage(fs) => fs.map { case (f, n, v) => (f, n, Some(v)) }
       }.sortBy(_._1)
       val files = all.map(t => (t._1, t._2))
       val statLines = spec.toSeq.flatMap(s =>
-        all.collect { case (f, _, Some(v)) => (f, s.statName, v, v) })
+        all.collect { case (f, _, Some(v)) => (f, s.statName, v, v) }) ++
+        messages.toSeq.flatMap {
+          case CatalogCommitMessage(f, _, st) => st.map { case (c, lo, hi) => (f, c, lo, hi) }
+          case _ => Nil
+        }
       if (overwrite) {
         // every snapshot owns >= 1 data file — an empty overwrite would
         // commit an unreadable snapshot; refuse loudly (DROP TABLE is the
@@ -1027,7 +1050,7 @@ object CatalogWrite {
       if (fs.exists(p)) fs.delete(p, false)
     }
     messages.foreach {
-      case CatalogCommitMessage(f, _) => del(f)
+      case CatalogCommitMessage(f, _, _) => del(f)
       case PartitionedCommitMessage(fs) => fs.foreach { case (f, _, _) => del(f) }
       case _ =>
     }
@@ -1037,14 +1060,16 @@ object CatalogWrite {
 final class CatalogWriterFactory(schema: StructType, root: String, table: String,
                                  stagingId: String,
                                  spec: Option[graft.spark.PartTransform] = None,
-                                 sessionTz: String = "UTC")
+                                 sessionTz: String = "UTC",
+                                 statCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case Some(s) =>
         new CatalogPartitionedDataWriter(schema, root, table, stagingId, partitionId, taskId,
           s, sessionTz)
-      case None => new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId)
+      case None =>
+        new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId, statCols)
     }
 }
 
@@ -1135,7 +1160,8 @@ private[sources] object PqRow {
 }
 
 final class CatalogDataWriter(schema: StructType, root: String, table: String,
-                              stagingId: String, partitionId: Int, taskId: Long)
+                              stagingId: String, partitionId: Int, taskId: Long,
+                              statCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
 
@@ -1144,10 +1170,52 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
   private val writer = PqRow.open(schema, file)
   private var rows = 0L
 
-  override def write(record: InternalRow): Unit = { writer.write(record); rows += 1 }
+  // per-file min/max of the write.sort-order columns (string/long/int
+  // only), tracked inline so SQL-written tables get zone-map sidecars for
+  // free; nulls are skipped per SQL min/max semantics — an all-null file
+  // simply carries no stats row for the column (pruning keeps it, the
+  // metadata aggregate refuses: conservative both ways)
+  private val tracked: Array[(Int, org.apache.spark.sql.types.DataType)] =
+    statCols.flatMap { c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && (f.dataType == StringType ||
+            f.dataType == LongType || f.dataType == IntegerType) => (i, f.dataType)
+      }
+    }.toArray
+  private val mins = new Array[Any](tracked.length)
+  private val maxs = new Array[Any](tracked.length)
+
+  override def write(record: InternalRow): Unit = {
+    writer.write(record)
+    rows += 1
+    var j = 0
+    while (j < tracked.length) {
+      val (i, dt) = tracked(j)
+      if (!record.isNullAt(i)) dt match {
+        case StringType =>
+          val v = record.getUTF8String(i).clone()
+          if (mins(j) == null || v.compareTo(mins(j).asInstanceOf[UTF8String]) < 0) mins(j) = v
+          if (maxs(j) == null || v.compareTo(maxs(j).asInstanceOf[UTF8String]) > 0) maxs(j) = v
+        case LongType =>
+          val v = record.getLong(i)
+          if (mins(j) == null || v < mins(j).asInstanceOf[Long]) mins(j) = v
+          if (maxs(j) == null || v > maxs(j).asInstanceOf[Long]) maxs(j) = v
+        case IntegerType =>
+          val v = record.getInt(i)
+          if (mins(j) == null || v < mins(j).asInstanceOf[Int]) mins(j) = v
+          if (maxs(j) == null || v > maxs(j).asInstanceOf[Int]) maxs(j) = v
+        case _ => ()
+      }
+      j += 1
+    }
+  }
   override def commit(): WriterCommitMessage = {
     writer.close()
-    CatalogCommitMessage(file.toUri.getPath, rows)
+    val stats = tracked.indices.collect {
+      case j if mins(j) != null =>
+        (schema.fields(tracked(j)._1).name, mins(j).toString, maxs(j).toString)
+    }.toSeq
+    CatalogCommitMessage(file.toUri.getPath, rows, stats)
   }
   override def abort(): Unit = {
     writer.close()

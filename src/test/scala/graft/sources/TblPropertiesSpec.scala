@@ -106,6 +106,32 @@ class TblPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](cat.compactSorted(spark, "o2"))
   }
 
+  test("write.sort-order makes SQL INSERTs range-sorted with zone-map sidecars: pruning from pure SQL") {
+    val ss = spark; import ss.implicits._
+    spark.sql("CREATE TABLE gp.zm (id BIGINT, v STRING) TBLPROPERTIES ('write.sort-order'='id')")
+    (0 until 1000).map(i => ((i * 617 % 1000).toLong, s"v$i")).toDF("id", "v")
+      .createOrReplaceTempView("zmsrc")
+    // AQE would coalesce this tiny ordered shuffle into one task/file;
+    // hold it open so the range layout is observable at test scale
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql("INSERT INTO gp.zm SELECT * FROM zmsrc")
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val cat2 = cat
+    val snap = cat2.currentSnapshot("zm").get
+    val total = cat2.filesWithAddOrder("zm", snap).size
+    assert(total >= 2)
+    // the ordered distribution made files cover DISJOINT id ranges
+    val cand = cat2.pruneFilesAt("zm", snap, "id", "0", "10").size
+    assert(cand < total, s"sorted SQL write must leave prunable zone maps: $cand of $total")
+    // and the SQL point read opens only the candidates
+    val before = CatalogPartitionReader.opened.get()
+    val n = spark.sql("SELECT count(v) FROM gp.zm WHERE id = 7").collect()(0).getLong(0)
+    val opened = CatalogPartitionReader.opened.get() - before
+    assert(n == 1 && opened <= cand, s"opened $opened, candidates $cand of $total")
+    // the metadata-only MIN/MAX aggregate answers from the writer stats
+    assert(cat2.statsAgg("zm", "id").contains((Some("0"), Some("999"), 1000L)))
+  }
+
   test("cat.t.partitions census on a pinned table; zero rows when unpinned") {
     val ss = spark; import ss.implicits._
     spark.sql("CREATE TABLE gp.c (id BIGINT, lang STRING) PARTITIONED BY (lang)")
