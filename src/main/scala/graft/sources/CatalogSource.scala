@@ -920,6 +920,11 @@ final class CatalogWriteBuilder(schema: StructType, root: String, table: String)
 final case class CatalogCommitMessage(file: String, rows: Long,
     stats: Seq[(String, String, String)] = Nil) extends WriterCommitMessage
 
+/** A task that ROLLED files at write.target-file-size: every rolled file
+  * with its rows and writer-tracked stats. */
+final case class RolledCommitMessage(
+    entries: Seq[(String, Long, Seq[(String, String, String)])]) extends WriterCommitMessage
+
 /** A partitioned batch writer's output: several files, each pinned to ONE
   * transform value (the writer rolls at value boundaries). */
 final case class PartitionedCommitMessage(files: Seq[(String, Long, String)])
@@ -990,7 +995,9 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       new CatalogWriterFactory(schema, root, table, stagingId, spec,
-        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, sortOrderCols)
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone, sortOrderCols,
+        new ParquetSnapshotCatalog(root).getMeta(table, "prop.write.target-file-size")
+          .flatMap(_.toLongOption))
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       // per-file row counts ride the commit messages for free — recorded as
       // __count sidecar lines so COUNT(*) over SQL-written tables stays a
@@ -999,6 +1006,7 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
       // is exactly what partition pruning and SPJ key grouping consume
       val all: Seq[(String, Long, Option[String])] = messages.toSeq.flatMap {
         case CatalogCommitMessage(f, n, _) => Seq((f, n, None))
+        case RolledCommitMessage(es) => es.map { case (f, n, _) => (f, n, None) }
         case PartitionedCommitMessage(fs) => fs.map { case (f, n, v) => (f, n, Some(v)) }
       }.sortBy(_._1)
       val files = all.map(t => (t._1, t._2))
@@ -1006,6 +1014,8 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
         all.collect { case (f, _, Some(v)) => (f, s.statName, v, v) }) ++
         messages.toSeq.flatMap {
           case CatalogCommitMessage(f, _, st) => st.map { case (c, lo, hi) => (f, c, lo, hi) }
+          case RolledCommitMessage(es) =>
+            es.flatMap { case (f, _, st) => st.map { case (c, lo, hi) => (f, c, lo, hi) } }
           case _ => Nil
         }
       if (overwrite) {
@@ -1051,6 +1061,7 @@ object CatalogWrite {
     }
     messages.foreach {
       case CatalogCommitMessage(f, _, _) => del(f)
+      case RolledCommitMessage(es) => es.foreach { case (f, _, _) => del(f) }
       case PartitionedCommitMessage(fs) => fs.foreach { case (f, _, _) => del(f) }
       case _ =>
     }
@@ -1061,15 +1072,17 @@ final class CatalogWriterFactory(schema: StructType, root: String, table: String
                                  stagingId: String,
                                  spec: Option[graft.spark.PartTransform] = None,
                                  sessionTz: String = "UTC",
-                                 statCols: Seq[String] = Nil)
+                                 statCols: Seq[String] = Nil,
+                                 targetBytes: Option[Long] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     spec match {
       case Some(s) =>
         new CatalogPartitionedDataWriter(schema, root, table, stagingId, partitionId, taskId,
-          s, sessionTz)
+          s, sessionTz, targetBytes)
       case None =>
-        new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId, statCols)
+        new CatalogDataWriter(schema, root, table, stagingId, partitionId, taskId, statCols,
+          targetBytes)
     }
 }
 
@@ -1161,14 +1174,27 @@ private[sources] object PqRow {
 
 final class CatalogDataWriter(schema: StructType, root: String, table: String,
                               stagingId: String, partitionId: Int, taskId: Long,
-                              statCols: Seq[String] = Nil)
+                              statCols: Seq[String] = Nil,
+                              targetBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
 
-  private val file = new Path(root,
-    f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId.parquet")
-  private val writer = PqRow.open(schema, file)
+  // write.target-file-size: roll a fresh data file when the in-progress
+  // one reaches the target (ParquetWriter.getDataSize = flushed + buffered
+  // estimate) — the 100 TB write-side sizing knob, so one task writing a
+  // huge partition emits right-sized files instead of one monolith
+  private var fileNo = 0
+  private def nextFile(): Path = {
+    val p = new Path(root,
+      f"$table/data/dsv2-$stagingId/part-$partitionId%05d-$taskId-$fileNo%04d.parquet")
+    fileNo += 1
+    p
+  }
+  private var file = nextFile()
+  private var writer = PqRow.open(schema, file)
   private var rows = 0L
+  private val done =
+    scala.collection.mutable.ArrayBuffer[(String, Long, Seq[(String, String, String)])]()
 
   // per-file min/max of the write.sort-order columns (string/long/int
   // only), tracked inline so SQL-written tables get zone-map sidecars for
@@ -1184,6 +1210,27 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
     }.toArray
   private val mins = new Array[Any](tracked.length)
   private val maxs = new Array[Any](tracked.length)
+
+  private def fileStats: Seq[(String, String, String)] =
+    tracked.indices.collect {
+      case j if mins(j) != null =>
+        (schema.fields(tracked(j)._1).name, mins(j).toString, maxs(j).toString)
+    }.toSeq
+
+  private def finishFile(): Unit = {
+    writer.close()
+    // a trailing roll that never received a row would register an empty
+    // file in the manifest (opened forever, prunable never) — drop it;
+    // a genuinely empty TASK still commits its one empty file (the
+    // pre-rolling contract, and what overwrite-to-empty relies on)
+    if (rows == 0L && done.nonEmpty) {
+      val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(file)) fs.delete(file, false)
+    } else done += ((file.toUri.getPath, rows, fileStats))
+    java.util.Arrays.fill(mins.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(maxs.asInstanceOf[Array[AnyRef]], null)
+    rows = 0L
+  }
 
   override def write(record: InternalRow): Unit = {
     writer.write(record)
@@ -1208,19 +1255,29 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
       }
       j += 1
     }
+    if (targetBytes.exists(t => writer.getDataSize >= t)) {
+      finishFile()
+      file = nextFile()
+      writer = PqRow.open(schema, file)
+    }
   }
   override def commit(): WriterCommitMessage = {
-    writer.close()
-    val stats = tracked.indices.collect {
-      case j if mins(j) != null =>
-        (schema.fields(tracked(j)._1).name, mins(j).toString, maxs(j).toString)
-    }.toSeq
-    CatalogCommitMessage(file.toUri.getPath, rows, stats)
+    finishFile()
+    // a task that never rolled keeps the single-file message shape (the
+    // streaming epoch path and batch-marker bookkeeping key on it)
+    if (done.length == 1) {
+      val (f, n, st) = done(0)
+      CatalogCommitMessage(f, n, st)
+    } else RolledCommitMessage(done.toSeq)
   }
   override def abort(): Unit = {
     writer.close()
-    val fs = file.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    if (fs.exists(file)) fs.delete(file, false)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    (done.map(_._1) :+ file.toUri.getPath).foreach { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
   override def close(): Unit = ()
 }
@@ -1237,7 +1294,8 @@ final class CatalogDataWriter(schema: StructType, root: String, table: String,
 final class CatalogPartitionedDataWriter(schema: StructType, root: String, table: String,
                                          stagingId: String, partitionId: Int, taskId: Long,
                                          spec: graft.spark.PartTransform,
-                                         sessionTz: String = "UTC")
+                                         sessionTz: String = "UTC",
+                                         targetBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
   import org.apache.hadoop.fs.Path
 
@@ -1288,7 +1346,12 @@ final class CatalogPartitionedDataWriter(schema: StructType, root: String, table
 
   private def closeCurrent(): Unit = if (curWriter != null) {
     curWriter.close()
-    done += ((curFile.toUri.getPath, curRows, curVal))
+    // a byte-roll can leave a fresh zero-row writer at task end / value
+    // change — drop it rather than pin an empty file into the manifest
+    if (curRows == 0L) {
+      val fs = curFile.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(curFile)) fs.delete(curFile, false)
+    } else done += ((curFile.toUri.getPath, curRows, curVal))
     curWriter = null
   }
 
@@ -1297,6 +1360,10 @@ final class CatalogPartitionedDataWriter(schema: StructType, root: String, table
     if (curWriter == null || v != curVal) roll(v)
     curWriter.write(record)
     curRows += 1
+    // write.target-file-size inside a value pin: a 10⁹-row partition value
+    // rolls into right-sized files that all carry the SAME pin — the
+    // key-group scan's groupBy(pin) keeps SPJ intact across the roll
+    if (targetBytes.exists(t => curWriter.getDataSize >= t)) roll(v)
   }
 
   override def commit(): WriterCommitMessage = {

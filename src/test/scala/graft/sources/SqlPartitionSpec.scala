@@ -96,6 +96,34 @@ class SqlPartitionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM gp.b").collect()(0).getLong(0) == 2)
   }
 
+  test("write.target-file-size byte-rolls INSIDE a value pin; SPJ survives the roll") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.sql("CREATE TABLE gp.r (id BIGINT, lang STRING, text STRING) PARTITIONED BY (lang) " +
+      "TBLPROPERTIES ('write.target-file-size'='4000')")
+    val ss = s2; import ss.implicits._
+    val big = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "en" else "de",
+      s"text $i ${"y" * 30}"))
+    big.toDF("id", "lang", "text").createOrReplaceTempView("bigsrc")
+    s2.sql("INSERT INTO gp.r SELECT * FROM bigsrc")
+    val snap = cat.currentSnapshot("r").get
+    val vals = cat.partitionValuesAt("r", snap)
+    assert(vals.isDefined, "rolled files must stay value-pinned")
+    val perValue = vals.get.groupBy(_._2.get).view.mapValues(_.size).toMap
+    assert(perValue.values.exists(_ > 1),
+      s"expected byte-rolling to split a value's output: $perValue")
+    // SPJ across the roll: multi-file key groups still join with zero exchange
+    val j = s2.sql("SELECT r.id, b.boost FROM gp.r r JOIN gp.b b ON r.lang = b.lang")
+    val nEx = j.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(nEx == 0, j.queryExecution.executedPlan.toString)
+    assert(j.count() == 4000)
+    assert(s2.sql("SELECT count(*) FROM gp.r WHERE lang = 'de'").collect()(0).getLong(0) == 2000)
+  }
+
   test("unsupported transforms and bad columns are refused at CREATE") {
     // bucket and days are first-class now (SqlBucketSpec / SqlDaysSpec)
     intercept[Exception](spark.sql(

@@ -132,6 +132,24 @@ class TblPropertiesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat2.statsAgg("zm", "id").contains((Some("0"), Some("999"), 1000L)))
   }
 
+  test("write.target-file-size rolls files mid-task; rolled files keep per-file stats") {
+    val ss = spark; import ss.implicits._
+    spark.sql("CREATE TABLE gp.roll (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.target-file-size'='4000', 'write.sort-order'='id')")
+    (0 until 5000).map(i => (i.toLong, s"value-$i-${"x" * 20}")).toDF("id", "v")
+      .createOrReplaceTempView("rollsrc")
+    // single writer task: only byte-rolling can produce >1 file
+    spark.sql("INSERT INTO gp.roll SELECT /*+ REPARTITION(1) */ * FROM rollsrc")
+    val snap = cat.currentSnapshot("roll").get
+    val nFiles = cat.filesWithAddOrder("roll", snap).size
+    assert(nFiles > 1, s"expected byte-rolling to split the task output: $nFiles file(s)")
+    // rolled files carry their own stats rows: ranges are disjoint, pruning works
+    val cand = cat.pruneFilesAt("roll", snap, "id", "0", "10").size
+    assert(cand < nFiles, s"rolled files must keep per-file zone maps: $cand of $nFiles")
+    assert(spark.sql("SELECT count(*) FROM gp.roll").collect()(0).getLong(0) == 5000L)
+    assert(cat.statsAgg("roll", "id").contains((Some("0"), Some("4999"), 5000L)))
+  }
+
   test("cat.t.partitions census on a pinned table; zero rows when unpinned") {
     val ss = spark; import ss.implicits._
     spark.sql("CREATE TABLE gp.c (id BIGINT, lang STRING) PARTITIONED BY (lang)")
