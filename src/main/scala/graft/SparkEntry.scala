@@ -1629,6 +1629,53 @@ object SparkEntry {
           s"got $nEx exchanges:\n" + j.queryExecution.executedPlan)
       j
     }),
+    "q_sql_overwrite" -> ((s, dir) => {
+      // Iceberg-shape PARTITION OVERWRITE from pure SQL: a dynamic
+      // INSERT OVERWRITE replaces exactly the partitions the new data
+      // touches, and a static PARTITION (lang='x') clause swaps the named
+      // one — REQUIRED in-query: the untouched partitions' PHYSICAL FILES
+      // survive both overwrites identically (the 100 TB is never
+      // rewritten), and the metadata-only COUNT(*) still answers after
+      // (kept stats sidecars carried forward).
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlow_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gow", classOf[graft.sources.GraftCatalog].getName)
+      s2.conf.set("spark.sql.catalog.gow.root", root)
+      docs(s2, dir).selectExpr("doc_id", "lang", "text").createOrReplaceTempView("gow_src")
+      s2.sql("""CREATE TABLE gow.d (doc_id BIGINT, lang STRING, text_md5 STRING)
+               |PARTITIONED BY (lang)""".stripMargin)
+      s2.sql("INSERT INTO gow.d SELECT doc_id, lang, md5(text) FROM gow_src")
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val Seq(loLang, hiLang) = s2.sql(
+        "SELECT min(lang), max(lang) FROM gow_src").collect()
+        .flatMap(r => Seq(r.getString(0), r.getString(1))).toSeq
+      def pinnedFiles(excl: Set[String]): Set[String] =
+        cat.partitionValuesAt("d", cat.currentSnapshot("d").get).get
+          .collect { case (f, Some(v)) if !excl(v) => f }.toSet
+      val untouched0 = pinnedFiles(Set(loLang, hiLang))
+      // dynamic: re-land the min(lang) partition
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql("INSERT OVERWRITE gow.d SELECT doc_id + 1000000, lang, " +
+        s"md5(concat(text, '!')) FROM gow_src WHERE lang = '$loLang'")
+      // static clause: swap the max(lang) partition
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      s2.sql(s"INSERT OVERWRITE gow.d PARTITION (lang = '$hiLang') " +
+        s"SELECT doc_id + 2000000, md5(concat(text, '#')) FROM gow_src WHERE lang = '$hiLang'")
+      val untouched1 = pinnedFiles(Set(loLang, hiLang))
+      require(untouched0 == untouched1 && untouched0.nonEmpty,
+        s"q_sql_overwrite: untouched partitions must keep their physical files " +
+          s"(before=${untouched0.size}, after=${untouched1.size})")
+      val out = s2.sql("SELECT doc_id, lang, text_md5 FROM gow.d")
+      require(cat.countStar("d").contains(out.count()),
+        "q_sql_overwrite: metadata-only COUNT(*) must survive the partition swaps")
+      out
+    }),
     "q_sql_bucket" -> ((s, dir) => {
       // SQL bucket partitioning via the catalog's FunctionCatalog (the
       // Iceberg bucket-SPJ shape): CREATE PARTITIONED BY (bucket(4, k))
@@ -3394,6 +3441,19 @@ object SparkEntry {
         |FROM documents d
         |JOIN (SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang) g
         |  USING (lang)""".stripMargin,
+    // the partition swaps are metadata-shaped in-query (untouched files
+    // identical, metadata COUNT(*) intact); CONTENT = untouched langs as-is
+    // plus the two re-landed partitions
+    "q_sql_overwrite" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5 FROM documents
+        |WHERE lang <> (SELECT min(lang) FROM documents)
+        |  AND lang <> (SELECT max(lang) FROM documents)
+        |UNION ALL
+        |SELECT doc_id + 1000000, lang, md5(text || '!') FROM documents
+        |WHERE lang = (SELECT min(lang) FROM documents)
+        |UNION ALL
+        |SELECT doc_id + 2000000, lang, md5(text || '#') FROM documents
+        |WHERE lang = (SELECT max(lang) FROM documents)""".stripMargin,
     // the storage-partitioned join is plan-shaped (zero exchanges, required
     // in-query); its CONTENT is this plain join against the per-lang agg
     "q_spj" ->

@@ -146,7 +146,8 @@ class CatalogTable(tableSchema: StructType, root: String, table: String,
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CatalogScanBuilder(tableSchema, root, table, maxSnaps, startSnap, asOf)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -903,18 +904,108 @@ import org.apache.parquet.schema.{MessageType => PMessageType, Types => PTypes,
   PrimitiveType => PPrimitiveType, LogicalTypeAnnotation => PLogical}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
+/** How the job-level commit lands: fast-append, whole-table replace, or an
+  * Iceberg-shape partition overwrite (dynamic = replace the partitions the
+  * data touches; `Partitions(values)` = a static `PARTITION (col=v)` clause,
+  * clearing the named partitions even when no new rows land in them). */
+private[sources] sealed trait CatalogWriteMode
+private[sources] object CatalogWriteMode {
+  case object Append extends CatalogWriteMode
+  case object Truncate extends CatalogWriteMode
+  case object DynamicPartitions extends CatalogWriteMode
+  final case class Partitions(values: Set[String]) extends CatalogWriteMode
+}
+
 final class CatalogWriteBuilder(schema: StructType, root: String, table: String)
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var overwrite = false
-  /** `INSERT OVERWRITE` / `df.write.mode("overwrite")`: the job commit
-    * becomes a REPLACE snapshot (commitFiles) instead of a fast-append —
-    * still one atomic metadata swap, and time travel to the overwritten
-    * snapshot stays complete (overwrites are snapshots, not mutations).
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
+  private var mode: CatalogWriteMode = CatalogWriteMode.Append
+  private def cat = new ParquetSnapshotCatalog(root)
+
+  /** `INSERT OVERWRITE` (static, no partition clause) /
+    * `df.write.mode("overwrite")`: the job commit becomes a REPLACE
+    * snapshot (commitFiles) instead of a fast-append — still one atomic
+    * metadata swap, and time travel to the overwritten snapshot stays
+    * complete (overwrites are snapshots, not mutations).
     */
-  override def truncate(): WriteBuilder = { overwrite = true; this }
-  override def build(): Write = new CatalogWrite(schema, root, table, overwrite,
-    new ParquetSnapshotCatalog(root).partitionSpec(table))
+  override def truncate(): WriteBuilder = { mode = CatalogWriteMode.Truncate; this }
+
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic` (and
+    * `df.writeTo(t).overwritePartitions()`): replace exactly the transform
+    * values the new data pins, keep everything else — Iceberg's dynamic
+    * overwrite, metadata-only over the untouched partitions.
+    */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(cat.partitionSpec(table).nonEmpty,
+      s"graft-catalog: dynamic partition overwrite of '$table' needs a declared " +
+      "partition transform (plain INSERT OVERWRITE replaces the whole table)")
+    mode = CatalogWriteMode.DynamicPartitions; this
+  }
+
+  /** A static `INSERT OVERWRITE t PARTITION (col=v, ...)` arrives as an
+    * overwrite-by-filter on the partition column (Spark renders the static
+    * value as null-safe equality `<=>`); only identity-partition equality
+    * is provably a partition swap — anything else is refused at analysis
+    * via [[canOverwrite]] (never a silent whole-table replace).
+    */
+  private def partitionKeys(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => VLit}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames().length == 1 => Some(f.fieldNames()(0))
+        case _ => None
+      }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: VLit[_] => l.dataType match {
+          case StringType | LongType | IntegerType => Option(l.value).map(_.toString)
+          case _ => None
+        }
+        case _ => None
+      }
+    cat.partitionSpec(table) match {
+      case Some(graft.spark.IdentityTransform(col)) if predicates.length == 1 =>
+        val p = predicates(0)
+        val kv: Option[Set[String]] = p.name() match {
+          case "=" | "<=>" if p.children().length == 2 =>
+            for (c <- colOf(p.children()(0)) if c == col;
+                 v <- litOf(p.children()(1))) yield Set(v)
+          case "IN" if p.children().length >= 2 =>
+            colOf(p.children()(0)).filter(_ == col).flatMap { _ =>
+              val vs = p.children().drop(1).toSeq.map(litOf)
+              if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get).toSet)
+            }
+          case _ => None
+        }
+        kv
+      case _ => None
+    }
+  }
+  override def canOverwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    predicates.forall(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.filter.AlwaysTrue]) ||
+      partitionKeys(predicates).isDefined
+  override def overwrite(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder =
+    if (predicates.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions.filter.AlwaysTrue]))
+      truncate()
+    else {
+      mode = CatalogWriteMode.Partitions(partitionKeys(predicates).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-catalog: overwrite of '$table' supports TRUE (full replace) or " +
+          "equality on the identity partition column; got " +
+          predicates.mkString(", "))))
+      this
+    }
+
+  override def build(): Write = new CatalogWrite(schema, root, table, mode,
+    cat.partitionSpec(table))
 }
 
 final case class CatalogCommitMessage(file: String, rows: Long,
@@ -931,7 +1022,7 @@ final case class PartitionedCommitMessage(files: Seq[(String, Long, String)])
     extends WriterCommitMessage
 
 final class CatalogWrite(schema: StructType, root: String, table: String,
-                         overwrite: Boolean = false,
+                         mode: CatalogWriteMode = CatalogWriteMode.Append,
                          spec: Option[graft.spark.PartTransform] = None)
     extends Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1018,22 +1109,35 @@ final class CatalogWrite(schema: StructType, root: String, table: String,
             es.flatMap { case (f, _, st) => st.map { case (c, lo, hi) => (f, c, lo, hi) } }
           case _ => Nil
         }
-      if (overwrite) {
-        // every snapshot owns >= 1 data file — an empty overwrite would
-        // commit an unreadable snapshot; refuse loudly (DROP TABLE is the
-        // empty-the-table operation)
-        require(files.nonEmpty,
-          s"graft-catalog: refusing empty INSERT OVERWRITE of '$table'")
-        new ParquetSnapshotCatalog(root).commitFilesWithCounts(files, table, statLines)
-      } else if (files.nonEmpty)
-        new ParquetSnapshotCatalog(root).appendFilesWithCounts(files, table, statLines)
+      mode match {
+        case CatalogWriteMode.Truncate =>
+          // every snapshot owns >= 1 data file — an empty overwrite would
+          // commit an unreadable snapshot; refuse loudly (DROP TABLE is the
+          // empty-the-table operation)
+          require(files.nonEmpty,
+            s"graft-catalog: refusing empty INSERT OVERWRITE of '$table'")
+          new ParquetSnapshotCatalog(root).commitFilesWithCounts(files, table, statLines)
+        case CatalogWriteMode.DynamicPartitions =>
+          // zero new rows touch zero partitions: dynamic overwrite of
+          // nothing is a no-op, not a truncate
+          if (files.nonEmpty)
+            new ParquetSnapshotCatalog(root)
+              .overwritePartitionValues(files, table, statLines, None)
+        case CatalogWriteMode.Partitions(values) =>
+          // empty files still CLEAR the named partitions (static contract)
+          new ParquetSnapshotCatalog(root)
+            .overwritePartitionValues(files, table, statLines, Some(values))
+        case CatalogWriteMode.Append =>
+          if (files.nonEmpty)
+            new ParquetSnapshotCatalog(root).appendFilesWithCounts(files, table, statLines)
+      }
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       CatalogWrite.deleteAll(messages)
   }
 
   override def toStreaming: wstreaming.StreamingWrite = {
-    require(!overwrite,
+    require(mode == CatalogWriteMode.Append,
       "graft-catalog sink: only append output mode is supported (truncate " +
       "per epoch would rewrite the table every micro-batch)")
     new wstreaming.StreamingWrite {

@@ -1557,6 +1557,56 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     }
   }
 
+  /** Iceberg's `cherrypick_snapshot`: apply ONE staged fast-append's delta
+    * onto CURRENT as a new commit — the WAP publish that still works after
+    * main DIVERGED (where [[fastForward]] correctly refuses). Metadata-only:
+    * the staged data files are referenced in place (zero bytes copied); the
+    * delta manifest and its stats/bloom sidecars are re-written under the
+    * NEW snapshot id so the picked files take the new commit's position in
+    * the delete-sequence rule — an equality takedown that landed on main
+    * BEFORE the pick does not apply to the freshly published rows, exactly
+    * the re-append-after-takedown rule the rest of the catalog follows.
+    *
+    * Only fast-appends are pickable (the snapshot's last manifest-list
+    * entry is its own delta and a parent entry exists): a replace/compact
+    * snapshot's single manifest is the whole table, and picking it would
+    * silently duplicate every row. Files already present in CURRENT refuse
+    * (double-publish guard).
+    */
+  def cherryPick(table: String, snap: Long): Long = {
+    val dir = manifestDir(table)
+    require(fsExists(new HPath(dir, s"v$snap.json")),
+      s"cherry-pick on '$table': no snapshot $snap (expired?)")
+    val picked = entriesOf(table, snap)
+    require(picked.size >= 2 && picked.last == s"@m$snap.json",
+      s"cherry-pick on '$table': snapshot $snap is not a parented fast-append — " +
+      "only append deltas can be cherry-picked (a replace manifest would " +
+      "duplicate the whole table)")
+    val files = parseJsonArray(readStr(new HPath(dir, s"m$snap.json")))
+    val newSnap = claimSnapshotId(table)
+    withCommitLock(table) {
+      val cur = currentSnapshot(table).getOrElse(throw new IllegalStateException(
+        s"cherry-pick on '$table': no committed snapshot"))
+      val curFiles = manifestFiles(table, cur).toSet
+      val dup = files.filter(curFiles)
+      require(dup.isEmpty,
+        s"cherry-pick on '$table': ${dup.size} of snapshot $snap's data files are " +
+        s"already in CURRENT ($cur) — already published?")
+      // the delta + sidecars under the NEW id (new add order in the
+      // sequence rule); content is copied verbatim — sidecar lines are
+      // keyed by file path, not by snapshot
+      val entry = writeDeltaManifest(table, newSnap, files)
+      listNames(dir).filter(n => n == s"m$snap.stats.tsv" ||
+          (n.startsWith(s"m$snap.bloom.") && n.endsWith(".tsv")))
+        .foreach { n =>
+          writeStr(new HPath(dir, s"m$newSnap" + n.stripPrefix(s"m$snap")),
+            readStr(new HPath(dir, n)))
+        }
+      commitSnapshot(table, newSnap, entriesOf(table, cur) :+ entry)
+    }
+    newSnap
+  }
+
   /** Iceberg-style expire_snapshots: drop all but the last `keepLast`
     * snapshots (CURRENT, every TAGGED snapshot and every BRANCH HEAD always
     * survive) and delete the data files, delta manifests and delete files
@@ -1974,6 +2024,88 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
       statsTsv(df.sparkSession, delta.toSeq.sorted,
         (spec.statName, spec.sparkExprSql) +: statsCols.map(c => (c, s"`$c`"))))
+    snap
+  }
+
+  /** Iceberg's partition overwrite (`INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, or an explicit
+    * static `PARTITION (col=v)` clause): atomically REPLACE exactly the
+    * partitions the new data touches and keep every other file — the
+    * "re-land today's recrawl of these languages" write, with zero bytes of
+    * the untouched 100 TB rewritten and one metadata-only snapshot swap.
+    *
+    * `explicit` carries the static PARTITION clause's value set when
+    * present: rows falling outside the named partitions are refused (never
+    * silently dropped — Spark's static contract), and a named partition
+    * with NO new rows is cleared. `None` is the dynamic mode: touched
+    * partitions = the distinct transform values the new files pin.
+    *
+    * Refusal-never-wrong preconditions (the pinned-only-surface
+    * convention): every current file must be pinned to one transform value
+    * (mixed layouts — plain `commit`/spec evolution eras — can't prove
+    * which rows a partition swap replaces; `compactSorted` re-unifies) and
+    * no delete tombstone may be pending (a tombstone's applicable-file set
+    * would silently change under the swap; `compact` materializes them
+    * first). Kept files carry their stats/bloom sidecar lines into the new
+    * snapshot verbatim, so pruning and metadata-only aggregation survive
+    * the overwrite. The new snapshot is a REPLACE (fresh single manifest) —
+    * incremental reads across it refuse as a rewrite, exactly like
+    * `compact`; time travel to the pre-overwrite snapshot stays complete.
+    */
+  def overwritePartitionValues(files: Seq[(String, Long)], table: String,
+      statLines: Seq[(String, String, String, String)],
+      explicit: Option[Set[String]] = None): Long = {
+    val spec = partitionSpec(table).getOrElse(throw new IllegalStateException(
+      s"partition overwrite of '$table': table declares no partition transform " +
+      "(plain INSERT OVERWRITE replaces the whole table)"))
+    val newPins: Map[String, String] = statLines.collect {
+      case (f, c, lo, hi) if c == spec.statName && lo == hi => f -> lo
+    }.toMap
+    files.foreach { case (f, _) => require(newPins.contains(f),
+      s"partition overwrite of '$table': new file $f is not pinned to one " +
+      s"${spec.statName} value") }
+    explicit.foreach { allowed =>
+      val stray = files.flatMap(f => newPins.get(f._1)).filterNot(allowed).distinct
+      require(stray.isEmpty,
+        s"overwrite of '$table' PARTITION (${spec.col}=...): rows fall outside the " +
+        s"named partition(s): ${stray.mkString(", ")}")
+    }
+    val touched: Set[String] = explicit.getOrElse(files.map(f => newPins(f._1)).toSet)
+    val snap = claimSnapshotId(table)
+    withCommitLock(table) {
+      val (kept, keptStats, keptBlooms) = currentSnapshot(table) match {
+        case None => (Seq.empty[String], Seq.empty[String], Map.empty[String, Seq[String]])
+        case Some(cur) =>
+          require(deleteRefsOf(table, cur).isEmpty,
+            s"partition overwrite of '$table': pending delete tombstones — compact() " +
+            "materializes them first (a tombstone's file set can't survive the swap)")
+          val pins = partitionValuesAt(table, cur).getOrElse(throw new IllegalStateException(
+            s"partition overwrite of '$table': not every file is pinned to one " +
+            s"${spec.statName} value — compactSorted() re-unifies the layout"))
+          pins.foreach { case (f, v) => require(v.isDefined,
+            s"partition overwrite of '$table': unreadable pin for $f") }
+          val kept = pins.collect { case (f, Some(v)) if !touched(v) => f }
+          val keptSet = kept.toSet
+          val keptStats = statsLinesAt(table, cur)
+            .collect { case l if keptSet(l(0)) => l.mkString("\t") }
+          val blooms = bloomColumnsAt(table, cur).map { c =>
+            c -> bloomLinesAt(table, cur, c)
+              .collect { case l if keptSet(l(0)) => l.mkString("\t") }
+          }.toMap.filter(_._2.nonEmpty)
+          (kept, keptStats, blooms)
+      }
+      val allFiles = kept ++ files.map(_._1)
+      require(allFiles.nonEmpty,
+        s"partition overwrite of '$table': the result would be an empty table — " +
+        "every snapshot owns >= 1 data file (DROP TABLE is the empty-the-table op)")
+      writeStr(new HPath(manifestDir(table), s"m$snap.stats.tsv"),
+        countAndStatTsv(files, statLines) + keptStats.mkString("", "\n", "\n"))
+      keptBlooms.foreach { case (c, lines) =>
+        writeStr(new HPath(manifestDir(table), s"m$snap.bloom.$c.tsv"),
+          lines.mkString("", "\n", "\n"))
+      }
+      commitSnapshot(table, snap, Seq(writeDeltaManifest(table, snap, allFiles)))
+    }
     snap
   }
 
