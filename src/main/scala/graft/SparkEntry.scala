@@ -1188,6 +1188,36 @@ object SparkEntry {
       cat.fastForward("t", "audit")
       cat.read(s, "t").selectExpr("doc_id", "md5(text) AS text_md5")
     }),
+    "q_cherrypick" -> ((s, dir) => {
+      // CHERRY-PICK publish (Iceberg cherrypick_snapshot): main DIVERGES
+      // after the WAP fork, so fast-forward REFUSES (required in-query) and
+      // the staged fast-append is re-committed onto CURRENT metadata-only.
+      // A takedown that landed on main BEFORE the pick — including values
+      // that only exist in the staged drop — must not swallow the freshly
+      // published rows: the pick takes the NEW add order in the
+      // delete-sequence rule (the re-append-after-takedown rule).
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pick_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "text")
+      cat.commit(d.where("doc_id % 3 = 0"), "t")
+      cat.createBranch("t", "audit")
+      val staged = cat.appendToBranch(d.where("doc_id % 3 = 1"), "t", "audit")
+      cat.append(d.where("doc_id % 3 = 2"), "t") // main diverges after the fork
+      val ffRefused =
+        try { cat.fastForward("t", "audit"); false }
+        catch { case _: IllegalStateException => true }
+      require(ffRefused, "q_cherrypick: fast-forward must refuse a diverged main")
+      val takedown = d.where("doc_id % 30 = 0 OR (doc_id % 3 = 1 AND doc_id % 7 = 0)")
+        .select("doc_id").collect().map(_.getLong(0).toString).toSeq
+      cat.deleteWhere("t", "doc_id", takedown)
+      cat.cherryPick("t", staged)
+      cat.read(s, "t").selectExpr("doc_id", "md5(text) AS text_md5")
+    }),
     "q_hidden_partition" -> ((s, dir) => {
       // Iceberg-style HIDDEN PARTITIONING: the table declares bucket(8, url)
       // once at write time, two crawl drops cluster their files by the
@@ -3257,6 +3287,12 @@ object SparkEntry {
     // the isolation/divergence/expiry semantics live in WapBranchSpec
     "q_wap" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+    // divergence-surviving publish: main keeps its takedown (doc_id%30=0),
+    // the diverged drop (%3=2) is untouched, and EVERY staged row (%3=1)
+    // survives the pre-pick tombstone (new add order in the sequence rule)
+    "q_cherrypick" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE doc_id % 3 <> 0 OR doc_id % 30 <> 0""".stripMargin,
     // the DSv2-written half unions with the catalog-committed half exactly
     "q_catalog_write" ->
       "SELECT doc_id, md5(text) AS text_md5 FROM documents",

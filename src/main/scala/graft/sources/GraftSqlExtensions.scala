@@ -144,9 +144,17 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
         val cols = call.args.drop(1).filter(_.toLongOption.isEmpty)
         val n = call.args.drop(1).flatMap(_.toLongOption).headOption.map(_.toInt).getOrElse(0)
         Seq(("snapshot", cat.compactZOrder(spark, str(0), cols, nFiles = n).toString))
+      case "cherrypick" =>
+        // arg 2 is a snapshot id, or a branch name whose head gets picked
+        // (the common WAP-after-divergence publish)
+        val snap = str(1).toLongOption.getOrElse(
+          cat.branchHead(str(0), str(1)).getOrElse(throw new IllegalArgumentException(
+            s"CALL cherrypick: '${str(1)}' is neither a snapshot id nor a branch of '${str(0)}'")))
+        Seq(("snapshot", cat.cherryPick(str(0), snap).toString))
       case other => throw new IllegalArgumentException(
         s"CALL: unknown procedure '$other' (compact, compact_sorted, expire_snapshots, " +
-        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests, evolve_spec, zorder)")
+        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests, evolve_spec, zorder, " +
+        "cherrypick)")
     }
   }
 
