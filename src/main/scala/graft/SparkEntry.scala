@@ -197,6 +197,23 @@ object SparkEntry {
         }
       }.toDF("url", "table_idx", "row_idx", "col_idx", "cell_text")
     }),
+    "q_microdata" -> ((s, dir) => {
+      // schema.org MICRODATA harvest off the FINAL tree (the in-markup
+      // sibling of q_jsonld): (item ordinal, itemtype, prop, value) triples
+      // with the WHATWG value-attribute rule (meta→content, a→href,
+      // data→value, time→datetime, else text), nested items flat-encoded as
+      // item:<ord>, multi-token itemprop fanned out, stray props dropped.
+      // Same kernel shape as q_table_extract: typed mapPartitions, one
+      // reused sink per partition, zero shuffle.
+      import s.implicits._
+      Pages.synthesizeMicrodataPages(s, dir).mapPartitions { it =>
+        val sink = new graft.dom.ExtractSink
+        it.flatMap { p =>
+          Extractor.extractInto(p.html, sink)
+          sink.collectMicrodata().map { case (ord, ty, pr, v) => (p.url, ord, ty, pr, v) }
+        }
+      }.toDF("url", "item", "itemtype", "prop", "value")
+    }),
     "q_headings" -> ((s, dir) => {
       // layout parse: the h1–h6 document outline off the FINAL tree —
       // implied heading ends (the h1–h6 pop rule) applied. Same kernel
@@ -2280,6 +2297,31 @@ object SparkEntry {
         |            FROM documents))""".stripMargin,
     // closed-form outline of the heading corpus: h1, then doc_id%3+1 h2
     // sections (implied ends), then (odd ids) one h3
+    // the whole microdata harvest replays closed-form: item ordinals follow
+    // document order (Article=0; nested Person=1 on %3==0; the Offer takes
+    // the next free ordinal), values follow the WHATWG attribute rule
+    "q_microdata" ->
+      """WITH u AS (SELECT doc_id, 'https://example.com/md/doc' || CAST(doc_id AS VARCHAR) AS url
+        |           FROM documents)
+        |SELECT url, CAST(0 AS INTEGER) AS item, 'https://schema.org/Article' AS itemtype,
+        |       'headline' AS prop, 'Art ' || CAST(doc_id AS VARCHAR) AS value FROM u
+        |UNION ALL SELECT url, 0, 'https://schema.org/Article', 'url',
+        |       'https://example.com/md/' || CAST(doc_id AS VARCHAR) FROM u
+        |UNION ALL SELECT url, 0, 'https://schema.org/Article', 'wordCount',
+        |       CAST(doc_id % 7 AS VARCHAR) FROM u
+        |UNION ALL SELECT url, 0, 'https://schema.org/Article', 'datePublished',
+        |       '2021-01-' || CAST(10 + doc_id % 19 AS VARCHAR) FROM u
+        |UNION ALL SELECT url, 0, 'https://schema.org/Article', 'genre',
+        |       'g' || CAST(doc_id % 4 AS VARCHAR) FROM u
+        |UNION ALL SELECT url, 0, 'https://schema.org/Article', 'keywords',
+        |       'g' || CAST(doc_id % 4 AS VARCHAR) FROM u
+        |UNION ALL SELECT url, 0, 'https://schema.org/Article', 'author', 'item:1'
+        |FROM u WHERE doc_id % 3 = 0
+        |UNION ALL SELECT url, 1, 'https://schema.org/Person', 'name',
+        |       'P' || CAST(doc_id % 5 AS VARCHAR) FROM u WHERE doc_id % 3 = 0
+        |UNION ALL SELECT url, CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER),
+        |       'https://schema.org/Offer', 'price', CAST(doc_id % 100 AS VARCHAR)
+        |FROM u WHERE doc_id % 2 = 0""".stripMargin,
     "q_headings" ->
       """WITH u AS (SELECT doc_id, 'https://example.com/outline/doc' || CAST(doc_id AS VARCHAR) AS url
         |           FROM documents)

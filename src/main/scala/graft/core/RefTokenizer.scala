@@ -888,17 +888,30 @@ final class RefTokenizer(
     parseError("unexpected_null_character"); attrNameB.appendCodePoint(0xfffd); goto(AttrName)
   }
 
-  /** 13.2.5.34 (:1366-1399) — `>` emits WITHOUT an open_tags push (Q3) and
-    * without flushing the pending attribute (it is silently lost).
+  /** SPEC-FIX (spec mode only): WHATWG adds an attribute to the tag when its
+    * NAME completes, so a VALUELESS attribute (`<div itemscope>`) survives
+    * with value "" — the reference flushes only on the attr-VALUE exits and
+    * silently drops any attribute not followed by `=value`
+    * (tokenizer/tokenizer.v:1366-1399; the loss is pinned in the fidelity
+    * vectors). Extract mode needs the spec shape: boolean attributes
+    * (itemscope, async, hidden, novalidate) are real HTML.
+    */
+  @inline private def specFlushPendingAttr(): Unit =
+    if (specMode && attrNameB.length > 0) flushAttrIntoTag()
+
+  /** 13.2.5.34 (:1366-1399) — `>` emits WITHOUT an open_tags push (Q3) and,
+    * in fidelity mode, without flushing the pending attribute (silently
+    * lost); spec mode keeps it ([[specFlushPendingAttr]]).
     */
   private def stAfterAttrName(): Unit = {
     val c = nextCp()
     if (c < 0) { parseError("eof_in_tag"); sink.eof(Tok.EofInTagName, Tok.EofInTagMsg); return }
     currChar = c
     if (isWs(c)) { goto(AfterAttrName); return }
-    if (c == '/') { goto(SelfClosingStartTag); return }
+    if (c == '/') { specFlushPendingAttr(); goto(SelfClosingStartTag); return }
     if (c == '=') { goto(BeforeAttrValue); return }
-    if (c == '>') { val t = asTag; emitTag(t); goto(dataTarget(t)); return }
+    if (c == '>') { specFlushPendingAttr(); val t = asTag; emitTag(t); goto(dataTarget(t)); return }
+    specFlushPendingAttr()
     newAttrBuilder()
     gotoR(AttrName)
   }
@@ -911,7 +924,11 @@ final class RefTokenizer(
     if (isWs(c)) { goto(BeforeAttrValue); return }
     if (c == '"') { goto(AttrValueDblQuoted); return }
     if (c == '\'') { goto(AttrValueSglQuoted); return }
-    if (c == '>') { parseError("missing_attr_value"); val t = asTag; emitTag(t); goto(dataTarget(t)); return }
+    if (c == '>') {
+      parseError("missing_attr_value")
+      specFlushPendingAttr() // spec keeps `<a x=>`'s attr with value ""
+      val t = asTag; emitTag(t); goto(dataTarget(t)); return
+    }
     gotoR(AttrValueUnquoted)
   }
 

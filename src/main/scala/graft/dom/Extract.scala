@@ -422,6 +422,22 @@ final class ExtractSink extends TokenSink {
   private val jsonLd = ArrayBuffer.empty[String]
   private val ldBuf = new java.lang.StringBuilder
   private var inLd = false
+  // microdata capture (schema.org in-markup structured data — the JSON-LD
+  // sibling): only nodes carrying itemscope/itemprop record into the side
+  // maps (page-scoped, O(microdata nodes) — the arena itself stays
+  // attribute-free); the value ATTRIBUTE per the WHATWG rule (meta→content,
+  // a/area/link→href, media→src, object→data, data→value, time→datetime)
+  // is resolved at tag time while attrs are in hand, text-content values at
+  // walk time. Adoption-agency CLONES of microdata-carrying formatting
+  // elements do not re-record (rare; documented trade).
+  private val mdProp = new java.util.HashMap[Integer, String]
+  private val mdType = new java.util.HashMap[Integer, String]
+  private val mdVal = new java.util.HashMap[Integer, String]
+  private val mdScope = new java.util.HashSet[Integer]
+  private var pendingMdProp: String = null
+  private var pendingMdScope = false
+  private var pendingMdType: String = null
+  private var pendingMdVal: String = null
   // pending spans: each text run becomes an arena TEXT NODE (name = null)
   // under its anchor element, so adoption-agency tree surgery moves text
   // with its block and span paths are materialized from the FINAL tree in
@@ -464,6 +480,8 @@ final class ExtractSink extends TokenSink {
     imgSrcs.clear(); imgAlts.clear(); ogProps.clear(); ogVals.clear()
     titleBuf.setLength(0); inTitle = false; titleDone = false
     jsonLd.clear(); ldBuf.setLength(0); inLd = false
+    mdProp.clear(); mdType.clear(); mdVal.clear(); mdScope.clear()
+    pendingMdProp = null; pendingMdScope = false; pendingMdType = null; pendingMdVal = null
     spStart.clear(); spEnd.clear(); spText.clear(); spBlock.clear(); spLink.clear(); spLinkIdx.clear()
     pathMemo.clear()
     runStart = -1; runBlock = root; runLink = false; runLinkIdx = -1; runAnchor = root; runFosterRef = -1
@@ -884,6 +902,33 @@ final class ExtractSink extends TokenSink {
           }
         }
       }
+      // microdata scan: one startsWith("item") test per attribute keeps the
+      // non-microdata hot path at a few branches; the value attribute is
+      // resolved here while attrs are in hand (text-content values resolve
+      // at walk time in collectMicrodata)
+      pendingMdProp = null; pendingMdScope = false; pendingMdType = null; pendingMdVal = null
+      if (attrs.nonEmpty) {
+        var mi = 0
+        while (mi < attrs.length) {
+          val k = attrs(mi)._1
+          if (k.length >= 8 && k.startsWith("item")) {
+            if (k == "itemprop") { if (pendingMdProp == null) pendingMdProp = attrs(mi)._2 }
+            else if (k == "itemscope") pendingMdScope = true
+            else if (k == "itemtype") { if (pendingMdType == null) pendingMdType = attrs(mi)._2 }
+          }
+          mi += 1
+        }
+        if (pendingMdProp != null || pendingMdScope) {
+          val va = mdValueAttrOf(name)
+          if (va != null) {
+            var vi = 0
+            while (vi < attrs.length && pendingMdVal == null) {
+              if (attrs(vi)._1 == va) pendingMdVal = attrs(vi)._2
+              vi += 1
+            }
+          }
+        }
+      }
       startTag(name, selfClosing)
       // spec (13.2.6.4.7): a newline IMMEDIATELY after these start tags is
       // ignored — next-token-only, so every other token clears the flag
@@ -926,6 +971,34 @@ final class ExtractSink extends TokenSink {
     val t = "application/ld+json"
     b - a == t.length && ty.regionMatches(true, a, t, 0, t.length)
   }
+
+  /** The WHATWG microdata value-ATTRIBUTE rule per element name (null =
+    * the property value is the element's text content). */
+  private def mdValueAttrOf(name: String): String = name match {
+    case "meta" => "content"
+    case "a" | "area" | "link" => "href"
+    case "img" | "audio" | "video" | "embed" | "iframe" | "source" | "track" => "src"
+    case "object" => "data"
+    case "data" => "value"
+    case "time" => "datetime" // absent datetime → text content (spec)
+    case _ => null
+  }
+
+  /** Consume the pending microdata scan into the side maps for the arena
+    * node the current start tag just created. */
+  private def recordMd(id: Int): Unit = {
+    if (pendingMdProp != null || pendingMdScope) {
+      val key = Integer.valueOf(id)
+      if (pendingMdProp != null && pendingMdProp.nonEmpty) mdProp.put(key, pendingMdProp)
+      if (pendingMdScope) mdScope.add(key)
+      if (pendingMdType != null) mdType.put(key, pendingMdType)
+      if (pendingMdVal != null) mdVal.put(key, pendingMdVal)
+      pendingMdProp = null; pendingMdScope = false; pendingMdType = null; pendingMdVal = null
+    }
+  }
+
+  private[dom] def mdDebug: String =
+    s"scope=${mdScope.size} prop=${mdProp.size} type=${mdType.size} val=${mdVal.size}"
 
   /** Close an open JSON-LD capture: flush the buffered script content. */
   private def flushLd(): Unit = {
@@ -1040,6 +1113,7 @@ final class ExtractSink extends TokenSink {
       } else stkNode(top)
     if (!selfClosing && (f & FVoid) == 0) {
       val id = pushOpen(name, par, f, fosterRef)
+      recordMd(id)
       if ((f & FFormatting) != 0) {
         // Noah's Ark clause (§13.2.4.3): at most 3 same-name entries between
         // the end of the list and the last marker. Besides spec fidelity,
@@ -1060,8 +1134,9 @@ final class ExtractSink extends TokenSink {
       }
     } else {
       // void/self-closing: arena node only (fostered ones before the table)
-      if (fosterRef >= 0) arena.addBefore(name, par, fosterRef)
-      else arena.add(name, par)
+      recordMd(
+        if (fosterRef >= 0) arena.addBefore(name, par, fosterRef)
+        else arena.add(name, par))
     }
   }
 
@@ -1449,6 +1524,82 @@ final class ExtractSink extends TokenSink {
         tIdx += 1
       }
       id += 1
+    }
+    out.result()
+  }
+
+  /** Microdata harvest off the FINAL tree: (item ordinal, itemtype, prop,
+    * value) rows in document order. An `itemscope` node opens a new item
+    * (ordinals assigned in document order); a descendant `itemprop`
+    * contributes to the NEAREST enclosing item; a node carrying BOTH is a
+    * nested item — its property value is `item:<child ordinal>` (the
+    * flat-triple encoding of the microdata tree). Values follow the WHATWG
+    * attribute rule resolved at tag time ([[mdValueAttrOf]]), falling back
+    * to the subtree's text content; a space-separated `itemprop` token list
+    * emits one row per token (spec); an `itemprop` outside any itemscope
+    * contributes to no item and is dropped.
+    */
+  def collectMicrodata(): Vector[(Int, String, String, String)] = {
+    if (mdScope.isEmpty && mdProp.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[(Int, String, String, String)]
+    val types = ArrayBuffer.empty[String] // itemtype per ordinal
+    var nextOrd = 0
+    val ndStack = new IntVec(32)
+    val ctxStack = new IntVec(32) // enclosing item ordinal per stacked node (-1 none)
+    val tmp = new IntVec(8)
+    val txtStack = new IntVec(16)
+    val sb = new java.lang.StringBuilder(32)
+    def textOf(nd: Int): String = {
+      sb.setLength(0)
+      txtStack.clear()
+      pushChildrenReversed(txtStack, nd, tmp)
+      while (txtStack.nonEmpty) {
+        val t = txtStack(txtStack.length - 1)
+        txtStack.dropRightInPlace(1)
+        if (arena.name(t) == null) {
+          val si = spanIdxOfTextNode(t)
+          if (si >= 0) sb.append(text, spStart(si), spEnd(si))
+        } else pushChildrenReversed(txtStack, t, tmp)
+      }
+      sb.toString
+    }
+    def pushKids(nd: Int, ctx: Int): Unit = {
+      val before = ndStack.length
+      pushChildrenReversed(ndStack, nd, tmp)
+      var i = before
+      while (i < ndStack.length) { ctxStack += ctx; i += 1 }
+    }
+    pushKids(root, -1)
+    while (ndStack.nonEmpty) {
+      val nd = ndStack(ndStack.length - 1)
+      val ctx = ctxStack(ctxStack.length - 1)
+      ndStack.dropRightInPlace(1); ctxStack.dropRightInPlace(1)
+      if (arena.name(nd) != null) {
+        val key = Integer.valueOf(nd)
+        val scope = mdScope.contains(key)
+        var ord = -1
+        if (scope) {
+          ord = nextOrd; nextOrd += 1
+          types += { val t = mdType.get(key); if (t == null) "" else t }
+        }
+        val prop = mdProp.get(key)
+        if (prop != null && ctx >= 0) {
+          val value =
+            if (scope) "item:" + ord
+            else { val v = mdVal.get(key); if (v != null) v else textOf(nd) }
+          // space-separated prop token list: one row per token
+          var a = 0
+          val n = prop.length
+          while (a < n) {
+            while (a < n && prop.charAt(a) == ' ') a += 1
+            var b = a
+            while (b < n && prop.charAt(b) != ' ') b += 1
+            if (b > a) out += ((ctx, types(ctx), prop.substring(a, b), value))
+            a = b
+          }
+        }
+        pushKids(nd, if (scope) ord else ctx)
+      }
     }
     out.result()
   }

@@ -340,6 +340,51 @@ object Pages {
       }
   }
 
+  /** Deterministic microdata page: one schema.org Article item (text,
+    * href, content, datetime and multi-token prop values), a nested Person
+    * on docId%3==0 (the flat-triple `item:<ord>` encoding), an Offer with a
+    * `<data value>` price on docId%2==0, and a stray itemprop OUTSIDE any
+    * itemscope that must be dropped. Every value is a closed form of docId
+    * — the oracle replays the whole harvest.
+    */
+  def renderMicrodata(docId: Long): String = {
+    val sb = new java.lang.StringBuilder(512)
+    sb.append("<!DOCTYPE html><html><head><title>MD").append(docId).append("</title></head><body>")
+    sb.append("<div itemscope itemtype=\"https://schema.org/Article\">")
+    sb.append("<span itemprop=\"headline\">Art ").append(docId).append("</span>")
+    sb.append("<a itemprop=\"url\" href=\"https://example.com/md/").append(docId).append("\">self</a>")
+    sb.append("<meta itemprop=\"wordCount\" content=\"").append(docId % 7).append("\">")
+    sb.append("<time itemprop=\"datePublished\" datetime=\"2021-01-").append(10 + docId % 19)
+      .append("\">a while ago</time>")
+    sb.append("<span itemprop=\"genre keywords\">g").append(docId % 4).append("</span>")
+    if (docId % 3 == 0) {
+      sb.append("<div itemprop=\"author\" itemscope itemtype=\"https://schema.org/Person\">")
+      sb.append("<span itemprop=\"name\">P").append(docId % 5).append("</span></div>")
+    }
+    sb.append("</div>")
+    if (docId % 2 == 0)
+      sb.append("<p itemscope itemtype=\"https://schema.org/Offer\"><data itemprop=\"price\" value=\"")
+        .append(docId % 100).append("\">around that much</data></p>")
+    sb.append("<span itemprop=\"stray\">ignored ").append(docId).append("</span>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
+  /** The deterministic microdata-page corpus (microdata-harvest-oracle input). */
+  def synthesizeMicrodataPages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val html = renderMicrodata(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(s"https://example.com/md/doc$docId",
+          new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** The deterministic outline-page corpus (heading-oracle input). */
   def synthesizeOutlinePages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
     import spark.implicits._
