@@ -1582,6 +1582,13 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
       s"cherry-pick on '$table': snapshot $snap is not a parented fast-append — " +
       "only append deltas can be cherry-picked (a replace manifest would " +
       "duplicate the whole table)")
+    // an upsert/delete snapshot carries its OWN tombstone ref alongside the
+    // delta — picking only the delta would silently apply half the commit
+    require(!picked.exists(e => e.startsWith("!") &&
+        e.drop(2).takeWhile(_.isDigit) == snap.toString),
+      s"cherry-pick on '$table': snapshot $snap pairs its delta with a delete " +
+      "tombstone (upsert/takedown shape) — picking the delta alone would apply " +
+      "half the commit; re-run the upsert against CURRENT instead")
     val files = parseJsonArray(readStr(new HPath(dir, s"m$snap.json")))
     val newSnap = claimSnapshotId(table)
     withCommitLock(table) {

@@ -106,6 +106,16 @@ class CherryPickSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Set(("a", 1L), ("x", 10L)))
   }
 
+  test("an upsert snapshot (delta + its own tombstone) refuses — half a commit never applies") {
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    cat.commit(Seq(("a", 1L), ("x", 9L)).toDF("k", "v"), "t")
+    val up = cat.upsertByKey(Seq(("x", 10L)).toDF("k", "v"), "t", "k")
+    val e = intercept[IllegalArgumentException] { cat.cherryPick("t", up) }
+    assert(e.getMessage.contains("tombstone"), e.getMessage)
+  }
+
   test("picked data survives dropping the branch and expiring its snapshots (ref-counted GC)") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)
