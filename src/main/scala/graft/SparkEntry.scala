@@ -1545,6 +1545,39 @@ object SparkEntry {
       s.sql("DELETE FROM gsql_q.docs WHERE contains(text, 'the') AND doc_id < 50")
       s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gsql_q.docs")
     }),
+    "q_sql_view" -> ((s, dir) => {
+      // SQL VIEWS over the catalog (the Iceberg-views shape — OSS Spark
+      // ships the ViewCatalog API but no engine wiring, so DDL + read-side
+      // resolution ride the session-extension ladder): CREATE VIEW stores
+      // ONE metadata KV (zero data files), SELECT re-analyzes the stored
+      // SQL against the CURRENT table state, and a view over a view
+      // composes through recursive expansion. The final SELECT runs both
+      // expansions over the connector's pruned per-file readers.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sqlvw_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gvw", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gvw.root", root)
+      docs(s, dir).select("doc_id", "text", "lang").createOrReplaceTempView("gvw_src")
+      s.sql("CREATE TABLE gvw.docs AS SELECT doc_id, text, lang FROM gvw_src")
+      s.sql("CREATE OR REPLACE VIEW gvw.long_docs AS " +
+        "SELECT doc_id, text, lang FROM gvw.docs WHERE length(text) > 200")
+      s.sql("CREATE OR REPLACE VIEW gvw.lang_counts AS " +
+        "SELECT lang, count(*) AS n, sum(length(text)) AS chars " +
+        "FROM gvw.long_docs GROUP BY lang")
+      // in-query proofs: both views listed; the store is METADATA-ONLY —
+      // no parquet anywhere under the reserved __views__ dir
+      val vs = s.sql("SHOW VIEWS IN gvw").collect().map(_.getString(1)).toSet
+      require(vs == Set("long_docs", "lang_counts"), s"q_sql_view: SHOW VIEWS -> $vs")
+      val vdir = Paths.get(root, "__views__")
+      val dataFiles = Files.walk(vdir).filter(p => p.toString.endsWith(".parquet")).count()
+      require(dataFiles == 0, s"q_sql_view: view store must hold zero data files ($dataFiles)")
+      s.sql("SELECT lang, n, chars FROM gvw.lang_counts")
+    }),
     "q_sql_update" -> ((s, dir) => {
       // SQL UPDATE as a MERGE-ON-READ position delta (SupportsRowLevel-
       // Operations + SupportsDelta): per-row deletes stream into task-
@@ -3437,6 +3470,11 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5 FROM documents
         |WHERE doc_id NOT IN (3, 5, 7)
         |  AND NOT (contains(text, 'the') AND doc_id < 50)""".stripMargin,
+    // both view layers replay as their composed SQL over the base table
+    "q_sql_view" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars
+        |FROM documents WHERE length(text) > 200 GROUP BY lang""".stripMargin,
     // the UPDATE replays as a CASE over the predicate — every matched row
     // carries the rewritten text, everything else the original
     "q_sql_update" ->

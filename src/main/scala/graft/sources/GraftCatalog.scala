@@ -99,7 +99,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!okNs(namespace)) throw new NoSuchNamespaceException(namespace)
-    cat.tableNames.map(t => Identifier.of(namespace, t)).toArray
+    // `__`-prefixed directories are reserved engine metadata (the view
+    // store lives at `__views__`) — never user tables
+    cat.tableNames.filterNot(_.startsWith("__"))
+      .map(t => Identifier.of(namespace, t)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -170,7 +173,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
     val t = flat(ident)
+    require(!t.startsWith("__"),
+      s"graft catalog: '$t' — the '__' name prefix is reserved for engine metadata")
     if (existing(t)) throw new TableAlreadyExistsException(ident)
+    if (cat.getMeta(GraftViews.Dir, GraftViews.key(t)).isDefined)
+      throw new TableAlreadyExistsException(ident) // a VIEW holds this name
     val writable = Set[DataType](StringType, BinaryType, LongType, IntegerType,
       DoubleType, FloatType, BooleanType, TimestampType, DateType)
     schema.fields.foreach(f => require(writable(f.dataType),

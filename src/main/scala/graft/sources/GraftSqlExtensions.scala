@@ -39,8 +39,9 @@ import graft.spark.ParquetSnapshotCatalog
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
     ext.injectPlannerStrategy(_ => GraftCallStrategy)
+    ext.injectResolutionRule(s => ResolveGraftViews(s))
   }
 }
 
@@ -55,10 +56,22 @@ final case class GraftCall(catalog: String, proc: String, args: Seq[String])
     AttributeReference("v", StringType, nullable = false)())
 }
 
-final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  // CALL <catalog>.<proc>(<scalar args>) — the only statement intercepted
+final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  // CALL <catalog>.<proc>(<scalar args>) — intercepted unconditionally
   private val Call =
     """(?is)\s*CALL\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\((.*)\)\s*;?\s*""".r
+  // view DDL — intercepted ONLY when the 2-part identifier's catalog is
+  // configured as a GraftCatalog in this session (a session-catalog
+  // `CREATE VIEW db.v` must reach Spark's own command untouched)
+  private val CreateView =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DropView =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*;?\s*""".r
+  private val ShowViews =
+    """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([A-Za-z_]\w*)\s*;?\s*""".r
+
+  private def mine(cat: String): Boolean = GraftViews.isGraftCatalog(session, cat)
 
   override def parsePlan(text: String): LogicalPlan = text match {
     case Call(cat, proc, argStr) =>
@@ -76,6 +89,12 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         out.result()
       }
       GraftCall(cat, proc.toLowerCase(java.util.Locale.ROOT), args)
+    case CreateView(replace, cat, view, query) if mine(cat) =>
+      GraftCreateView(cat, view, query, replace != null)
+    case DropView(ifExists, cat, view) if mine(cat) =>
+      GraftDropView(cat, view, ifExists != null)
+    case ShowViews(cat) if mine(cat) =>
+      GraftShowViews(cat)
     case _ => delegate.parsePlan(text)
   }
   override def parseExpression(s: String) = delegate.parseExpression(s)
@@ -91,6 +110,9 @@ final class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftCallStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case c: GraftCall => GraftCallExec(c) :: Nil
+    case c: GraftCreateView => GraftCreateViewExec(c) :: Nil
+    case c: GraftDropView => GraftDropViewExec(c) :: Nil
+    case c: GraftShowViews => GraftShowViewsExec(c) :: Nil
     case _ => Nil
   }
 }
