@@ -1899,6 +1899,42 @@ object SparkEntry {
         .selectExpr("doc_id + 3000000 AS doc_id", "text"), "t")
       cat.read(s, "t").selectExpr("doc_id", "md5(text) AS text_md5")
     }),
+    "q_dv_rewrite" -> ((s, dir) => {
+      // DELETION VECTORS (the Iceberg-v3 / Delta form of positional
+      // deletes): row-level SQL DELETEs accumulate task-staged (file,
+      // ordinal) TSV tombstones; CALL rewrite_position_deletes compacts
+      // them into ONE roaring-bitmap blob — data files untouched, the
+      // p-refs dropped. Thereafter the scan plans from the O(files) DV
+      // index and each task range-reads only ITS file's bitmap: no
+      // (file, pos) pair crosses the driver, which is what makes a
+      // billion-row takedown plannable at 100 TB. In-query proofs: zero
+      // TSV tombstones and a non-empty vector index post-rewrite; rows
+      // INSERTed after the rewrite land in files the vector cannot name,
+      // so they all survive (the sequence rule, DV edition).
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_dvrw_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      Files.createDirectories(rootP)
+      s.conf.set("spark.sql.catalog.gdv", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdv.root", root)
+      docs(s, dir).select("doc_id", "text").createOrReplaceTempView("gdv_src")
+      s.sql("CREATE TABLE gdv.docs AS SELECT doc_id, text FROM gdv_src")
+      s.sql("DELETE FROM gdv.docs WHERE length(text) % 7 = 0 AND doc_id % 2 = 0")
+      s.sql("DELETE FROM gdv.docs WHERE length(text) % 11 = 3")
+      s.sql("CALL gdv.rewrite_position_deletes('docs')")
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val cur = cat.currentSnapshot("docs").get
+      require(cat.positionalTsvPairs("docs", cur).isEmpty,
+        "q_dv_rewrite: TSV tombstones must be gone after the rewrite")
+      val idx = cat.deletionVectorIndex("docs", cur)
+      require(idx.nonEmpty && idx.map(_.file).distinct.size == idx.size,
+        "q_dv_rewrite: exactly one deletion vector per tombstoned file")
+      s.sql("INSERT INTO gdv.docs SELECT doc_id + 3000000, text FROM gdv_src WHERE doc_id % 9 = 0")
+      s.sql("SELECT doc_id, md5(text) AS text_md5 FROM gdv.docs")
+    }),
     "q_rewrite_manifests" -> ((s, dir) => {
       // Iceberg-style rewrite_manifests: after four crawl drops and a
       // takedown, consolidate the delta-manifest chain METADATA-ONLY —
@@ -3581,6 +3617,14 @@ object SparkEntry {
     "q_takedown_pos" ->
       """SELECT doc_id, md5(text) AS text_md5 FROM documents
         |WHERE length(text) % 7 <> 0
+        |UNION ALL
+        |SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 9 = 0""".stripMargin,
+    // both DELETE predicates replay as survivors; the post-rewrite INSERTs
+    // survive regardless (new files — the vector cannot name them)
+    "q_dv_rewrite" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents
+        |WHERE NOT (length(text) % 7 = 0 AND doc_id % 2 = 0)
+        |  AND NOT (length(text) % 11 = 3)
         |UNION ALL
         |SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 9 = 0""".stripMargin,
     // manifest consolidation is metadata-only: content = the four drops

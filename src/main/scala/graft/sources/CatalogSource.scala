@@ -352,7 +352,8 @@ final class CatalogAggScan(table: String, out: StructType, rows: Array[Array[Any
   */
 final case class CatalogFilePartition(file: String,
                                       deletes: Seq[(String, Seq[String])],
-                                      posDeletes: Seq[Long] = Nil)
+                                      posDeletes: Seq[Long] = Nil,
+                                      dv: Option[(String, Long, Int)] = None)
     extends InputPartition
 
 /** Several small data files bin-packed into ONE scan partition (Spark's
@@ -719,18 +720,30 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     // (readWithDeletes' hand-to-every-group fallback has no per-file
     // equivalent here; both sides normalize identically, so this fires only
     // on genuine metadata corruption).
-    val posAll = cat.positionalDeletes(table, snap)
+    // TSV tombstones expand at planning (takedown-sized by the commit
+    // contract); deletion VECTORS stay coordinates — each file's partition
+    // carries (dvPath, offset, length) and the TASK range-reads its bitmap,
+    // so a DV table plans from O(index) driver bytes however many rows are
+    // tombstoned.
+    val posAll = cat.positionalTsvPairs(table, snap)
+    val dvIdx = cat.deletionVectorIndex(table, snap)
+    require(dvIdx.map(_.file).distinct.size == dvIdx.size,
+      s"graft-catalog source: snapshot $snap of '$table' carries MULTIPLE deletion " +
+      "vectors for one data file — run rewrite_position_deletes to merge them")
     val posByFile: Map[String, Seq[Long]] =
-      if (posAll.isEmpty) Map.empty
+      if (posAll.isEmpty && dvIdx.isEmpty) Map.empty
       else {
         val snapNorm = cat.filesWithAddOrder(table, snap)
           .map(p => cat.normFile(p._1)).toSet
-        val orphans = posAll.collect { case (f, _) if !snapNorm(f) => f }.distinct
+        val orphans = (posAll.collect { case (f, _) if !snapNorm(f) => f } ++
+          dvIdx.collect { case e if !snapNorm(e.file) => e.file }).distinct
         require(orphans.isEmpty,
           s"graft-catalog source: positional tombstones of '$table' name files " +
           s"absent from snapshot $snap: ${orphans.take(3).mkString(", ")}")
         posAll.groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).distinct.sorted }
       }
+    val dvByFile: Map[String, (String, Long, Int)] =
+      dvIdx.map(e => e.file -> ((e.dvPath, e.offset, e.length))).toMap
     val deletes = cat.equalityDeletes(table, snap)
     deletes.map(_._2).distinct.foreach { c =>
       val f = tableSchema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
@@ -740,9 +753,11 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
         "only string/long/int delete keys are replayable by the streaming reader")
     }
     files.sortBy(_._1).map { case (f, addSnap) =>
+      val norm = cat.normFile(f)
       CatalogFilePartition(f,
         deletes.filter(_._1 > addSnap).map(d => (d._2, d._3)),
-        posByFile.getOrElse(cat.normFile(f), Nil))
+        posByFile.getOrElse(norm, Nil),
+        dvByFile.get(norm))
     }.toArray[InputPartition]
   }
 
@@ -818,7 +833,10 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
         !required.fieldNames.exists(n => n == "_file" || n == "_pos") &&
         cat.renameHistory(table).isEmpty &&
         cat.equalityDeletes(table, batchSnap).isEmpty &&
-        cat.positionalDeletes(table, batchSnap).isEmpty &&
+        // cheap positional check: TSV pairs are takedown-sized, and the DV
+        // INDEX answers emptiness without touching a bitmap byte
+        cat.positionalTsvPairs(table, batchSnap).isEmpty &&
+        cat.deletionVectorIndex(table, batchSnap).isEmpty &&
         required.fields.forall(f => vectorizable(f.dataType))
     }.getOrElse(false)
     new CatalogReaderFactory(required, cat.renameHistory(table), columnarOk)
@@ -1644,7 +1662,7 @@ final class CatalogReaderFactory(required: StructType,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     def one(p: CatalogFilePartition): CatalogVectorReader = {
-      require(p.deletes.isEmpty && p.posDeletes.isEmpty,
+      require(p.deletes.isEmpty && p.posDeletes.isEmpty && p.dv.isEmpty,
         s"graft-catalog: columnar read planned for a delete-carrying file ${p.file}")
       new CatalogVectorReader(p.file, required)
     }
@@ -1686,7 +1704,7 @@ final class CatalogReaderFactory(required: StructType,
         override def close(): Unit = ()
       }
       case p: CatalogFilePartition =>
-        new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
+        new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames, p.dv)
       case g: CatalogKeyGroupPartition => chain(g.files)
       case g: CatalogFileGroupPartition => chain(g.files)
     }
@@ -1703,7 +1721,7 @@ final class CatalogReaderFactory(required: StructType,
           if (cur == null) {
             if (!it.hasNext) return false
             val p = it.next()
-            cur = new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames)
+            cur = new CatalogPartitionReader(p.file, required, p.deletes, p.posDeletes, renames, p.dv)
           }
           if (cur.next()) return true
           cur.close(); cur = null
@@ -1781,7 +1799,8 @@ final class CatalogVectorReader(file: String, required: StructType)
 final class CatalogPartitionReader(file: String, required: StructType,
                                    deletes: Seq[(String, Seq[String])],
                                    posDeletes: Seq[Long] = Nil,
-                                   renames: Seq[(String, String)] = Nil)
+                                   renames: Seq[(String, String)] = Nil,
+                                   dv: Option[(String, Long, Int)] = None)
     extends PartitionReader[InternalRow] {
   CatalogPartitionReader.opened.incrementAndGet()
   import org.apache.parquet.hadoop.ParquetFileReader
@@ -1858,6 +1877,13 @@ final class CatalogPartitionReader(file: String, required: StructType,
   // positional tombstones for THIS file: the running record count below is
   // exactly `_metadata.row_index` (row groups stream in file order)
   private val posSet: Set[Long] = posDeletes.toSet
+  // THIS file's deletion vector, range-read once per task from the
+  // snapshot's dv blob — the O(bitmap) task cost that replaces O(deleted
+  // rows) driver planning
+  private val dvBitmap: org.roaringbitmap.RoaringBitmap =
+    dv.map { case (p, off, len) => graft.spark.DeletionVectors.load(p, off, len) }.orNull
+  private def dvDeleted(ord: Long): Boolean =
+    dvBitmap != null && ord <= Int.MaxValue && dvBitmap.contains(ord.toInt)
   private var ordinal: Long = -1L
 
   /** Direct-to-typed-slots record materialization — the per-row
@@ -1962,7 +1988,7 @@ final class CatalogPartitionReader(file: String, required: StructType,
         val g = recordReader.read()
         rowsLeft -= 1
         ordinal += 1
-        if (g != null && !posSet.contains(ordinal) && !deleted()) return true
+        if (g != null && !posSet.contains(ordinal) && !dvDeleted(ordinal) && !deleted()) return true
       }
     }
     false

@@ -159,6 +159,8 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
         cat.removeOrphanFiles(str(0), grace).map(f => ("removed", f))
       case "rewrite_manifests" =>
         Seq(("snapshot", cat.rewriteManifests(str(0)).toString))
+      case "rewrite_position_deletes" =>
+        Seq(("snapshot", cat.rewritePositionDeletes(str(0)).toString))
       case "evolve_spec" =>
         cat.evolveSpec(str(0), graft.spark.PartTransform.parse(str(1)))
         Seq(("spec", str(1)))
@@ -175,8 +177,8 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
         Seq(("snapshot", cat.cherryPick(str(0), snap).toString))
       case other => throw new IllegalArgumentException(
         s"CALL: unknown procedure '$other' (compact, compact_sorted, expire_snapshots, " +
-        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests, evolve_spec, zorder, " +
-        "cherrypick)")
+        "rollback, tag, drop_tag, remove_orphans, rewrite_manifests, " +
+        "rewrite_position_deletes, evolve_spec, zorder, cherrypick)")
     }
   }
 

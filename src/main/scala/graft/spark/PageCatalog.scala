@@ -483,7 +483,7 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     // so a key feed over such a window would silently under-delete. Refuse
     // (the compaction-crossing refusal precedent): compact the source
     // first, or re-sync the mirror from the full snapshot.
-    require(!winRefs.exists(_.startsWith("p")),
+    require(!winRefs.exists(r => r.startsWith("p") || r.startsWith("x")),
       s"delete window ($fromSnap, $to] of '$table' contains positional deletes, " +
       "which have no key representation — compact the source table first")
     val rows = winRefs
@@ -832,10 +832,13 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
   private[graft] def normFile(s: String): String = s.replaceFirst(posNormRx, "")
 
   /** The snapshot's positional-delete (normalized file path, row ordinal)
-    * pairs — the planning surface a non-Spark reader (DSv2 per-file
-    * readers) checks before claiming it can scan the snapshot.
+    * pairs from the TSV tombstones only (`p*.tsv` — takedown-sized by the
+    * commit contract). Deletion VECTORS are excluded: callers that can
+    * stream bitmaps task-side ([[deletionVectorIndex]]) must not pay a
+    * driver-side expansion. [[positionalDeletes]] is the fully-expanded
+    * union.
     */
-  def positionalDeletes(table: String, snap: Long): Seq[(String, Long)] =
+  def positionalTsvPairs(table: String, snap: Long): Seq[(String, Long)] =
     deleteRefsOf(table, snap).filter(_.startsWith("p")).flatMap { ref =>
       readStr(new HPath(manifestDir(table), ref))
         .split('\n').filter(_.nonEmpty).map { l =>
@@ -845,6 +848,23 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
            l.drop(i + 1).toLong)
         }
     }
+
+  /** ALL of the snapshot's positional deletes as (normalized file path, row
+    * ordinal) pairs — TSV tombstones plus fully-EXPANDED deletion vectors.
+    * The compatibility/validation surface (emptiness checks, the library
+    * read path's per-group anti-join); the DSv2 scan never calls this for
+    * vectors — it ships each file's bitmap coordinates to the task instead.
+    */
+  def positionalDeletes(table: String, snap: Long): Seq[(String, Long)] =
+    positionalTsvPairs(table, snap) ++
+      deletionVectorIndex(table, snap).flatMap { e =>
+        val bm = DeletionVectors.load(e.dvPath, e.offset, e.length)
+        val out = new Array[(String, Long)](bm.getCardinality)
+        var i = 0
+        val it = bm.iterator()
+        while (it.hasNext) { out(i) = (e.file, it.next().toLong & 0xffffffffL); i += 1 }
+        out.toSeq
+      }
 
   /** Commit a positional-delete tombstone as a NEW snapshot (metadata-only;
     * time travel to the pre-delete snapshot stays complete). `positions`
@@ -960,6 +980,119 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     * paths so the escape/normalization rules can never diverge. */
   private[graft] def posTombstoneLine(file: String, pos: Long): String =
     s"${escStat(normFile(file))}\t$pos"
+
+  // ------------------------------------------------------------------
+  // DELETION VECTORS (the Iceberg-v3 / Delta form of positional deletes):
+  // one roaring bitmap of deleted row ordinals PER DATA FILE, packed into a
+  // single `x<snap>.dv` blob with a bounded header index. Where a TSV
+  // tombstone costs O(deleted rows) driver text on every plan, a DV table
+  // plans from the index alone — O(touched files) lines — and each scan
+  // task range-reads only ITS file's bitmap. At 100 TB this is the
+  // difference between a takedown the driver can plan and one it cannot:
+  // a billion-row UPDATE's tombstones become ~files × (bitmap bytes), and
+  // no (file, pos) pair ever crosses the driver after the rewrite.
+  //
+  // Blob layout (all offsets relative to the data section that follows the
+  // index; [[deletionVectorIndex]] returns them absolute):
+  //   "DV1 <idxBytes>\n"                       -- bounded first line
+  //   idx: "<escaped file>\t<card>\t<off>\t<len>\n" per data file
+  //   data: concatenated RoaringBitmap.serialize() bytes
+  //
+  // DVs enter via [[rewritePositionDeletes]] (the Iceberg
+  // `rewrite_position_delete_files` maintenance shape: TSV tombstones
+  // accumulate from UPDATE/MERGE/DELETE commits, maintenance compacts them
+  // into one vector file and drops the TSV refs — data files untouched).
+  // The ref rides the manifest as `!x<snap>.dv`, so GC ref-counting,
+  // cherry-pick's paired-tombstone refusal and the changelog's positional
+  // refusal all hold with no special casing. Sequence rule: a DV names its
+  // files explicitly, exactly like a TSV tombstone — rows appended later
+  // live in paths it cannot name.
+  // ------------------------------------------------------------------
+
+  /** One deletion-vector index entry: `file` is the normalized DATA file
+    * the bitmap applies to; (`dvPath`, `offset`, `length`) locate its
+    * serialized bitmap for a task-side range read; `cardinality` is the
+    * deleted-row count (planning statistics).
+    */
+  final case class DvEntry(file: String, dvPath: String, offset: Long,
+                           length: Int, cardinality: Long)
+
+  /** The snapshot's deletion-vector index — O(index bytes) driver read;
+    * bitmap bytes are never touched here.
+    */
+  def deletionVectorIndex(table: String, snap: Long): Seq[DvEntry] =
+    deleteRefsOf(table, snap).filter(_.startsWith("x")).flatMap { ref =>
+      val p = new HPath(manifestDir(table), ref)
+      val in = fsOf(p).open(p)
+      try {
+        val fl = new StringBuilder
+        var c = in.read()
+        while (c != '\n') {
+          require(c != -1 && fl.length < 64, s"corrupt deletion vector $ref: no header")
+          fl.append(c.toChar); c = in.read()
+        }
+        val head = fl.toString.split(' ')
+        require(head.length == 2 && head(0) == "DV1",
+          s"corrupt deletion vector $ref: bad magic '${fl.toString}'")
+        val idxLen = head(1).toInt
+        val idxB = new Array[Byte](idxLen)
+        in.readFully(idxB)
+        val dataStart = fl.length + 1 + idxLen.toLong
+        new String(idxB, UTF_8).split('\n').filter(_.nonEmpty).map { l =>
+          val Array(f, card, off, len) = l.split('\t')
+          DvEntry(unescStat(f).getOrElse(
+              throw new IllegalStateException(s"null path in $ref")),
+            pathStr(p), dataStart + off.toLong, len.toInt, card.toLong)
+        }.toSeq
+      } finally in.close()
+    }
+
+  /** Compact the snapshot's positional TSV tombstones (and any existing
+    * deletion vectors) into ONE new deletion-vector file, committed as a
+    * metadata-only snapshot with the old `p*`/`x*` refs dropped and the
+    * data entries byte-identical — Iceberg's `rewrite_position_delete_files`.
+    * Returns the new snapshot id. Refuses when the snapshot carries no
+    * positional deletes (nothing to rewrite; committing an empty vector
+    * would be pure metadata noise).
+    */
+  def rewritePositionDeletes(table: String): Long = withCommitLock(table) {
+    val cur = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val prev = entriesOf(table, cur)
+    val posRefs = prev.filter(e => e.startsWith("!p") || e.startsWith("!x"))
+    require(posRefs.nonEmpty,
+      s"rewrite_position_deletes on '$table': snapshot $cur has no positional deletes")
+    val byFile = new scala.collection.mutable.LinkedHashMap[String, org.roaringbitmap.RoaringBitmap]()
+    positionalDeletes(table, cur).foreach { case (f, pos) =>
+      require(pos >= 0 && pos <= Int.MaxValue,
+        s"rewrite_position_deletes on '$table': ordinal $pos exceeds the 32-bit " +
+        "bitmap range (file row counts are bounded by write.target-file-size)")
+      byFile.getOrElseUpdate(f, new org.roaringbitmap.RoaringBitmap()).add(pos.toInt)
+    }
+    val snap = claimSnapshotId(table)
+    val ref = s"x$snap.dv"
+    val bufs = byFile.toSeq.sortBy(_._1).map { case (f, bm) =>
+      bm.runOptimize()
+      val b = new Array[Byte](bm.serializedSizeInBytes())
+      bm.serialize(java.nio.ByteBuffer.wrap(b))
+      (f, bm.getLongCardinality, b)
+    }
+    val idx = new StringBuilder
+    var off = 0L
+    bufs.foreach { case (f, card, b) =>
+      idx.append(s"${escStat(f)}\t$card\t$off\t${b.length}\n"); off += b.length
+    }
+    val idxB = idx.toString.getBytes(UTF_8)
+    val p = new HPath(manifestDir(table), ref)
+    val out = fsOf(p).create(p, true)
+    try {
+      out.write(s"DV1 ${idxB.length}\n".getBytes(UTF_8))
+      out.write(idxB)
+      bufs.foreach(b => out.write(b._3))
+    } finally out.close()
+    commitSnapshot(table, snap, prev.filterNot(posRefs.contains) :+ ("!" + ref))
+    snap
+  }
 
   /** Apply a snapshot's equality-delete files: one broadcast anti-join per
     * tombstone (the delete sets are takedown-sized — thousands of keys, not
@@ -2708,4 +2841,25 @@ object ParquetSnapshotCatalog {
   /** Bounded metadata-log depth carried in the CURRENT pointer (Iceberg's
     * `write.metadata.previous-versions-max` shape). */
   val HistoryMax = 100
+}
+
+/** Task-side deletion-vector access: a scan task range-reads ONLY its data
+  * file's serialized bitmap out of the snapshot's `x<snap>.dv` blob —
+  * coordinates arrive via the planned partition, no catalog instance and no
+  * driver round-trip involved.
+  */
+object DeletionVectors {
+  def load(dvPath: String, offset: Long, length: Int): org.roaringbitmap.RoaringBitmap = {
+    val p = new HPath(dvPath)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      in.seek(offset)
+      val b = new Array[Byte](length)
+      in.readFully(b)
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(java.nio.ByteBuffer.wrap(b))
+      bm
+    } finally in.close()
+  }
 }
