@@ -270,6 +270,18 @@ object SparkEntry {
       Graph.pageRank(edges, iters = 3)
         .select(col("node").as("host"), col("r").as("rank_fp"))
     }),
+    "q_hits" -> ((s, dir) => {
+      // HITS hubs & authorities over the same closed-form host graph as
+      // q_pagerank: 2 synchronous rounds, fixed-point BIGINT with exact
+      // integer max-rescaling per half-step — bit-identical to the DuckDB
+      // unrolling on any partitioning
+      val n = s.sparkContext.defaultParallelism
+      val edges = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "hits", n)
+        .toDF().selectExpr("url", "explode(links) AS href")
+        .selectExpr("parse_url(url, 'HOST') AS src", "parse_url(href, 'HOST') AS dst")
+      Graph.hits(edges, iters = 2)
+        .select(col("node").as("host"), col("hub_fp"), col("auth_fp"))
+    }),
     "q_robots_filter" -> ((s, dir) => {
       // crawl-compliance gate (RFC 9309): the distinct frontier from the
       // graph corpus's extracted links, filtered against per-host
@@ -789,6 +801,10 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       // capped posting lists (8 lowest doc_ids per word) + true df
       TextOps.invertedIndex(docs(s, dir))),
+    "q_phrase_search" -> ((s, dir) =>
+      // exact positional phrase query: postings filtered to the 3 terms
+      // BEFORE any shuffle, then k−1 (doc, start)-keyed intersection joins
+      TextOps.phraseSearch(docs(s, dir), Seq("slow", "hash", "batch"))),
     "q_tfidf_top" -> ((s, dir) =>
       // per-doc top distinctive term (rational-idf tf/df — exact ordering
       // across engines; ties break on word)
@@ -825,6 +841,12 @@ object SparkEntry {
       // trained decision boundary
       TextOps.qualityModelScore(docs(s, dir), TextOps.qualityWeights(s),
         threshold = 0L)),
+    "q_train_classifier" -> ((s, dir) =>
+      // IN-ENGINE distributed training (batch perceptron, 3 synchronous
+      // rounds): per-round delta = ONE partial-agged integer reduction over
+      // the persisted feature projection, weights ride broadcast crossJoins
+      // — bit-exact on any partitioning, replayed by the unrolled oracle
+      TextOps.perceptronTrain(docs(s, dir), posLang = "en", iters = 3)),
     "q_dsir_weights" -> ((s, dir) =>
       // DSIR-style importance weights: hashed-bigram bucket ratio of an
       // en-language target corpus vs the full raw stream, integer-scaled
@@ -2430,6 +2452,35 @@ object SparkEntry {
         |r3 AS (SELECT n.node, CAST(150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
         |       FROM nodes n LEFT JOIN c3 ON n.node = c3.node)
         |SELECT node AS host, r AS rank_fp FROM r3""".stripMargin,
+    // HITS over the same closed-form host edges, 2 unrolled rounds; each
+    // half-step gathers then rescales by the exact integer divisor
+    // ceil(max/scale) — `//` == Spark `div` (all operands nonnegative)
+    "q_hits" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS src,
+        |         'site' || CAST((doc_id * 3 + i * 5) % 11 AS VARCHAR) || '.example.com' AS dst
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents)),
+        |edges AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |a0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS a FROM nodes),
+        |h1r AS (SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS hr FROM nodes n LEFT JOIN
+        |        (SELECT e.src AS node, SUM(a0.a) AS c FROM edges e JOIN a0 ON e.dst = a0.node GROUP BY e.src) s
+        |        ON n.node = s.node),
+        |h1 AS (SELECT node, CAST(hr // ((GREATEST((SELECT MAX(hr) FROM h1r), 1) + 999999999) // 1000000000) AS BIGINT) AS h FROM h1r),
+        |a1r AS (SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS ar FROM nodes n LEFT JOIN
+        |        (SELECT e.dst AS node, SUM(h1.h) AS c FROM edges e JOIN h1 ON e.src = h1.node GROUP BY e.dst) s
+        |        ON n.node = s.node),
+        |a1 AS (SELECT node, CAST(ar // ((GREATEST((SELECT MAX(ar) FROM a1r), 1) + 999999999) // 1000000000) AS BIGINT) AS a FROM a1r),
+        |h2r AS (SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS hr FROM nodes n LEFT JOIN
+        |        (SELECT e.src AS node, SUM(a1.a) AS c FROM edges e JOIN a1 ON e.dst = a1.node GROUP BY e.src) s
+        |        ON n.node = s.node),
+        |h2 AS (SELECT node, CAST(hr // ((GREATEST((SELECT MAX(hr) FROM h2r), 1) + 999999999) // 1000000000) AS BIGINT) AS h FROM h2r),
+        |a2r AS (SELECT n.node, CAST(COALESCE(s.c, 0) AS BIGINT) AS ar FROM nodes n LEFT JOIN
+        |        (SELECT e.dst AS node, SUM(h2.h) AS c FROM edges e JOIN h2 ON e.src = h2.node GROUP BY e.dst) s
+        |        ON n.node = s.node),
+        |a2 AS (SELECT node, CAST(ar // ((GREATEST((SELECT MAX(ar) FROM a2r), 1) + 999999999) // 1000000000) AS BIGINT) AS a FROM a2r)
+        |SELECT h2.node AS host, h2.h AS hub_fp, a2.a AS auth_fp
+        |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
     // the robots longest-match decision, hand-derived as a closed-form CASE
     // over the rule set renderRobots(h) emits: graftbot group (h%5=0) denies
     // all; Disallow /g/ (h%2=0) denies unless the longer Allow /g/x1
@@ -2823,6 +2874,35 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS INTEGER) AS pass
         |FROM f JOIN w ON f.lang = w.lang""".stripMargin
     },
+    // batch-perceptron rounds unrolled: round 1 fires on EVERY doc (w=0 →
+    // margin 0 ≤ 0), rounds 2-3 on the misclassified subset under the
+    // previous round's weights; all-integer sums → order-independent
+    "q_train_classifier" ->
+      s"""WITH f AS (SELECT doc_id,
+        |              CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+        |              ${TextOps.tokensExpr} AS x1,
+        |              CAST(length(text) AS BIGINT) AS x2,
+        |              ${TextOps.markerExpr("the")} AS x3
+        |            FROM documents),
+        |r1 AS (SELECT CAST(COALESCE(SUM(y*x1), 0) AS BIGINT) AS wt, CAST(COALESCE(SUM(y*x2), 0) AS BIGINT) AS wc,
+        |              CAST(COALESCE(SUM(y*x3), 0) AS BIGINT) AS ws, CAST(COALESCE(SUM(y), 0) AS BIGINT) AS b FROM f),
+        |r2 AS (SELECT CAST(r1.wt + COALESCE(SUM(CASE WHEN f.y*(r1.wt*f.x1 + r1.wc*f.x2 + r1.ws*f.x3 + r1.b) <= 0 THEN f.y*f.x1 END), 0) AS BIGINT) AS wt,
+        |              CAST(r1.wc + COALESCE(SUM(CASE WHEN f.y*(r1.wt*f.x1 + r1.wc*f.x2 + r1.ws*f.x3 + r1.b) <= 0 THEN f.y*f.x2 END), 0) AS BIGINT) AS wc,
+        |              CAST(r1.ws + COALESCE(SUM(CASE WHEN f.y*(r1.wt*f.x1 + r1.wc*f.x2 + r1.ws*f.x3 + r1.b) <= 0 THEN f.y*f.x3 END), 0) AS BIGINT) AS ws,
+        |              CAST(r1.b + COALESCE(SUM(CASE WHEN f.y*(r1.wt*f.x1 + r1.wc*f.x2 + r1.ws*f.x3 + r1.b) <= 0 THEN f.y END), 0) AS BIGINT) AS b
+        |       FROM f CROSS JOIN r1 GROUP BY r1.wt, r1.wc, r1.ws, r1.b),
+        |r3 AS (SELECT CAST(r2.wt + COALESCE(SUM(CASE WHEN f.y*(r2.wt*f.x1 + r2.wc*f.x2 + r2.ws*f.x3 + r2.b) <= 0 THEN f.y*f.x1 END), 0) AS BIGINT) AS wt,
+        |              CAST(r2.wc + COALESCE(SUM(CASE WHEN f.y*(r2.wt*f.x1 + r2.wc*f.x2 + r2.ws*f.x3 + r2.b) <= 0 THEN f.y*f.x2 END), 0) AS BIGINT) AS wc,
+        |              CAST(r2.ws + COALESCE(SUM(CASE WHEN f.y*(r2.wt*f.x1 + r2.wc*f.x2 + r2.ws*f.x3 + r2.b) <= 0 THEN f.y*f.x3 END), 0) AS BIGINT) AS ws,
+        |              CAST(r2.b + COALESCE(SUM(CASE WHEN f.y*(r2.wt*f.x1 + r2.wc*f.x2 + r2.ws*f.x3 + r2.b) <= 0 THEN f.y END), 0) AS BIGINT) AS b
+        |       FROM f CROSS JOIN r2 GROUP BY r2.wt, r2.wc, r2.ws, r2.b),
+        |e AS (SELECT CAST(COALESCE(SUM(CASE WHEN f.y*(r3.wt*f.x1 + r3.wc*f.x2 + r3.ws*f.x3 + r3.b) <= 0 THEN 1 END), 0) AS BIGINT) AS v
+        |      FROM f CROSS JOIN r3 GROUP BY r3.wt, r3.wc, r3.ws, r3.b)
+        |SELECT 'w_tokens' AS feature, wt AS value FROM r3
+        |UNION ALL SELECT 'w_chars', wc FROM r3
+        |UNION ALL SELECT 'w_stop', ws FROM r3
+        |UNION ALL SELECT 'bias', b FROM r3
+        |UNION ALL SELECT 'errors', v FROM e""".stripMargin,
     // DSIR surrogate replayed: hashed-bigram buckets (md5 nibble idiom),
     // target=en counts vs raw counts, per-occurrence floor-div ratio summed
     // per doc — all-integer, so the sum is order-independent and bit-exact
@@ -2954,6 +3034,18 @@ object SparkEntry {
         |      FROM wx)
         |SELECT word, CAST(rank_idx AS INTEGER) AS rank_idx, doc_id, df
         |FROM r WHERE rank_idx < 8""".stripMargin,
+    // positional intersection replayed literally: 0-based word positions,
+    // three shifted posting streams intersected on (doc_id, start)
+    "q_phrase_search" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |w AS (SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+        |      FROM d, UNNEST(generate_series(1, len(ws))) AS t(i)),
+        |p0 AS (SELECT doc_id, pos AS start_pos FROM w WHERE word = 'slow'),
+        |p1 AS (SELECT doc_id, pos - 1 AS start_pos FROM w WHERE word = 'hash'),
+        |p2 AS (SELECT doc_id, pos - 2 AS start_pos FROM w WHERE word = 'batch')
+        |SELECT p0.doc_id, p0.start_pos
+        |FROM p0 JOIN p1 USING (doc_id, start_pos) JOIN p2 USING (doc_id, start_pos)
+        |WHERE p0.start_pos >= 0""".stripMargin,
     // tf/df rational idf: identical correctly-rounded double from one
     // division in both engines; row_number ties break on word ASC
     "q_tfidf_top" ->

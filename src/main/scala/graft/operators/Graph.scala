@@ -63,4 +63,71 @@ object Graph {
     e.unpersist(); ed.unpersist(); nodes.unpersist()
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list
+    * `(src, dst)`, `iters` synchronous rounds — the second classic link-rank
+    * artifact next to [[pageRank]]: a page is a good HUB if it points at
+    * good authorities, a good AUTHORITY if good hubs point at it. Crawl
+    * pipelines use the hub side to prioritize directory/index pages for
+    * link discovery and the authority side as a quality weight.
+    *
+    * Determinism contract (same as pageRank): all arithmetic is fixed-point
+    * BIGINT. The textbook L2 normalization is float and order-dependent, so
+    * each half-step instead rescales by the EXACT integer max:
+    *
+    *   a_0(v)    = scale
+    *   h'_t(u)   = Σ_{u→v} a_t(v)          ;  h_t = h'_t div ceil(max(h'_t) / scale)
+    *   a'_t+1(v) = Σ_{u→v} h_t(u)          ;  a_t+1 = a'_t+1 div ceil(max(a'_t+1) / scale)
+    *
+    * Max-rescaling by the EXACT integer divisor `ceil(max/scale)` (1 when
+    * max ≤ scale) is monotone — the ranking survives every round — and
+    * bounds values to [0, scale], so sums can never overflow: Σ
+    * contributions ≤ indeg·scale ≤ 10^8·10^9 = 10^17 ≪ Long.MaxValue on a
+    * 10^8-host graph, and no intermediate ever multiplies past that (the
+    * naive `(v*scale) div max` WOULD overflow at v ~ 10^17). Every step is
+    * integer div/sum, so the DuckDB unrolling is bit-identical.
+    *
+    * Scale shape: edges deduped + persisted once; each half-round is ONE
+    * shuffle join (edges × scores on the gathering side, exchange reused
+    * across rounds) + one partial-aggregated sum + an O(1) global max that
+    * rides a broadcast crossJoin — no driver collect, no lineage growth
+    * (`localCheckpoint` per round, the [[pageRank]] convention).
+    */
+  def hits(edges: DataFrame, iters: Int = 2, scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().persist()
+    // v div ceil(mx / scale): overflow-free monotone rescale into [0, scale]
+    def rescale(v: String, mx: String) =
+      s"$v div (($mx + ${scale - 1}L) div ${scale}L)"
+    var auth = nodes.withColumn("a", lit(scale)).localCheckpoint()
+    var hub: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .select(e("src").as("node"), col("a").as("c"))
+        .groupBy("node").agg(sum("c").as("hr"))
+      val hAll = nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0L)).as("hr"))
+      val hMax = hAll.agg(greatest(max("hr"), lit(1L)).as("hmx"))
+      hub = hAll.crossJoin(broadcast(hMax))
+        .select(col("node"), expr(rescale("hr", "hmx")).as("h"))
+        .localCheckpoint()
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .select(e("dst").as("node"), col("h").as("c"))
+        .groupBy("node").agg(sum("c").as("ar"))
+      val aAll = nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0L)).as("ar"))
+      val aMax = aAll.agg(greatest(max("ar"), lit(1L)).as("amx"))
+      auth = aAll.crossJoin(broadcast(aMax))
+        .select(col("node"), expr(rescale("ar", "amx")).as("a"))
+        .localCheckpoint()
+      i += 1
+    }
+    val out = hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_fp"), col("a").as("auth_fp"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
 }

@@ -395,6 +395,40 @@ object TextOps {
       .select("word", "rank_idx", "doc_id", "df")
   }
 
+  /** Exact phrase search over the positional index — the serving-side query
+    * an inverted index exists for. `phrase` is the ordered word list; a
+    * match at `(doc_id, start_pos)` means words `start_pos .. start_pos+k-1`
+    * of the doc equal the phrase (0-based word positions).
+    *
+    * Shape (the part that matters at 10^12 docs): the corpus-wide positional
+    * posting stream `(word, doc_id, pos)` is filtered to the phrase's k
+    * terms BEFORE anything shuffles — a codegen'd `isin` on the narrow
+    * posexplode, so only the matched terms' postings (a vanishing fraction
+    * of total positions for selective phrases) ever leave the scan. The
+    * k−1 intersection joins are all keyed on the SAME `(doc_id, start)`
+    * pair (term i's postings shifted by −i), so Catalyst plans one exchange
+    * per term stream and the joins chain without re-partitioning — the
+    * standard positional-intersection plan, not a corpus-wide window (a
+    * `lead(word, i)` window would shuffle EVERY position of every doc).
+    *
+    * A repeated word in the phrase is handled naturally (its postings enter
+    * twice, shifted differently). Duplicate-free by construction: positions
+    * are unique per doc, so each (doc_id, start) survives at most once per
+    * term stream.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val words = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(col("word").isin(phrase.distinct: _*)) // narrow pre-shuffle filter
+    phrase.zipWithIndex.map { case (t, i) =>
+      words.where(col("word") === t)
+        .select(col("doc_id"), (col("pos") - i).cast("bigint").as("start_pos"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start_pos")))
+      .where(col("start_pos") >= 0)
+  }
+
   /** Compression-ratio quality signal (Dolma/RedPajama-style gibberish
     * detector): deflate(text).length / utf8(text).length. Highly repetitive
     * boilerplate compresses far below ~0.3; random gibberish sits near 1.0.
@@ -1080,6 +1114,83 @@ object TextOps {
         (a(0), a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong)
       }.toList
     finally src.close()
+  }
+
+  /** IN-ENGINE distributed classifier training — the companion to
+    * [[qualityModelScore]]'s inference path: a batch perceptron
+    * (Rosenblatt update, full-batch variant) over the same integer feature
+    * projection, trained with `iters` synchronous rounds:
+    *
+    *   margin_i = y_i · (w · x_i + b)
+    *   w ← w + Σ_{margin_i ≤ 0} y_i · x_i ;  b ← b + Σ_{margin_i ≤ 0} y_i
+    *
+    * The full-batch update is what makes training DISTRIBUTED-DETERMINISTIC:
+    * the per-round delta is one commutative integer sum over the corpus
+    * (partial-aggregated map-side, any partitioning, any executor count —
+    * unlike the sequential per-example perceptron, whose result depends on
+    * visit order), so a DuckDB unrolling of the rounds is bit-exact.
+    *
+    * Scale shape (the parameter-server-free pattern every distributed
+    * linear trainer uses — MLlib's treeAggregate does exactly this): the
+    * feature projection is computed ONCE (codegen'd, zero shuffle) and
+    * persisted; each round is ONE partial-aggregated reduction producing a
+    * single O(features) row, consumed via a broadcast crossJoin into the
+    * next round's margin expression — the corpus never re-shuffles, no
+    * driver-side collect of anything bigger than the weight vector's
+    * lineage. Label: `lang == posLang` (the language-ID training task; any
+    * deterministic labeling column slots in).
+    *
+    * Overflow: |x| ≤ chars/doc ≤ 10^6, |Δw| ≤ N·|x| per round — at 10^12
+    * docs the BIGINT bound needs feature scaling (divide the delta by a
+    * fixed N-scale before applying), which `deltaShift` provides (default 0
+    * = raw Rosenblatt — the oracle-replayed form; nonzero shifts stay
+    * deterministic but truncate negative deltas toward zero, Spark `div`
+    * semantics).
+    *
+    * Output: 5 rows (feature, value) — the 3 weights, bias, and the final
+    * misclassified count over the training set.
+    */
+  def perceptronTrain(docs: DataFrame, posLang: String = "en", iters: Int = 3,
+                      deltaShift: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val feats = docs.selectExpr(
+      "doc_id",
+      s"CAST(CASE WHEN lang = '$posLang' THEN 1 ELSE -1 END AS BIGINT) AS y",
+      s"$tokensExpr AS x1",
+      "CAST(length(text) AS BIGINT) AS x2",
+      s"${markerExpr("the")} AS x3")
+      .persist()
+    var w = spark.createDataFrame(Seq((0L, 0L, 0L, 0L)))
+      .toDF("wt", "wc", "ws", "b")
+    val marginE = "y * (wt * x1 + wc * x2 + ws * x3 + b)"
+    var i = 0
+    while (i < iters) {
+      val delta = feats.crossJoin(broadcast(w))
+        .where(s"$marginE <= 0")
+        .selectExpr("y", "x1", "x2", "x3")
+        .agg(
+          coalesce(sum(expr("y * x1")), lit(0L)).as("dt"),
+          coalesce(sum(expr("y * x2")), lit(0L)).as("dc"),
+          coalesce(sum(expr("y * x3")), lit(0L)).as("ds"),
+          coalesce(sum(col("y")), lit(0L)).as("db"))
+      w = w.crossJoin(broadcast(delta)).selectExpr(
+        s"wt + (dt div ${1L << deltaShift}L) AS wt",
+        s"wc + (dc div ${1L << deltaShift}L) AS wc",
+        s"ws + (ds div ${1L << deltaShift}L) AS ws",
+        s"b + (db div ${1L << deltaShift}L) AS b")
+        .localCheckpoint() // O(1)-deep lineage; one reduction job per round
+      i += 1
+    }
+    val errs = feats.crossJoin(broadcast(w))
+      .agg(coalesce(sum(expr(s"CASE WHEN $marginE <= 0 THEN 1L ELSE 0L END")), lit(0L)).as("v"))
+      .localCheckpoint() // materialize before the feature cache drops
+    val out = w.selectExpr("'w_tokens' AS feature", "wt AS value")
+      .unionAll(w.selectExpr("'w_chars'", "wc"))
+      .unionAll(w.selectExpr("'w_stop'", "ws"))
+      .unionAll(w.selectExpr("'bias'", "b"))
+      .unionAll(errs.selectExpr("'errors'", "v"))
+    feats.unpersist()
+    out
   }
 
   /** C4-style blocked-word content filter: drop documents containing any

@@ -68,4 +68,45 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val edges = (0 until 60).map(i => (s"h${i % 7}", s"h${(i * 3 + 1) % 7}"))
     assert(ranks(edges, 3, parts = 1) == ranks(edges, 3, parts = 13))
   }
+
+  // ---- HITS ----
+
+  private def hitsOf(edges: Seq[(String, String)], iters: Int, parts: Int = 4): Map[String, (Long, Long)] = {
+    val df = spark.createDataFrame(edges).toDF("src", "dst").repartition(parts)
+    Graph.hits(df, iters).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("HITS star: leaves are pure hubs, the center a pure authority") {
+    // l1,l2,l3 → hub. h'1 = (S,S,S,0), max S → divisor 1 → h1 unchanged;
+    // a'1: hub = 3S, max 3S → divisor 3 → a1(hub) = S, leaves 0.
+    val r = hitsOf(Seq("l1" -> "hub", "l2" -> "hub", "l3" -> "hub"), iters = 1)
+    val S = 1000000000L
+    assert(r("l1") == ((S, 0L)) && r("l2") == ((S, 0L)) && r("l3") == ((S, 0L)))
+    assert(r("hub") == ((0L, S)))
+  }
+
+  test("HITS chain a->b->c, one round, hand-computed") {
+    // h'1 = (a:S, b:S, c:0) → h1 same (max S); a'1 = (a:0, b:S, c:S) → same
+    val r = hitsOf(Seq("a" -> "b", "b" -> "c"), iters = 1)
+    val S = 1000000000L
+    assert(r("a") == ((S, 0L)))
+    assert(r("b") == ((S, S)))
+    assert(r("c") == ((0L, S)))
+  }
+
+  test("HITS second round separates hub quality by authority mass") {
+    // l1 → {x, y}, l2 → {x}: x is the stronger authority, so l1 (pointing
+    // at both) must out-hub l2 after round 2 — and after ANY round here.
+    val r = hitsOf(Seq("l1" -> "x", "l1" -> "y", "l2" -> "x"), iters = 2)
+    assert(r("l1")._1 > r("l2")._1)
+    assert(r("x")._2 > r("y")._2)
+  }
+
+  test("HITS is identical under different input partitioning and edge duplication") {
+    val edges = (0 until 80).map(i => (s"h${i % 9}", s"h${(i * 5 + 2) % 9}"))
+    val a = hitsOf(edges, 2, parts = 1)
+    val b = hitsOf(edges ++ edges.take(17), 2, parts = 13) // dup edges collapse
+    assert(a == b)
+  }
 }
