@@ -1370,6 +1370,39 @@ object SparkEntry {
       cat.deleteWhere("t", "url", takedown)
       cat.read(s, "t")
     }),
+    "q_mv_refresh" -> ((s, dir) => {
+      // incrementally-maintained materialized aggregate view (the
+      // warehouse feature whose point IS 100 TB — refresh cost = O(changed
+      // data), never a table re-scan): per-lang count+char rollup created
+      // over two drops, then a window with an append, a lang='de'
+      // equality-delete tombstone, AND a post-tombstone de re-add is
+      // folded in via the net-change CDC feed (+1 insert / −1 pre-image,
+      // one null-safe full-outer merge on the group keys). The refresh is
+      // REQUIRED to take the incremental path; the oracle recomputes the
+      // final aggregate from scratch — bit-equality is the whole
+      // self-maintainability claim. O(delta)-read proof-by-deletion and
+      // the rebuild fallbacks are MaterializedViewSpec's.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_mv_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val base = docs(s, dir).selectExpr(
+        "doc_id", "lang", "CAST(length(text) AS BIGINT) AS chars")
+      cat.commit(base.where("doc_id % 3 = 0"), "src")
+      cat.append(base.where("doc_id % 3 = 1"), "src")
+      graft.spark.MaterializedView.create(s, cat, "src", "mv",
+        Seq("lang"), Seq("chars"))
+      cat.append(base.where("doc_id % 3 = 2"), "src")
+      cat.deleteWhere("src", "lang", Seq("de"))
+      cat.append(base.where("lang = 'de' AND doc_id % 5 = 0"), "src")
+      val r = graft.spark.MaterializedView.refresh(s, cat, "mv")
+      require(r.mode == "incremental",
+        s"expected an incremental refresh, got ${r.mode}")
+      cat.read(s, "mv")
+    }),
     "q_sql_groupagg" -> ((s, dir) => {
       // metadata-only GROUP BY <partition column> COUNT(*): per-group
       // counts summed from the __count sidecar over value-pinned files —
@@ -3583,6 +3616,19 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // the incrementally-maintained view must equal a from-scratch aggregate
+    // over the table's FINAL state: all three drops, minus the lang='de'
+    // tombstone's reach (rows added before it), plus the post-tombstone
+    // de re-add (doc_id % 5 = 0) the sequence rule keeps alive
+    "q_mv_refresh" ->
+      """WITH base AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS chars
+        |              FROM documents),
+        |final AS (SELECT * FROM base WHERE lang <> 'de'
+        |          UNION ALL
+        |          SELECT * FROM base WHERE lang = 'de' AND doc_id % 5 = 0)
+        |SELECT lang, COUNT(*) AS mv_count,
+        |       CAST(COALESCE(SUM(chars), 0) AS BIGINT) AS sum_chars
+        |FROM final GROUP BY lang""".stripMargin,
     // positional-delete takedown: survivors = the predicate's anti-filter
     // over BOTH drops, plus EVERY post-delete re-add (file-scoped
     // tombstones never touch new files, even for matching text)

@@ -175,10 +175,25 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
           cat.branchHead(str(0), str(1)).getOrElse(throw new IllegalArgumentException(
             s"CALL cherrypick: '${str(1)}' is neither a snapshot id nor a branch of '${str(0)}'")))
         Seq(("snapshot", cat.cherryPick(str(0), snap).toString))
+      case "create_mv" =>
+        // create_mv(source, view, 'g1,g2'[, 's1,s2']) — materialize a
+        // count+sum rollup; the quote-aware arg parser keeps each
+        // comma-separated column list one argument
+        val groups = str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val sums = call.args.lift(3)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        Seq(("snapshot", graft.spark.MaterializedView
+          .create(spark, cat, str(0), str(1), groups, sums).toString))
+      case "refresh_mv" =>
+        val r = graft.spark.MaterializedView.refresh(spark, cat, str(0))
+        Seq(("mode", r.mode), ("from", r.fromSnap.toString),
+          ("to", r.toSnap.toString), ("snapshot", r.viewSnap.toString))
       case other => throw new IllegalArgumentException(
         s"CALL: unknown procedure '$other' (compact, compact_sorted, expire_snapshots, " +
         "rollback, tag, drop_tag, remove_orphans, rewrite_manifests, " +
-        "rewrite_position_deletes, evolve_spec, zorder, cherrypick)")
+        "rewrite_position_deletes, evolve_spec, zorder, cherrypick, " +
+        "create_mv, refresh_mv)")
     }
   }
 

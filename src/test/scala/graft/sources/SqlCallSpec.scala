@@ -75,6 +75,27 @@ class SqlCallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM gc.d").collect()(0).getLong(0) == 199)
   }
 
+  test("CALL create_mv + refresh_mv maintain a count+sum rollup from pure SQL") {
+    spark.sql("CREATE TABLE gc.mvsrc AS SELECT /*+ REPARTITION(4) */ id, " +
+      "CAST(id % 3 AS STRING) AS g, id AS v FROM src WHERE id < 150")
+    val c = spark.sql("CALL gc.create_mv('mvsrc', 'mv1', 'g', 'v')").collect()
+    assert(c.length == 1 && c(0).getString(0) == "snapshot")
+    // DML window: an append + an equality-keyed DELETE (metadata-only
+    // tombstone — the shape the incremental changelog can replay)
+    spark.sql("INSERT INTO gc.mvsrc VALUES (1000, '9', 50)")
+    spark.sql("DELETE FROM gc.mvsrc WHERE id IN (0, 3)")
+    val r = spark.sql("CALL gc.refresh_mv('mv1')").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(r("mode") == "incremental", s"got $r")
+    val got = spark.sql("SELECT g, mv_count, sum_v FROM gc.mv1 ORDER BY g")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    val want = spark.sql(
+      "SELECT g, count(*) AS c, coalesce(sum(v), 0L) AS s FROM gc.mvsrc GROUP BY g ORDER BY g")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(got.sameElements(want))
+    assert(got.exists(_._1 == "9")) // the appended group materialized
+  }
+
   test("unknown procedure / wrong catalog / non-CALL statements behave") {
     intercept[Exception](spark.sql("CALL gc.nope('d')").collect())
     intercept[Exception](spark.sql("CALL spark_catalog.compact('d')").collect())
