@@ -1027,6 +1027,40 @@ object SparkEntry {
       graft.sources.Warc.readWet(s, root).toDF()
         .selectExpr("url", "md5(CAST(html AS STRING)) AS text_md5")
     }),
+    "q_wat_roundtrip" -> ((s, dir) => {
+      // the CC WAT layout end-to-end (the metadata member of the
+      // WARC/WAT/WET trio): extraction output renders as metadata records
+      // whose JSON envelope carries head title/base + the outlink list with
+      // anchor text (hrefs RAW — resolution is the consumer's move), lands
+      // as gzip members, streams back, and the payload parses with Spark's
+      // NATIVE from_json (codegen'd, no UDF) — a link-graph build that
+      // never re-touches html archives
+      import java.nio.file.{Files, Paths}
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wat_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val n = s.sparkContext.defaultParallelism
+      val recs = ExtractJob.extract(Pages.synthesizeLinkPages(s, dir), "wat", n)
+        .map(e => graft.sources.Warc.WarcRec(e.url, 1700000000000L,
+          graft.sources.Warc.watJson(e.url, e.title, e.base_href, e.links, e.anchors)
+            .getBytes("UTF-8")))
+        .repartition(8)
+      graft.sources.Warc.writeWat(recs, root)
+      val schema = "STRUCT<Envelope: STRUCT<`Payload-Metadata`: STRUCT<" +
+        "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<" +
+        "Head: STRUCT<Title: STRING>, " +
+        "Links: ARRAY<STRUCT<path: STRING, url: STRING, text: STRING>>>>>>>"
+      graft.sources.Warc.readWat(s, root).toDF()
+        .selectExpr("url",
+          s"from_json(CAST(html AS STRING), '$schema') AS w")
+        .selectExpr("url",
+          "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Head.Title AS title",
+          "explode(w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`.Links) AS l")
+        .selectExpr("url", "title", "l.url AS href", "l.text AS anchor")
+    }),
     "q_cdx_lookup" -> ((s, dir) => {
       // the Common-Crawl INDEX access path: the corpus lands as .warc.gz
       // with a CDX sidecar (member-exact offsets), and "fetch THIS url's
@@ -3536,6 +3570,23 @@ object SparkEntry {
     "q_wet_roundtrip" ->
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       md5(text) AS text_md5 FROM documents""".stripMargin,
+    // the WAT envelope replayed closed-form from the link corpus: title
+    // L<id>, k=(id%5+1) raw external hrefs with their anchors, then the
+    // root-relative and path-relative links every page carries
+    "q_wat_roundtrip" ->
+      """WITH d AS (SELECT doc_id,
+        |                  'https://example.com/links/doc' || CAST(doc_id AS VARCHAR) AS url,
+        |                  'L' || CAST(doc_id AS VARCHAR) AS title
+        |           FROM documents),
+        |l AS (
+        |  SELECT d.url, d.title,
+        |         'https://ext' || CAST((d.doc_id + i) % 7 AS VARCHAR) || '.example.net/p/' || CAST(i AS VARCHAR) AS href,
+        |         'link ' || CAST(i AS VARCHAR) AS anchor
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 5)) AS i FROM documents) g
+        |  JOIN d ON d.doc_id = g.doc_id
+        |  UNION ALL SELECT url, title, '/rel/' || CAST(doc_id AS VARCHAR), 'r' FROM d
+        |  UNION ALL SELECT url, title, 'sub/page' || CAST(doc_id AS VARCHAR), 's' FROM d)
+        |SELECT url, title, href, anchor FROM l""".stripMargin,
     // index random access is transparent: the fetched records are exactly
     // the lookup set's documents
     "q_cdx_lookup" ->

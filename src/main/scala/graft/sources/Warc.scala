@@ -176,6 +176,61 @@ object Warc {
         parseWetStream(decompress(new java.io.ByteArrayInputStream(b)))))
   }
 
+  /** WAT JSON payload for one page — the Common-Crawl WAT envelope subset a
+    * link-graph/metadata consumer actually reads (`Envelope →
+    * Payload-Metadata → HTTP-Response-Metadata → HTML-Metadata`): head
+    * Title/Base plus the outlink list with anchor text, hrefs RAW (WAT does
+    * not resolve; resolution is the consumer's move, as in `q_link_resolve`).
+    * Field order is fixed and every string goes through one escaper, so the
+    * payload bytes are deterministic — task retries produce identical
+    * members and the gate can hash them.
+    */
+  def watJson(url: String, title: String, baseHref: String,
+              links: Seq[String], anchors: Seq[String]): String = {
+    def q(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length + 2)
+      sb.append('"')
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    val linkObjs = links.zipAll(anchors, "", "").map { case (h, a) =>
+      s"""{"path":"A@/href","url":${q(h)},"text":${q(a)}}"""
+    }.mkString("[", ",", "]")
+    val base = if (baseHref.nonEmpty) s""","Base":${q(baseHref)}""" else ""
+    s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":${q(url)},"WARC-Type":"metadata"},""" +
+      s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+      s"""{"Head":{"Title":${q(title)}$base},"Links":$linkObjs}}}}}"""
+  }
+
+  /** WAT write: per-page metadata records (`WARC-Type: metadata`, JSON
+    * payload — see [[watJson]]), completing the CC WARC/WAT/WET trio. Same
+    * per-partition gzip-member writer, same tmp/rename commit.
+    */
+  def writeWat(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit =
+    writeFiles(recs, dir, gzip, zstd = false)(r =>
+      recordBlock(r.url, r.tsMillis, r.block, warcType = "metadata"))
+
+  /** WAT read: metadata records back as (url, ts, json-bytes-in-html) rows —
+    * the [[readWet]] shape; mixed streams skip non-metadata records. Parse
+    * the payload with Spark's native `from_json` (codegen'd, no UDF).
+    */
+  def readWat(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc*")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(b =>
+        parseTyped(decompress(new java.io.ByteArrayInputStream(b)), "metadata")))
+  }
+
   private def writeFiles[T](ds: Dataset[T], dir: String, gzip: Boolean, zstd: Boolean)(
       ser: T => Array[Byte]): Unit = {
     import org.apache.hadoop.fs.Path
