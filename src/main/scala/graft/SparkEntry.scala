@@ -282,6 +282,18 @@ object SparkEntry {
       Graph.hits(edges, iters = 2)
         .select(col("node").as("host"), col("hub_fp"), col("auth_fp"))
     }),
+    "q_communities" -> ((s, dir) => {
+      // synchronous label-propagation communities over the undirected host
+      // graph (spam-ring / host-cluster detection): deterministic
+      // (count DESC, label ASC) tie-break, so the DuckDB unrolling of both
+      // rounds is bit-exact on any partitioning
+      val n = s.sparkContext.defaultParallelism
+      val edges = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "lpa", n)
+        .toDF().selectExpr("url", "explode(links) AS href")
+        .selectExpr("parse_url(url, 'HOST') AS src", "parse_url(href, 'HOST') AS dst")
+      Graph.labelPropagation(edges, iters = 2)
+        .select(col("node").as("host"), col("community"))
+    }),
     "q_robots_filter" -> ((s, dir) => {
       // crawl-compliance gate (RFC 9309): the distinct frontier from the
       // graph corpus's extracted links, filtered against per-host
@@ -2548,6 +2560,35 @@ object SparkEntry {
         |a2 AS (SELECT node, CAST(ar // ((GREATEST((SELECT MAX(ar) FROM a2r), 1) + 999999999) // 1000000000) AS BIGINT) AS a FROM a2r)
         |SELECT h2.node AS host, h2.h AS hub_fp, a2.a AS auth_fp
         |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
+    // synchronous LPA unrolled: canonical undirected edges (least/greatest,
+    // self-loops dropped), two rounds of neighbor-label counting with the
+    // (count DESC, label ASC) row_number tie-break
+    "q_communities" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS src,
+        |         'site' || CAST((doc_id * 3 + i * 5) % 11 AS VARCHAR) || '.example.com' AS dst
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents)),
+        |edges AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |          FROM e0 WHERE src <> dst),
+        |nodes AS (SELECT a AS node FROM edges UNION SELECT b FROM edges),
+        |l0 AS (SELECT node, node AS lab FROM nodes),
+        |n1 AS (SELECT e.a AS node, l.lab FROM edges e JOIN l0 l ON e.b = l.node
+        |       UNION ALL SELECT e.b, l.lab FROM edges e JOIN l0 l ON e.a = l.node),
+        |c1 AS (SELECT node, lab, count(*) AS c FROM n1 GROUP BY node, lab),
+        |b1 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |l1 AS (SELECT l0.node, COALESCE(b1.lab, l0.lab) AS lab
+        |       FROM l0 LEFT JOIN b1 ON l0.node = b1.node),
+        |n2 AS (SELECT e.a AS node, l.lab FROM edges e JOIN l1 l ON e.b = l.node
+        |       UNION ALL SELECT e.b, l.lab FROM edges e JOIN l1 l ON e.a = l.node),
+        |c2 AS (SELECT node, lab, count(*) AS c FROM n2 GROUP BY node, lab),
+        |b2 AS (SELECT node, lab FROM (
+        |         SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |l2 AS (SELECT l1.node, COALESCE(b2.lab, l1.lab) AS lab
+        |       FROM l1 LEFT JOIN b2 ON l1.node = b2.node)
+        |SELECT node AS host, lab AS community FROM l2""".stripMargin,
     // the robots longest-match decision, hand-derived as a closed-form CASE
     // over the rule set renderRobots(h) emits: graftbot group (h%5=0) denies
     // all; Disallow /g/ (h%2=0) denies unless the longer Allow /g/x1

@@ -130,4 +130,54 @@ object Graph {
     e.unpersist(); nodes.unpersist()
     out
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et al.
+    * 2007) over the UNDIRECTED host graph — the third classic link-graph
+    * artifact next to [[pageRank]]/[[hits]] and the standard cheap detector
+    * for host clusters / link farms (a spam ring's dense internal linking
+    * collapses into one community label in a handful of rounds).
+    *
+    * Determinism contract (the reason this is the *synchronous* variant):
+    * the textbook asynchronous LPA visits nodes in random order and
+    * breaks ties randomly — unreproducible by design. Here every round
+    * recomputes ALL labels from the previous round's snapshot and ties
+    * break (count DESC, label ASC), so the result is identical on any
+    * partitioning and a DuckDB unrolling of the rounds is bit-exact.
+    * Isolated or tie-free nodes keep their previous label.
+    *
+    * Scale shape: edges canonicalize once (`least/greatest` + distinct —
+    * reversed duplicates collapse, self-loops drop) and persist; each round
+    * is two edge-keyed joins (the two directions of the undirected
+    * neighbor stream), one partial-aggregated (node, label) count, and a
+    * partial-aggregatable `min(struct(-count, label))` argmax — no windows,
+    * no driver collect, O(1)-deep lineage via `localCheckpoint` (the
+    * [[pageRank]] convention). A 10⁹-edge round is 2 joins + 2 aggs.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val e = edges.selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+      .where("a IS NOT NULL AND b IS NOT NULL AND a <> b")
+      .distinct().persist()
+    val nodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .distinct().persist()
+    var lab = nodes.withColumn("lab", col("node")).localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val nbr = e.join(lab, e("b") === lab("node"))
+        .select(e("a").as("node"), col("lab"))
+        .unionAll(e.join(lab, e("a") === lab("node"))
+          .select(e("b").as("node"), col("lab")))
+      val best = nbr.groupBy("node", "lab").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((lit(0L) - col("c")).as("nc"), col("lab"))).as("m"))
+        .select(col("node"), col("m.lab").as("nl"))
+      lab = lab.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("lab")).as("lab"))
+        .localCheckpoint()
+      i += 1
+    }
+    val out = lab.select(col("node"), col("lab").as("community"))
+    e.unpersist(); nodes.unpersist()
+    out
+  }
 }

@@ -109,4 +109,45 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = hitsOf(edges ++ edges.take(17), 2, parts = 13) // dup edges collapse
     assert(a == b)
   }
+
+  // ---- label propagation ----
+
+  private def lpaOf(edges: Seq[(String, String)], iters: Int, parts: Int = 4): Map[String, String] = {
+    val df = spark.createDataFrame(edges).toDF("src", "dst").repartition(parts)
+    Graph.labelPropagation(df, iters).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("LPA: two K4 cliques with one bridge resolve to two communities") {
+    // K4 density is the point: intra-clique majority (degree 3) outweighs
+    // the single bridge vote, so the deterministic min-tie-break cannot
+    // flood one clique's label into the other (a K3 pair WOULD merge —
+    // every vote there is a tie, and ties cascade toward the global min)
+    def k4(p: String) = for {
+      i <- 1 to 4; j <- (i + 1) to 4
+    } yield s"$p$i" -> s"$p$j"
+    val r = lpaOf(k4("a") ++ k4("b") :+ ("a1" -> "b1"), iters = 4)
+    assert((1 to 4).map(i => r(s"a$i")).toSet.size == 1, s"clique A split: $r")
+    assert((1 to 4).map(i => r(s"b$i")).toSet.size == 1, s"clique B split: $r")
+    assert(r("a2") != r("b2"), s"cliques merged: $r")
+  }
+
+  test("LPA star, one round, hand-computed synchronous update") {
+    // leaves' only neighbor is c → every leaf takes label 'c'; the center
+    // sees {x,y,z} once each → tie breaks to the smallest, 'x'
+    val r = lpaOf(Seq("c" -> "x", "c" -> "y", "c" -> "z"), iters = 1)
+    assert(r("x") == "c" && r("y") == "c" && r("z") == "c")
+    assert(r("c") == "x")
+  }
+
+  test("LPA ignores self-loops and collapses reversed/duplicate edges") {
+    val base = Seq("a" -> "b", "b" -> "c")
+    val noisy = base ++ Seq("b" -> "a", "a" -> "b", "c" -> "c")
+    assert(lpaOf(base, 2) == lpaOf(noisy, 2))
+  }
+
+  test("LPA is identical under different input partitioning") {
+    val edges = (0 until 90).map(i => (s"h${i % 10}", s"h${(i * 7 + 3) % 10}"))
+    assert(lpaOf(edges, 3, parts = 1) == lpaOf(edges, 3, parts = 13))
+  }
 }

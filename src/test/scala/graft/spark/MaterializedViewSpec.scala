@@ -158,6 +158,25 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not a materialized view"))
   }
 
+  test("continuous maintenance over a streaming-ingest table: one incremental refresh per micro-batch") {
+    // the exactly-once appendBatch path is how a stream lands in the
+    // catalog; a per-batch refresh keeps the rollup current at O(batch)
+    val (cat, _) = freshCat()
+    cat.appendBatch(df(Seq((1L, "a", 1L), (2L, "b", 2L))), "src", 0L)
+    MaterializedView.create(spark, cat, "src", "mv", Seq("grp"), Seq("v"))
+    (1L to 4L).foreach { b =>
+      cat.appendBatch(df(Seq((b * 10, s"g${b % 2}", b), (b * 10 + 1, "a", b))), "src", b)
+      val r = MaterializedView.refresh(spark, cat, "mv")
+      assert(r.mode == "incremental", s"batch $b: ${r.mode}")
+      assert(state(cat, "mv") == expected(cat, "src"), s"batch $b diverged")
+    }
+    // an at-least-once REPLAY of a committed batch is skipped by the
+    // marker, so the subsequent refresh sees an empty window — noop
+    cat.appendBatch(df(Seq((40L, "g0", 4L), (41L, "a", 4L))), "src", 4L)
+    assert(MaterializedView.refresh(spark, cat, "mv").mode == "noop")
+    assert(state(cat, "mv") == expected(cat, "src"))
+  }
+
   test("count-only view (no sum columns) maintains") {
     val (cat, _) = freshCat()
     cat.commit(df(Seq((1L, "a", 1L), (2L, "b", 2L))), "src")
