@@ -1771,6 +1771,40 @@ object SparkEntry {
       import s.implicits._
       out.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text_md5")
     }),
+    "q_prefix_scan" -> ((s, dir) => {
+      // LIKE 'prefix%' FILE pruning on a url-range-sorted table — the
+      // url-slice access every crawl-table consumer runs ("give me this
+      // host/language subtree"): the pushed StringStartsWith becomes the
+      // zone-map range [prefix, nextPrefix] compared at a PINNED byte-wise
+      // tier (a bare prefix can parse numeric, and a numeric-tier compare
+      // of string-ordered stats would over-prune — wrong answer, not a
+      // missed optimization). REQUIRED in-query: opened files < the
+      // table's files; rows oracle-checked, pruning never load-bearing
+      // (Spark re-applies the row filter).
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.functions.col
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_pfx_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr(
+        "concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url",
+        "doc_id")
+      cat.commitWithStats(d.repartitionByRange(8, col("url")), "t", Seq("url"))
+      val rd = s.read.format("graft-catalog")
+        .option("root", root).option("table", "t").load()
+        .where("url LIKE 'https://example.com/de/%'")
+      val total = cat.filesWithAddOrder("t", cat.currentSnapshot("t").get).size
+      val before = graft.sources.CatalogPartitionReader.opened.get()
+      val out = rd.collect()
+      val opened = graft.sources.CatalogPartitionReader.opened.get() - before
+      require(opened < total,
+        s"q_prefix_scan: prefix pushdown pruned nothing ($opened of $total files opened)")
+      import s.implicits._
+      out.map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("url", "doc_id")
+    }),
     "q_sql_partition" -> ((s, dir) => {
       // PARTITIONED BY from PURE SQL: CREATE declares the hidden identity
       // transform, INSERT clusters+sorts on the source column (write
@@ -3708,6 +3742,12 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // the prefix slice replayed as its plain filter (the 'de' language
+    // subtree of the url scheme)
+    "q_prefix_scan" ->
+      """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
+        |       doc_id
+        |FROM documents WHERE lang = 'de'""".stripMargin,
     // the incrementally-maintained view must equal a from-scratch aggregate
     // over the table's FINAL state: all three drops, minus the lang='de'
     // tombstone's reach (rows added before it), plus the post-tombstone

@@ -303,6 +303,14 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
       case GreaterThanOrEqual(_, v) => v != null && CatalogScan.literalOk(v)
       case LessThan(_, v) => v != null && CatalogScan.literalOk(v)
       case LessThanOrEqual(_, v) => v != null && CatalogScan.literalOk(v)
+      // LIKE 'prefix%' — the url-slice access pattern on a url-sorted table
+      case StringStartsWith(_, p) => p != null && p.nonEmpty
+      // planning-time IN: union of per-value equality prunes, capped so the
+      // driver-side sidecar consultation stays cheap (the runtime-filter
+      // path's 256-value precedent, tighter here — per value it reads
+      // zone + bloom + partition stats)
+      case In(_, vs) => vs != null && vs.nonEmpty && vs.length <= 64 &&
+        vs.forall(v => v != null && CatalogScan.literalOk(v))
       case _ => false
     }
     pushed = filters.filter(prunable)
@@ -366,6 +374,19 @@ final case class CatalogFileGroupPartition(files: Seq[CatalogFilePartition])
     extends InputPartition
 
 object CatalogScan {
+  /** The smallest string strictly greater than every string with prefix
+    * `p` (last non-maximal char incremented, maximal tail dropped); None
+    * when `p` is all `Char.MaxValue` — then the prefix range has no upper
+    * bound. Used as an INCLUSIVE upper bound: over-keeps the single exact
+    * boundary value, which is the safe direction for pruning.
+    */
+  private[sources] def nextPrefix(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
   private[sources] def literalOk(v: Any): Boolean = v match {
     case _: String | _: Long | _: Int | _: java.lang.Long | _: java.lang.Integer |
          _: Double | _: java.lang.Double | _: java.sql.Timestamp | _: java.time.Instant => true
@@ -669,18 +690,34 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
     import org.apache.spark.sql.sources._
     import CatalogScan.lit
     var keep = files.map(_._1).toSet
+    def eqSet(c: String, v: Any): Set[String] = {
+      val z = cat.pruneFilesAt(table, snap, c, lit(v), lit(v)).toSet
+      val b = cat.pruneFilesByBloom(table, c, lit(v)).toSet
+      val p = cat.partitionSpec(table) match {
+        case Some(spec) if spec.col == c =>
+          val t = spec.literal(lit(v))
+          cat.pruneFilesAt(table, snap, spec.statName, t, t).toSet
+        case _ => files.map(_._1).toSet
+      }
+      z & b & p
+    }
     pushed.foreach { f =>
       val cand: Option[Set[String]] = f match {
-        case EqualTo(c, v) =>
-          val z = cat.pruneFilesAt(table, snap, c, lit(v), lit(v)).toSet
-          val b = cat.pruneFilesByBloom(table, c, lit(v)).toSet
-          val p = cat.partitionSpec(table) match {
-            case Some(spec) if spec.col == c =>
-              val t = spec.literal(lit(v))
-              cat.pruneFilesAt(table, snap, spec.statName, t, t).toSet
-            case _ => files.map(_._1).toSet
-          }
-          Some(z & b & p)
+        case EqualTo(c, v) => Some(eqSet(c, v))
+        case In(c, vs) =>
+          // a file can serve the IN iff it can serve SOME value: union of
+          // the per-value equality candidate sets
+          Some(vs.map(v => eqSet(c, v)).reduce(_ | _))
+        case StringStartsWith(c, p) =>
+          // matches occupy [p, nextPrefix(p)] under STRING ordering; the
+          // byte-wise-pinned pruner refuses the numeric/timestamp compare
+          // tiers a bare prefix could accidentally parse into (tier
+          // confusion there would OVER-prune — a wrong answer). Partition-
+          // transform pruning is deliberately skipped: a truncated prefix
+          // re-enters tier ambiguity, and zone maps already carry the
+          // sorted-table case this pushdown exists for.
+          Some(cat.pruneFilesAtBoundsRaw(table, snap, c,
+            Some(p), CatalogScan.nextPrefix(p)).toSet)
         case GreaterThan(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
         case GreaterThanOrEqual(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
         case LessThan(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))

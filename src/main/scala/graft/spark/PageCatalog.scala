@@ -2457,6 +2457,31 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     all.filter(f => stats.get(f).forall { case (mn, mx) => overlaps(mn, mx) })
   }
 
+  /** [[pruneFilesAtBounds]] with the comparison PINNED to the byte-wise
+    * string tier — for bounds that are substrings of column values rather
+    * than values (a `LIKE 'prefix%'` range): a prefix like `'123'` or
+    * `'https'`-less fragments can accidentally parse at a numeric tier
+    * where comparing it against string-ordered stats would OVER-prune
+    * (a wrong answer, not a missed optimization). Only sound for columns
+    * whose stats were written under string ordering — i.e. string columns,
+    * which is what `StringStartsWith` guarantees at the call site.
+    */
+  def pruneFilesAtBoundsRaw(table: String, snap: Long, column: String,
+                            lo: Option[String], hi: Option[String]): Seq[String] = {
+    val all = manifestFiles(table, snap)
+    val lines = statsLinesAt(table, snap)
+    if (lines.isEmpty) return all
+    val stats = lines
+      .collect { case Array(f, c, mn, mx) if c == column =>
+        f -> ((unescStat(mn), unescStat(mx))) }.toMap
+    def overlaps(mnO: Option[String], mxO: Option[String]): Boolean = (mnO, mxO) match {
+      case (Some(mn), Some(mx)) =>
+        lo.forall(l => mx.compareTo(l) >= 0) && hi.forall(h => mn.compareTo(h) <= 0)
+      case _ => true // all-null stats: conservatively keep
+    }
+    all.filter(f => stats.get(f).forall { case (mn, mx) => overlaps(mn, mx) })
+  }
+
   /** Ranged read through the zone maps: only overlapping files are opened;
     * the caller still applies (and Spark pushes down) the actual predicate.
     * Pending equality deletes are applied on top — pruning never resurrects
