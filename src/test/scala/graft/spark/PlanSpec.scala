@@ -246,6 +246,20 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Sort"), "within-partition sort missing")
   }
 
+  test("phrase search filters postings to the phrase's terms BEFORE any shuffle; no corpus-wide window") {
+    val plan = graft.SparkEntry.queries("q_phrase_search")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the isin term filter must exist (it is what keeps non-matching
+    // positions off the exchange) and the intersection must be joins keyed
+    // on (doc_id, start) — never a lead()-window over every position
+    assert(plan.contains("word") && plan.contains(" IN (") || plan.contains("isin"),
+      s"term pre-filter missing:\n$plan")
+    assert(!plan.contains("Window"), s"phrase search fell back to a corpus-wide window:\n$plan")
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges <= 3, s"expected at most one exchange per term stream, got $exchanges:\n$plan")
+  }
+
   test("production BPE encode broadcasts the vocab table — one doc-keyed shuffle, k absent from the plan") {
     val p = formatted("q_bpe_encode")
     assert(p.contains("BroadcastHashJoin"), s"vocab table not broadcast:\n$p")
