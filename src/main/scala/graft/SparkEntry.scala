@@ -1771,6 +1771,41 @@ object SparkEntry {
       import s.implicits._
       out.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("doc_id", "text_md5")
     }),
+    "q_compact_small" -> ((s, dir) => {
+      // INCREMENTAL compaction (the only compaction that exists at 100 TB):
+      // a bulk file + five streaming-tail drops + a takedown tombstone;
+      // compact_small merges ONLY the tail — REQUIRED in-query: the bulk
+      // file survives at its original path, the file count shrinks, and a
+      // new snapshot committed. The tombstone must keep applying to the
+      // kept bulk (add-order-preserving manifest surgery) AND stay
+      // materialized in the merged rows — the oracle checks both at once.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_csm_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val d = docs(s, dir).selectExpr("doc_id", "lang", "md5(text) AS text_md5")
+      cat.commit(d.where("doc_id % 20 >= 5").coalesce(1), "t") // bulk ~75%
+      (0 until 5).foreach(k =>
+        cat.append(d.where(s"doc_id % 20 = $k").coalesce(1), "t"))
+      val takedown = d.where("doc_id % 13 = 2").select("doc_id")
+        .collect().map(_.getLong(0).toString).toSeq
+      cat.deleteWhere("t", "doc_id", takedown)
+      val snap0 = cat.currentSnapshot("t").get
+      val sized = cat.filesWithAddOrder("t", snap0).map { case (f, _) =>
+        f -> Files.size(Paths.get(f))
+      }
+      val bulk = sized.maxBy(_._2)
+      val snap = cat.compactSmallFiles(s, "t", targetBytes = bulk._2)
+      require(snap != snap0, "q_compact_small: nothing compacted")
+      val after = cat.filesWithAddOrder("t", snap).map(_._1)
+      require(after.contains(bulk._1), "q_compact_small: the bulk file was rewritten")
+      require(after.size < sized.size,
+        s"q_compact_small: no shrink (${sized.size} -> ${after.size})")
+      cat.read(s, "t")
+    }),
     "q_prefix_scan" -> ((s, dir) => {
       // LIKE 'prefix%' FILE pruning on a url-range-sorted table — the
       // url-slice access every crawl-table consumer runs ("give me this
@@ -3742,6 +3777,12 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // survivors of the takedown across bulk + merged tail — the tombstone
+    // must hold through the partial rewrite on both the kept and the
+    // rewritten side
+    "q_compact_small" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 13 <> 2""".stripMargin,
     // the prefix slice replayed as its plain filter (the 'de' language
     // subtree of the url scheme)
     "q_prefix_scan" ->

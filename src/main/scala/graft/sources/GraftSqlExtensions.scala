@@ -140,6 +140,11 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
       case "compact" =>
         val target = call.args.lift(1).map(_.toLong << 20).getOrElse(128L << 20)
         Seq(("snapshot", cat.compact(spark, str(0), target).toString))
+      case "compact_small" =>
+        // incremental bin-pack: merge only undersized files (optional
+        // target size in MB), large files untouched
+        val target = call.args.lift(1).map(_.toLong << 20).getOrElse(128L << 20)
+        Seq(("snapshot", cat.compactSmallFiles(spark, str(0), target).toString))
       case "compact_sorted" =>
         val sortCols = call.args.drop(1)
         Seq(("snapshot", cat.compactSorted(spark, str(0), sortCols).toString))

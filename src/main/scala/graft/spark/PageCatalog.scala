@@ -1273,6 +1273,108 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     commit(readSnapshot(spark, table, snap).coalesce(nOut), table)
   }
 
+  /** INCREMENTAL compaction (Iceberg rewrite_data_files BIN-PACK mode, the
+    * only compaction that exists at 100 TB): merge ONLY undersized files —
+    * the streaming-append tail — and leave every properly-sized file
+    * byte-identical on disk. [[compact]]/[[compactSorted]] rewrite the
+    * whole table; on a 100 TB table that is a non-operation, while the
+    * thing actually accumulating is the last day's micro-batch files.
+    *
+    * Mechanics: files under `targetBytes` first-fit-decreasing-pack into
+    * bins; bins with ≥ `minInput` members rewrite (singletons stay — a
+    * lone small file is not worth a snapshot). Rewritten rows are read
+    * with their deletes MATERIALIZED, so the merged files enter as a fresh
+    * delta (new add order, exempt from every existing tombstone — correct,
+    * their deletes are already applied). Each delta manifest that loses
+    * files is re-written under a new name `m<effK>-<snap>.json` that KEEPS
+    * its effective add order (the digits prefix — the
+    * [[rewriteManifests]] convention), so every equality tombstone keeps
+    * applying to every kept file exactly as before; stats/bloom sidecar
+    * lines for kept files carry forward under the new manifest id.
+    * Untouched manifests and tombstone refs pass through verbatim. Old
+    * manifests/files stay addressable from prior snapshots until
+    * [[expireSnapshots]]' ref-counted GC.
+    *
+    * Refusals (degrade-never-wrong): positional/vector tombstones name
+    * (file, ordinal) coordinates that cannot survive a partial rewrite —
+    * run `rewrite_position_deletes` + [[compact]] first. A concurrent
+    * commit between planning and the metadata section aborts (optimistic
+    * validation; retry). No-op (returns the current snapshot) when fewer
+    * than `minInput` small files exist.
+    */
+  def compactSmallFiles(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20, minInput: Int = 2): Long = {
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    require(deleteRefsOf(table, snap).forall(_.startsWith("d")),
+      s"compactSmallFiles on '$table': positional delete tombstones present — " +
+      "their (file, ordinal) refs cannot survive a partial rewrite; run " +
+      "rewrite_position_deletes and compact() first")
+    val sized = manifestFiles(table, snap).map { f =>
+      val p = new HPath(f); f -> fsOf(p).getFileStatus(p).getLen
+    }
+    val small = sized.filter(_._2 < targetBytes).sortBy(-_._2)
+    if (small.size < minInput) return snap
+    // first-fit-decreasing pack into targetBytes bins
+    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    small.foreach { case (f, sz) =>
+      bins.indexWhere(_._2 + sz <= targetBytes) match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), sz))
+        case i => bins(i) = ((bins(i)._1 += f, bins(i)._2 + sz))
+      }
+    }
+    val rewriteBins = bins.filter(_._1.size >= minInput)
+    if (rewriteBins.isEmpty) return snap
+    val rewriteSet = rewriteBins.flatMap(_._1).toSet
+    val newSnap = claimSnapshotId(table)
+    try {
+      // merged rows carry their applied deletes; one output file per bin
+      val merged = readWithDeletes(spark, table, snap, Some(rewriteSet))
+        .coalesce(rewriteBins.size)
+      val newFiles = writeSnapshotData(merged, new HPath(root, s"$table/data/snap-$newSnap"))
+      withCommitLock(table) {
+        if (!currentSnapshot(table).contains(snap))
+          throw new IllegalStateException(
+            s"compactSmallFiles on '$table': concurrent commit during the rewrite — retry")
+        val dir = manifestDir(table)
+        val newEntries = entriesOf(table, snap).flatMap { e =>
+          if (e.startsWith("!")) Some(e) // tombstones pass through
+          else if (!e.startsWith("@")) { // legacy raw-path entry
+            if (rewriteSet(e)) None else Some(e)
+          } else {
+            val id = e.stripPrefix("@m").stripSuffix(".json")
+            val listed = parseJsonArray(readStr(new HPath(dir, s"m$id.json")))
+            val kept = listed.filterNot(rewriteSet)
+            if (kept.size == listed.size) Some(e)
+            else if (kept.isEmpty) None
+            else {
+              val newId = s"${addOrderOfId(id)}-$newSnap"
+              writeStr(new HPath(dir, s"m$newId.json"),
+                kept.map(f => "\"" + f + "\"").mkString("[\n", ",\n", "\n]"))
+              // sidecars follow the manifest id; only kept files' lines ride
+              listNames(dir)
+                .filter(n => n == s"m$id.stats.tsv" ||
+                  (n.startsWith(s"m$id.bloom.") && n.endsWith(".tsv")))
+                .foreach { n =>
+                  val filtered = readStr(new HPath(dir, n)).split('\n')
+                    .filter(l => l.nonEmpty && kept.contains(l.split('\t')(0)))
+                  if (filtered.nonEmpty)
+                    writeStr(new HPath(dir, n.replaceFirst(s"^m$id\\.", s"m$newId.")),
+                      filtered.mkString("", "\n", "\n"))
+                }
+              Some(s"@m$newId.json")
+            }
+          }
+        }
+        commitSnapshot(table, newSnap,
+          newEntries :+ writeDeltaManifest(table, newSnap, newFiles))
+      }
+      newSnap
+    } catch {
+      case e: Throwable => fsDelete(new HPath(manifestDir(table), s".claim-v$newSnap")); throw e
+    }
+  }
+
   /** Sorted/partitioned rewrite_data_files: compaction that PRESERVES (or
     * establishes) the table's physical organization instead of silently
     * degrading it — plain [[compact]] coalesces rows arbitrarily and writes
