@@ -146,6 +146,23 @@ class CompactSmallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.size < all.size, s"stats lost: ${pruned.size} of ${all.size}")
   }
 
+  test("expire after incremental compaction: merged-away files GC, kept files and results survive") {
+    val cat = freshCat()
+    val big = (0L until 20000L).map(i => (i, blob(i, 10)))
+    cat.commit(df(big), "t")
+    val bulkFile = cat.filesWithAddOrder("t", cat.currentSnapshot("t").get).map(_._1).head
+    (0 until 5).foreach(k => cat.append(df(Seq((300000L + k, "tiny"))), "t"))
+    val smallFiles = cat.filesWithAddOrder("t", cat.currentSnapshot("t").get)
+      .map(_._1).filterNot(_ == bulkFile)
+    cat.compactSmallFiles(spark, "t", targetBytes = 1L << 20)
+    cat.expireSnapshots("t", keepLast = 1)
+    // superseded tail files are physically collected; the kept bulk is not
+    smallFiles.foreach(f => assert(!Files.exists(java.nio.file.Paths.get(f)),
+      s"merged-away file leaked: $f"))
+    assert(Files.exists(java.nio.file.Paths.get(bulkFile)))
+    assert(ids(cat, "t") == (0L until 20000L).toSet ++ (0 until 5).map(300000L + _))
+  }
+
   test("CALL compact_small drives it from SQL") {
     val root = s"$dir/sqlroot"
     spark.conf.set("spark.sql.catalog.gsc", classOf[graft.sources.GraftCatalog].getName)
