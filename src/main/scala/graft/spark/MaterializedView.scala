@@ -58,28 +58,31 @@ object MaterializedView {
   private val SpecKey = "mv.spec"
   private def srcKey(viewSnap: Long) = s"mv.src.$viewSnap"
 
-  private def specStr(source: String, groupCols: Seq[String], sumCols: Seq[String]) = {
-    val all = source +: (groupCols ++ sumCols)
+  private def specStr(source: String, groupCols: Seq[String], sumCols: Seq[String],
+                      maxCols: Seq[String]) = {
+    val all = source +: (groupCols ++ sumCols ++ maxCols)
     require(all.forall(_.matches("[A-Za-z0-9._-]+")),
       s"unsupported name in MV spec (letters/digits/._- only): ${all.mkString(", ")}")
     require(groupCols.nonEmpty, "MV needs at least one group column")
-    s"$source|${groupCols.mkString(",")}|${sumCols.mkString(",")}"
+    s"$source|${groupCols.mkString(",")}|${sumCols.mkString(",")}|${maxCols.mkString(",")}"
   }
 
-  private def parseSpec(s: String): (String, Seq[String], Seq[String]) = {
-    val parts = s.split('|')
-    (parts(0),
-      parts(1).split(',').filter(_.nonEmpty).toSeq,
-      if (parts.length > 2) parts(2).split(',').filter(_.nonEmpty).toSeq else Seq.empty)
+  private def parseSpec(s: String): (String, Seq[String], Seq[String], Seq[String]) = {
+    def seg(i: Int): Seq[String] = {
+      val parts = s.split('|')
+      if (parts.length > i) parts(i).split(',').filter(_.nonEmpty).toSeq else Seq.empty
+    }
+    (s.split('|')(0), seg(1), seg(2), seg(3))
   }
 
   /** The full-recompute aggregate — also the semantics contract the
     * incremental path must match bit-for-bit.
     */
   private def fullState(df: DataFrame, groupCols: Seq[String],
-                        sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).as("mv_count") +: sumCols.map(c =>
-      coalesce(sum(expr(s"CAST(`$c` AS BIGINT)")), lit(0L)).as(s"sum_$c"))
+                        sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+    val aggs = (count(lit(1)).as("mv_count") +: sumCols.map(c =>
+      coalesce(sum(expr(s"CAST(`$c` AS BIGINT)")), lit(0L)).as(s"sum_$c"))) ++
+      maxCols.map(c => max(expr(s"CAST(`$c` AS BIGINT)")).as(s"max_$c"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -87,10 +90,13 @@ object MaterializedView {
     * −1 delete-pre-image) — same output schema as [[fullState]].
     */
   private def deltaState(changelog: DataFrame, groupCols: Seq[String],
-                         sumCols: Seq[String]): DataFrame = {
+                         sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
     val w = when(col("op") === "insert", 1L).otherwise(-1L)
-    val aggs = sum(w).as("mv_count") +: sumCols.map(c =>
-      coalesce(sum(w * expr(s"CAST(`$c` AS BIGINT)")), lit(0L)).as(s"sum_$c"))
+    val aggs = (sum(w).as("mv_count") +: sumCols.map(c =>
+      coalesce(sum(w * expr(s"CAST(`$c` AS BIGINT)")), lit(0L)).as(s"sum_$c"))) ++
+      // only reached on insert-only windows (refresh rebuilds otherwise),
+      // so a plain per-group max over the window is the exact delta
+      maxCols.map(c => max(expr(s"CAST(`$c` AS BIGINT)")).as(s"max_$c"))
     changelog.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -99,7 +105,7 @@ object MaterializedView {
     * group keys — a real group in SQL semantics); zero-count groups vanish.
     */
   private def merge(old: DataFrame, delta: DataFrame, groupCols: Seq[String],
-                    sumCols: Seq[String]): DataFrame = {
+                    sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
     val cond = groupCols.map(c => old(c) <=> delta(c)).reduce(_ && _)
     val joined = old.join(delta, cond, "full_outer")
     val keys = groupCols.map(c => coalesce(old(c), delta(c)).as(c))
@@ -107,7 +113,11 @@ object MaterializedView {
       coalesce(delta("mv_count"), lit(0L))).as("mv_count")
     val sums = sumCols.map(c => (coalesce(old(s"sum_$c"), lit(0L)) +
       coalesce(delta(s"sum_$c"), lit(0L))).as(s"sum_$c"))
-    joined.select((keys :+ cnt) ++ sums: _*).where(col("mv_count") > 0L)
+    // greatest() skips nulls, so an absent side or an all-null group
+    // composes exactly like SQL MAX (null only when both sides are null)
+    val maxs = maxCols.map(c =>
+      greatest(old(s"max_$c"), delta(s"max_$c")).as(s"max_$c"))
+    joined.select(((keys :+ cnt) ++ sums ++ maxs): _*).where(col("mv_count") > 0L)
   }
 
   /** Materialize the view from the source's CURRENT snapshot and pin its
@@ -115,11 +125,13 @@ object MaterializedView {
     */
   def create(spark: SparkSession, cat: ParquetSnapshotCatalog, source: String,
              view: String, groupCols: Seq[String],
-             sumCols: Seq[String] = Seq.empty): Long = {
-    val spec = specStr(source, groupCols, sumCols)
+             sumCols: Seq[String] = Seq.empty,
+             maxCols: Seq[String] = Seq.empty): Long = {
+    val spec = specStr(source, groupCols, sumCols, maxCols)
     val to = cat.currentSnapshot(source).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for source '$source'"))
-    val vs = cat.commit(fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols), view)
+    val vs = cat.commit(
+      fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols, maxCols), view)
     cat.putMeta(view, SpecKey, spec)
     cat.putMeta(view, srcKey(vs), to.toString)
     vs
@@ -136,14 +148,15 @@ object MaterializedView {
               view: String): RefreshResult = {
     val spec = cat.getMeta(view, SpecKey).getOrElse(
       throw new IllegalStateException(s"'$view' is not a materialized view (no $SpecKey)"))
-    val (source, groupCols, sumCols) = parseSpec(spec)
+    val (source, groupCols, sumCols, maxCols) = parseSpec(spec)
     val to = cat.currentSnapshot(source).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for source '$source'"))
     val vCur = cat.currentSnapshot(view).getOrElse(
       throw new IllegalStateException(s"view '$view' has no committed state — create() it first"))
 
     def rebuild(from: Long): RefreshResult = {
-      val vs = cat.commit(fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols), view)
+      val vs = cat.commit(
+        fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols, maxCols), view)
       cat.putMeta(view, srcKey(vs), to.toString)
       cat.removeMeta(view, srcKey(vCur))
       RefreshResult("rebuild", from, to, vs)
@@ -153,16 +166,23 @@ object MaterializedView {
       case Some(from) if from == to => RefreshResult("noop", from, to, vCur)
       case Some(from) =>
         // the changelog validates its window EAGERLY (driver-side metadata
-        // diff + tombstone listing), so refusals surface here, not mid-job
+        // diff + tombstone listing), so refusals surface here, not mid-job.
+        // MAX columns are self-maintainable only under inserts (a delete
+        // may remove the current maximum — unknowable from the aggregate);
+        // the delete check is metadata-only (tombstone refs, no data).
         val clOpt =
-          try Some(cat.readChangelog(spark, source, from, to))
-          catch {
+          try {
+            if (maxCols.nonEmpty &&
+                cat.deletedInWindow(spark, source, from, to).limit(1).collect().nonEmpty)
+              None // max not maintainable under deletes → rebuild
+            else Some(cat.readChangelog(spark, source, from, to))
+          } catch {
             case _: IllegalArgumentException | _: IllegalStateException => None
           }
         clOpt match {
           case Some(cl) =>
             val merged = merge(cat.readSnapshot(spark, view, vCur),
-              deltaState(cl, groupCols, sumCols), groupCols, sumCols)
+              deltaState(cl, groupCols, sumCols, maxCols), groupCols, sumCols, maxCols)
             val vs = cat.commit(merged, view)
             cat.putMeta(view, srcKey(vs), to.toString)
             cat.removeMeta(view, srcKey(vCur))

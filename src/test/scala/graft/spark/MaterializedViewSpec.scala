@@ -151,6 +151,25 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state(cat, "mv") == expected(cat, "src"))
   }
 
+  test("MAX columns maintain over insert-only windows and force a rebuild when the window deletes") {
+    val (cat, _) = freshCat()
+    cat.commit(df(Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L))), "src")
+    MaterializedView.create(spark, cat, "src", "mv", Seq("grp"), Seq("v"), Seq("v"))
+    def got: Set[(String, Long, Long, Long)] = cat.read(spark, "mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 2L, 15L, 10L), ("b", 1L, 7L, 7L)))
+    // insert-only window: max folds via greatest (new group + raised max)
+    cat.append(df(Seq((4L, "a", 99L), (5L, "c", 3L))), "src")
+    assert(MaterializedView.refresh(spark, cat, "mv").mode == "incremental")
+    assert(got == Set(("a", 3L, 114L, 99L), ("b", 1L, 7L, 7L), ("c", 1L, 3L, 3L)))
+    // a delete may remove the current maximum — unknowable from the
+    // aggregate — so the refresh must REBUILD, and land on the truth
+    cat.deleteWhere("src", "id", Seq("4"))
+    val r = MaterializedView.refresh(spark, cat, "mv")
+    assert(r.mode == "rebuild", s"got ${r.mode}")
+    assert(got == Set(("a", 2L, 15L, 10L), ("b", 1L, 7L, 7L), ("c", 1L, 3L, 3L)))
+  }
+
   test("refresh refuses a table that is not a materialized view") {
     val (cat, _) = freshCat()
     cat.commit(df(Seq((1L, "a", 1L))), "plain")
