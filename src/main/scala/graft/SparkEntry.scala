@@ -1449,6 +1449,34 @@ object SparkEntry {
         s"expected an incremental refresh, got ${r.mode}")
       cat.read(s, "mv")
     }),
+    "q_mv_distinct" -> ((s, dir) => {
+      // APPROXIMATE-DISTINCT materialized view: per-lang distinct-source
+      // HLL registers maintained INCREMENTALLY across two insert-only
+      // windows (register union == element-wise max — the mergeable-
+      // summary property), estimate rendered integer-exactly; the oracle
+      // replays the registers of the FINAL table closed-form (md5-nibble
+      // arithmetic), which equals the maintained merge bit-for-bit
+      // PRECISELY because registers are mergeable. Both refreshes are
+      // REQUIRED incremental in-query.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_mvd_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val base = docs(s, dir).select("doc_id", "lang", "source")
+      cat.commit(base.where("doc_id % 3 = 0"), "src")
+      graft.spark.MaterializedView.create(s, cat, "src", "mv",
+        Seq("lang"), Seq.empty, Seq.empty, Seq("source"))
+      cat.append(base.where("doc_id % 3 = 1"), "src")
+      val r1 = graft.spark.MaterializedView.refresh(s, cat, "mv")
+      require(r1.mode == "incremental", s"window 1: ${r1.mode}")
+      cat.append(base.where("doc_id % 3 = 2"), "src")
+      val r2 = graft.spark.MaterializedView.refresh(s, cat, "mv")
+      require(r2.mode == "incremental", s"window 2: ${r2.mode}")
+      cat.read(s, "mv").select("lang", "mv_count", "distinct_source")
+    }),
     "q_sql_groupagg" -> ((s, dir) => {
       // metadata-only GROUP BY <partition column> COUNT(*): per-group
       // counts summed from the __count sidecar over value-pinned files —
@@ -3777,6 +3805,28 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id, '/v0') AS url,
         |       doc_id, md5(text) AS text_md5
         |FROM documents WHERE doc_id % 17 <> 3""".stripMargin,
+    // the maintained per-lang registers equal a from-scratch sketch of the
+    // final table (mergeability), so the oracle replays md5(source)
+    // registers + the integer estimate over ALL documents
+    "q_mv_distinct" -> {
+      def nib(from: Int, n: Int): String = (0 until n)
+        .map(k => s"(strpos('0123456789abcdef', substr(m, ${from + k}, 1)) - 1) * ${1L << (4 * (n - 1 - k))}")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT lang, md5(source) AS m FROM documents),
+        |x AS (SELECT lang, ${nib(1, 2)} AS j, ${nib(3, 8)} AS tail FROM e),
+        |r AS (SELECT lang, j,
+        |             max(CASE WHEN tail = 0 THEN 33 ELSE 33 - length(bin(tail)) END) AS mj
+        |      FROM x GROUP BY lang, j),
+        |a AS (SELECT lang,
+        |             sum(CAST(1 AS BIGINT) << CAST(33 - mj AS INT)) AS sp,
+        |             count(*) AS np
+        |      FROM r GROUP BY lang),
+        |f AS (SELECT lang, sp + (256 - np) * (CAST(1 AS BIGINT) << 33) AS s FROM a),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS mv_count FROM documents GROUP BY lang)
+        |SELECT c.lang, c.mv_count,
+        |       CAST((((CAST(65536 AS BIGINT) * (CAST(1 AS BIGINT) << 33)) // s) * 718272) // 1000000 AS BIGINT) AS distinct_source
+        |FROM c JOIN f ON c.lang = f.lang""".stripMargin
+    },
     // survivors of the takedown across bulk + merged tail — the tombstone
     // must hold through the partial rewrite on both the kept and the
     // rewritten side

@@ -181,16 +181,16 @@ final case class GraftCallExec(call: GraftCall) extends LeafExecNode {
             s"CALL cherrypick: '${str(1)}' is neither a snapshot id nor a branch of '${str(0)}'")))
         Seq(("snapshot", cat.cherryPick(str(0), snap).toString))
       case "create_mv" =>
-        // create_mv(source, view, 'g1,g2'[, 's1,s2'[, 'm1,m2']]) —
-        // materialize a count+sum(+max) rollup; the quote-aware arg parser
-        // keeps each comma-separated column list one argument
+        // create_mv(source, view, 'g1,g2'[, 's1,s2'[, 'm1,m2'[, 'd1,d2']]])
+        // — materialize a count+sum(+max)(+approx-distinct) rollup; the
+        // quote-aware arg parser keeps each comma-separated list one arg
         def cols(i: Int) = call.args.lift(i)
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Seq.empty)
         Seq(("snapshot", graft.spark.MaterializedView
           .create(spark, cat, str(0), str(1),
             str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-            cols(3), cols(4)).toString))
+            cols(3), cols(4), cols(5)).toString))
       case "refresh_mv" =>
         val r = graft.spark.MaterializedView.refresh(spark, cat, str(0))
         Seq(("mode", r.mode), ("from", r.fromSnap.toString),

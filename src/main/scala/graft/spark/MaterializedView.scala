@@ -59,44 +59,77 @@ object MaterializedView {
   private def srcKey(viewSnap: Long) = s"mv.src.$viewSnap"
 
   private def specStr(source: String, groupCols: Seq[String], sumCols: Seq[String],
-                      maxCols: Seq[String]) = {
-    val all = source +: (groupCols ++ sumCols ++ maxCols)
+                      maxCols: Seq[String], distinctCols: Seq[String]) = {
+    val all = source +: (groupCols ++ sumCols ++ maxCols ++ distinctCols)
     require(all.forall(_.matches("[A-Za-z0-9._-]+")),
       s"unsupported name in MV spec (letters/digits/._- only): ${all.mkString(", ")}")
     require(groupCols.nonEmpty, "MV needs at least one group column")
-    s"$source|${groupCols.mkString(",")}|${sumCols.mkString(",")}|${maxCols.mkString(",")}"
+    s"$source|${groupCols.mkString(",")}|${sumCols.mkString(",")}|" +
+      s"${maxCols.mkString(",")}|${distinctCols.mkString(",")}"
   }
 
-  private def parseSpec(s: String): (String, Seq[String], Seq[String], Seq[String]) = {
+  private def parseSpec(s: String): (String, Seq[String], Seq[String], Seq[String], Seq[String]) = {
     def seg(i: Int): Seq[String] = {
       val parts = s.split('|')
       if (parts.length > i) parts(i).split(',').filter(_.nonEmpty).toSeq else Seq.empty
     }
-    (s.split('|')(0), seg(1), seg(2), seg(3))
+    (s.split('|')(0), seg(1), seg(2), seg(3), seg(4))
   }
+
+  /** The integer HLL estimate over a register-array column — the EXACT SQL
+    * spelling of [[graft.operators.Sketch.hllDistinct]], so the maintained
+    * estimate is bit-identical to a from-scratch sketch of the same rows
+    * (registers are a MERGEABLE summary: union == element-wise max).
+    */
+  private def estExpr(regs: String): String = {
+    val m2 = graft.operators.Sketch.hllM.toLong * graft.operators.Sketch.hllM
+    s"""(((CAST($m2 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), 33)) div
+       |  aggregate($regs, CAST(0 AS BIGINT),
+       |    (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 33 - CAST(r AS INT))))
+       |  * ${graft.operators.Sketch.hllAlphaScaled}L) div 1000000L""".stripMargin.replace("\n", " ")
+  }
+
+  /** Append the rendered `distinct_<c>` estimate columns after the register
+    * columns (both the build and merge paths end here, so consumers always
+    * see a current estimate without touching registers).
+    */
+  private def withEstimates(df: DataFrame, distinctCols: Seq[String]): DataFrame =
+    if (distinctCols.isEmpty) df
+    else df.selectExpr("*" +: distinctCols.map(c =>
+      s"${estExpr(s"hllregs_$c")} AS distinct_$c"): _*)
 
   /** The full-recompute aggregate — also the semantics contract the
     * incremental path must match bit-for-bit.
     */
   private def fullState(df: DataFrame, groupCols: Seq[String],
-                        sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+                        sumCols: Seq[String], maxCols: Seq[String],
+                        distinctCols: Seq[String]): DataFrame = {
+    if (distinctCols.nonEmpty) graft.operators.Sketch.registerHll(df.sparkSession)
     val aggs = (count(lit(1)).as("mv_count") +: sumCols.map(c =>
       coalesce(sum(expr(s"CAST(`$c` AS BIGINT)")), lit(0L)).as(s"sum_$c"))) ++
-      maxCols.map(c => max(expr(s"CAST(`$c` AS BIGINT)")).as(s"max_$c"))
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      maxCols.map(c => max(expr(s"CAST(`$c` AS BIGINT)")).as(s"max_$c")) ++
+      distinctCols.map(c =>
+        expr(s"hll_sketch(CAST(`$c` AS STRING))").as(s"hllregs_$c"))
+    withEstimates(df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*),
+      distinctCols)
   }
 
   /** The weighted delta aggregate over one CDC window (+1 insert /
     * −1 delete-pre-image) — same output schema as [[fullState]].
     */
   private def deltaState(changelog: DataFrame, groupCols: Seq[String],
-                         sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+                         sumCols: Seq[String], maxCols: Seq[String],
+                         distinctCols: Seq[String]): DataFrame = {
+    if (distinctCols.nonEmpty)
+      graft.operators.Sketch.registerHll(changelog.sparkSession)
     val w = when(col("op") === "insert", 1L).otherwise(-1L)
     val aggs = (sum(w).as("mv_count") +: sumCols.map(c =>
       coalesce(sum(w * expr(s"CAST(`$c` AS BIGINT)")), lit(0L)).as(s"sum_$c"))) ++
-      // only reached on insert-only windows (refresh rebuilds otherwise),
-      // so a plain per-group max over the window is the exact delta
-      maxCols.map(c => max(expr(s"CAST(`$c` AS BIGINT)")).as(s"max_$c"))
+      // max/hll only reached on insert-only windows (refresh rebuilds
+      // otherwise), so the plain per-group window aggregate is the delta
+      maxCols.map(c => max(expr(s"CAST(`$c` AS BIGINT)")).as(s"max_$c")) ++
+      distinctCols.map(c =>
+        expr(s"hll_sketch(CAST(`$c` AS STRING))").as(s"hllregs_$c"))
     changelog.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -105,7 +138,8 @@ object MaterializedView {
     * group keys — a real group in SQL semantics); zero-count groups vanish.
     */
   private def merge(old: DataFrame, delta: DataFrame, groupCols: Seq[String],
-                    sumCols: Seq[String], maxCols: Seq[String]): DataFrame = {
+                    sumCols: Seq[String], maxCols: Seq[String],
+                    distinctCols: Seq[String]): DataFrame = {
     val cond = groupCols.map(c => old(c) <=> delta(c)).reduce(_ && _)
     val joined = old.join(delta, cond, "full_outer")
     val keys = groupCols.map(c => coalesce(old(c), delta(c)).as(c))
@@ -117,7 +151,16 @@ object MaterializedView {
     // composes exactly like SQL MAX (null only when both sides are null)
     val maxs = maxCols.map(c =>
       greatest(old(s"max_$c"), delta(s"max_$c")).as(s"max_$c"))
-    joined.select(((keys :+ cnt) ++ sums ++ maxs): _*).where(col("mv_count") > 0L)
+    // HLL register union IS element-wise max (the mergeable-summary
+    // property); a one-sided group keeps that side's registers verbatim
+    val regs = distinctCols.map(c => coalesce(
+      zip_with(old(s"hllregs_$c"), delta(s"hllregs_$c"),
+        (a, b) => greatest(a, b)),
+      old(s"hllregs_$c"), delta(s"hllregs_$c")).as(s"hllregs_$c"))
+    withEstimates(
+      joined.select(((keys :+ cnt) ++ sums ++ maxs ++ regs): _*)
+        .where(col("mv_count") > 0L),
+      distinctCols)
   }
 
   /** Materialize the view from the source's CURRENT snapshot and pin its
@@ -126,12 +169,14 @@ object MaterializedView {
   def create(spark: SparkSession, cat: ParquetSnapshotCatalog, source: String,
              view: String, groupCols: Seq[String],
              sumCols: Seq[String] = Seq.empty,
-             maxCols: Seq[String] = Seq.empty): Long = {
-    val spec = specStr(source, groupCols, sumCols, maxCols)
+             maxCols: Seq[String] = Seq.empty,
+             distinctCols: Seq[String] = Seq.empty): Long = {
+    val spec = specStr(source, groupCols, sumCols, maxCols, distinctCols)
     val to = cat.currentSnapshot(source).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for source '$source'"))
     val vs = cat.commit(
-      fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols, maxCols), view)
+      fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols, maxCols,
+        distinctCols), view)
     cat.putMeta(view, SpecKey, spec)
     cat.putMeta(view, srcKey(vs), to.toString)
     vs
@@ -148,7 +193,7 @@ object MaterializedView {
               view: String): RefreshResult = {
     val spec = cat.getMeta(view, SpecKey).getOrElse(
       throw new IllegalStateException(s"'$view' is not a materialized view (no $SpecKey)"))
-    val (source, groupCols, sumCols, maxCols) = parseSpec(spec)
+    val (source, groupCols, sumCols, maxCols, distinctCols) = parseSpec(spec)
     val to = cat.currentSnapshot(source).getOrElse(
       throw new IllegalStateException(s"no committed snapshot for source '$source'"))
     val vCur = cat.currentSnapshot(view).getOrElse(
@@ -156,7 +201,8 @@ object MaterializedView {
 
     def rebuild(from: Long): RefreshResult = {
       val vs = cat.commit(
-        fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols, maxCols), view)
+        fullState(cat.readSnapshot(spark, source, to), groupCols, sumCols, maxCols,
+          distinctCols), view)
       cat.putMeta(view, srcKey(vs), to.toString)
       cat.removeMeta(view, srcKey(vCur))
       RefreshResult("rebuild", from, to, vs)
@@ -167,14 +213,15 @@ object MaterializedView {
       case Some(from) =>
         // the changelog validates its window EAGERLY (driver-side metadata
         // diff + tombstone listing), so refusals surface here, not mid-job.
-        // MAX columns are self-maintainable only under inserts (a delete
-        // may remove the current maximum — unknowable from the aggregate);
-        // the delete check is metadata-only (tombstone refs, no data).
+        // MAX and HLL-distinct columns are self-maintainable only under
+        // inserts (a delete may remove the current maximum / decrement a
+        // register-covered value — unknowable from the aggregate); the
+        // delete check is metadata-only (tombstone refs, no data).
         val clOpt =
           try {
-            if (maxCols.nonEmpty &&
+            if ((maxCols.nonEmpty || distinctCols.nonEmpty) &&
                 cat.deletedInWindow(spark, source, from, to).limit(1).collect().nonEmpty)
-              None // max not maintainable under deletes → rebuild
+              None // max/hll not maintainable under deletes → rebuild
             else Some(cat.readChangelog(spark, source, from, to))
           } catch {
             case _: IllegalArgumentException | _: IllegalStateException => None
@@ -182,7 +229,8 @@ object MaterializedView {
         clOpt match {
           case Some(cl) =>
             val merged = merge(cat.readSnapshot(spark, view, vCur),
-              deltaState(cl, groupCols, sumCols, maxCols), groupCols, sumCols, maxCols)
+              deltaState(cl, groupCols, sumCols, maxCols, distinctCols),
+              groupCols, sumCols, maxCols, distinctCols)
             val vs = cat.commit(merged, view)
             cat.putMeta(view, srcKey(vs), to.toString)
             cat.removeMeta(view, srcKey(vCur))
