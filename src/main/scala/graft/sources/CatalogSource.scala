@@ -311,6 +311,10 @@ final class CatalogScanBuilder(tableSchema: StructType, root: String, table: Str
       // zone + bloom + partition stats)
       case In(_, vs) => vs != null && vs.nonEmpty && vs.length <= 64 &&
         vs.forall(v => v != null && CatalogScan.literalOk(v))
+      // boolean composition: Or prunes iff BOTH branches do (union);
+      // And prunes if EITHER does (intersection / one-sided)
+      case Or(l, r) => prunable(l) && prunable(r)
+      case And(l, r) => prunable(l) || prunable(r)
       case _ => false
     }
     pushed = filters.filter(prunable)
@@ -701,31 +705,37 @@ final class CatalogScan(tableSchema: StructType, required: StructType,
       }
       z & b & p
     }
-    pushed.foreach { f =>
-      val cand: Option[Set[String]] = f match {
-        case EqualTo(c, v) => Some(eqSet(c, v))
-        case In(c, vs) =>
-          // a file can serve the IN iff it can serve SOME value: union of
-          // the per-value equality candidate sets
-          Some(vs.map(v => eqSet(c, v)).reduce(_ | _))
-        case StringStartsWith(c, p) =>
-          // matches occupy [p, nextPrefix(p)] under STRING ordering; the
-          // byte-wise-pinned pruner refuses the numeric/timestamp compare
-          // tiers a bare prefix could accidentally parse into (tier
-          // confusion there would OVER-prune — a wrong answer). Partition-
-          // transform pruning is deliberately skipped: a truncated prefix
-          // re-enters tier ambiguity, and zone maps already carry the
-          // sorted-table case this pushdown exists for.
-          Some(cat.pruneFilesAtBoundsRaw(table, snap, c,
-            Some(p), CatalogScan.nextPrefix(p)).toSet)
-        case GreaterThan(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
-        case GreaterThanOrEqual(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
-        case LessThan(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))
-        case LessThanOrEqual(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))
-        case _ => None
+    // recursive candidate set: And = intersection, Or = union (a file can
+    // serve an Or iff it can serve SOME branch — both branches must be
+    // answerable, else the whole Or is conservatively unanswerable)
+    def cand(f: Filter): Option[Set[String]] = f match {
+      case EqualTo(c, v) => Some(eqSet(c, v))
+      case In(c, vs) =>
+        // a file can serve the IN iff it can serve SOME value: union of
+        // the per-value equality candidate sets
+        Some(vs.map(v => eqSet(c, v)).reduce(_ | _))
+      case StringStartsWith(c, p) =>
+        // matches occupy [p, nextPrefix(p)] under STRING ordering; the
+        // byte-wise-pinned pruner refuses the numeric/timestamp compare
+        // tiers a bare prefix could accidentally parse into (tier
+        // confusion there would OVER-prune — a wrong answer). Partition-
+        // transform pruning is deliberately skipped: a truncated prefix
+        // re-enters tier ambiguity, and zone maps already carry the
+        // sorted-table case this pushdown exists for.
+        Some(cat.pruneFilesAtBoundsRaw(table, snap, c,
+          Some(p), CatalogScan.nextPrefix(p)).toSet)
+      case GreaterThan(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
+      case GreaterThanOrEqual(c, v) => Some(rangePrune(snap, c, Some(lit(v)), None, files))
+      case LessThan(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))
+      case LessThanOrEqual(c, v) => Some(rangePrune(snap, c, None, Some(lit(v)), files))
+      case Or(l, r) => for (a <- cand(l); b <- cand(r)) yield a | b
+      case And(l, r) => (cand(l), cand(r)) match {
+        case (Some(a), Some(b)) => Some(a & b)
+        case (a, b) => a.orElse(b) // one answerable side still prunes
       }
-      cand.foreach(s => keep = keep & s)
+      case _ => None
     }
+    pushed.foreach(f => cand(f).foreach(s => keep = keep & s))
     files.filter(p => keep(p._1))
   }
 

@@ -94,6 +94,24 @@ class PrefixPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("OR of two disjoint ranges prunes to the union; AND with an unanswerable side still prunes") {
+    val (cat, root) = freshCat()
+    val ss = spark; import ss.implicits._
+    cat.commitWithStats((0 until 400).map(i => (i.toLong, f"s$i%04d"))
+      .toDF("id", "s").repartitionByRange(8, col("id")), "t", Seq("id"))
+    val total = cat.filesWithAddOrder("t", cat.currentSnapshot("t").get).size
+    val (rows, op) = opened(
+      rd(root, "t").where("id < 10 OR id > 390").collect())
+    assert(rows.map(_.getLong(0)).toSet ==
+      ((0L until 10L) ++ (391L until 400L)).toSet)
+    assert(op < total, s"OR pruned nothing: $op of $total")
+    // AND(range, unanswerable contains) — the answerable side prunes alone
+    val (rows2, op2) = opened(
+      rd(root, "t").where("id < 10 AND s LIKE '%003%'").collect())
+    assert(rows2.map(_.getLong(0)).toSet == Set(3L))
+    assert(op2 < total, s"AND pruned nothing: $op2 of $total")
+  }
+
   test("IN prunes to the union of its values' files; an over-cap list falls back to a full scan") {
     val (cat, root) = freshCat()
     val ss = spark; import ss.implicits._
