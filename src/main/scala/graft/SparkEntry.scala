@@ -2302,6 +2302,26 @@ object SparkEntry {
       // partition-order dependence), a different seed re-permutes
       TextOps.epochShuffle(docs(s, dir).select("doc_id"), seed = 42L, nShards = 8)
     }),
+    "q_domain_of" -> ((s, dir) => {
+      // registrable domain (eTLD+1) — the key per-domain caps/politeness
+      // actually need: a.shop.co.uk and b.shop.co.uk are ONE registrant,
+      // a.co.uk and b.co.uk are TWO. Codegen'd split + suffix-set CASE,
+      // zero shuffle; the oracle replays the SAME algorithm over the same
+      // synthesized host mix (multi-label suffixes, generic ccTLD second
+      // labels, plain TLDs, single-label hosts)
+      val hosts = docs(s, dir).selectExpr("doc_id",
+        """CASE doc_id % 7
+          | WHEN 0 THEN concat('www.shop', CAST(doc_id % 50 AS STRING), '.co.uk')
+          | WHEN 1 THEN concat('blog', CAST(doc_id % 50 AS STRING), '.example.com')
+          | WHEN 2 THEN concat('a.b.site', CAST(doc_id % 50 AS STRING), '.com.au')
+          | WHEN 3 THEN concat('cdn', CAST(doc_id % 50 AS STRING), '.edge', CAST(doc_id % 9 AS STRING), '.net')
+          | WHEN 4 THEN concat('lab', CAST(doc_id % 50 AS STRING), '.ac.jp')
+          | WHEN 5 THEN 'localhost'
+          | ELSE concat('news', CAST(doc_id % 50 AS STRING), '.de')
+          |END AS host""".stripMargin)
+      UrlOps.registrableDomains(hosts, "host")
+        .select("doc_id", "host", "registrable_domain")
+    }),
     "q_domain_cap" -> ((s, dir) => {
       // per-domain frequency cap (C4/RefinedWeb domain balancing): at most
       // 20 docs per source, longest-text first — executed as a streaming
@@ -4100,6 +4120,30 @@ object SparkEntry {
         |FROM s""".stripMargin
     },
     // the domain cap replays as the plain rank filter
+    // the eTLD+1 ALGORITHM replayed (DuckDB list indexing is 1-based with
+    // negative-from-end, same as element_at): suffix-set / ccTLD-generic
+    // test on the last two labels decides 3-vs-2 label retention
+    "q_domain_of" -> {
+      val set = graft.operators.UrlOps.multiLabelSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      s"""WITH h AS (SELECT doc_id, CASE doc_id % 7
+        |  WHEN 0 THEN 'www.shop' || CAST(doc_id % 50 AS VARCHAR) || '.co.uk'
+        |  WHEN 1 THEN 'blog' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+        |  WHEN 2 THEN 'a.b.site' || CAST(doc_id % 50 AS VARCHAR) || '.com.au'
+        |  WHEN 3 THEN 'cdn' || CAST(doc_id % 50 AS VARCHAR) || '.edge' || CAST(doc_id % 9 AS VARCHAR) || '.net'
+        |  WHEN 4 THEN 'lab' || CAST(doc_id % 50 AS VARCHAR) || '.ac.jp'
+        |  WHEN 5 THEN 'localhost'
+        |  ELSE 'news' || CAST(doc_id % 50 AS VARCHAR) || '.de'
+        |  END AS host FROM documents),
+        |p AS (SELECT doc_id, host, string_split(host, '.') AS l FROM h)
+        |SELECT doc_id, host, CASE
+        |  WHEN len(l) <= 2 THEN host
+        |  WHEN (l[-2] || '.' || l[-1]) IN ($set)
+        |    OR (length(l[-1]) = 2 AND l[-2] IN ('com','co','org','net','ac','gov','edu','or','ne','go'))
+        |  THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+        |  ELSE l[-2] || '.' || l[-1] END AS registrable_domain
+        |FROM p""".stripMargin
+    },
     "q_domain_cap" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

@@ -144,6 +144,53 @@ object UrlOps {
       .withColumn("split",
         expr(s"CASE WHEN bucket < $valPermille THEN 'val' ELSE 'train' END"))
 
+  /** Multi-label public suffixes the [[registrableDomainExpr]] heuristic
+    * recognizes — a deterministic subset of the Mozilla Public Suffix List
+    * covering the structurally common country-code second-level registries.
+    * Deployment swaps in the full PSL as a resource; the EXPRESSION SHAPE
+    * (suffix test → label count) is what this pins, and the subset is
+    * enough for per-domain capping/stats to stop conflating `a.co.uk`
+    * with `b.co.uk` under suffix `co.uk`.
+    */
+  val multiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk", "sch.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz", "ac.nz",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.br", "org.br", "net.br", "gov.br",
+    "com.cn", "org.cn", "net.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "org.za", "co.kr", "or.kr", "ac.kr",
+    "com.pl", "com.ua", "com.vn", "co.th", "co.id")
+
+  /** REGISTRABLE DOMAIN (eTLD+1) of a host column — the key per-domain
+    * caps, host statistics and politeness actually need: `a.shop.co.uk`
+    * and `b.shop.co.uk` are ONE registrant (`shop.co.uk`), while
+    * `a.co.uk` and `b.co.uk` are TWO (`co.uk` is a public suffix, not a
+    * domain). Pure codegen'd SQL (split + element_at + one IN) — no UDF,
+    * no join; the suffix rule: a listed multi-label suffix, or a 2-letter
+    * ccTLD whose second-to-last label is a generic registry word, keeps
+    * THREE labels; everything else keeps two; one- and two-label hosts
+    * pass through.
+    */
+  def registrableDomainExpr(host: String): String = {
+    val set = multiLabelSuffixes.map(s => s"'$s'").mkString(", ")
+    val l = s"split($host, '\\\\.')"
+    s"""CASE
+       | WHEN size($l) <= 2 THEN $host
+       | WHEN concat_ws('.', element_at($l, -2), element_at($l, -1)) IN ($set)
+       |   OR (length(element_at($l, -1)) = 2
+       |       AND element_at($l, -2) IN ('com','co','org','net','ac','gov','edu','or','ne','go'))
+       | THEN concat_ws('.', element_at($l, -3), element_at($l, -2), element_at($l, -1))
+       | ELSE concat_ws('.', element_at($l, -2), element_at($l, -1))
+       |END""".stripMargin.replace("\n", " ")
+  }
+
+  /** `registrable_domain` appended from `hostCol` — zero-shuffle. */
+  def registrableDomains(df: DataFrame, hostCol: String = "host"): DataFrame =
+    df.withColumn("registrable_domain", expr(registrableDomainExpr(hostCol)))
+
   /** PER-DOMAIN FREQUENCY CAP (the C4/RefinedWeb domain-balancing step):
     * keep at most `cap` documents per domain, best-ranked first (rank
     * desc, id asc ties) — a handful of mega-hosts otherwise dominate any
