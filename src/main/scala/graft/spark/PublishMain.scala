@@ -1,0 +1,84 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+/** Common-Crawl-style corpus PUBLICATION as a spark-submit surface: one
+  * extraction pass over the page corpus fans out into the full CC artifact
+  * family —
+  *
+  *   - `warc/` — the raw html as response records + CDX index sidecars
+  *     (random access by url);
+  *   - `wet/`  — extracted main text as conversion records (text-only
+  *     consumers never re-parse html);
+  *   - `wat/`  — the metadata envelope (title/base + outlinks with anchor
+  *     text) as JSON metadata records (link-graph consumers never touch
+  *     html or text).
+  *
+  * All three ride the same per-partition gzip-member writer with
+  * tmp/rename commits, so a retried task can never publish a partial or
+  * divergent file. The run verifies its own output by reading every
+  * artifact back (counts + a text-digest spot equality) and reports one
+  * JSON line with `ok`; exits nonzero on divergence.
+  *
+  * Usage: runMain graft.spark.PublishMain [sfDir] [outDir]
+  */
+object PublishMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_publish"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val outP = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outP))
+      java.nio.file.Files.walk(outP).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+
+    val t0 = System.nanoTime()
+    val n = spark.sparkContext.defaultParallelism
+    val pages = Pages.synthesizeLinkPages(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPages = pages.count()
+
+    // warc/ + cdx: the raw capture, indexable by url
+    graft.sources.Warc.writeWithCdx(
+      pages.map(p => graft.sources.Warc.WarcRec(p.url, p.warc_ts.getTime, p.html)),
+      s"$out/warc")
+
+    // one extraction pass feeds BOTH derived artifacts
+    val ex = ExtractJob.extract(pages, "publish", n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.sources.Warc.writeWet(
+      ex.map(e => graft.sources.Warc.WarcRec(e.url, 1700000000000L,
+        e.main_text.getBytes("UTF-8"))),
+      s"$out/wet")
+    graft.sources.Warc.writeWat(
+      ex.map(e => graft.sources.Warc.WarcRec(e.url, 1700000000000L,
+        graft.sources.Warc.watJson(e.url, e.title, e.base_href, e.links, e.anchors)
+          .getBytes("UTF-8"))),
+      s"$out/wat")
+
+    // read-back verification: every artifact complete and self-consistent
+    val cdxN = graft.sources.Warc.readCdx(spark, s"$out/warc").count()
+    val wetBack = graft.sources.Warc.readWet(spark, s"$out/wet").toDF()
+      .selectExpr("url", "md5(CAST(html AS STRING)) AS d")
+    val wetN = wetBack.count()
+    val watN = graft.sources.Warc.readWat(spark, s"$out/wat").count()
+    val digestsMatch = wetBack.as[(String, String)].collect().toMap ==
+      ex.map(e => (e.url, e.main_text)).toDF("url", "t")
+        .selectExpr("url", "md5(t) AS d").as[(String, String)].collect().toMap
+    ex.unpersist(); pages.unpersist()
+    val ok = cdxN == nPages && wetN == nPages && watN == nPages && digestsMatch
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"publish","docs":$nPages,"cdx":$cdxN,"wet":$wetN,"wat":$watN,"digests_ok":$digestsMatch,"ok":$ok,"wall_sec":$wall%.2f}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
