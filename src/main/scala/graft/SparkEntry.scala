@@ -853,6 +853,16 @@ object SparkEntry {
       // trained decision boundary
       TextOps.qualityModelScore(docs(s, dir), TextOps.qualityWeights(s),
         threshold = 0L)),
+    "q_lang_ngram" -> ((s, dir) =>
+      // REAL language-ID model (Cavnar–Trenkle trigram profiles, trained
+      // deterministically, shipped as a resource): top-40 doc trigrams vs
+      // each profile by out-of-place distance, argmin — all integer, the
+      // oracle replays extraction/ranking/distance/argmin bit-exactly with
+      // the profile inlined as VALUES. On this corpus the text is
+      // English-function-word prose for every row, so predicting 'en' is
+      // the CORRECT answer — the oracle checks the algorithm, the held-out
+      // accuracy floor lives in LangNgramSpec
+      TextOps.langIdNgram(docs(s, dir), TextOps.langProfiles(s))),
     "q_train_classifier" -> ((s, dir) =>
       // IN-ENGINE distributed training (batch perceptron, 3 synchronous
       // rounds): per-round delta = ONE partial-agged integer reduction over
@@ -3098,6 +3108,37 @@ object SparkEntry {
         |       CAST(CASE WHEN w_bias + w_tokens * f_tokens + w_chars * f_chars + w_stop * f_stop >= 0
         |            THEN 1 ELSE 0 END AS INTEGER) AS pass
         |FROM f JOIN w ON f.lang = w.lang""".stripMargin
+    },
+    // the whole Cavnar–Trenkle pipeline replayed: trigram extraction
+    // (char-based substr, whole-text fallback under 3 chars), per-doc
+    // top-40 rank (count DESC, tri ASC), out-of-place distance vs the
+    // inlined profile (missing → 40), argmin (score, lang)
+    "q_lang_ngram" -> {
+      val prof = TextOps.langProfileRows
+        .map { case (l, r, t) => s"('$l', $r, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""WITH tri AS (
+        |  SELECT doc_id, CASE WHEN length(text) < 3 THEN text
+        |                      ELSE substr(text, i, 3) END AS tri
+        |  FROM documents,
+        |       UNNEST(generate_series(1, greatest(length(text) - 2, 1))) t(i)),
+        |cnt AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, tri,
+        |              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tri) AS doc_rank
+        |       FROM cnt),
+        |top AS (SELECT * FROM rk WHERE doc_rank <= 40),
+        |prof(lang, rank, tri) AS (VALUES $prof),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |sc AS (SELECT t.doc_id, l.lang,
+        |              CAST(SUM(CASE WHEN p.rank IS NULL THEN 40
+        |                            ELSE abs(t.doc_rank - p.rank) END) AS BIGINT) AS score
+        |       FROM top t CROSS JOIN langs l
+        |       LEFT JOIN prof p ON p.lang = l.lang AND p.tri = t.tri
+        |       GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY score, lang) AS rn
+        |         FROM sc)
+        |SELECT doc_id, lang AS pred_lang FROM best WHERE rn = 1""".stripMargin
     },
     // batch-perceptron rounds unrolled: round 1 fires on EVERY doc (w=0 →
     // margin 0 ≤ 0), rounds 2-3 on the misclassified subset under the

@@ -1116,6 +1116,60 @@ object TextOps {
     finally src.close()
   }
 
+  /** The shipped Cavnar–Trenkle language profiles (lang, rank, trigram) —
+    * trained deterministically by `graft.tools.LangProfileTrain` from
+    * per-language function-word pools (see that tool's doc for why the
+    * `documents` table itself cannot train this). Shared by the DataFrame
+    * loader and the oracle-SQL VALUES inliner.
+    */
+  lazy val langProfileRows: Seq[(String, Int, String)] = {
+    val in = getClass.getResourceAsStream("/graft/lang_profiles.tsv")
+    require(in != null, "missing resource graft/lang_profiles.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l => val a = l.split('\t'); (a(0), a(1).toInt, a(2)) }.toList
+    finally src.close()
+  }
+
+  def langProfiles(spark: SparkSession): DataFrame =
+    spark.createDataFrame(langProfileRows).toDF("lang", "rank", "tri")
+
+  /** N-GRAM language ID (Cavnar & Trenkle 1994 — the real model behind
+    * every classic langid tool): rank the document's top-`k` character
+    * trigrams by frequency, score each language profile by the OUT-OF-PLACE
+    * distance (Σ |doc rank − profile rank|, missing trigram → `k`), and
+    * take the minimum (ties break on language code — fully deterministic).
+    * All-integer, so the whole pipeline — extraction, ranking, distance,
+    * argmin — replays bit-exactly as the DuckDB oracle.
+    *
+    * Scale shape: trigram explosion is a narrow `transform(sequence)`
+    * projection; the count + rank share ONE doc-keyed exchange (window over
+    * the aggregation); profiles broadcast (≤ langs·k rows); the per-(doc,
+    * lang) distance sum partial-aggregates; the argmin is a
+    * `min(struct(score, lang))`. The corpus text never shuffles — only
+    * (doc, trigram, rank) triples capped at `k` per doc.
+    */
+  def langIdNgram(docs: DataFrame, profiles: DataFrame, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = docs.selectExpr("doc_id",
+        "explode(CASE WHEN length(text) < 3 THEN array(text) ELSE " +
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)) END) AS tri")
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      .withColumn("doc_rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("tri"))))
+      .where(col("doc_rank") <= k)
+    val langs = profiles.select("lang").distinct()
+    ranked.crossJoin(broadcast(langs))
+      .join(broadcast(profiles), Seq("lang", "tri"), "left")
+      .selectExpr("doc_id", "lang",
+        s"CAST(CASE WHEN rank IS NULL THEN $k ELSE abs(doc_rank - rank) END AS BIGINT) AS d")
+      .groupBy("doc_id", "lang").agg(sum("d").as("score"))
+      .groupBy("doc_id")
+      .agg(min(struct(col("score"), col("lang"))).as("m"))
+      .selectExpr("doc_id", "m.lang AS pred_lang")
+  }
+
   /** IN-ENGINE distributed classifier training — the companion to
     * [[qualityModelScore]]'s inference path: a batch perceptron
     * (Rosenblatt update, full-batch variant) over the same integer feature
