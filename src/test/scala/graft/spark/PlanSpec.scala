@@ -260,6 +260,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"expected at most one exchange per term stream, got $exchanges:\n$plan")
   }
 
+  test("n-gram language ID broadcasts the profile table; the corpus text never shuffles") {
+    val plan = graft.SparkEntry.queries("q_lang_ngram")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"profile join not broadcast:\n$plan")
+    // every real exchange must carry the capped trigram/rank/score triples,
+    // never the text column itself
+    val textExchanges = plan.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") && l.contains("text")).toSeq
+    assert(textExchanges.isEmpty, s"text column crossed an exchange:\n$textExchanges")
+  }
+
   test("production BPE encode broadcasts the vocab table — one doc-keyed shuffle, k absent from the plan") {
     val p = formatted("q_bpe_encode")
     assert(p.contains("BroadcastHashJoin"), s"vocab table not broadcast:\n$p")
