@@ -294,6 +294,21 @@ object SparkEntry {
       Graph.labelPropagation(edges, iters = 2)
         .select(col("node").as("host"), col("community"))
     }),
+    "q_trustrank" -> ((s, dir) => {
+      // TrustRank (Gyöngyi et al. 2004) over the same closed-form host graph
+      // as q_pagerank: teleport mass restricted to the vetted seed hosts
+      // {site0, site5, site10} — trust decays with link distance from the
+      // seeds, so link-farm hosts surface as high-PageRank/low-trust
+      // outliers; 3 fixed-point BIGINT rounds, bit-exact in DuckDB
+      val n = s.sparkContext.defaultParallelism
+      val edges = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "trust", n)
+        .toDF().selectExpr("url", "explode(links) AS href")
+        .selectExpr("parse_url(url, 'HOST') AS src", "parse_url(href, 'HOST') AS dst")
+      import s.implicits._
+      val seeds = Seq(0, 5, 10).map(h => s"site$h.example.com").toDF("node")
+      Graph.trustRank(edges, seeds, iters = 3)
+        .select(col("node").as("host"), col("trust_fp"))
+    }),
     "q_robots_filter" -> ((s, dir) => {
       // crawl-compliance gate (RFC 9309): the distinct frontier from the
       // graph corpus's extracted links, filtered against per-host
@@ -2491,7 +2506,22 @@ object SparkEntry {
           "parse_url(url, 'HOST') AS host",
           "parse_url(url, 'PATH') AS path",
           "CAST(parse_url(url, 'QUERY', 'ref') AS BIGINT) AS ref",
-          "array_join(slice(split(parse_url(url, 'HOST'), '[.]'), -2, 2), '.') AS reg_domain"))
+          "array_join(slice(split(parse_url(url, 'HOST'), '[.]'), -2, 2), '.') AS reg_domain")),
+    "q_surt" -> ((s, dir) =>
+      // SURT canonical key (the CDX / web-archive sort key) over a url mix
+      // exercising every rule: mixed-case host, www-strip, label reversal,
+      // unsorted+empty query params, fragment drop, missing path — pure
+      // codegen'd projection, zero shuffle
+      docs(s, dir)
+        .selectExpr("doc_id",
+          """concat('https://',
+            |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,
+            |  lang, '.', source, '.Example.COM',
+            |  CASE WHEN doc_id % 5 = 4 THEN ''
+            |       ELSE concat('/', upper(source), '/Doc', CAST(doc_id AS STRING)) END,
+            |  CASE WHEN doc_id % 2 = 0 THEN concat('?b=2&&a=', CAST(doc_id % 5 AS STRING)) ELSE '' END,
+            |  CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END) AS url""".stripMargin)
+        .selectExpr("doc_id", "url", s"${UrlOps.surtKeyExpr("url")} AS surt"))
   )
 
   /** Exhaustive minhash pair-enumeration oracle — shared by
@@ -2687,6 +2717,33 @@ object SparkEntry {
         |a2 AS (SELECT node, CAST(ar // ((GREATEST((SELECT MAX(ar) FROM a2r), 1) + 999999999) // 1000000000) AS BIGINT) AS a FROM a2r)
         |SELECT h2.node AS host, h2.h AS hub_fp, a2.a AS auth_fp
         |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
+    // TrustRank unrolled over the same closed-form host edges: the pagerank
+    // recurrence with the teleport term gated by the seed indicator (only
+    // {site0, site5, site10} receive base mass); `//` == Spark `div`
+    "q_trustrank" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS src,
+        |         'site' || CAST((doc_id * 3 + i * 5) % 11 AS VARCHAR) || '.example.com' AS dst
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents)),
+        |edges AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |sd AS (SELECT node, CASE WHEN node IN ('site0.example.com','site5.example.com','site10.example.com')
+        |                         THEN 1 ELSE 0 END AS is_seed FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+        |r0 AS (SELECT node, CAST(is_seed AS BIGINT) * 1000000000 AS r FROM sd),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.r // dg.od) AS c
+        |       FROM edges e JOIN r0 ON e.src = r0.node JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node, CAST(CAST(n.is_seed AS BIGINT) * 150000000 + (85 * COALESCE(c1.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c1 ON n.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.r // dg.od) AS c
+        |       FROM edges e JOIN r1 ON e.src = r1.node JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node, CAST(CAST(n.is_seed AS BIGINT) * 150000000 + (85 * COALESCE(c2.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c2 ON n.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, SUM(r2.r // dg.od) AS c
+        |       FROM edges e JOIN r2 ON e.src = r2.node JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node, CAST(CAST(n.is_seed AS BIGINT) * 150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS BIGINT) AS r
+        |       FROM sd n LEFT JOIN c3 ON n.node = c3.node)
+        |SELECT node AS host, r AS trust_fp FROM r3""".stripMargin,
     // synchronous LPA unrolled: canonical undirected edges (least/greatest,
     // self-loops dropped), two rounds of neighbor-label counting with the
     // (count DESC, label ASC) row_number tie-break
@@ -3072,6 +3129,37 @@ object SparkEntry {
         |       CAST(regexp_extract(url, 'ref=([0-9]+)', 1) AS BIGINT) AS ref,
         |       regexp_extract(regexp_extract(url, '://([^/]+)/', 1), '([^.]+[.][^.]+)$', 1) AS reg_domain
         |FROM u""".stripMargin,
+    // SURT derivation replayed independently: regexp decomposition, www
+    // strip, list_reverse label reversal, list_sort query ordering — every
+    // rule the Spark expression pins, byte-for-byte
+    "q_surt" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    lang || '.' || source || '.Example.COM' ||
+        |    CASE WHEN doc_id % 5 = 4 THEN '' ELSE '/' || upper(source) || '/Doc' || CAST(doc_id AS VARCHAR) END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?b=2&&a=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '#Frag' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '://([^/?#]+)', 1)) AS host0,
+        |    regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path0,
+        |    lower(regexp_extract(url, '\?([^#]*)', 1)) AS q0
+        |  FROM u),
+        |h AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN host0 LIKE 'www.%' THEN substring(host0, 5) ELSE host0 END AS bare,
+        |    CASE WHEN path0 = '' THEN '/' ELSE lower(path0) END AS path, q0
+        |  FROM p),
+        |qj AS (
+        |  SELECT doc_id, url, bare, path,
+        |    COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'), x -> x <> '')), '&'), '') AS js
+        |  FROM h)
+        |SELECT doc_id, url,
+        |  array_to_string(list_reverse(string_split(bare, '.')), ',') || ')' || path ||
+        |  CASE WHEN js = '' THEN '' ELSE '?' || js END AS surt
+        |FROM qj""".stripMargin,
     // the distributed prefix-sum replayed as the naive window (same total
     // order score desc, doc_id asc; keep while cum-before < budget)
     "q_token_budget" ->

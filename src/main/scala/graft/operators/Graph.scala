@@ -131,6 +131,63 @@ object Graph {
     out
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — biased
+    * PageRank whose teleport mass lands ONLY on a hand-vetted trusted seed
+    * set, so trust decays with link distance from the seeds and link-farm
+    * hosts (high PageRank, no inbound path from any trusted host) surface
+    * as high-rank/low-trust outliers. The standard web-spam demotion signal
+    * a crawl pipeline runs next to [[pageRank]]: the two ranks differ only
+    * in the teleport vector, and their gap is the "spam mass" estimate.
+    *
+    *   t0(v)    = scale            if v ∈ seeds, else 0
+    *   t_i+1(v) = base(v) + (85 * Σ_{u→v} (t_i(u) div outdeg(u))) div 100
+    *   base(v)  = scale*15/100     if v ∈ seeds, else 0
+    *
+    * Determinism contract (the [[pageRank]] convention): fixed-point BIGINT,
+    * truncating `div`, exact long sums — identical on any partitioning and
+    * bit-exact under a DuckDB unrolling. Total system mass is bounded by the
+    * PageRank case (the teleport vector is a sub-distribution of uniform),
+    * so the same 10^17 ≪ Long.MaxValue overflow headroom holds.
+    *
+    * Scale shape: identical to [[pageRank]] — edges deduped + out-degree
+    * pre-joined + persisted once, one shuffle join + one partial-aggregated
+    * sum per round, O(1) lineage via localCheckpoint. The seed set is a
+    * broadcast left join computed ONCE into the base/start vectors (seed
+    * lists are thousands of rows — never a shuffle side).
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                scale: Long = 1000000000L): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val ed = e.join(deg, "src").persist() // (src, dst, od) — reused every round
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val sd = seeds.select(col("node")).distinct().withColumn("is_seed", lit(1))
+    // seed indicator joined once; base + start vectors derive from it
+    val nodeSeed = nodes.join(broadcast(sd), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .persist()
+    val seedBase = scale * 15L / 100L
+    var ranks = nodeSeed
+      .select(col("node"), expr(s"CAST(is_seed AS BIGINT) * ${scale}L").as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val contrib = ed.join(ranks, ed("src") === ranks("node"))
+        .select(ed("dst").as("node"), expr("r div od").as("c"))
+        .groupBy("node").agg(sum("c").as("c"))
+      ranks = nodeSeed.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST(is_seed AS BIGINT) * ${seedBase}L + (85L * coalesce(c, 0L)) div 100L").as("r"))
+        .localCheckpoint()
+      i += 1
+    }
+    val out = ranks.select(col("node"), col("r").as("trust_fp"))
+    e.unpersist(); ed.unpersist(); nodes.unpersist(); nodeSeed.unpersist()
+    out
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et al.
     * 2007) over the UNDIRECTED host graph — the third classic link-graph
     * artifact next to [[pageRank]]/[[hits]] and the standard cheap detector

@@ -191,6 +191,39 @@ object UrlOps {
   def registrableDomains(df: DataFrame, hostCol: String = "host"): DataFrame =
     df.withColumn("registrable_domain", expr(registrableDomainExpr(hostCol)))
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the canonical key
+    * of the web-archival world: CDX indexes, OpenWayback/pywb lookups and
+    * Common Crawl's own index are all keyed on it. Reversing the host's
+    * labels (`com,example)/path`) makes one registrant's urls a CONTIGUOUS
+    * byte range, so "everything under example.com" becomes a prefix scan —
+    * exactly the access shape [[graft.spark.PageCatalog]]'s LIKE-prefix
+    * file pruning and a url-sorted table layout serve at 100 TB.
+    *
+    * Deterministic subset pinned here (the pywb `default` canonicalizer's
+    * shape): lowercase; scheme and fragment dropped; one leading `www.`
+    * stripped; host labels reversed and comma-joined; `)` separator; path
+    * (default `/`); query keys sorted byte-wise with empty params dropped,
+    * behind `?`. Ports are dropped with the scheme (parse_url HOST). A
+    * non-absolute url (no host) keys NULL — callers filter or pass through.
+    *
+    * Pure codegen'd SQL (parse_url + split/reverse/sort_array) — no UDF,
+    * zero shuffle, and every step replays bit-exactly in DuckDB.
+    */
+  def surtKeyExpr(url: String): String = {
+    val host = s"lower(parse_url($url, 'HOST'))"
+    val bare = s"CASE WHEN $host LIKE 'www.%' THEN substring($host, 5) ELSE $host END"
+    val rev = s"array_join(reverse(split($bare, '[.]')), ',')"
+    val path = s"CASE WHEN parse_url($url, 'PATH') IS NULL OR parse_url($url, 'PATH') = '' THEN '/' ELSE lower(parse_url($url, 'PATH')) END"
+    val q = s"lower(parse_url($url, 'QUERY'))"
+    val qj = s"array_join(sort_array(filter(split($q, '&'), x -> x <> '')), '&')"
+    val qs = s"CASE WHEN $q IS NULL OR $qj = '' THEN '' ELSE concat('?', $qj) END"
+    s"CASE WHEN $host IS NULL THEN NULL ELSE concat($rev, ')', $path, $qs) END"
+  }
+
+  /** `surt` appended from `urlCol` — zero-shuffle codegen'd projection. */
+  def surtKeys(df: DataFrame, urlCol: String = "url"): DataFrame =
+    df.withColumn("surt", expr(surtKeyExpr(urlCol)))
+
   /** PER-DOMAIN FREQUENCY CAP (the C4/RefinedWeb domain-balancing step):
     * keep at most `cap` documents per domain, best-ranked first (rank
     * desc, id asc ties) — a handful of mega-hosts otherwise dominate any

@@ -110,6 +110,50 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  // ---- TrustRank ----
+
+  private def trustOf(edges: Seq[(String, String)], seeds: Seq[String], iters: Int,
+                      parts: Int = 4): Map[String, Long] = {
+    val ss = spark; import ss.implicits._
+    val df = spark.createDataFrame(edges).toDF("src", "dst").repartition(parts)
+    Graph.trustRank(df, seeds.toDF("node"), iters).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("TrustRank: all-seed cycle is the PageRank fixed point at exactly scale") {
+    // every node seeded, outdeg 1 → 0.15·S + 0.85·S = S exactly in integers
+    val r = trustOf(Seq("a" -> "b", "b" -> "c", "c" -> "a"), Seq("a", "b", "c"), iters = 3)
+    assert(r == Map("a" -> 1000000000L, "b" -> 1000000000L, "c" -> 1000000000L))
+  }
+
+  test("TrustRank chain s->a->b from one seed, 2 rounds, hand-computed decay") {
+    // r1: s = 1.5e8 (teleport only), a = 85·1e9//100, b = 0
+    // r2: s = 1.5e8, a = 85·1.5e8//100, b = 85·8.5e8//100
+    val r = trustOf(Seq("s" -> "a", "a" -> "b"), Seq("s"), iters = 2)
+    assert(r("s") == 150000000L)
+    assert(r("a") == 127500000L)
+    assert(r("b") == 722500000L)
+  }
+
+  test("TrustRank: a component unreachable from the seeds holds exactly zero trust") {
+    // the link farm f1<->f2 interlinks densely but no trusted host reaches
+    // it — TrustRank 0 while PageRank assigns it real mass (the spam-mass
+    // separation the operator exists for)
+    val edges = Seq("s" -> "a", "f1" -> "f2", "f2" -> "f1")
+    val t = trustOf(edges, Seq("s"), iters = 3)
+    assert(t("f1") == 0L && t("f2") == 0L)
+    assert(t("a") > 0L)
+    val pr = ranks(edges, iters = 3)
+    assert(pr("f1") > 0L && pr("f2") > 0L) // PageRank alone cannot demote the farm
+  }
+
+  test("TrustRank: unknown seed hosts are ignored, duplicates collapse, partitioning-invariant") {
+    val edges = (0 until 60).map(i => (s"h${i % 7}", s"h${(i * 3 + 1) % 7}"))
+    val a = trustOf(edges, Seq("h0", "h3"), 3, parts = 1)
+    val b = trustOf(edges ++ edges.take(9), Seq("h0", "h3", "h3", "ghost.example"), 3, parts = 13)
+    assert(a == b)
+  }
+
   // ---- label propagation ----
 
   private def lpaOf(edges: Seq[(String, String)], iters: Int, parts: Int = 4): Map[String, String] = {

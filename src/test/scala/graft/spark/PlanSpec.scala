@@ -288,6 +288,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("replace("), s"merge chain leaked into the plan:\n$p")
   }
 
+  test("SURT keying is a pure zero-shuffle narrow projection") {
+    val p = formatted("q_surt")
+    // parse_url and the higher-order filter() are invoke-based (not
+    // whole-stage-codegen'd) but the projection is still narrow: the guard
+    // pins ZERO exchanges and the scan pruned to the 3 source columns
+    assert(exchanges(p) == 0, s"surt key must not shuffle:\n$p")
+    assert(!p.contains("text"), s"scan not pruned to url-building columns:\n$p")
+  }
+
   test("catalog-source batch scan pushes column pruning into the DSv2 reader") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graftplancat").toFile.getAbsolutePath
