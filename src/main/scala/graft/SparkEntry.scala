@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.spark.{Pages, ExtractJob, PageRow}
-import graft.operators.{Dedup, Ann, TextOps, UrlOps, Graph, Feed}
+import graft.operators.{Dedup, Ann, TextOps, UrlOps, Graph, Feed, PageMeta}
 import graft.dom.Extractor
 
 /** Driver contract (see builder prompt + SURVEY.md §7). Each `queries` entry
@@ -399,6 +399,23 @@ object SparkEntry {
         .toDF().selectExpr("url", "posexplode(arrays_zip(og_props, og_vals)) AS (idx, pv)")
         .selectExpr("url", "CAST(idx AS INT) AS idx",
           "pv.og_props AS prop", "pv.og_vals AS content")
+    }),
+    "q_pub_date" -> ((s, dir) => {
+      // publication-date resolution from the page's own declarations, by
+      // priority og:published_time > JSON-LD datePublished > /YYYY/MM/DD/
+      // url segment — a zero-shuffle projection over the already-captured
+      // kernel columns (html never re-parsed)
+      val n = s.sparkContext.defaultParallelism
+      PageMeta.pubDates(
+        ExtractJob.extract(Pages.synthesizeArticlePages(s, dir), "article", n).toDF())
+    }),
+    "q_soft404" -> ((s, dir) => {
+      // soft-404 gate: 404/not-found titles always flag; 'not found'-style
+      // body markers flag only under the <40-word stub guard (a long
+      // article MENTIONING the phrase is content — hard negative planted)
+      val n = s.sparkContext.defaultParallelism
+      PageMeta.soft404(
+        ExtractJob.extract(Pages.synthesizeArticlePages(s, dir), "article", n).toDF())
     }),
     "q_jsonld" -> ((s, dir) => {
       // JSON-LD harvest: every <script type=application/ld+json> block rides
@@ -2856,6 +2873,56 @@ object SparkEntry {
     // closed-form JSON-LD blocks: head Article on even ids (idx 0, &amp;
     // kept RAW — rawtext), body Product on multiples of 5 (idx 1 when the
     // Article precedes it, else 0); js/typeless scripts never appear
+    // the article corpus's declared dates replayed closed-form: og wins on
+    // %3, JSON-LD on %4, the url path date on %5, NULL otherwise
+    "q_pub_date" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') AS mm,
+        |    lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dd
+        |  FROM documents)
+        |SELECT CASE WHEN doc_id % 5 = 0
+        |         THEN 'https://news.example.com/2021/' || mm || '/' || dd || '/doc' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'https://news.example.com/story/doc' || CAST(doc_id AS VARCHAR) END AS url,
+        |  CASE WHEN doc_id % 3 = 0 THEN '2022-' || mm || '-' || dd
+        |       WHEN doc_id % 4 = 0 THEN '2023-' || mm || '-' || dd
+        |       WHEN doc_id % 5 = 0 THEN '2021-' || mm || '-' || dd END AS pub_date,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'og'
+        |       WHEN doc_id % 4 = 0 THEN 'jsonld'
+        |       WHEN doc_id % 5 = 0 THEN 'url' END AS date_source
+        |FROM d""".stripMargin,
+    // soft-404 rule replayed over the closed-form titles/bodies: the %9==0
+    // stub flags by title, the %9==5 long 'not found' body must NOT flag
+    // (word-count guard), the %9==7 short-but-clean page must NOT flag
+    "q_soft404" ->
+      """WITH f AS (
+        |  SELECT array_to_string(list_transform(range(0, 45), i -> 'w' || CAST(i AS VARCHAR)), ' ') AS filler),
+        |t AS (
+        |  SELECT doc_id,
+        |    lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') AS mm,
+        |    lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dd,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'Page Not Found - site'
+        |         ELSE 'Story ' || CAST(doc_id AS VARCHAR) END AS title,
+        |    CASE WHEN doc_id % 9 = 0 THEN 'The page you requested was not found.'
+        |         WHEN doc_id % 9 = 7 THEN 'tiny page ' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 9 = 5 THEN 'story body ' || CAST(doc_id AS VARCHAR) || ' ' || filler || ' an archived copy was not found here'
+        |         ELSE 'story body ' || CAST(doc_id AS VARCHAR) || ' ' || filler END AS mt
+        |  FROM documents, f),
+        |r AS (
+        |  SELECT doc_id, mm, dd, title, mt,
+        |    CASE WHEN lower(title) LIKE '%404%' OR lower(title) LIKE '%not found%' THEN 'title'
+        |         WHEN len(string_split(mt, ' ')) < 40
+        |              AND (lower(mt) LIKE '%not found%' OR lower(mt) LIKE '%no longer available%'
+        |                   OR lower(mt) LIKE '%does not exist%') THEN 'stub_body' END AS soft404_reason
+        |  FROM t)
+        |SELECT CASE WHEN doc_id % 5 = 0
+        |         THEN 'https://news.example.com/2021/' || mm || '/' || dd || '/doc' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'https://news.example.com/story/doc' || CAST(doc_id AS VARCHAR) END AS url,
+        |  title,
+        |  CAST(len(string_split(mt, ' ')) AS INT) AS n_words,
+        |  soft404_reason,
+        |  soft404_reason IS NOT NULL AS is_soft404
+        |FROM r""".stripMargin,
     "q_jsonld" ->
       """WITH d AS (SELECT doc_id, 'https://example.com/media/doc' || CAST(doc_id AS VARCHAR) AS url FROM documents)
         |SELECT url, 0 AS idx,

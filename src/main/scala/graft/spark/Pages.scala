@@ -340,6 +340,62 @@ object Pages {
       }
   }
 
+  /** Deterministic article page for the publication-date / soft-404
+    * operators — every signal a closed form of docId:
+    *  - og:published_time meta on docId%3==0 (2022-mm-dd)
+    *  - JSON-LD datePublished on docId%4==0 (2023-mm-dd)
+    *  - /2021/mm/dd/ url date on docId%5==0 (built by the synthesizer)
+    *  - soft-404 shape on docId%9==0 (404 title + apology stub body)
+    *  - hard negative on docId%9==5 (LONG body that mentions 'not found')
+    *  - short-but-clean page on docId%9==7 (stub length, no marker)
+    */
+  def renderArticle(docId: Long): String = {
+    val mm = f"${1 + docId % 12}%02d"
+    val dd = f"${1 + docId % 28}%02d"
+    val sb = new java.lang.StringBuilder(512)
+    sb.append("<!DOCTYPE html><html><head><title>")
+    if (docId % 9 == 0) sb.append("Page Not Found - site")
+    else sb.append("Story ").append(docId)
+    sb.append("</title>")
+    if (docId % 3 == 0)
+      sb.append("<meta property=\"og:published_time\" content=\"2022-")
+        .append(mm).append("-").append(dd).append("\">")
+    if (docId % 4 == 0)
+      sb.append("<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\",\"datePublished\":\"2023-")
+        .append(mm).append("-").append(dd)
+        .append("\",\"author\":\"A").append(docId % 5).append("\"}</script>")
+    sb.append("</head><body><p>")
+    if (docId % 9 == 0) sb.append("The page you requested was not found.")
+    else if (docId % 9 == 7) sb.append("tiny page ").append(docId)
+    else {
+      sb.append("story body ").append(docId)
+      var i = 0
+      while (i < 45) { sb.append(" w").append(i); i += 1 }
+      if (docId % 9 == 5) sb.append(" an archived copy was not found here")
+    }
+    sb.append("</p></body></html>")
+    sb.toString
+  }
+
+  /** The deterministic article corpus (pub-date / soft-404 oracle input). */
+  def synthesizeArticlePages(spark: SparkSession, sfDir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism * 4
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+      .repartition(parts)
+      .as[(Long, String)]
+      .map { case (docId, lang) =>
+        val mm = f"${1 + docId % 12}%02d"
+        val dd = f"${1 + docId % 28}%02d"
+        val url =
+          if (docId % 5 == 0) s"https://news.example.com/2021/$mm/$dd/doc$docId"
+          else s"https://news.example.com/story/doc$docId"
+        val html = renderArticle(docId).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        PageRow(url, new java.sql.Timestamp(1609459200000L + docId * 1000L), html, null, lang)
+      }
+  }
+
   /** Deterministic microdata page: one schema.org Article item (text,
     * href, content, datetime and multi-token prop values), a nested Person
     * on docId%3==0 (the flat-triple `item:<ord>` encoding), an Offer with a
