@@ -1148,6 +1148,39 @@ object SparkEntry {
       s.createDataFrame(rows.toSeq).toDF("url", "text")
         .selectExpr("url", "md5(text) AS text_md5")
     }),
+    "q_cc_index" -> ((s, dir) => {
+      // the CC columnar-index build: WARC+CDX publication lifted into the
+      // SURT-range-clustered parquet index table (ccindex shape). The
+      // pointer columns are REQUIRED to work in-query: the 10 surt-first
+      // index rows fetch their records by ranged read, digest-verified,
+      // urls matching — then the oracle replays every (surt, host,
+      // registrable_domain) derivation closed-form
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_ccidx_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      import s.implicits._
+      val recs = docs(s, dir).selectExpr(
+        "concat('https://', CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END, lang, '.Example.com/', source, '/doc', doc_id) AS url",
+        "doc_id", "text")
+        .collect().map(r => graft.sources.Warc.WarcRec(
+          r.getString(0), 1700000000000L + r.getLong(1), r.getString(2).getBytes("UTF-8")))
+      val ds = s.createDataset(recs.toSeq).repartition(8)
+      graft.sources.Warc.writeWithCdx(ds, root)
+      val idx = graft.sources.Warc.cdxIndexTable(s, root)
+      val probe = idx.orderBy("surt").limit(10).collect()
+      require(probe.length == 10, "index underpopulated")
+      probe.foreach { r =>
+        val row = graft.sources.Warc.readRecordAt(root,
+          r.getAs[String]("filename"), r.getAs[Long]("offset"),
+          r.getAs[Long]("length"), verifyDigest = r.getAs[String]("digest"))
+        require(row.url == r.getAs[String]("url"),
+          s"index pointer fetched ${row.url}, expected ${r.getAs[String]("url")}")
+      }
+      idx.selectExpr("surt", "url", "host", "registrable_domain")
+    }),
     "q_schema_evolution" -> ((s, dir) => {
       // metadata-only RENAME across drops: the first drop writes the text
       // under the old name `body` and takes down %20==4 BEFORE the rename
@@ -2458,6 +2491,12 @@ object SparkEntry {
         .selectExpr("CAST(min_v AS BIGINT) AS min_v", "CAST(max_v AS BIGINT) AS max_v",
           "CAST(n_rows AS BIGINT) AS n_rows")
     }),
+    "q_kn_perplexity" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram perplexity (the KenLM smoothing
+      // family): discounted mass redistributed through the CONTINUATION
+      // distribution, every term an exact 128-bit rational (DECIMAL(38,0)
+      // / HUGEINT) — the whole score replays bit-for-bit in DuckDB
+      TextOps.knPerplexity(docs(s, dir))),
     "q_lm_perplexity" -> ((s, dir) =>
       // CCNet-style bigram-LM quality signal: add-one-smoothed surprisal
       // in whole bits, model pruned to count>=2 then BROADCAST onto the
@@ -3947,6 +3986,27 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       md5(text) AS text_md5
         |FROM documents WHERE doc_id % 50 = 11 AND doc_id < 500""".stripMargin,
+    // the ccindex derivations replayed closed-form: surt (www-strip +
+    // label reversal + lowercase path), full lowercased host, last-two-
+    // labels registrable domain — pointer validity is proven in-query
+    "q_cc_index" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    lang || '.Example.com/' || source || '/doc' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '://([^/?#]+)', 1)) AS host0,
+        |    lower(regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1)) AS path0
+        |  FROM u)
+        |SELECT
+        |  array_to_string(list_reverse(string_split(
+        |    CASE WHEN host0 LIKE 'www.%' THEN substring(host0, 5) ELSE host0 END, '.')), ',')
+        |    || ')' || path0 AS surt,
+        |  url, host0 AS host,
+        |  regexp_extract(host0, '([^.]+[.][^.]+)$', 1) AS registrable_domain
+        |FROM p""".stripMargin,
     // the table corpus's exact markdown: intro block + pipe rows + the
     // '---' separator sized to the column count — every byte closed-form
     "q_markdown_tables" ->
@@ -4403,6 +4463,48 @@ object SparkEntry {
     // same add-one smoothing, surprisal via length(bin()) on the identical
     // shifted floor-division — whole pipeline integer, so nll matches
     // bit-for-bit per document
+    // interpolated KN replayed whole: the types relation feeds c12/n1f/
+    // n1b/NBB/T, the common-denominator rational is HUGEINT-exact, and the
+    // whole-bit surprisal uses the same 2^62-split as the Spark expression
+    "q_kn_perplexity" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2
+        |      FROM (SELECT doc_id, l, unnest(generate_series(0, len(l) - 2)) AS i FROM ws)),
+        |ty AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS call FROM b GROUP BY 1, 2),
+        |m2 AS (SELECT w1, w2, call AS c12 FROM ty WHERE call >= 2),
+        |m1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM b GROUP BY 1 HAVING count(*) >= 2),
+        |nf AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1f FROM ty GROUP BY 1),
+        |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM ty GROUP BY 1),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nbb, CAST(count(DISTINCT w2) AS BIGINT) AS t FROM ty),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (SELECT unnest(l) AS w FROM ws)),
+        |j AS (SELECT doc_id,
+        |        coalesce(c12, CAST(0 AS BIGINT)) AS c12c,
+        |        coalesce(c1, CAST(0 AS BIGINT)) AS c1c,
+        |        coalesce(nf.n1f, CAST(0 AS BIGINT)) AS n1fc,
+        |        coalesce(nb.n1b, CAST(0 AS BIGINT)) AS n1bc,
+        |        nbb, t, v
+        |      FROM b LEFT JOIN m2 USING (w1, w2) LEFT JOIN m1 USING (w1)
+        |             LEFT JOIN nf USING (w1) LEFT JOIN nb USING (w2)
+        |             CROSS JOIN gl CROSS JOIN v),
+        |r AS (SELECT doc_id, c12c, c1c, n1fc,
+        |        CAST(greatest(4 * n1bc - 3, 0) AS HUGEINT) * v + 3 * t AS cnum,
+        |        CAST(4 AS HUGEINT) * nbb * v AS cden
+        |      FROM j),
+        |nd AS (SELECT doc_id,
+        |        CASE WHEN c1c > 0
+        |             THEN CAST(greatest(4 * c12c - 3, 0) AS HUGEINT) * cden + CAST(3 * n1fc AS HUGEINT) * cnum
+        |             ELSE cnum END AS num,
+        |        CASE WHEN c1c > 0 THEN CAST(4 * c1c AS HUGEINT) * cden ELSE cden END AS den
+        |      FROM r),
+        |sb AS (SELECT doc_id,
+        |        CASE WHEN den // (num * CAST(4611686018427387904 AS HUGEINT)) = 0
+        |             THEN length(bin(CAST(den // num AS BIGINT))) - 1
+        |             ELSE 62 + length(bin(CAST(den // (num * CAST(4611686018427387904 AS HUGEINT)) AS BIGINT))) - 1 END AS bits
+        |      FROM nd)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bits) AS BIGINT) AS nll_bits,
+        |       CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_milli
+        |FROM sb GROUP BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |b AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2

@@ -1061,6 +1061,96 @@ object TextOps {
         "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_bigrams AS BIGINT) AS bits_milli")
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity — the SMOOTHING FAMILY the
+    * production LM filter actually uses (CCNet ships KenLM, and KenLM is
+    * interpolated modified Kneser-Ney): where [[lmPerplexity]]'s add-one
+    * smoothing over-penalizes rare-but-valid continuations, KN discounts
+    * every observed bigram by a fixed D and redistributes that mass through
+    * the CONTINUATION distribution — "how many distinct contexts does w2
+    * follow" — which is the right novelty prior for quality filtering
+    * (San Francisco: high count, low continuation diversity).
+    *
+    * Model, with fixed discount D = 3/4 (the textbook single-discount KN),
+    * all terms exact rationals:
+    *
+    *   p(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1·)/c1) · pc(w2)     c1 > 0
+    *   pc(w2)   = [max(N1+(·w2) − D, 0) + D·T/V·…]  — the continuation
+    *              distribution, itself KN-interpolated with uniform 1/V so
+    *              every word (even one never seen as a continuation) keeps
+    *              mass:  pc = (max(4·N1b − 3, 0)·V + 3·T) / (4·NBB·V)
+    *   backoff (c1 = 0, e.g. pruned prefix): p = pc(w2)
+    *
+    * where N1b = N1+(·w2), NBB = distinct bigram types, T = distinct
+    * continuation words, V = vocabulary. Over common denominators the whole
+    * score is ONE integer fraction num/den with den ≤ 16·c1·NBB·V — carried
+    * in DECIMAL(38,0) on Spark and HUGEINT in DuckDB, both exact 128-bit
+    * integer arithmetic, so the oracle replays bit-for-bit.
+    *
+    * Surprisal in WHOLE bits (the [[lmPerplexity]] convention), overflow-
+    * safely: qhi = den div (num·2^62) first — if the true ratio den/num
+    * exceeds 2^62 this is its top half (bits = 62 + bitlen(qhi) − 1), and
+    * when the 2^62-shifted multiply would overflow DECIMAL(38) the ratio
+    * provably fits a BIGINT (num > 2.1e19 ⇒ den/num < 2^62 at any
+    * realistic den), so the plain den div num arm is exact. floor(log2) of
+    * a floor-quotient equals floor(log2) of the true ratio for ratios ≥ 1.
+    *
+    * Scale shape (the lmPerplexity discipline): the bigram stream is the
+    * zero-shuffle codegen'd posexplode build; model statistics are
+    * partial-agged COUNT shuffles over types/occurrences (counts cross the
+    * wire, occurrences never); every model table is pruned-or-vocab-sized
+    * and BROADCAST onto the unshuffled stream; one doc-keyed sum ends it.
+    */
+  def knPerplexity(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws", "posexplode(ws) AS (pos, w1)")
+      .where("pos < size(ws) - 1")
+      .selectExpr("doc_id", "w1", "ws[pos + 1] AS w2")
+    // distinct bigram types with their counts — the one relation every KN
+    // statistic derives from (Spark reuses the (w1,w2) exchange across the
+    // derived aggregations)
+    val types = b.groupBy("w1", "w2").agg(count(lit(1)).as("cAll"))
+    val m2 = types.where(s"cAll >= $minCount")
+      .select(col("w1"), col("w2"), col("cAll").as("c12"))
+    val m1 = b.groupBy("w1").agg(count(lit(1)).as("c1")).where(s"c1 >= $minCount")
+    val n1fT = types.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1bT = types.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val gl = types.agg(count(lit(1)).as("nbb"), countDistinct($"w2").as("t"))
+    val vT = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .agg(countDistinct($"w").as("v"))
+    b.join(broadcast(m2), Seq("w1", "w2"), "left")
+      .join(broadcast(m1), Seq("w1"), "left")
+      .join(broadcast(n1fT), Seq("w1"), "left")
+      .join(broadcast(n1bT), Seq("w2"), "left")
+      .crossJoin(broadcast(gl))
+      .crossJoin(broadcast(vT))
+      .selectExpr("doc_id",
+        "coalesce(c12, CAST(0 AS BIGINT)) AS c12c",
+        "coalesce(c1, CAST(0 AS BIGINT)) AS c1c",
+        "coalesce(n1f, CAST(0 AS BIGINT)) AS n1fc",
+        "coalesce(n1b, CAST(0 AS BIGINT)) AS n1bc",
+        "nbb", "t", "v")
+      .selectExpr("doc_id", "c12c", "c1c", "n1fc",
+        "CAST(greatest(4 * n1bc - 3, 0) AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) + CAST(3 * t AS DECIMAL(38,0)) AS cnum",
+        "CAST(4 AS DECIMAL(38,0)) * CAST(nbb AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) AS cden")
+      .selectExpr("doc_id",
+        "CASE WHEN c1c > 0 THEN CAST(greatest(4 * c12c - 3, 0) AS DECIMAL(38,0)) * cden + CAST(3 * n1fc AS DECIMAL(38,0)) * cnum ELSE cnum END AS num",
+        "CASE WHEN c1c > 0 THEN CAST(4 * c1c AS DECIMAL(38,0)) * cden ELSE cden END AS den")
+      .selectExpr("doc_id", "num", "den",
+        "den div (num * CAST(4611686018427387904 AS DECIMAL(38,0))) AS qhi")
+      .selectExpr("doc_id",
+        "CASE WHEN qhi IS NULL OR qhi = 0 THEN length(bin(den div num)) - 1 " +
+          "ELSE 62 + length(bin(qhi)) - 1 END AS bits")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("nll_bits"))
+      .selectExpr("doc_id",
+        "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+        "CAST(nll_bits AS BIGINT) AS nll_bits",
+        "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_bigrams AS BIGINT) AS bits_milli")
+  }
+
   /** Linear quality-classifier inference — the model-based filtering stage
     * (fastText-style quality classifier / FineWeb-Edu scorer shape): each
     * doc gets score = w · features with a PER-LANGUAGE weight vector.

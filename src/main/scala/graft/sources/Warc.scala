@@ -584,6 +584,29 @@ object Warc {
       "CAST(split(value, '\t')[4] AS BIGINT) AS length",
       "split(value, '\t')[5] AS filename")
 
+  /** The Common Crawl COLUMNAR INDEX shape (CC's `ccindex` parquet table,
+    * the product behind "query the crawl with Athena/Spark SQL"): the CDX
+    * sidecars lifted into a SURT-keyed DataFrame —
+    * (surt, url, cdx_ts, digest, offset, length, filename, host,
+    * registrable_domain) — and RANGE-CLUSTERED by the SURT key, so one
+    * registrant's captures are a contiguous byte range across sorted
+    * files: "everything under example.com" becomes a planning-time prefix
+    * scan (the catalog's LIKE-prefix zone-map pruning shape) instead of an
+    * index-wide filter. Index rows are O(captures) small TSV parses — the
+    * archives themselves are never touched.
+    */
+  def cdxIndexTable(spark: SparkSession, dir: String, nFiles: Int = 4): org.apache.spark.sql.DataFrame = {
+    import graft.operators.UrlOps
+    readCdx(spark, dir)
+      .selectExpr(
+        s"${UrlOps.surtKeyExpr("url")} AS surt",
+        "url", "cdx_ts", "digest", "offset", "length", "filename",
+        "lower(parse_url(url, 'HOST')) AS host")
+      .withColumn("registrable_domain", expr(UrlOps.registrableDomainExpr("host")))
+      .repartitionByRange(nFiles, col("surt"))
+      .sortWithinPartitions("surt")
+  }
+
   /** Random access: seek to `offset`, read exactly `length` compressed
     * bytes, inflate the one gzip member, parse the one record — the CC
     * index fetch path. `verifyDigest` (from the index) makes corruption
