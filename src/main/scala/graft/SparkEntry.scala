@@ -529,6 +529,26 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       // stateful-streaming operator family: flatMapGroupsWithState
       graft.streaming.ExtractStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+    "q_stream_enrich" -> ((s, dir) => {
+      // STREAMING-EXECUTED stream-static enrichment: a two-micro-batch
+      // MemoryStream of (doc_id, lang) events left-joins a broadcast
+      // per-lang dimension per batch — no state store, cost O(batch);
+      // 'de' is deliberately absent from the dimension, so its rows must
+      // pass through at -1 (enrichment never drops stream rows). Oracle
+      // replays the plain join.
+      import graft.streaming.ExtractStream
+      val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+      def ev(id: Long, lang: String) =
+        ExtractStream.DocEvent(id, new java.sql.Timestamp(base + id * 1000L), lang)
+      val d = docs(s, dir).selectExpr("doc_id", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val b1 = d.filter(_._1 % 2 == 0).map { case (id, l) => ev(id, l) }.toSeq
+      val b2 = d.filter(_._1 % 2 == 1).map { case (id, l) => ev(id, l) }.toSeq
+      val dim = docs(s, dir).where("lang <> 'de'")
+        .groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      ExtractStream.enrichStreamDriven(s, Seq(b1, b2), dim)
+    }),
     "q_interval_join" -> ((s, dir) =>
       // stream-stream-join operator family (batch form; the live two-stream
       // variant with watermark-bounded state is attributeClicksStream,
@@ -3055,6 +3075,13 @@ object SparkEntry {
     // microsecond epochs keep every output column an exact BIGINT
     // the interval join replayed: same equi+range condition, timestamps
     // microsecond-exact on both engines
+    // the stream-static enrichment replayed as the plain left join; the
+    // absent 'de' dimension rows surface as -1 pass-throughs
+    "q_stream_enrich" ->
+      """WITH dim AS (SELECT lang, CAST(count(*) AS BIGINT) AS ld
+        |            FROM documents WHERE lang <> 'de' GROUP BY lang)
+        |SELECT doc_id, d.lang, coalesce(dim.ld, CAST(-1 AS BIGINT)) AS lang_docs
+        |FROM documents d LEFT JOIN dim USING (lang)""".stripMargin,
     "q_interval_join" ->
       """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
         |           FROM events WHERE event_type = 'view'),

@@ -143,6 +143,43 @@ object ExtractStream {
     s2.table(name)
   }
 
+  /** STREAM-STATIC ENRICHMENT — the remaining streaming join shape next to
+    * stream-stream ([[attributeClicksStream]]), streaming dedup and the
+    * GroupState sessionize: every micro-batch of the unbounded stream
+    * joins a BOUNDED dimension (host metadata, blocklist verdicts, model
+    * scores). No watermark and NO STATE STORE — the dimension rides each
+    * batch as a broadcast, so per-batch cost is O(batch)·O(1) and
+    * completely independent of stream history; at crawl scale this is how
+    * per-host/per-language context reaches the live extraction stream
+    * without a stateful join. Left join: a key missing from the dimension
+    * must pass through (enrichment never drops stream rows).
+    */
+  def enrichStream(docs: DataFrame, dim: DataFrame, key: String): DataFrame =
+    docs.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** MemoryStream drive of [[enrichStream]] (the dedupStreamDriven
+    * convention): `dimRows` = (lang, lang_docs), re-created on the cloned
+    * session; unmatched langs coalesce to -1 (the pass-through proof).
+    */
+  def enrichStreamDriven(spark: SparkSession,
+      batches: Seq[Seq[DocEvent]], dimRows: Seq[(String, Long)]): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+    val dim = dimRows.toDF("lang", "lang_docs")
+    val mem = MemoryStream[DocEvent]
+    val name = s"stream_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = enrichStream(mem.toDF().withColumnRenamed("text", "lang"), dim, "lang")
+      .selectExpr("doc_id", "lang", "coalesce(lang_docs, CAST(-1 AS BIGINT)) AS lang_docs")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    s2.table(name)
+  }
+
   /** Continuous ingest INTO the snapshot catalog with exactly-once
     * semantics: every micro-batch lands via [[graft.spark.ParquetSnapshotCatalog.appendBatch]]
     * (batch-addressed data + atomic manifest swap = the idempotence

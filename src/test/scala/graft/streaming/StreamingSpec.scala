@@ -255,4 +255,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).sortBy(_.toString())
     assert(batch.toSeq === expected.toSeq)
   }
+
+  test("stream-static enrichment: batch-split-invariant, left-join pass-through, no state store") {
+    import ExtractStream.DocEvent
+    val base = java.time.Instant.parse("2026-01-01T00:00:00Z").toEpochMilli
+    def ev(id: Long, lang: String) = DocEvent(id, new java.sql.Timestamp(base + id), lang)
+    val events = (0L until 30L).map(i => ev(i, Seq("en", "de", "fr")((i % 3).toInt)))
+    val dim = Seq("en" -> 10L, "fr" -> 20L) // 'de' deliberately missing
+    def rows(batches: Seq[Seq[DocEvent]]) =
+      ExtractStream.enrichStreamDriven(spark, batches, dim)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val one = rows(Seq(events))
+    val three = rows(Seq(events.take(10), events.slice(10, 20), events.drop(20)))
+    assert(one == three, "micro-batch boundaries must not change the enrichment")
+    assert(one.size == 30)
+    // enrichment joined, missing keys passed through at -1
+    assert(one.filter(_._2 == "en").forall(_._3 == 10L))
+    assert(one.filter(_._2 == "fr").forall(_._3 == 20L))
+    assert(one.filter(_._2 == "de").forall(_._3 == -1L), "missing dim key must pass through")
+  }
 }
