@@ -828,6 +828,19 @@ object SparkEntry {
         "id + 1 AS crawl_delay_s")
       graft.operators.Crawl.fetchSchedule(frontier, policies)
     }),
+    "q_crawl_budget" -> ((s, dir) => {
+      // exact water-filling budget allocation over 23 synthetic hosts:
+      // want = least(5·pages, politeness cap), B = Σwant div 2 — small
+      // hosts fully funded, mega-hosts leveled at the integer water level
+      // with the remainder spread +1 over the first unfunded ranks, so
+      // Σalloc == B exactly; distributed prefix sums, never a global window
+      val hs = docs(s, dir)
+        .selectExpr("doc_id % 23 AS h")
+        .groupBy("h").agg(count(lit(1)).as("n"))
+        .selectExpr("concat('site', CAST(h AS STRING), '.example.com') AS host",
+          "n * 5 AS demand", "(h % 9 + 1) * 40 AS cap")
+      graft.operators.Crawl.crawlBudget(hs)
+    }),
     "q_oov_rate" -> ((s, dir) =>
       // OOV fraction vs the corpus top-100 vocab (broadcast join) — the
       // gibberish / encoding-damage curation signal
@@ -3689,6 +3702,31 @@ object SparkEntry {
         |       CASE WHEN doc_id % 5 = 0 THEN 'changed' ELSE 'unchanged' END
         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
     // byte-wise url order within host on both engines → identical slots
+    // water-filling replayed as the window form: rank + inclusive prefix
+    // over (want, host), funded boundary j* by the monotone condition,
+    // level + remainder spread — every division integer
+    "q_crawl_budget" ->
+      """WITH hs AS (
+        |  SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |         n * 5 AS demand, (h % 9 + 1) * 40 AS cap
+        |  FROM (SELECT doc_id % 23 AS h, CAST(count(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY doc_id % 23)),
+        |w AS (SELECT host, least(demand, cap) AS want FROM hs),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(want) AS BIGINT) AS s FROM w),
+        |bb AS (SELECT s // 2 AS b FROM g),
+        |r1 AS (SELECT host, want,
+        |         CAST(row_number() OVER (ORDER BY want, host) AS BIGINT) AS j,
+        |         CAST(sum(want) OVER (ORDER BY want, host ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pfx
+        |       FROM w),
+        |f AS (SELECT j, pfx FROM r1, g, bb WHERE pfx + want * (k - j) <= b ORDER BY j DESC LIMIT 1),
+        |js AS (SELECT coalesce((SELECT j FROM f), 0) AS jstar,
+        |              coalesce((SELECT pfx FROM f), 0) AS pfxstar)
+        |SELECT host, want, j AS rank,
+        |  CASE WHEN s <= b OR j <= jstar THEN want
+        |       ELSE (b - pfxstar) // (k - jstar)
+        |            + CASE WHEN j - jstar <= (b - pfxstar) % (k - jstar) THEN 1 ELSE 0 END
+        |  END AS alloc
+        |FROM r1, g, bb, js""".stripMargin,
     "q_fetch_schedule" ->
       """WITH f AS (SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
         |                  'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p' || CAST(doc_id AS VARCHAR) AS url,

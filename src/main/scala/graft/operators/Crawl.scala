@@ -120,4 +120,84 @@ object Crawl {
         s"CAST(__last + least(greatest(__span DIV greatest(n_changes, 1), " +
           s"${minIntervalS}L), ${maxIntervalS}L) AS BIGINT) AS next_fetch")
   }
+
+  /** EXACT WATER-FILLING crawl-budget allocation — the planning step
+    * between host statistics and [[fetchSchedule]]: split a global fetch
+    * budget B across hosts where host i wants `want = least(demand, cap)`
+    * (pages discovered, politeness ceiling). Max-min fairness: find the
+    * water level L such that every host gets `min(want, L)` and the budget
+    * is exactly spent — small hosts are fully funded, mega-hosts are
+    * leveled (the allocation every crawl planner converges to; a
+    * proportional split would starve the long tail under one mega-host).
+    *
+    * All-integer and deterministic: hosts sort by (want, host), host at
+    * rank j is FULLY funded iff pfx_j + want_j·(k−j) ≤ B (the funded set
+    * is a prefix — the condition is monotone in j); the rest receive
+    * L = (B − pfx_j*) div (k − j*) with the division remainder distributed
+    * +1 to the first r unfunded ranks, so Σ alloc == min(Σ want, B)
+    * EXACTLY and a DuckDB window replay is bit-identical.
+    *
+    * Scale shape (the [[TextOps.selectByTokenBudget]] discipline): the
+    * global sorted prefix sum runs as range-repartition + per-partition
+    * local sums + a broadcast offset array — never an unpartitioned
+    * window; per-partition (count, sum) pairs and the funded-boundary
+    * candidates are the only driver traffic (O(partitions) longs). One
+    * fixed RDD lineage so every pass observes the identical partitioning.
+    *
+    * `budget < 0` selects the self-scaling contract form B = Σ want div 2.
+    * Output: (host, want, rank, alloc).
+    */
+  def crawlBudget(hostStats: DataFrame, budget: Long = -1L, parts: Int = 0): DataFrame = {
+    val spark = hostStats.sparkSession
+    import spark.implicits._
+    val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val rdd = hostStats
+      .selectExpr("host", "CAST(least(demand, cap) AS BIGINT) AS want")
+      .repartitionByRange(n, col("want"), col("host"))
+      .sortWithinPartitions(col("want"), col("host"))
+      .as[(String, Long)].rdd
+    val nParts = rdd.getNumPartitions
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { x => c += 1; s += x._2 }
+      Iterator((pid, (c, s)))
+    }.collect().toMap
+    val cntOff = new Array[Long](nParts)
+    val sumOff = new Array[Long](nParts)
+    var ca = 0L; var sa = 0L; var p = 0
+    while (p < nParts) {
+      cntOff(p) = ca; sumOff(p) = sa
+      val t = totals.getOrElse(p, (0L, 0L))
+      ca += t._1; sa += t._2; p += 1
+    }
+    val k = ca
+    val s = sa
+    val b = if (budget >= 0L) budget else s / 2L
+    val bc = spark.sparkContext.broadcast((cntOff, sumOff))
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var j = bc.value._1(pid); var pfx = bc.value._2(pid)
+      it.map { case (h, w) => j += 1; pfx += w; (h, w, j, pfx) }
+    }
+    // funded boundary: max rank with pfx + want·(k − j) ≤ B (prefix
+    // property) — one candidate per partition to the driver
+    val cand = ranked.mapPartitions { it =>
+      var best = (0L, 0L)
+      it.foreach { case (_, w, j, pfx) =>
+        if (pfx + w * (k - j) <= b && j > best._1) best = (j, pfx)
+      }
+      Iterator(best)
+    }.collect()
+    val (jstar, pfxstar) = if (cand.isEmpty) (0L, 0L) else cand.maxBy(_._1)
+    val out = ranked.map { case (h, w, j, pfx) =>
+      val alloc =
+        if (s <= b || j <= jstar) w
+        else {
+          val l = (b - pfxstar) / (k - jstar)
+          val r = (b - pfxstar) % (k - jstar)
+          l + (if (j - jstar <= r) 1L else 0L)
+        }
+      (h, w, j, alloc)
+    }
+    spark.createDataFrame(out).toDF("host", "want", "rank", "alloc")
+  }
 }
