@@ -12,7 +12,11 @@ import org.apache.spark.sql.SparkSession
   *     consumers never re-parse html);
   *   - `wat/`  — the metadata envelope (title/base + outlinks with anchor
   *     text) as JSON metadata records (link-graph consumers never touch
-  *     html or text).
+  *     html or text);
+  *   - `index/` — the COLUMNAR index (CC's `ccindex` parquet shape): the
+  *     CDX sidecars lifted to a SURT-range-clustered parquet table, so
+  *     "query the crawl with SQL" and registrant-slice scans work without
+  *     touching an archive byte.
   *
   * All three ride the same per-partition gzip-member writer with
   * tmp/rename commits, so a retried task can never publish a partial or
@@ -65,7 +69,21 @@ object PublishMain {
           .getBytes("UTF-8"))),
       s"$out/wat")
 
+    // index/: the columnar ccindex over the warc/ CDX sidecars
+    graft.sources.Warc.cdxIndexTable(spark, s"$out/warc", nFiles = n)
+      .write.parquet(s"$out/index")
+
     // read-back verification: every artifact complete and self-consistent
+    val idx = spark.read.parquet(s"$out/index")
+    val idxN = idx.count()
+    // pointer proof: the 5 surt-first index rows must fetch their records
+    // by ranged read, digest-verified, urls matching
+    val idxProbeOk = idx.orderBy("surt").limit(5).collect().forall { r =>
+      val row = graft.sources.Warc.readRecordAt(s"$out/warc",
+        r.getAs[String]("filename"), r.getAs[Long]("offset"),
+        r.getAs[Long]("length"), verifyDigest = r.getAs[String]("digest"))
+      row.url == r.getAs[String]("url")
+    }
     val cdxN = graft.sources.Warc.readCdx(spark, s"$out/warc").count()
     val wetBack = graft.sources.Warc.readWet(spark, s"$out/wet").toDF()
       .selectExpr("url", "md5(CAST(html AS STRING)) AS d")
@@ -75,9 +93,10 @@ object PublishMain {
       ex.map(e => (e.url, e.main_text)).toDF("url", "t")
         .selectExpr("url", "md5(t) AS d").as[(String, String)].collect().toMap
     ex.unpersist(); pages.unpersist()
-    val ok = cdxN == nPages && wetN == nPages && watN == nPages && digestsMatch
+    val ok = cdxN == nPages && wetN == nPages && watN == nPages &&
+      idxN == nPages && idxProbeOk && digestsMatch
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"publish","docs":$nPages,"cdx":$cdxN,"wet":$wetN,"wat":$watN,"digests_ok":$digestsMatch,"ok":$ok,"wall_sec":$wall%.2f}""")
+    println(f"""{"metric":"publish","docs":$nPages,"cdx":$cdxN,"wet":$wetN,"wat":$watN,"index":$idxN,"index_probe_ok":$idxProbeOk,"digests_ok":$digestsMatch,"ok":$ok,"wall_sec":$wall%.2f}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
