@@ -1108,13 +1108,17 @@ object TextOps {
       .selectExpr("doc_id", "ws", "posexplode(ws) AS (pos, w1)")
       .where("pos < size(ws) - 1")
       .selectExpr("doc_id", "w1", "ws[pos + 1] AS w2")
-    // distinct bigram types with their counts — the one relation every KN
-    // statistic derives from (Spark reuses the (w1,w2) exchange across the
-    // derived aggregations)
-    val types = b.groupBy("w1", "w2").agg(count(lit(1)).as("cAll"))
+    // distinct bigram types with their counts — the ONE relation every KN
+    // statistic derives from. localCheckpoint'd: it is vocab²-bounded (MBs
+    // against a corpus of TBs) and feeds FIVE derivations — without the
+    // checkpoint each would re-pay the full corpus shuffle. c1 is derived
+    // from types too (Σ_w2 cAll ≡ occurrences of w1 as a prefix), so the
+    // corpus is scanned exactly twice total: once for the bigram shuffle,
+    // once for the vocabulary count.
+    val types = b.groupBy("w1", "w2").agg(count(lit(1)).as("cAll")).localCheckpoint()
     val m2 = types.where(s"cAll >= $minCount")
       .select(col("w1"), col("w2"), col("cAll").as("c12"))
-    val m1 = b.groupBy("w1").agg(count(lit(1)).as("c1")).where(s"c1 >= $minCount")
+    val m1 = types.groupBy("w1").agg(sum("cAll").as("c1")).where(s"c1 >= $minCount")
     val n1fT = types.groupBy("w1").agg(count(lit(1)).as("n1f"))
     val n1bT = types.groupBy("w2").agg(count(lit(1)).as("n1b"))
     val gl = types.agg(count(lit(1)).as("nbb"), countDistinct($"w2").as("t"))
