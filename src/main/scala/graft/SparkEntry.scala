@@ -294,6 +294,17 @@ object SparkEntry {
       Graph.labelPropagation(edges, iters = 2)
         .select(col("node").as("host"), col("community"))
     }),
+    "q_anchor_targets" -> ((s, dir) => {
+      // incoming anchor-text profile per target HOST over the graph corpus
+      // (real anchor competition: each host receives g0..g3 at varying
+      // counts): top anchor by (count desc, anchor asc) + in-link totals —
+      // one count shuffle, one shared target-keyed window exchange
+      val n = s.sparkContext.defaultParallelism
+      val edges = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "atgt", n)
+        .toDF().selectExpr("explode(arrays_zip(links, anchors)) AS la")
+        .selectExpr("parse_url(la.links, 'HOST') AS target", "la.anchors AS anchor")
+      UrlOps.anchorTargets(edges)
+    }),
     "q_trustrank" -> ((s, dir) => {
       // TrustRank (Gyöngyi et al. 2004) over the same closed-form host graph
       // as q_pagerank: teleport mass restricted to the vetted seed hosts
@@ -2806,6 +2817,21 @@ object SparkEntry {
         |a2 AS (SELECT node, CAST(ar // ((GREATEST((SELECT MAX(ar) FROM a2r), 1) + 999999999) // 1000000000) AS BIGINT) AS a FROM a2r)
         |SELECT h2.node AS host, h2.h AS hub_fp, a2.a AS auth_fp
         |FROM h2 JOIN a2 ON h2.node = a2.node""".stripMargin,
+    // the incoming-anchor profile replayed as the plain count + two-window
+    // form with the same deterministic (n desc, anchor asc) argmax
+    "q_anchor_targets" ->
+      """WITH e AS (
+        |  SELECT 'site' || CAST((doc_id * 3 + i * 5) % 11 AS VARCHAR) || '.example.com' AS target,
+        |         'g' || CAST(i AS VARCHAR) AS anchor
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents)),
+        |c AS (SELECT target, anchor, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT target, anchor, n,
+        |        CAST(sum(n) OVER (PARTITION BY target) AS BIGINT) AS n_links,
+        |        CAST(count(*) OVER (PARTITION BY target) AS BIGINT) AS n_anchors,
+        |        row_number() OVER (PARTITION BY target ORDER BY n DESC, anchor) AS rn
+        |      FROM c)
+        |SELECT target, n_links, n_anchors, anchor AS top_anchor, n AS top_anchor_n
+        |FROM t WHERE rn = 1""".stripMargin,
     // TrustRank unrolled over the same closed-form host edges: the pagerank
     // recurrence with the teleport term gated by the seed indicator (only
     // {site0, site5, site10} receive base mass); `//` == Spark `div`

@@ -224,6 +224,36 @@ object UrlOps {
   def surtKeys(df: DataFrame, urlCol: String = "url"): DataFrame =
     df.withColumn("surt", expr(surtKeyExpr(urlCol)))
 
+  /** Incoming ANCHOR-TEXT profile per link TARGET — the classic web-search
+    * document-expansion signal (the anchors pointing AT a page describe it
+    * better than its own text; search engines have indexed targets under
+    * their incoming anchors since the first link-analysis papers). For each
+    * target: total in-links, distinct anchor phrasings, and the TOP anchor
+    * by (count desc, anchor asc) — deterministic argmax, so the DuckDB
+    * window replay is bit-exact.
+    *
+    * Scale shape: one (target, anchor) partial-agged COUNT shuffle (the
+    * corpus's anchor strings collapse to counts before anything wide),
+    * then the total, the phrasing count and the argmax all ride ONE
+    * target-keyed exchange (two Window nodes over the same key; the
+    * row_number ≤ 1 form is WindowGroupLimit-eligible, so a mega-target's
+    * anchor inventory streams instead of materializing per task).
+    */
+  def anchorTargets(edges: DataFrame, targetCol: String = "target",
+                    anchorCol: String = "anchor"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = edges.groupBy(targetCol, anchorCol).agg(count(lit(1)).as("n"))
+    val byT = Window.partitionBy(targetCol)
+    val ranked = Window.partitionBy(targetCol).orderBy(col("n").desc, col(anchorCol))
+    counts
+      .withColumn("n_links", sum("n").over(byT))
+      .withColumn("n_anchors", count(lit(1)).over(byT))
+      .withColumn("__rn", row_number().over(ranked))
+      .where("__rn = 1")
+      .select(col(targetCol), col("n_links"), col("n_anchors"),
+        col(anchorCol).as("top_anchor"), col("n").as("top_anchor_n"))
+  }
+
   /** PER-DOMAIN FREQUENCY CAP (the C4/RefinedWeb domain-balancing step):
     * keep at most `cap` documents per domain, best-ranked first (rank
     * desc, id asc ties) — a handful of mega-hosts otherwise dominate any
