@@ -2991,7 +2991,9 @@ object SparkEntry {
         |FROM d""".stripMargin,
     // soft-404 rule replayed over the closed-form titles/bodies: the %9==0
     // stub flags by title, the %9==5 long 'not found' body must NOT flag
-    // (word-count guard), the %9==7 short-but-clean page must NOT flag
+    // (word-count guard), the %9==4 legitimate mid-title '404' must NOT
+    // flag (anchored numeric form), the %9==7 short-but-clean page must
+    // NOT flag
     "q_soft404" ->
       """WITH f AS (
         |  SELECT array_to_string(list_transform(range(0, 45), i -> 'w' || CAST(i AS VARCHAR)), ' ') AS filler),
@@ -3000,6 +3002,7 @@ object SparkEntry {
         |    lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') AS mm,
         |    lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS dd,
         |    CASE WHEN doc_id % 9 = 0 THEN 'Page Not Found - site'
+        |         WHEN doc_id % 9 = 4 THEN 'Racer 404 profile ' || CAST(doc_id AS VARCHAR)
         |         ELSE 'Story ' || CAST(doc_id AS VARCHAR) END AS title,
         |    CASE WHEN doc_id % 9 = 0 THEN 'The page you requested was not found.'
         |         WHEN doc_id % 9 = 7 THEN 'tiny page ' || CAST(doc_id AS VARCHAR)
@@ -3008,7 +3011,8 @@ object SparkEntry {
         |  FROM documents, f),
         |r AS (
         |  SELECT doc_id, mm, dd, title, mt,
-        |    CASE WHEN lower(title) LIKE '%404%' OR lower(title) LIKE '%not found%' THEN 'title'
+        |    CASE WHEN lower(title) LIKE '%not found%' OR lower(title) LIKE '%error 404%'
+        |              OR lower(title) LIKE '404%' THEN 'title'
         |         WHEN len(string_split(mt, ' ')) < 40
         |              AND (lower(mt) LIKE '%not found%' OR lower(mt) LIKE '%no longer available%'
         |                   OR lower(mt) LIKE '%does not exist%') THEN 'stub_body' END AS soft404_reason
@@ -4588,9 +4592,16 @@ object SparkEntry {
         |        CASE WHEN c1c > 0 THEN CAST(4 * c1c AS HUGEINT) * cden ELSE cden END AS den
         |      FROM r),
         |sb AS (SELECT doc_id,
-        |        CASE WHEN den // (num * CAST(4611686018427387904 AS HUGEINT)) = 0
-        |             THEN length(bin(CAST(den // num AS BIGINT))) - 1
-        |             ELSE 62 + length(bin(CAST(den // (num * CAST(4611686018427387904 AS HUGEINT)) AS BIGINT))) - 1 END AS bits
+        |        CASE
+        |          -- Spark's DECIMAL(38) num*2^62 overflows to NULL exactly at
+        |          -- num >= ceil(10^38 / 2^62); mirror that arm FIRST so the
+        |          -- HUGEINT multiply is never evaluated where it could
+        |          -- exceed int128 (ratio provably < 2^62 there, plain arm exact)
+        |          WHEN num >= CAST('21684043449710088681' AS HUGEINT)
+        |            THEN length(bin(CAST(den // num AS BIGINT))) - 1
+        |          WHEN den // (num * CAST(4611686018427387904 AS HUGEINT)) = 0
+        |            THEN length(bin(CAST(den // num AS BIGINT))) - 1
+        |          ELSE 62 + length(bin(CAST(den // (num * CAST(4611686018427387904 AS HUGEINT)) AS BIGINT))) - 1 END AS bits
         |      FROM nd)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       CAST(sum(bits) AS BIGINT) AS nll_bits,

@@ -24,10 +24,11 @@ final case class ExtractResult(
     // shape) starts from; like links, boilerplate images are included
     imgSrcs: Vector[String],
     imgAlts: Vector[String],
-    // Open Graph pairs (<meta property="og:*" content=...>) in document
-    // order, property lowercased — og:title/og:image/og:description are the
-    // preview/caption metadata a multimodal corpus build keys on; repeats
-    // (multiple og:image) are kept
+    // Open Graph pairs (<meta property="og:*" content=...> plus the
+    // article:* namespace — article:published_time is the standard
+    // publication-date channel) in document order, property lowercased —
+    // og:title/og:image/og:description are the preview/caption metadata a
+    // multimodal corpus build keys on; repeats (multiple og:image) are kept
     ogProps: Vector[String],
     ogVals: Vector[String],
     metaRobots: String, // first <meta name=robots> content ("" if absent)
@@ -894,11 +895,19 @@ final class ExtractSink extends TokenSink {
         }
         if (ct != null) {
           if (metaRobots.isEmpty && nm != null && nm.equalsIgnoreCase("robots")) metaRobots = ct
-          if (prop != null && prop.length > 3 &&
-            (prop.charAt(0) == 'o' || prop.charAt(0) == 'O') &&
-            (prop.charAt(1) == 'g' || prop.charAt(1) == 'G') && prop.charAt(2) == ':') {
-            ogProps += prop.toLowerCase(java.util.Locale.ROOT)
-            ogVals += ct
+          // og:* plus the article:* namespace (OpenGraph's structured
+          // article properties — article:published_time is the standard
+          // publication-date channel real pages declare); cheap first-char
+          // gate before paying the lowercase
+          if (prop != null && prop.length > 3) {
+            val c0 = prop.charAt(0)
+            if (c0 == 'o' || c0 == 'O' || c0 == 'a' || c0 == 'A') {
+              val pl = prop.toLowerCase(java.util.Locale.ROOT)
+              if (pl.startsWith("og:") || pl.startsWith("article:")) {
+                ogProps += pl
+                ogVals += ct
+              }
+            }
           }
         }
       }

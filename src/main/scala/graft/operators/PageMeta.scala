@@ -25,16 +25,22 @@ object PageMeta {
     * Output: (url, pub_date 'yyyy-mm-dd…' string or NULL, date_source in
     * {'og','jsonld','url'} or NULL). The date string is reported as
     * declared — validation/normalization is a downstream concern (a wrong
-    * declared date is a data fact, not a parse failure).
+    * declared date is a data fact, not a parse failure). The meta arm
+    * checks the STANDARD `article:published_time` property first (the
+    * form WordPress/Yoast emit and htmldate/trafilatura read first), then
+    * the og:-namespaced variant some sites use; the JSON-LD match is
+    * whitespace-tolerant (pretty-printed blocks are the common case).
     */
   def pubDates(extracted: DataFrame): DataFrame = {
-    val og = "CASE WHEN array_position(og_props, 'og:published_time') > 0 " +
-      "THEN element_at(og_vals, CAST(array_position(og_props, 'og:published_time') AS INT)) END"
-    // first JSON-LD block carrying the key; value = between the opening
-    // quote after `"datePublished":"` (17 chars) and the next quote
-    val ldBlock = "element_at(filter(json_ld, b -> instr(b, '\"datePublished\":\"') > 0), 1)"
-    val ld = s"CASE WHEN $ldBlock IS NOT NULL THEN " +
-      s"substring_index(substring($ldBlock, instr($ldBlock, '\"datePublished\":\"') + 17), '\"', 1) END"
+    def metaArm(prop: String) =
+      s"CASE WHEN array_position(og_props, '$prop') > 0 " +
+        s"THEN element_at(og_vals, CAST(array_position(og_props, '$prop') AS INT)) END"
+    val og = s"coalesce(${metaArm("article:published_time")}, ${metaArm("og:published_time")})"
+    // first JSON-LD block declaring the key (optional whitespace around
+    // the colon); value = the quoted string
+    val ldPat = "\"datePublished\"\\\\s*:\\\\s*\"([^\"]*)\""
+    val ldBlock = s"element_at(filter(json_ld, b -> b rlike '$ldPat'), 1)"
+    val ld = s"CASE WHEN $ldBlock IS NOT NULL THEN regexp_extract($ldBlock, '$ldPat', 1) END"
     val u = "nullif(replace(regexp_extract(url, '/(20[0-9]{2}/[0-9]{2}/[0-9]{2})/', 1), '/', '-'), '')"
     extracted.selectExpr(
       "url",
@@ -48,7 +54,11 @@ object PageMeta {
     * fraction of hosts; every production crawler filters these before the
     * corpus sees them). Rule, integer-exact and pinned:
     *
-    *   titleMarker: lowercased title contains '404' or 'not found'
+    *   titleMarker: lowercased title contains 'not found' or 'error 404',
+    *                or STARTS with '404' — a bare '%404%' contains-match
+    *                would flag legitimate titles ("Peugeot 404 review",
+    *                this corpus's own "Story 404"), so the numeric form
+    *                only fires in the error-page positions
     *   bodyMarker:  lowercased main text contains 'not found' /
     *                'no longer available' / 'does not exist'
     *   soft404   = titleMarker OR (word count < 40 AND bodyMarker)
@@ -59,7 +69,8 @@ object PageMeta {
     * or NULL, is_soft404).
     */
   def soft404(extracted: DataFrame): DataFrame = {
-    val titleM = "(lower(title) LIKE '%404%' OR lower(title) LIKE '%not found%')"
+    val titleM = "(lower(title) LIKE '%not found%' OR lower(title) LIKE '%error 404%' " +
+      "OR lower(title) LIKE '404%')"
     val bodyM = "(lower(main_text) LIKE '%not found%' OR lower(main_text) LIKE '%no longer available%' " +
       "OR lower(main_text) LIKE '%does not exist%')"
     val words = "size(split(main_text, ' '))"

@@ -1088,11 +1088,15 @@ object TextOps {
     *
     * Surprisal in WHOLE bits (the [[lmPerplexity]] convention), overflow-
     * safely: qhi = den div (num·2^62) first — if the true ratio den/num
-    * exceeds 2^62 this is its top half (bits = 62 + bitlen(qhi) − 1), and
-    * when the 2^62-shifted multiply would overflow DECIMAL(38) the ratio
-    * provably fits a BIGINT (num > 2.1e19 ⇒ den/num < 2^62 at any
-    * realistic den), so the plain den div num arm is exact. floor(log2) of
-    * a floor-quotient equals floor(log2) of the true ratio for ratios ≥ 1.
+    * exceeds 2^62 this is its top half (bits = 62 + bitlen(qhi) − 1). When
+    * the 2^62-shifted multiply overflows DECIMAL(38) (NULL under non-ANSI
+    * semantics, exactly at num ≥ ceil(10^38/2^62) = 21684043449710088681)
+    * the plain den div num arm is PROVABLY exact: den itself fits
+    * DECIMAL(38) (it did not overflow), so den/num ≤ (10^38−1)/num < 2^62
+    * — a hard bound from the representation, not a heuristic. The DuckDB
+    * oracle branches on the same threshold literal, so both arms replay.
+    * floor(log2) of a floor-quotient equals floor(log2) of the true ratio
+    * for ratios ≥ 1.
     *
     * Scale shape (the lmPerplexity discipline): the bigram stream is the
     * zero-shuffle codegen'd posexplode build; model statistics are

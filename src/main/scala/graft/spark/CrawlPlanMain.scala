@@ -91,10 +91,8 @@ object CrawlPlanMain {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nScheduled = plan.count()
 
-    plan.write.parquet(s"$out/plan")
-    alloc.write.parquet(s"$out/hosts")
-
-    // ---- prove the plan before publishing it ---------------------------
+    // ---- prove the plan BEFORE publishing it (a violating plan must
+    // never land where a fetcher fleet could pick it up) ------------------
     // exactly the allocated volume was scheduled
     require(nScheduled == budgetSpent,
       s"scheduled $nScheduled != allocated $budgetSpent")
@@ -109,6 +107,10 @@ object CrawlPlanMain {
     val badTime = plan.join(policies, Seq("host"))
       .where("fetch_at_s <> slot * crawl_delay_s").count()
     require(badTime == 0L, s"$badTime fetches off the politeness grid")
+
+    // only a PROVEN plan is published
+    plan.write.parquet(s"$out/plan")
+    alloc.write.parquet(s"$out/hosts")
 
     val wall = (System.nanoTime() - t0) / 1e9
     val nHosts = alloc.count()

@@ -342,11 +342,13 @@ object Pages {
 
   /** Deterministic article page for the publication-date / soft-404
     * operators — every signal a closed form of docId:
-    *  - og:published_time meta on docId%3==0 (2022-mm-dd)
-    *  - JSON-LD datePublished on docId%4==0 (2023-mm-dd)
+    *  - STANDARD article:published_time meta on docId%3==0 (2022-mm-dd)
+    *  - JSON-LD datePublished on docId%4==0 (2023-mm-dd; PRETTY-PRINTED —
+    *    whitespace around the colon, the common real-world form)
     *  - /2021/mm/dd/ url date on docId%5==0 (built by the synthesizer)
     *  - soft-404 shape on docId%9==0 (404 title + apology stub body)
     *  - hard negative on docId%9==5 (LONG body that mentions 'not found')
+    *  - hard negative on docId%9==4 (legitimate title CONTAINING '404')
     *  - short-but-clean page on docId%9==7 (stub length, no marker)
     */
   def renderArticle(docId: Long): String = {
@@ -355,15 +357,16 @@ object Pages {
     val sb = new java.lang.StringBuilder(512)
     sb.append("<!DOCTYPE html><html><head><title>")
     if (docId % 9 == 0) sb.append("Page Not Found - site")
+    else if (docId % 9 == 4) sb.append("Racer 404 profile ").append(docId)
     else sb.append("Story ").append(docId)
     sb.append("</title>")
     if (docId % 3 == 0)
-      sb.append("<meta property=\"og:published_time\" content=\"2022-")
+      sb.append("<meta property=\"article:published_time\" content=\"2022-")
         .append(mm).append("-").append(dd).append("\">")
     if (docId % 4 == 0)
-      sb.append("<script type=\"application/ld+json\">{\"@type\":\"NewsArticle\",\"datePublished\":\"2023-")
+      sb.append("<script type=\"application/ld+json\">{\"@type\": \"NewsArticle\", \"datePublished\": \"2023-")
         .append(mm).append("-").append(dd)
-        .append("\",\"author\":\"A").append(docId % 5).append("\"}</script>")
+        .append("\", \"author\": \"A").append(docId % 5).append("\"}</script>")
     sb.append("</head><body><p>")
     if (docId % 9 == 0) sb.append("The page you requested was not found.")
     else if (docId % 9 == 7) sb.append("tiny page ").append(docId)

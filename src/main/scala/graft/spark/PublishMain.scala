@@ -18,9 +18,10 @@ import org.apache.spark.sql.SparkSession
   *     "query the crawl with SQL" and registrant-slice scans work without
   *     touching an archive byte.
   *
-  * All three ride the same per-partition gzip-member writer with
-  * tmp/rename commits, so a retried task can never publish a partial or
-  * divergent file. The run verifies its own output by reading every
+  * The three RECORD families (warc/wet/wat) ride the same per-partition
+  * gzip-member writer with tmp/rename commits, so a retried task can
+  * never publish a partial or divergent file; `index/` is parquet under
+  * Spark's own commit protocol. The run verifies its own output by reading every
   * artifact back (counts + a text-digest spot equality) and reports one
   * JSON line with `ok`; exits nonzero on divergence.
   *

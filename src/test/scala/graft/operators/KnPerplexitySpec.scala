@@ -92,4 +92,24 @@ class KnPerplexitySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("result is identical under different input partitioning") {
     assert(run(corpus, parts = 1) == run(corpus, parts = 13))
   }
+
+  test("overflow arm engine-pinned: DECIMAL(38) num*2^62 nulls and the plain quotient is exact") {
+    // num = 3e19 ≥ ceil(10^38/2^62): the shifted multiply exceeds 38
+    // digits → NULL under non-ANSI decimals, the qhi-IS-NULL arm fires,
+    // and den div num = 3e18 → floor(log2) = 61. This is the regime no
+    // corpus-sized spec can reach; the expression semantics are what the
+    // oracle's threshold branch mirrors, so pin them directly.
+    val r = spark.sql(
+      """SELECT CASE WHEN qhi IS NULL OR qhi = 0
+        |            THEN length(bin(den div num)) - 1
+        |            ELSE 62 + length(bin(qhi)) - 1 END AS bits,
+        |       qhi IS NULL AS overflowed
+        |FROM (SELECT num, den,
+        |             den div (num * CAST(4611686018427387904 AS DECIMAL(38,0))) AS qhi
+        |      FROM (SELECT CAST('30000000000000000000' AS DECIMAL(38,0)) AS num,
+        |                   CAST('90000000000000000000000000000000000000' AS DECIMAL(38,0)) AS den))""".stripMargin)
+      .first()
+    assert(r.getBoolean(1), "expected the DECIMAL(38) overflow NULL")
+    assert(r.getInt(0) == 61, s"plain-arm quotient bits wrong: ${r.getInt(0)}")
+  }
 }

@@ -36,14 +36,23 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     (if (r.isNullAt(1)) null else r.getString(1), if (r.isNullAt(2)) null else r.getString(2))
   }
 
-  test("priority: og:published_time beats JSON-LD beats the url date") {
+  test("priority: article:/og: published_time beats JSON-LD beats the url date") {
     val ld = Seq("""{"@type":"Article","datePublished":"2023-02-02"}""")
+    // the STANDARD property wins over everything, incl. the og: variant
+    assert(dateOf("https://a.com/2021/01/01/x",
+      Seq("og:published_time" -> "2022-09-09", "article:published_time" -> "2022-03-03"), ld)
+      == (("2022-03-03", "og")))
     assert(dateOf("https://a.com/2021/01/01/x", Seq("og:published_time" -> "2022-03-03"), ld)
       == (("2022-03-03", "og")))
     assert(dateOf("https://a.com/2021/01/01/x", Seq("og:title" -> "t"), ld)
       == (("2023-02-02", "jsonld")))
     assert(dateOf("https://a.com/2021/01/01/x", Seq("og:title" -> "t"), Seq.empty)
       == (("2021-01-01", "url")))
+  }
+
+  test("pretty-printed JSON-LD (whitespace around the colon) still declares") {
+    val ld = Seq("{\"@type\": \"Article\", \"datePublished\" : \"2020-06-07\"}")
+    assert(dateOf("https://a.com/x", Seq.empty, ld) == (("2020-06-07", "jsonld")))
   }
 
   test("no declaration anywhere resolves to NULL/NULL") {
@@ -72,9 +81,16 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("soft-404: marker title always flags; stub body flags only under the word guard") {
     val long = (0 until 50).map(i => s"w$i").mkString(" ")
     assert(s404("Error 404", long) == ((true, "title")))
+    assert(s404("404 - Page Missing", long) == ((true, "title")))
     assert(s404("Oops", "this page was not found sorry") == ((true, "stub_body")))
     assert(s404("Review", s"$long the key was not found in the archive") == ((false, null)))
     assert(s404("Note", "short clean page") == ((false, null)))
+  }
+
+  test("a legitimate title merely CONTAINING 404 is not an error page") {
+    val long = (0 until 50).map(i => s"w$i").mkString(" ")
+    assert(s404("Peugeot 404 review", long) == ((false, null)))
+    assert(s404("Story 404", long) == ((false, null)))
   }
 
   test("both operators are zero-shuffle projections over the input") {
