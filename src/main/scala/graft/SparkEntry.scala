@@ -708,6 +708,17 @@ object SparkEntry {
       // near-dup CLUSTERS: connected components over the verified pair set
       // (pairwise keeper logic mishandles A~B~C chains)
       Dedup.connectedComponents(Dedup.minhashLsh(docs(s, dir)))),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // quality-ranked cluster keepers over the same verified near-dup
+      // clusters: keep the argmax-(quality desc, id asc) member — the
+      // RefinedWeb/FineWeb keep-best rule, as one partial-agged
+      // min(struct) per cluster (never a window over members)
+      val labels = Dedup.connectedComponents(Dedup.minhashLsh(docs(s, dir)))
+      val quality = docs(s, dir).selectExpr("doc_id").unionAll(
+        docs(s, dir).where("doc_id % 10 = 0").selectExpr("doc_id + 1000000 AS doc_id"))
+        .selectExpr("doc_id", "(doc_id * 7) % 100 AS quality")
+      Dedup.keepBest(labels, quality)
+    }),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_substring_dedup" -> ((s, dir) =>
       // exact substring-range dedup (Lee et al. 2022 shape): maximal word
@@ -3515,6 +3526,29 @@ object SparkEntry {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, CAST(least(min(b), a) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY a""".stripMargin,
+    // the keep-best rule replayed over the same transitive closure: the
+    // (quality desc, id asc) argmax per cluster via row_number
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($minhashOracleSql),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, CAST(least(min(b), a) AS BIGINT) AS cluster_id
+        |        FROM reach GROUP BY a),
+        |q AS (SELECT doc_id, (doc_id * 7) % 100 AS quality
+        |      FROM (SELECT doc_id FROM documents
+        |            UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0)),
+        |lq AS (SELECT l.doc_id, l.cluster_id, q.quality FROM lab l JOIN q USING (doc_id)),
+        |b AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+        |        SELECT cluster_id, doc_id,
+        |               row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn
+        |        FROM lq) WHERE rn = 1)
+        |SELECT lq.doc_id, lq.cluster_id, CAST(lq.quality AS BIGINT) AS quality, b.keeper_id,
+        |       CAST(CASE WHEN lq.doc_id = b.keeper_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM lq JOIN b USING (cluster_id)""".stripMargin,
     "q_dedup_jaccard" ->
       """WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |w AS (SELECT DISTINCT doc_id, w FROM wx),

@@ -281,6 +281,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-ranked cluster KEEPERS — what production near-dup dedup
+    * actually does with [[connectedComponents]]' labels: keep the BEST
+    * member of each cluster (highest quality score; RefinedWeb/FineWeb
+    * keep longest-or-cleanest), not the smallest id. Ties break to the
+    * smaller doc_id, so the choice is deterministic and the DuckDB window
+    * replay is bit-exact.
+    *
+    * Scale shape: the argmax is a partial-aggregatable
+    * `min(struct(-quality, doc_id))` — one cluster-keyed aggregation whose
+    * map side collapses each partition to one candidate per cluster
+    * (never a window sort over the cluster's members), then one keyed
+    * join back. A 10⁶-member template cluster costs its partition count,
+    * not its row count, on the exchange.
+    */
+  def keepBest(labels: DataFrame, quality: DataFrame): DataFrame = {
+    val lq = labels.join(quality, "doc_id")
+    val best = lq.groupBy("cluster_id")
+      .agg(min(struct((lit(0L) - col("quality")).as("nq"), col("doc_id").as("id"))).as("m"))
+      .select(col("cluster_id"), col("m.id").as("keeper_id"))
+    lq.join(best, "cluster_id")
+      .selectExpr("doc_id", "cluster_id", "CAST(quality AS BIGINT) AS quality", "keeper_id",
+        "CAST(CASE WHEN doc_id = keeper_id THEN 1 ELSE 0 END AS INTEGER) AS keep")
+  }
+
   /** (doc_id, shingle-hash) pairs: w-word shingles, distinct per doc. */
   def shingles(docs: DataFrame, w: Int = 3): DataFrame = {
     val spark = docs.sparkSession
