@@ -334,6 +334,17 @@ object SparkEntry {
         .toDF("host", "robots_txt")
       graft.operators.Robots.robotsFilter(frontier, robots, "graftbot")
     }),
+    "q_crawl_delay" -> ((s, dir) => {
+      // Crawl-delay of the agent-selected group (the de-facto politeness
+      // field): graftbot's own group wins where declared (h%5==0, delay 9
+      // — even though that group also disallows everything), else the *
+      // group's h%7+1; zero-shuffle narrow parse, one row per host
+      import s.implicits._
+      val robots = s.range(11).as[Long]
+        .map(h => (s"site$h.example.com", Pages.renderRobots(h.toInt)))
+        .toDF("host", "robots_txt")
+      graft.operators.Robots.crawlDelays(robots, "graftbot")
+    }),
     "q_sitemap_discovery" -> ((s, dir) => {
       // the discovery channel BEFORE any sitemap fetch: per-host robots.txt
       // Sitemap: directives harvested file-wide (RFC 9309 extension field —
@@ -2944,6 +2955,12 @@ object SparkEntry {
     // same plain loc; lastmod only on the first url entry
     // hosts ≡0 (mod 4) declare two sitemaps in document order; the comment
     // and the lowercase field both parse
+    // the group-selection + delay rule closed-form: graftbot's own group
+    // (h%5==0) declares 9; everyone else reads the * group's h%7+1
+    "q_crawl_delay" ->
+      """SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |       CAST(CASE WHEN h % 5 = 0 THEN 9 ELSE h % 7 + 1 END AS BIGINT) AS crawl_delay_s
+        |FROM (SELECT unnest(generate_series(0, 10)) AS h)""".stripMargin,
     "q_sitemap_discovery" ->
       """WITH h AS (SELECT unnest(generate_series(0, 10)) AS h)
         |SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,

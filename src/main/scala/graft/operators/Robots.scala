@@ -67,6 +67,70 @@ object Robots {
     else groups.filter(_.spec == best).flatMap(_.rules).toVector
   }
 
+  /** `Crawl-delay:` of the group selected for `agent` — the de-facto
+    * politeness field real crawlers honor (not in RFC 9309, but Bing/
+    * Yandex document it and every large crawler reads it). Group selection
+    * is EXACTLY [[rulesFor]]'s: longest product-token match wins over `*`;
+    * among the selected group(s), the first declared integer delay wins;
+    * absent or non-numeric → `defaultS`. This is what turns a robots fetch
+    * into the per-host politeness policy [[graft.operators.Crawl.fetchSchedule]]
+    * consumes.
+    */
+  def crawlDelaySeconds(txt: String, agent: String, defaultS: Long = 1L): Long = {
+    final case class Group(var spec: Int, var delay: Long)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
+    var cur: Group = null
+    var inUa = false
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    txt.split('\n').foreach { raw =>
+      val hash = raw.indexOf('#')
+      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!inUa) {
+                cur = Group(-1, -1L)
+                groups += cur
+                inUa = true
+              }
+              val uaLc = value.toLowerCase(java.util.Locale.ROOT)
+              val s =
+                if (uaLc == "*") 0
+                else if (agentLc.startsWith(uaLc)) uaLc.length
+                else -1
+              if (s > cur.spec) cur.spec = s
+            case "crawl-delay" =>
+              inUa = false
+              if (cur != null && cur.delay < 0 && value.nonEmpty && value.forall(_.isDigit))
+                cur.delay = value.toLong
+            case _ => inUa = false
+          }
+        }
+      }
+    }
+    val best = groups.foldLeft(-1)((m, g) => math.max(m, g.spec))
+    if (best < 0) defaultS
+    else groups.filter(_.spec == best).collectFirst {
+      case g if g.delay >= 0 => g.delay
+    }.getOrElse(defaultS)
+  }
+
+  /** (host, robots_txt) → (host, crawl_delay_s): narrow zero-shuffle map —
+    * the robots corpus becomes the politeness-policy table directly.
+    */
+  def crawlDelays(robots: org.apache.spark.sql.DataFrame, agent: String,
+                  defaultS: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col("host"), col("robots_txt")).as[(String, String)]
+      .map { case (h, t) => (h, crawlDelaySeconds(t, agent, defaultS)) }
+      .toDF("host", "crawl_delay_s")
+  }
+
   /** `Sitemap:` directives of a robots.txt — RFC 9309 treats them as an
     * extension outside any user-agent group (they apply file-wide, and real
     * crawlers harvest them as the primary sitemap-DISCOVERY channel before

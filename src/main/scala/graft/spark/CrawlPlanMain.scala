@@ -67,10 +67,11 @@ object CrawlPlanMain {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAllowed = allowedUrls.count()
 
-    // 3. per-host demand + politeness capacity (600 s window ÷ delay)
-    val policies = spark.range(11)
-      .selectExpr("concat('site', CAST(id AS STRING), '.example.com') AS host",
-        "id % 7 + 1 AS crawl_delay_s")
+    // 3. per-host demand + politeness capacity (600 s window ÷ delay) —
+    // the delay comes from the hosts' OWN robots.txt (agent-selected
+    // Crawl-delay), so the policy table derives from the same fetch that
+    // gated compliance
+    val policies = graft.operators.Robots.crawlDelays(robots, "graftbot")
     val stats = allowedUrls.groupBy("host").agg(count(lit(1)).as("demand"))
       .join(policies, Seq("host"))
       .selectExpr("host", "demand", "600 div crawl_delay_s AS cap")

@@ -264,7 +264,7 @@ object Pages {
     val sb = new java.lang.StringBuilder(128)
     sb.append("# robots for site").append(h).append("\n")
     sb.append("User-AGENT: *\n")
-    sb.append("Crawl-delay: 5\n") // unknown field: ignored
+    sb.append("Crawl-delay: ").append(h % 7 + 1).append("\n") // ignored by rule groups, read by crawlDelays
     if (h % 2 == 0) sb.append("Disallow: /g/\n")
     if (h % 3 == 0) sb.append("Allow: /g/x1\n")
     sb.append("Disallow:\n") // empty pattern: matches nothing
@@ -275,7 +275,7 @@ object Pages {
       sb.append("Sitemap: https://site").append(h).append(".example.com/sitemap.xml\n")
       sb.append("sitemap: https://site").append(h).append(".example.com/sitemap-news.xml # daily\n")
     }
-    if (h % 5 == 0) sb.append("\nUser-agent: graftbot\nDisallow: /\n")
+    if (h % 5 == 0) sb.append("\nUser-agent: graftbot\nCrawl-delay: 9\nDisallow: /\n")
     sb.toString
   }
 

@@ -125,4 +125,26 @@ class RobotsSpec extends AnyFunSuite {
       else assert(got.isEmpty)
     }
   }
+
+  test("crawl-delay: agent-selected group wins, * fallback, default on absent/non-numeric") {
+    val txt = "User-agent: *\nCrawl-delay: 5\nDisallow: /q/\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 9\nDisallow: /\n"
+    assert(Robots.crawlDelaySeconds(txt, "graftbot") == 9L)
+    assert(Robots.crawlDelaySeconds(txt, "otherbot") == 5L)
+    // selected group without a delay → default, even when ANOTHER group has one
+    val noDelay = "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(Robots.crawlDelaySeconds(noDelay, "graftbot", defaultS = 3L) == 3L)
+    // non-numeric values ignored; first valid declaration wins
+    val messy = "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 4\nCrawl-delay: 2\n"
+    assert(Robots.crawlDelaySeconds(messy, "anybot") == 4L)
+    assert(Robots.crawlDelaySeconds("", "anybot", defaultS = 2L) == 2L)
+  }
+
+  test("crawl-delay over the corpus robots matches the oracle CASE") {
+    (0 until 11).foreach { h =>
+      val want = if (h % 5 == 0) 9L else (h % 7 + 1).toLong
+      assert(Robots.crawlDelaySeconds(graft.spark.Pages.renderRobots(h), "graftbot") == want,
+        s"host $h")
+    }
+  }
 }
