@@ -1029,6 +1029,11 @@ object SparkEntry {
       // terms (df nearest N/2 — language-specific words at this sf);
       // every score replays bit-for-bit in the oracle
       TextOps.bm25TopDocs(docs(s, dir))),
+    "q_query_likelihood" -> ((s, dir) =>
+      // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
+      // LM retrieval paradigm next to BM25, same self-selected terms:
+      // whole-bit surprisal, ascending top-20, every step integer
+      TextOps.queryLikelihoodTopDocs(docs(s, dir))),
     "q_bpe_encode" -> ((s, dir) =>
       // apply the learned tokenizer via the PRODUCTION path: the post-merge
       // vocab table broadcast-joined onto the word stream (k never appears
@@ -3921,6 +3926,31 @@ object SparkEntry {
     // chosen pair into the next stage
     // BM25 replay: same fraction-cleared Robertson constants, same
     // whole-bit idf, same one-division tf component, same tie orders
+    // Dirichlet QL replayed whole: same self-selected terms as BM25, the
+    // doc×term matrix, one exact fraction per cell, MILLI-bit surprisal
+    // via the shared 4-bit-mantissa piecewise-log CASE, (milli asc,
+    // doc_id) total-order top-20
+    "q_query_likelihood" -> {
+      val caseArm = graft.operators.TextOps.mantissaMilliCase("(qq >> (b - 4)) - 16")
+      s"""WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM wx GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+        |dfc AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf
+        |        FROM wx GROUP BY 1),
+        |terms AS (SELECT w, cf FROM dfc, st ORDER BY abs(2 * df - n), w LIMIT 3),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM wx JOIN terms USING (w) GROUP BY 1, 2),
+        |cr AS (SELECT dl.doc_id, dl.dl, t.w, t.cf FROM dl CROSS JOIN terms t),
+        |qs AS (SELECT cr.doc_id,
+        |         CAST(((cr.dl + 1000) * ctot * 1024) // (coalesce(tf.c, 0) * ctot + 1000 * cr.cf) AS BIGINT) AS qq
+        |       FROM cr LEFT JOIN tf ON cr.doc_id = tf.doc_id AND cr.w = tf.w
+        |            CROSS JOIN st),
+        |ms AS (SELECT doc_id, qq, length(bin(qq)) - 1 AS b FROM qs),
+        |sc AS (SELECT doc_id, sum(1000 * (b - 10) + $caseArm) AS sb FROM ms GROUP BY doc_id)
+        |SELECT doc_id, CAST(sb AS BIGINT) AS surprisal_milli,
+        |       CAST(row_number() OVER (ORDER BY sb, doc_id) AS INTEGER) AS rank
+        |FROM sc ORDER BY sb, doc_id LIMIT 20""".stripMargin
+    },
     "q_bm25" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),

@@ -764,6 +764,78 @@ object TextOps {
         Window.orderBy(col("score_milli").desc, col("doc_id"))))
   }
 
+  /** Dirichlet-smoothed QUERY-LIKELIHOOD ranking (Zhai & Lafferty 2001) —
+    * the language-modeling retrieval paradigm next to [[bm25TopDocs]]'
+    * probabilistic relevance model (the two classic lexical scorers; an
+    * index serves both). Each document is a smoothed unigram LM and the
+    * query's surprisal under it ranks the docs (ascending — less surprised
+    * = more relevant):
+    *
+    *   p(w|d) = (c(w,d) + μ·p(w|C)) / (|d| + μ),   p(w|C) = cf(w)/|C|
+    *          = (c·|C| + μ·cf) / ((|d| + μ)·|C|)   — one exact fraction
+    *
+    * μ = 1000 (the classic corpus-scale prior). Surprisal per term in
+    * MILLI-bits: whole bits alone cannot rank Dirichlet scores (the prior
+    * keeps per-term ratios within ~10% ≈ 0.14 bits), so the fixed-point
+    * ratio q = (den·1024) div num is split into bitlen + a 4-BIT-MANTISSA
+    * piecewise-log CASE (the KenLM-style quantized-log idea):
+    * milli ≈ 1000·log2(q/1024) at ≤ 88-millibit granularity — all integer
+    * shifts/divs/CASE arms, so both engines replay the identical value.
+    * A doc missing a query term pays the collection-prior surprisal
+    * (cf ≥ 1 by the self-selected-terms construction — Dirichlet never
+    * zeroes). Query terms self-select exactly as BM25's (df nearest N/2);
+    * ranking (Σ milli asc, doc_id) is a total order. Overflow headroom:
+    * den·1024 = (dl+μ)·|C|·1024 needs |C| ≲ 9e14 tokens as BIGINT — at
+    * larger corpora normalize p(w|C) to 2^-30 fixed point once (making
+    * num/den |C|-free), the production spelling.
+    *
+    * Scale shape: dl/df/cf are the index-build count shuffles; the terms
+    * list broadcasts before the tf aggregation (only matching postings
+    * count); the doc×term matrix is a broadcast crossJoin on the dl
+    * table (3·N narrow rows, no shuffle); one doc-keyed sum + a
+    * distributed top-k end it.
+    */
+  def queryLikelihoodTopDocs(docs: DataFrame, nTerms: Int = 3, topK: Int = 20,
+                             mu: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("ctot"))
+    val dfTab = words.groupBy("w")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+    val terms = dfTab.crossJoin(broadcast(stats.select("n")))
+      .orderBy(expr("abs(2 * df - n)"), col("w")).limit(nTerms)
+      .select("w", "cf")
+    val tf = words.join(broadcast(terms.select("w")), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val scored = dl.crossJoin(broadcast(terms))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .crossJoin(broadcast(stats.select("ctot")))
+      .selectExpr("doc_id",
+        s"((dl + $mu) * ctot * 1024) div (coalesce(c, CAST(0 AS BIGINT)) * ctot + $mu * cf) AS q")
+      .selectExpr("doc_id", "q", "length(bin(q)) - 1 AS b")
+      .selectExpr("doc_id",
+        s"1000 * (b - 10) + ${mantissaMilliCase("shiftright(q, b - 4) - 16")} AS milli")
+      .groupBy("doc_id").agg(sum("milli").as("surprisal_milli"))
+    scored.orderBy(col("surprisal_milli"), col("doc_id")).limit(topK)
+      .selectExpr("doc_id", "CAST(surprisal_milli AS BIGINT) AS surprisal_milli")
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("surprisal_milli"), col("doc_id"))))
+  }
+
+  /** round(1000·log2(1 + k/16)) for the 4-bit mantissa k = 0..15 — the
+    * piecewise-log table shared verbatim by the Spark expression and the
+    * DuckDB oracle (both engines evaluate the identical CASE).
+    */
+  val mantissaMilli: Seq[Int] =
+    Seq(0, 87, 170, 248, 322, 392, 459, 524, 585, 644, 700, 755, 807, 858, 907, 954)
+
+  /** `CASE <kExpr> WHEN 0 THEN 0 … END` over [[mantissaMilli]]. */
+  def mantissaMilliCase(kExpr: String): String =
+    mantissaMilli.zipWithIndex
+      .map { case (v, k) => s"WHEN $k THEN $v" }
+      .mkString(s"CASE ($kExpr) ", " ", " ELSE 0 END")
+
   /** Apply the learned BPE tokenizer: per-document token counts after the
     * first `k` merges — the "how many tokens is my corpus under this
     * tokenizer" question every data-mixing budget needs ([[bpeMerges]]
