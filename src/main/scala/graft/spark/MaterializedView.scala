@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * with no rows does not appear). SUM is pinned to BIGINT inputs with
   * `COALESCE(SUM(x), 0)` semantics on both the build and merge paths — the
   * repo-wide integer-determinism contract (float sums are order-dependent
-  * and could never match an oracle).
+  * and could never match an oracle). MIN needs no machinery of its own:
+  * `min(v) == -max(-v)` for integers, so maintain MAX over a negated
+  * column and negate on read (spec-pinned; same insert-only maintenance
+  * and delete-rebuild rule).
   *
   * Cost shape at scale: the insert side of the window is O(delta) planning
   * + O(drop) data by [[PageCatalog.readIncremental]]'s construction; the

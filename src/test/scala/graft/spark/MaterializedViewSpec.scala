@@ -170,6 +170,28 @@ class MaterializedViewSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set(("a", 2L, 15L, 10L), ("b", 1L, 7L, 7L), ("c", 1L, 3L, 3L)))
   }
 
+  test("MIN maintains as MAX over the negated column (the documented reduction)") {
+    // min(v) == -max(-v) for integers, so an incremental MIN needs no new
+    // machinery: materialize the negated column and read the view's max
+    // back negated — same insert-only maintenance, same delete-rebuild rule
+    val (cat, _) = freshCat()
+    val neg = df(Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L)))
+      .selectExpr("id", "grp", "v", "-v AS nv")
+    cat.commit(neg, "srcn")
+    MaterializedView.create(spark, cat, "srcn", "mvn", Seq("grp"), Seq.empty, Seq("nv"))
+    def minOf: Set[(String, Long)] = cat.read(spark, "mvn").collect()
+      .map(r => (r.getString(0), -r.getLong(2))).toSet
+    assert(minOf == Set(("a", 5L), ("b", 7L)))
+    cat.append(df(Seq((4L, "a", 2L), (5L, "c", 30L)))
+      .selectExpr("id", "grp", "v", "-v AS nv"), "srcn")
+    assert(MaterializedView.refresh(spark, cat, "mvn").mode == "incremental")
+    assert(minOf == Set(("a", 2L), ("b", 7L), ("c", 30L)))
+    // deleting the current minimum forces the same rebuild rule as MAX
+    cat.deleteWhere("srcn", "id", Seq("4"))
+    assert(MaterializedView.refresh(spark, cat, "mvn").mode == "rebuild")
+    assert(minOf == Set(("a", 5L), ("b", 7L), ("c", 30L)))
+  }
+
   test("HLL-distinct columns maintain over insert-only windows bit-identically to a fresh sketch") {
     val (cat, _) = freshCat()
     // (id, grp, v): v doubles as the distinct-counted value
