@@ -610,6 +610,17 @@ object SparkEntry {
         .groupBy("user_id", "ts_us").agg(max("event_id").as("snap_id"))
       graft.operators.AsOf.asOfJoin(ev, snaps, "user_id", "ts_us", "event_id", "snap_id")
     }),
+    "q_asof_forward" -> ((s, dir) => {
+      // FORWARD as-of: every event matched to the EARLIEST snapshot at or
+      // after its timestamp (lead attribution / next-capture matching) —
+      // the same union + one-shuffle window walked descending
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"))
+      val snaps = ev.where(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts_us").agg(max("event_id").as("snap_id"))
+      graft.operators.AsOf.asOfJoinForward(ev, snaps, "user_id", "ts_us", "event_id", "snap_id")
+    }),
     "q_range_join" -> ((s, dir) => {
       // interval-containment join: every event into the (non-overlapping)
       // session of the event_id % 3 == 0 subset that contains it — the
@@ -2568,6 +2579,11 @@ object SparkEntry {
       // distribution, every term an exact 128-bit rational (DECIMAL(38,0)
       // / HUGEINT) — the whole score replays bit-for-bit in DuckDB
       TextOps.knPerplexity(docs(s, dir))),
+    "q_ccnet_buckets" -> ((s, dir) =>
+      // CCNet's head/middle/tail selection: per-lang perplexity terciles
+      // by exact rank arithmetic (3·rank vs n), ties by doc_id — the
+      // bucket label CCNet publishes and trains on
+      TextOps.ccnetBuckets(docs(s, dir))),
     "q_lm_perplexity" -> ((s, dir) =>
       // CCNet-style bigram-LM quality signal: add-one-smoothed surprisal
       // in whole bits, model pruned to count>=2 then BROADCAST onto the
@@ -3206,6 +3222,12 @@ object SparkEntry {
         |           FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
         |SELECT e.user_id, e.event_id, s.snap_id
         |FROM events e ASOF JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin,
+    // forward as-of vs DuckDB's native ASOF with the reversed inequality
+    "q_asof_forward" ->
+      """WITH s AS (SELECT user_id, ts, max(event_id) AS snap_id
+        |           FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+        |SELECT e.user_id, e.event_id, s.snap_id
+        |FROM events e ASOF JOIN s ON e.user_id = s.user_id AND e.ts <= s.ts""".stripMargin,
     // oracle: sessions via the proven gaps-and-islands CTE, then an
     // INDEPENDENT inequality containment join
     "q_range_join" ->
@@ -4704,6 +4726,29 @@ object SparkEntry {
         |       CAST(sum(bits) AS BIGINT) AS nll_bits,
         |       CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_milli
         |FROM s GROUP BY doc_id""".stripMargin,
+    // the lm-perplexity replay wrapped in the CCNet tercile rank cut
+    "q_ccnet_buckets" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |b AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2
+        |      FROM (SELECT doc_id, l, unnest(generate_series(0, len(l) - 2)) AS i FROM ws)),
+        |m2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2 HAVING count(*) >= 2),
+        |m1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1 HAVING count(*) >= 2),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(l) AS w FROM ws)),
+        |s AS (SELECT doc_id,
+        |             length(bin(((coalesce(c1, CAST(0 AS BIGINT)) + v) << 20)
+        |                        // (coalesce(c12, CAST(0 AS BIGINT)) + 1))) - 21 AS bits
+        |      FROM b LEFT JOIN m2 USING (w1, w2) LEFT JOIN m1 USING (w1) CROSS JOIN v),
+        |p AS (SELECT doc_id, CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_milli
+        |      FROM s GROUP BY doc_id),
+        |r AS (SELECT p.doc_id, d.lang, p.bits_milli,
+        |             CAST(row_number() OVER (PARTITION BY d.lang ORDER BY p.bits_milli, p.doc_id) AS BIGINT) AS rnk,
+        |             CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+        |      FROM p JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, bits_milli,
+        |       CASE WHEN 3 * rnk <= n THEN 'head'
+        |            WHEN 3 * rnk <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
     // HLL registers replayed exactly: j = first 2 md5 hex digits, tail =
     // digits 3..10, rho = 33 - bitlen(tail) via length(bin()) — identical
     // on both engines since bin() strips leading zeros; the estimate is

@@ -64,4 +64,28 @@ object AsOf {
       .where(col("_tag") === 1 && col("_asof").isNotNull)
       .select(col(key), col("_lid").as(leftId), col("_asof").as(rightId))
   }
+
+  /** FORWARD as-of join — the other direction: for every left row, the
+    * single right row with the EARLIEST timestamp at or after the left
+    * timestamp, per key ("the next snapshot/price/capture after this
+    * event" — lead attribution, next-capture diffing, deadline matching).
+    * Identical one-shuffle union + window shape, with the frame walked in
+    * DESCENDING timestamp order so the running `last` is the closest
+    * at-or-after right row; right rows sort before left at equal ts, so
+    * `ts_left <= ts_right` ties match (mirroring [[asOfJoin]]'s tie rule).
+    * Left rows with no following right row are dropped (inner as-of).
+    */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key), col(ts),
+      col(leftId).as("_lid"), lit(null).cast("bigint").as("_rid"), lit(1).as("_tag"))
+    val r = right.select(col(key), col(ts),
+      lit(null).cast("bigint").as("_lid"), col(rightId).as("_rid"), lit(0).as("_tag"))
+    val w = Window.partitionBy(key).orderBy(col(ts).desc, col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("_asof", last("_rid", ignoreNulls = true).over(w))
+      .where(col("_tag") === 1 && col("_asof").isNotNull)
+      .select(col(key), col("_lid").as(leftId), col("_asof").as(rightId))
+  }
 }

@@ -1231,6 +1231,30 @@ object TextOps {
         "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_bigrams AS BIGINT) AS bits_milli")
   }
 
+  /** CCNet's head/middle/tail PERPLEXITY TERCILES — the selection step the
+    * LM filter exists for: per language, rank documents by LM surprisal
+    * and cut at 1/3 and 2/3 (CCNet trains on head+middle and drops tail;
+    * the bucket label is the published CCNet metadata field). Exact
+    * integer rank arithmetic — bucket = head iff 3·rank ≤ n, middle iff
+    * 3·rank ≤ 2n — so the boundaries are deterministic (ties broken by
+    * doc_id) and the DuckDB replay is bit-exact.
+    *
+    * Scale shape: rides [[lmPerplexity]]'s score (already doc-keyed);
+    * the rank and the per-lang count share ONE lang-keyed exchange (two
+    * window functions over the same partition key).
+    */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ppl = lmPerplexity(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    val byLang = Window.partitionBy("lang")
+    val ranked = Window.partitionBy("lang").orderBy(col("bits_milli"), col("doc_id"))
+    ppl
+      .withColumn("rnk", row_number().over(ranked).cast("long"))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .selectExpr("doc_id", "lang", "bits_milli",
+        "CASE WHEN 3 * rnk <= n THEN 'head' WHEN 3 * rnk <= 2 * n THEN 'middle' ELSE 'tail' END AS bucket")
+  }
+
   /** Linear quality-classifier inference — the model-based filtering stage
     * (fastText-style quality classifier / FineWeb-Edu scorer shape): each
     * doc gets score = w · features with a PER-LANGUAGE weight vector.

@@ -515,6 +515,24 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((1L, 11L, 90L), (1L, 12L, 90L), (1L, 13L, 91L), (2L, 20L, 95L)))
   }
 
+  test("forward as-of join: equal-ts matches, earlier snapshots don't, trailing rows drop") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // before first snapshot → 90 (the NEXT one)
+      (1L, 200L, 11L), // equal ts → 90 matches (ties match forward too)
+      (1L, 250L, 12L), // between → 91
+      (1L, 450L, 13L), // after the last snapshot → dropped
+      (2L, 400L, 20L)  // other key, before its snapshot → 95
+    ).toDF("user_id", "ts_us", "event_id")
+    val right = Seq(
+      (1L, 200L, 90L), (1L, 300L, 91L), (1L, 400L, 92L), (2L, 450L, 95L)
+    ).toDF("user_id", "ts_us", "snap_id")
+    val out = graft.operators.AsOf.asOfJoinForward(left, right, "user_id", "ts_us", "event_id", "snap_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out.toSeq === Seq((1L, 10L, 90L), (1L, 11L, 90L), (1L, 12L, 91L), (2L, 20L, 95L)))
+  }
+
   test("range join: bounds inclusive, gap rows drop, later interval wins") {
     val s = spark
     import s.implicits._
