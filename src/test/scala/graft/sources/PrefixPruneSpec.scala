@@ -130,4 +130,26 @@ class PrefixPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2.map(_.getLong(1)).toSet == (0L until 65L).toSet)
     assert(op2 == total, s"expected full scan, opened $op2 of $total")
   }
+
+  test("SURT-keyed table: a registrant slice is a LIKE-prefix scan opening only the slice's files") {
+    // the composition SURT exists for: keys range-cluster by reversed host,
+    // so "everything under example.com (incl. subdomains)" is ONE
+    // contiguous LIKE prefix — on a surt-sorted catalog table the scan
+    // opens the slice's files, not the crawl's
+    val (cat, root) = freshCat()
+    val ss = spark; import ss.implicits._
+    val hosts = (0 until 40).map(i => s"h$i.dom${i % 10}.com")
+    val urls = hosts.flatMap(h => (0 until 10).map(p => (s"https://$h/p$p", s"$h/$p")))
+    val df = urls.toDF("url", "id")
+      .selectExpr("url", "id", graft.operators.UrlOps.surtKeyExpr("url") + " AS surt")
+      .repartitionByRange(8, col("surt"))
+    cat.commitWithStats(df, "t", Seq("surt"))
+    val total = cat.filesWithAddOrder("t", cat.currentSnapshot("t").get).size
+    val (rows, op) = opened(
+      rd(root, "t").where("surt LIKE 'com,dom3,%'").collect())
+    // exactly dom3's subdomains (h3, h13, h23, h33 × 10 pages)
+    assert(rows.length == 40, s"got ${rows.length}")
+    assert(rows.forall(_.getString(0).contains(".dom3.com/")))
+    assert(op < total, s"registrant slice opened $op of $total files")
+  }
 }
