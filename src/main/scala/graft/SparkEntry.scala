@@ -1040,6 +1040,17 @@ object SparkEntry {
       // terms (df nearest N/2 — language-specific words at this sf);
       // every score replays bit-for-bit in the oracle
       TextOps.bm25TopDocs(docs(s, dir))),
+    "q_snippets" -> ((s, dir) => {
+      // query-biased snippets over the same self-selected terms as
+      // BM25/QL: the leftmost 10-word window maximizing term hits per doc
+      // (zero-shuffle after the O(3)-row term selection)
+      val words = docs(s, dir).selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      val n = words.selectExpr("doc_id").distinct().count()
+      val terms = words.groupBy("w").agg(countDistinct("doc_id").as("df"))
+        .orderBy(expr(s"abs(2 * df - ${n}L)"), col("w")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      TextOps.snippets(docs(s, dir), terms)
+    }),
     "q_query_likelihood" -> ((s, dir) =>
       // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
       // LM retrieval paradigm next to BM25, same self-selected terms:
@@ -3948,6 +3959,27 @@ object SparkEntry {
     // chosen pair into the next stage
     // BM25 replay: same fraction-cleared Robertson constants, same
     // whole-bit idf, same one-division tf component, same tie orders
+    // snippets replayed relationally: zip-unnest positions, hits filtered
+    // to the same self-selected terms, window counts via a RANGE frame,
+    // leftmost argmax, slice join-back
+    "q_snippets" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ws),
+        |wx AS (SELECT doc_id, unnest(l) AS x, unnest(range(len(l))) AS i FROM ws),
+        |dfc AS (SELECT x AS w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM wx GROUP BY 1),
+        |terms AS (SELECT w FROM dfc, st ORDER BY abs(2 * df - n), w LIMIT 3),
+        |hits AS (SELECT doc_id, CAST(i AS BIGINT) AS h FROM wx JOIN terms ON wx.x = terms.w),
+        |cnts AS (SELECT doc_id, h,
+        |           count(*) OVER (PARTITION BY doc_id ORDER BY h
+        |                          RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS c
+        |         FROM hits),
+        |best AS (SELECT doc_id, h, c FROM (
+        |           SELECT doc_id, h, c,
+        |                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, h) AS rn
+        |           FROM cnts) WHERE rn = 1)
+        |SELECT b.doc_id, b.h AS start_word, CAST(b.c AS BIGINT) AS n_hits,
+        |       array_to_string(list_slice(ws.l, CAST(b.h + 1 AS INTEGER), CAST(b.h + 10 AS INTEGER)), ' ') AS snippet
+        |FROM best b JOIN ws ON b.doc_id = ws.doc_id""".stripMargin,
     // Dirichlet QL replayed whole: same self-selected terms as BM25, the
     // doc×term matrix, one exact fraction per cell, MILLI-bit surprisal
     // via the shared 4-bit-mantissa piecewise-log CASE, (milli asc,

@@ -1231,6 +1231,39 @@ object TextOps {
         "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_bigrams AS BIGINT) AS bits_milli")
   }
 
+  /** Query-biased SNIPPET selection — the serving-side counterpart of
+    * [[bm25TopDocs]]/[[queryLikelihoodTopDocs]]: once docs are ranked, the
+    * result page shows the best PASSAGE, defined here as the LEFTMOST
+    * `window`-word span maximizing query-term hits (the deterministic form
+    * of every search engine's keyword-in-context snippet; leftmost ties =
+    * earliest mention wins, the standard convention). Docs with zero hits
+    * are dropped (no snippet to show).
+    *
+    * Pure zero-shuffle codegen-friendly projection: hit positions come
+    * from an indexed `transform`+`filter` over the split words; candidate
+    * windows only START at hit positions (the max-hit window property), so
+    * the per-doc cost is O(hits²) worst case with hits ≪ words — never a
+    * corpus-wide window function. Every step is integer/array arithmetic,
+    * replayed relationally (zip-unnest + a RANGE-framed count) in DuckDB.
+    */
+  def snippets(docs: DataFrame, terms: Seq[String], window: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "snippets: need at least one query term")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws",
+        s"filter(transform(ws, (x, i) -> CASE WHEN x IN ($termList) THEN i END), x -> x IS NOT NULL) AS hits")
+      .where("size(hits) > 0")
+      .selectExpr("doc_id", "ws", "hits",
+        s"transform(hits, h -> size(filter(hits, x -> x >= h AND x < h + $window))) AS cnts")
+      .selectExpr("doc_id", "ws", "hits", "cnts",
+        "array_position(cnts, array_max(cnts)) AS bi")
+      .selectExpr("doc_id",
+        "CAST(element_at(hits, CAST(bi AS INT)) AS BIGINT) AS start_word",
+        "CAST(array_max(cnts) AS BIGINT) AS n_hits",
+        s"array_join(slice(ws, CAST(element_at(hits, CAST(bi AS INT)) AS INT) + 1, $window), ' ') AS snippet")
+  }
+
   /** CCNet's head/middle/tail PERPLEXITY TERCILES — the selection step the
     * LM filter exists for: per language, rank documents by LM surprisal
     * and cut at 1/3 and 2/3 (CCNet trains on head+middle and drops tail;
