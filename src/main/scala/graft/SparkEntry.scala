@@ -1241,6 +1241,34 @@ object SparkEntry {
       s.createDataFrame(rows.toSeq).toDF("url", "text")
         .selectExpr("url", "md5(text) AS text_md5")
     }),
+    "q_warc_revisit" -> ((s, dir) => {
+      // dedup-aware archiving: %10 of the corpus refetched under new urls
+      // at later timestamps — the duplicates must land as payload-less
+      // revisit records pointing at the deterministic original (min
+      // (ts, url) per payload digest), originals as full responses; the
+      // response reader sees exactly the distinct payloads
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_revisit_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      import s.implicits._
+      val base = docs(s, dir).selectExpr("doc_id", "text").collect()
+      val recs = base.map(r => graft.sources.Warc.WarcRec(
+        s"https://example.com/rv/doc${r.getLong(0)}",
+        1700000000000L + r.getLong(0) * 1000L, r.getString(1).getBytes("UTF-8"))) ++
+        base.filter(_.getLong(0) % 10 == 0).map(r => graft.sources.Warc.WarcRec(
+          s"https://example.com/rv/dup${r.getLong(0)}",
+          1800000000000L + r.getLong(0) * 1000L, r.getString(1).getBytes("UTF-8")))
+      val ds = s.createDataset(recs.toSeq).repartition(8)
+      graft.sources.Warc.writeWithRevisits(ds, root)
+      val resp = graft.sources.Warc.read(s, root).toDF()
+        .selectExpr("url", "'response' AS rtype", "'' AS refers_to")
+      val rev = graft.sources.Warc.readRevisits(s, root)
+        .selectExpr("url", "'revisit' AS rtype", "refers_to")
+      resp.unionAll(rev)
+    }),
     "q_cc_index" -> ((s, dir) => {
       // the CC columnar-index build: WARC+CDX publication lifted into the
       // SURT-range-clustered parquet index table (ccindex shape). The
@@ -4216,6 +4244,24 @@ object SparkEntry {
       """SELECT concat('https://example.com/', lang, '/', source, '/doc', doc_id) AS url,
         |       md5(text) AS text_md5
         |FROM documents WHERE doc_id % 50 = 11 AND doc_id < 500""".stripMargin,
+    // the revisit keeper rule replayed closed-form: min capture order per
+    // payload digest keeps the response; every later identical payload is
+    // a revisit pointing at it (general rule — base-text collisions and
+    // the planted %10 dupes both fall out of the same min)
+    "q_warc_revisit" ->
+      """WITH base AS (SELECT doc_id AS ord, md5(text) AS dg,
+        |                     'https://example.com/rv/doc' || CAST(doc_id AS VARCHAR) AS url
+        |              FROM documents),
+        |dup AS (SELECT doc_id + 1000000 AS ord, md5(text) AS dg,
+        |               'https://example.com/rv/dup' || CAST(doc_id AS VARCHAR) AS url
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |k AS (SELECT dg, min(ord) AS mo FROM a GROUP BY dg),
+        |ku AS (SELECT a.dg, a.url AS orig_url FROM a JOIN k ON a.dg = k.dg AND a.ord = k.mo)
+        |SELECT a.url,
+        |       CASE WHEN a.url = ku.orig_url THEN 'response' ELSE 'revisit' END AS rtype,
+        |       CASE WHEN a.url = ku.orig_url THEN '' ELSE ku.orig_url END AS refers_to
+        |FROM a JOIN ku ON a.dg = ku.dg""".stripMargin,
     // the ccindex derivations replayed closed-form: surt (www-strip +
     // label reversal + lowercase path), full lowercased host, last-two-
     // labels registrable domain — pointer validity is proven in-query

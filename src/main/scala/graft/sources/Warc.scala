@@ -84,10 +84,13 @@ object Warc {
 
   /** Serialize one record around an already-built block. */
   def recordBlock(url: String, tsMillis: Long, block: Array[Byte],
-      warcType: String = "response"): Array[Byte] = {
+      warcType: String = "response",
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val date = java.time.Instant.ofEpochMilli(tsMillis).toString
+    val extra = extraHeaders.map { case (k, v) => s"$k: $v\r\n" }.mkString
     val header =
-      s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\nWARC-Date: $date\r\nContent-Length: ${block.length}\r\n\r\n"
+      s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $url\r\nWARC-Date: $date\r\n$extra" +
+        s"Content-Length: ${block.length}\r\n\r\n"
     val h = header.getBytes(UTF_8)
     val out = new Array[Byte](h.length + block.length + 4)
     System.arraycopy(h, 0, out, 0, h.length)
@@ -163,6 +166,124 @@ object Warc {
   def writeWet(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit =
     writeFiles(recs, dir, gzip, zstd = false)(r =>
       recordBlock(r.url, r.tsMillis, r.block, warcType = "conversion"))
+
+  /** DEDUP-AWARE archiving with `revisit` records (the Heritrix/Common
+    * Crawl identical-payload-digest convention): the FIRST capture of each
+    * payload (deterministic keeper: min (timestamp, url) per md5 digest)
+    * writes as a full `response`; every later identical-payload capture
+    * writes as a payload-LESS `revisit` record carrying
+    * `WARC-Refers-To-Target-URI` (the original's url), `WARC-Payload-Digest`
+    * and `WARC-Profile: identical-payload-digest` (production archives
+    * spell the profile as its full registry URI) — so a re-crawl that
+    * refetched 90% unchanged pages stores 90% headers, not 90% payloads.
+    * One digest-keyed shuffle (16-byte keys) decides originals; rendering
+    * is a narrow map; the same per-partition gzip-member writer and
+    * tmp/rename commit. Plain `read` still returns exactly the distinct
+    * payloads (revisits are type-filtered out by the response parser).
+    */
+  def writeWithRevisits(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    val tagged = recs.map(r => (r.url, r.tsMillis, r.block, md5hex(r.block)))
+      .toDF("url", "ts", "block", "digest")
+    val keepers = tagged.groupBy("digest")
+      .agg(min(struct(col("ts"), col("url"))).as("k"))
+      .select(col("digest"), col("k.url").as("orig_url"))
+    val rendered = tagged.join(keepers, "digest")
+      .select("url", "ts", "block", "digest", "orig_url")
+      .as[(String, Long, Array[Byte], String, String)]
+      .map { case (url, ts, block, digest, origUrl) =>
+        if (url == origUrl) WarcRec(url, ts, recordBlock(url, ts, block))
+        else WarcRec(url, ts, recordBlock(url, ts, Array.empty[Byte],
+          warcType = "revisit",
+          extraHeaders = Seq(
+            "WARC-Refers-To-Target-URI" -> origUrl,
+            "WARC-Payload-Digest" -> s"md5:$digest",
+            "WARC-Profile" -> "identical-payload-digest")))
+      }
+    writeFiles(rendered, dir, gzip, zstd = false)(_.block)
+  }
+
+  /** The revisit records of an archive directory: (url, refers_to, digest)
+    * — what a deduplicated-archive consumer joins back to originals.
+    */
+  def readRevisits(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.warc*")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(b =>
+        parseRevisitStream(decompress(new java.io.ByteArrayInputStream(b)))))
+      .toDF("url", "refers_to", "digest")
+  }
+
+  /** Streaming revisit-record parse (line-bounded like [[parseStream]]);
+    * bodies (empty by construction, but tolerated if present) are skipped
+    * by Content-Length. The `md5:` digest prefix is stripped.
+    */
+  def parseRevisitStream(in: java.io.InputStream): Iterator[(String, String, String)] =
+    new Iterator[(String, String, String)] {
+      private val bin = new java.io.BufferedInputStream(in, 1 << 16)
+      private var nextRow: (String, String, String) = advance()
+
+      private def line(): String = {
+        val sb = new java.lang.StringBuilder(64)
+        var c = bin.read()
+        if (c < 0) return null
+        var truncated = false
+        while (c >= 0 && c != '\n') {
+          if (c != '\r') {
+            if (sb.length < maxHeaderLine) sb.append(c.toChar)
+            else truncated = true
+          }
+          c = bin.read()
+        }
+        if (truncated) " overlong" else sb.toString
+      }
+
+      private def advance(): (String, String, String) = {
+        var l0 = line()
+        while (l0 != null) {
+          if (l0.startsWith("WARC/")) {
+            var typ: String = null
+            var url: String = null
+            var refers: String = null
+            var digest: String = null
+            var len = -1
+            var h = line()
+            while (h != null && h.nonEmpty) {
+              val i = h.indexOf(':')
+              if (i > 0) {
+                val k = h.substring(0, i).trim
+                val v = h.substring(i + 1).trim
+                k match {
+                  case "WARC-Type" => typ = v
+                  case "WARC-Target-URI" => url = v
+                  case "WARC-Refers-To-Target-URI" => refers = v
+                  case "WARC-Payload-Digest" =>
+                    digest = if (v.startsWith("md5:")) v.substring(4) else v
+                  case "Content-Length" => len = v.toIntOption.getOrElse(-1)
+                  case _ => ()
+                }
+              }
+              h = line()
+            }
+            if (len >= 0) {
+              bin.readNBytes(len) // skip body (empty for our revisits)
+              if (typ == "revisit" && url != null && refers != null)
+                return (url, refers, if (digest == null) "" else digest)
+            }
+          }
+          l0 = line()
+        }
+        null
+      }
+
+      def hasNext: Boolean = nextRow != null
+      def next(): (String, String, String) = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
 
   /** WET read (file-per-partition, streaming decode like the DSv2 response
     * reader — WET files are sized for exactly this file-level parallelism).

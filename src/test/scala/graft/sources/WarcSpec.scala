@@ -285,4 +285,47 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.length === 500)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("revisit archiving: duplicates store headers not payloads, digests link back, readers type-split") {
+    val ss = spark
+    import ss.implicits._
+    def dirOf(name: String) = java.nio.file.Files.createTempDirectory(name).toString
+    // 4 distinct INCOMPRESSIBLE payloads (seeded pseudo-random bytes — a
+    // constant string would gzip away and hide the dedup saving), each
+    // captured 5 times at increasing ts
+    def payload(k: Int): Array[Byte] = {
+      val b = new Array[Byte](2000)
+      new scala.util.Random(1234 + k).nextBytes(b)
+      b
+    }
+    val recs = (0 until 20).map { i =>
+      Warc.WarcRec(s"https://h/cap$i", 1700000000000L + i * 1000L, payload(i % 4))
+    }
+    val plainDir = dirOf("graftrv_plain")
+    val rvDir = dirOf("graftrv_dedup")
+    Warc.writeRecords(spark.createDataset(recs).repartition(3), plainDir, gzip = true)
+    Warc.writeWithRevisits(spark.createDataset(recs).repartition(3), rvDir)
+    def bytesOf(d: String) = java.nio.file.Files.list(java.nio.file.Paths.get(d))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    assert(bytesOf(rvDir) < bytesOf(plainDir) / 2,
+      s"dedup archive not smaller: ${bytesOf(rvDir)} vs ${bytesOf(plainDir)}")
+    // responses = exactly the 4 earliest captures (the keeper rule)
+    val resp = Warc.read(spark, rvDir).collect()
+    assert(resp.map(_.url).sorted.toSeq ==
+      Seq("https://h/cap0", "https://h/cap1", "https://h/cap2", "https://h/cap3"))
+    // 16 revisits, each linking to its payload's keeper with the digest of
+    // the ORIGINAL payload bytes (computed independently — the response
+    // read path charset-normalizes, so read-back bytes are not the input)
+    val revs = Warc.readRevisits(spark, rvDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(revs.length == 16)
+    val wantDigest = (0 until 4).map { k =>
+      s"https://h/cap$k" -> java.security.MessageDigest.getInstance("MD5")
+        .digest(payload(k)).map(x => f"$x%02x").mkString
+    }.toMap
+    revs.foreach { case (url, refers, dg) =>
+      assert(refers == s"https://h/cap${url.stripPrefix("https://h/cap").toInt % 4}")
+      assert(dg == wantDigest(refers), s"digest mismatch for $url")
+    }
+  }
 }
