@@ -217,6 +217,24 @@ object Warc {
       .toDF("url", "refers_to", "digest")
   }
 
+  /** The LOGICAL corpus of a deduplicated archive: responses as-is plus
+    * every revisit RESOLVED to its original's (normalized) payload — what
+    * a consumer that wants "all captures" reads instead of re-implementing
+    * the refers-to join. One url-keyed join of the revisit headers (tiny
+    * rows) against the response payloads; payload bytes are stored and
+    * decoded once however many revisits point at them.
+    */
+  def readResolved(spark: SparkSession, dir: String): Dataset[PageRow] = {
+    import spark.implicits._
+    val resp = read(spark, dir)
+    val revs = readRevisits(spark, dir)
+      .select(col("url").as("rv_url"), col("refers_to"))
+    val resolved = revs.join(resp.toDF().withColumnRenamed("url", "refers_to"), "refers_to")
+      .select(col("rv_url").as("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[PageRow]
+    resp.unionAll(resolved)
+  }
+
   /** Streaming revisit-record parse (line-bounded like [[parseStream]]);
     * bodies (empty by construction, but tolerated if present) are skipped
     * by Content-Length. The `md5:` digest prefix is stripped.

@@ -327,5 +327,14 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(refers == s"https://h/cap${url.stripPrefix("https://h/cap").toInt % 4}")
       assert(dg == wantDigest(refers), s"digest mismatch for $url")
     }
+    // readResolved reconstructs the LOGICAL corpus: all 20 captures, each
+    // revisit carrying its original's (normalized) payload bytes
+    val resolved = Warc.readResolved(spark, rvDir).collect()
+    assert(resolved.length == 20)
+    val keeperBody = resp.map(p => p.url -> java.util.Arrays.hashCode(p.html)).toMap
+    resolved.foreach { p =>
+      val k = s"https://h/cap${p.url.stripPrefix("https://h/cap").toInt % 4}"
+      assert(java.util.Arrays.hashCode(p.html) == keeperBody(k), s"payload mismatch for ${p.url}")
+    }
   }
 }
