@@ -57,7 +57,10 @@ object AsOf {
       col(leftId).as("_lid"), lit(null).cast("bigint").as("_rid"), lit(1).as("_tag"))
     val r = right.select(col(key), col(ts),
       lit(null).cast("bigint").as("_lid"), col(rightId).as("_rid"), lit(0).as("_tag"))
-    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"))
+    // _rid as the third sort key pins right-right ties at equal (key, ts):
+    // without it, which duplicate the running last() returns is partition-
+    // order-dependent — the GREATEST rightId wins, deterministically
+    val w = Window.partitionBy(key).orderBy(col(ts), col("_tag"), col("_rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionAll(r)
       .withColumn("_asof", last("_rid", ignoreNulls = true).over(w))
@@ -81,7 +84,9 @@ object AsOf {
       col(leftId).as("_lid"), lit(null).cast("bigint").as("_rid"), lit(1).as("_tag"))
     val r = right.select(col(key), col(ts),
       lit(null).cast("bigint").as("_lid"), col(rightId).as("_rid"), lit(0).as("_tag"))
-    val w = Window.partitionBy(key).orderBy(col(ts).desc, col("_tag"))
+    // same tie pin as the backward join: the GREATEST rightId wins among
+    // equal-(key, ts) right rows, on any partitioning
+    val w = Window.partitionBy(key).orderBy(col(ts).desc, col("_tag"), col("_rid").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionAll(r)
       .withColumn("_asof", last("_rid", ignoreNulls = true).over(w))

@@ -24,10 +24,15 @@ object Robots {
 
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** Rules of the group(s) selected for `agent` (case-insensitive). */
-  def rulesFor(txt: String, agent: String): Vector[Rule] = {
-    // (specificity, rules) per group; groups keyed by best matching UA
-    final case class Group(var spec: Int, val rules: scala.collection.mutable.ArrayBuffer[Rule])
+  /** One parsed group: selected-agent specificity + the group's directive
+    * lines (lowercased field, raw value) in order. The ONE group scanner
+    * behind [[rulesFor]] and [[crawlDelaySeconds]] — comment stripping,
+    * consecutive-UA stacking and the specificity rule live exactly once.
+    */
+  private final case class Group(var spec: Int,
+      directives: scala.collection.mutable.ArrayBuffer[(String, String)])
+
+  private def parseGroups(txt: String, agent: String): Vector[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var cur: Group = null
     var inUa = false // currently accumulating consecutive UA lines
@@ -40,32 +45,40 @@ object Robots {
         if (colon > 0) {
           val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
           val value = line.substring(colon + 1).trim
-          field match {
-            case "user-agent" =>
-              if (!inUa) {
-                cur = Group(-1, scala.collection.mutable.ArrayBuffer.empty)
-                groups += cur
-                inUa = true
-              }
-              val uaLc = value.toLowerCase(java.util.Locale.ROOT)
-              val s =
-                if (uaLc == "*") 0
-                else if (agentLc.startsWith(uaLc)) uaLc.length
-                else -1
-              if (s > cur.spec) cur.spec = s
-            case "allow" | "disallow" =>
-              inUa = false
-              if (cur != null && value.nonEmpty)
-                cur.rules += Rule(field == "allow", value)
-            case _ => inUa = false // crawl-delay, sitemap, unknown: ignored
+          if (field == "user-agent") {
+            if (!inUa) {
+              cur = Group(-1, scala.collection.mutable.ArrayBuffer.empty)
+              groups += cur
+              inUa = true
+            }
+            val uaLc = value.toLowerCase(java.util.Locale.ROOT)
+            val s =
+              if (uaLc == "*") 0
+              else if (agentLc.startsWith(uaLc)) uaLc.length
+              else -1
+            if (s > cur.spec) cur.spec = s
+          } else {
+            inUa = false
+            if (cur != null) cur.directives += ((field, value))
           }
         }
       }
     }
-    val best = groups.foldLeft(-1)((m, g) => math.max(m, g.spec))
-    if (best < 0) Vector.empty
-    else groups.filter(_.spec == best).flatMap(_.rules).toVector
+    groups.toVector
   }
+
+  private def selectedGroups(txt: String, agent: String): Vector[Group] = {
+    val groups = parseGroups(txt, agent)
+    val best = groups.foldLeft(-1)((m, g) => math.max(m, g.spec))
+    if (best < 0) Vector.empty else groups.filter(_.spec == best)
+  }
+
+  /** Rules of the group(s) selected for `agent` (case-insensitive). */
+  def rulesFor(txt: String, agent: String): Vector[Rule] =
+    selectedGroups(txt, agent).flatMap(_.directives.collect {
+      case (f, v) if (f == "allow" || f == "disallow") && v.nonEmpty =>
+        Rule(f == "allow", v)
+    })
 
   /** `Crawl-delay:` of the group selected for `agent` — the de-facto
     * politeness field real crawlers honor (not in RFC 9309, but Bing/
@@ -76,48 +89,17 @@ object Robots {
     * into the per-host politeness policy [[graft.operators.Crawl.fetchSchedule]]
     * consumes.
     */
-  def crawlDelaySeconds(txt: String, agent: String, defaultS: Long = 1L): Long = {
-    final case class Group(var spec: Int, var delay: Long)
-    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
-    var cur: Group = null
-    var inUa = false
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    txt.split('\n').foreach { raw =>
-      val hash = raw.indexOf('#')
-      val line = (if (hash >= 0) raw.substring(0, hash) else raw).trim
-      if (line.nonEmpty) {
-        val colon = line.indexOf(':')
-        if (colon > 0) {
-          val field = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
-          val value = line.substring(colon + 1).trim
-          field match {
-            case "user-agent" =>
-              if (!inUa) {
-                cur = Group(-1, -1L)
-                groups += cur
-                inUa = true
-              }
-              val uaLc = value.toLowerCase(java.util.Locale.ROOT)
-              val s =
-                if (uaLc == "*") 0
-                else if (agentLc.startsWith(uaLc)) uaLc.length
-                else -1
-              if (s > cur.spec) cur.spec = s
-            case "crawl-delay" =>
-              inUa = false
-              if (cur != null && cur.delay < 0 && value.nonEmpty && value.forall(_.isDigit))
-                cur.delay = value.toLong
-            case _ => inUa = false
-          }
-        }
-      }
-    }
-    val best = groups.foldLeft(-1)((m, g) => math.max(m, g.spec))
-    if (best < 0) defaultS
-    else groups.filter(_.spec == best).collectFirst {
-      case g if g.delay >= 0 => g.delay
-    }.getOrElse(defaultS)
-  }
+  def crawlDelaySeconds(txt: String, agent: String, defaultS: Long = 1L): Long =
+    selectedGroups(txt, agent).iterator
+      .flatMap(_.directives.iterator.collect {
+        // ASCII-digit gate THEN toLongOption: '99999999999999999999' is
+        // all digits but overflows Long — it must fall through to the
+        // default, never throw inside a Spark task (and Char.isDigit
+        // would admit non-ASCII Unicode digits)
+        case (f, v) if f == "crawl-delay" &&
+          v.nonEmpty && v.forall(c => c >= '0' && c <= '9') => v.toLongOption
+      }.flatten.take(1))
+      .nextOption().getOrElse(defaultS)
 
   /** (host, robots_txt) → (host, crawl_delay_s): narrow zero-shuffle map —
     * the robots corpus becomes the politeness-policy table directly.

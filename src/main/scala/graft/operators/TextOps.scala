@@ -1248,7 +1248,12 @@ object TextOps {
     */
   def snippets(docs: DataFrame, terms: Seq[String], window: Int = 10): DataFrame = {
     require(terms.nonEmpty, "snippets: need at least one query term")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // terms are user/corpus-derived strings — escape before interpolating
+    // into the SQL literal list (an apostrophe would otherwise break the
+    // expression, and crafted input could inject expression text)
+    val termList = terms
+      .map(t => "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString(", ")
     docs
       .selectExpr("doc_id", "split(text, ' ') AS ws")
       .selectExpr("doc_id", "ws",

@@ -184,28 +184,39 @@ object Warc {
   def writeWithRevisits(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit = {
     val spark = recs.sparkSession
     import spark.implicits._
+    // persisted: the keeper aggregation AND the join both consume it — an
+    // unpersisted plan would decode + md5 every payload twice
     val tagged = recs.map(r => (r.url, r.tsMillis, r.block, md5hex(r.block)))
       .toDF("url", "ts", "block", "digest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // keeper identity is the FULL (ts, url) capture, not the url: a
+    // re-crawl of the SAME url with an unchanged payload (the feature's
+    // headline case) must revisit its earlier capture, not duplicate it
     val keepers = tagged.groupBy("digest")
       .agg(min(struct(col("ts"), col("url"))).as("k"))
-      .select(col("digest"), col("k.url").as("orig_url"))
+      .select(col("digest"), col("k.url").as("orig_url"), col("k.ts").as("orig_ts"))
     val rendered = tagged.join(keepers, "digest")
-      .select("url", "ts", "block", "digest", "orig_url")
-      .as[(String, Long, Array[Byte], String, String)]
-      .map { case (url, ts, block, digest, origUrl) =>
-        if (url == origUrl) WarcRec(url, ts, recordBlock(url, ts, block))
+      .select("url", "ts", "block", "digest", "orig_url", "orig_ts")
+      .as[(String, Long, Array[Byte], String, String, Long)]
+      .map { case (url, ts, block, digest, origUrl, origTs) =>
+        if (url == origUrl && ts == origTs)
+          WarcRec(url, ts, recordBlock(url, ts, block))
         else WarcRec(url, ts, recordBlock(url, ts, Array.empty[Byte],
           warcType = "revisit",
           extraHeaders = Seq(
             "WARC-Refers-To-Target-URI" -> origUrl,
+            "WARC-Refers-To-Date" -> java.time.Instant.ofEpochMilli(origTs).toString,
             "WARC-Payload-Digest" -> s"md5:$digest",
             "WARC-Profile" -> "identical-payload-digest")))
       }
     writeFiles(rendered, dir, gzip, zstd = false)(_.block)
+    tagged.unpersist()
   }
 
-  /** The revisit records of an archive directory: (url, refers_to, digest)
-    * — what a deduplicated-archive consumer joins back to originals.
+  /** The revisit records of an archive directory: (url, warc_ts,
+    * refers_to, refers_ts, digest) — what a deduplicated-archive consumer
+    * joins back to originals. `warc_ts` is the REVISIT's own capture time;
+    * (`refers_to`, `refers_ts`) is the original's full capture identity.
     */
   def readRevisits(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
@@ -214,35 +225,47 @@ object Warc {
       .as[Array[Byte]]
       .mapPartitions(_.flatMap(b =>
         parseRevisitStream(decompress(new java.io.ByteArrayInputStream(b)))))
-      .toDF("url", "refers_to", "digest")
+      .toDF("url", "ts_ms", "refers_to", "refers_ms", "digest")
+      .selectExpr("url", "timestamp_millis(ts_ms) AS warc_ts",
+        "refers_to", "timestamp_millis(refers_ms) AS refers_ts", "digest")
   }
 
   /** The LOGICAL corpus of a deduplicated archive: responses as-is plus
     * every revisit RESOLVED to its original's (normalized) payload — what
     * a consumer that wants "all captures" reads instead of re-implementing
-    * the refers-to join. One url-keyed join of the revisit headers (tiny
-    * rows) against the response payloads; payload bytes are stored and
-    * decoded once however many revisits point at them.
+    * the refers-to join. The join key is the original's FULL (url, ts)
+    * capture identity (`WARC-Refers-To-Date` rides the revisit record
+    * exactly for this), so a url captured with several DIFFERENT payloads
+    * over time can never fan a revisit out to the wrong generation; each
+    * resolved row carries the REVISIT's own capture timestamp. Payload
+    * bytes are stored and decoded once however many revisits point at
+    * them; the join side is the tiny revisit headers.
     */
   def readResolved(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._
     val resp = read(spark, dir)
     val revs = readRevisits(spark, dir)
-      .select(col("url").as("rv_url"), col("refers_to"))
-    val resolved = revs.join(resp.toDF().withColumnRenamed("url", "refers_to"), "refers_to")
-      .select(col("rv_url").as("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .select(col("url").as("rv_url"), col("warc_ts").as("rv_ts"),
+        col("refers_to"), col("refers_ts"))
+    val respK = resp.toDF()
+      .withColumnRenamed("url", "refers_to")
+      .withColumnRenamed("warc_ts", "refers_ts")
+    val resolved = revs.join(respK, Seq("refers_to", "refers_ts"))
+      .select(col("rv_url").as("url"), col("rv_ts").as("warc_ts"),
+        col("html"), col("text"), col("lang"))
       .as[PageRow]
     resp.unionAll(resolved)
   }
 
   /** Streaming revisit-record parse (line-bounded like [[parseStream]]);
     * bodies (empty by construction, but tolerated if present) are skipped
-    * by Content-Length. The `md5:` digest prefix is stripped.
+    * by Content-Length. The `md5:` digest prefix is stripped. Emits
+    * (url, tsMillis, refersTo, refersTsMillis, digest).
     */
-  def parseRevisitStream(in: java.io.InputStream): Iterator[(String, String, String)] =
-    new Iterator[(String, String, String)] {
+  def parseRevisitStream(in: java.io.InputStream): Iterator[(String, Long, String, Long, String)] =
+    new Iterator[(String, Long, String, Long, String)] {
       private val bin = new java.io.BufferedInputStream(in, 1 << 16)
-      private var nextRow: (String, String, String) = advance()
+      private var nextRow: (String, Long, String, Long, String) = advance()
 
       private def line(): String = {
         val sb = new java.lang.StringBuilder(64)
@@ -259,13 +282,18 @@ object Warc {
         if (truncated) " overlong" else sb.toString
       }
 
-      private def advance(): (String, String, String) = {
+      private def parseTs(v: String): Long =
+        try java.time.Instant.parse(v).toEpochMilli catch { case _: Exception => 0L }
+
+      private def advance(): (String, Long, String, Long, String) = {
         var l0 = line()
         while (l0 != null) {
           if (l0.startsWith("WARC/")) {
             var typ: String = null
             var url: String = null
+            var date = 0L
             var refers: String = null
+            var refersDate = 0L
             var digest: String = null
             var len = -1
             var h = line()
@@ -277,7 +305,9 @@ object Warc {
                 k match {
                   case "WARC-Type" => typ = v
                   case "WARC-Target-URI" => url = v
+                  case "WARC-Date" => date = parseTs(v)
                   case "WARC-Refers-To-Target-URI" => refers = v
+                  case "WARC-Refers-To-Date" => refersDate = parseTs(v)
                   case "WARC-Payload-Digest" =>
                     digest = if (v.startsWith("md5:")) v.substring(4) else v
                   case "Content-Length" => len = v.toIntOption.getOrElse(-1)
@@ -289,7 +319,7 @@ object Warc {
             if (len >= 0) {
               bin.readNBytes(len) // skip body (empty for our revisits)
               if (typ == "revisit" && url != null && refers != null)
-                return (url, refers, if (digest == null) "" else digest)
+                return (url, date, refers, refersDate, if (digest == null) "" else digest)
             }
           }
           l0 = line()
@@ -298,7 +328,7 @@ object Warc {
       }
 
       def hasNext: Boolean = nextRow != null
-      def next(): (String, String, String) = {
+      def next(): (String, Long, String, Long, String) = {
         val r = nextRow; nextRow = advance(); r
       }
     }

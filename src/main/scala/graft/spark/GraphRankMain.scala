@@ -48,9 +48,12 @@ object GraphRankMain {
 
     val t0 = System.nanoTime()
     val n = spark.sparkContext.defaultParallelism
+    // unparseable hrefs give NULL hosts — dropped here, not carried into
+    // rank families with differing null semantics
     val edges = ExtractJob.extract(Pages.synthesizeGraphPages(spark, sfDir), "hostgraph", n)
       .toDF().selectExpr("url", "explode(links) AS href")
       .selectExpr("parse_url(url, 'HOST') AS src", "parse_url(href, 'HOST') AS dst")
+      .where("src IS NOT NULL AND dst IS NOT NULL")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
@@ -70,7 +73,13 @@ object GraphRankMain {
         .withColumnRenamed("node", "host")
       val lp = graft.operators.Graph.labelPropagation(edges, iters = 2)
         .withColumnRenamed("node", "host")
-      pr.join(ha, "host").join(tr, "host").join(lp, "host")
+      // pr/ha/tr share the full src∪dst node universe; LPA canonicalizes
+      // self-loops away, so a host with ONLY self-loop edges is absent
+      // there — LEFT join + own-label coalesce keeps the vertex table
+      // closed over every edge endpoint
+      pr.join(ha, "host").join(tr, "host")
+        .join(lp, Seq("host"), "left")
+        .withColumn("community", coalesce(col("community"), col("host")))
         .join(outDeg, Seq("host"), "left").join(inDeg, Seq("host"), "left")
         .na.fill(0L, Seq("out_degree", "in_degree"))
     }

@@ -138,6 +138,9 @@ class RobotsSpec extends AnyFunSuite {
     val messy = "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 4\nCrawl-delay: 2\n"
     assert(Robots.crawlDelaySeconds(messy, "anybot") == 4L)
     assert(Robots.crawlDelaySeconds("", "anybot", defaultS = 2L) == 2L)
+    // all-digit but Long-overflowing garbage must fall through, not throw
+    val huge = "User-agent: *\nCrawl-delay: 99999999999999999999\n"
+    assert(Robots.crawlDelaySeconds(huge, "anybot", defaultS = 6L) == 6L)
   }
 
   test("crawl-delay over the corpus robots matches the oracle CASE") {

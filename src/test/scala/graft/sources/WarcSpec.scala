@@ -317,7 +317,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the ORIGINAL payload bytes (computed independently — the response
     // read path charset-normalizes, so read-back bytes are not the input)
     val revs = Warc.readRevisits(spark, rvDir).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => (r.getString(0), r.getString(2), r.getString(4)))
     assert(revs.length == 16)
     val wantDigest = (0 until 4).map { k =>
       s"https://h/cap$k" -> java.security.MessageDigest.getInstance("MD5")
@@ -328,13 +328,50 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(dg == wantDigest(refers), s"digest mismatch for $url")
     }
     // readResolved reconstructs the LOGICAL corpus: all 20 captures, each
-    // revisit carrying its original's (normalized) payload bytes
+    // revisit carrying its original's (normalized) payload bytes and its
+    // OWN capture timestamp (not the original's)
     val resolved = Warc.readResolved(spark, rvDir).collect()
     assert(resolved.length == 20)
     val keeperBody = resp.map(p => p.url -> java.util.Arrays.hashCode(p.html)).toMap
     resolved.foreach { p =>
-      val k = s"https://h/cap${p.url.stripPrefix("https://h/cap").toInt % 4}"
+      val i = p.url.stripPrefix("https://h/cap").toInt
+      val k = s"https://h/cap${i % 4}"
       assert(java.util.Arrays.hashCode(p.html) == keeperBody(k), s"payload mismatch for ${p.url}")
+      assert(p.warc_ts.getTime == 1700000000000L + i * 1000L,
+        s"resolved row must keep ITS capture time: ${p.url}")
+    }
+  }
+
+  test("revisit archiving: same-url re-crawls revisit their earlier capture; generations resolve by (url, ts)") {
+    val ss = spark
+    import ss.implicits._
+    val rvDir = java.nio.file.Files.createTempDirectory("graftrv_sameurl").toString
+    val p1 = "generation one payload".getBytes("UTF-8")
+    val p2 = "generation TWO payload".getBytes("UTF-8")
+    val recs = Seq(
+      Warc.WarcRec("https://h/a", 1000L, p1), // keeper of P1
+      Warc.WarcRec("https://h/a", 2000L, p1), // SAME url, unchanged → revisit
+      Warc.WarcRec("https://h/a", 3000L, p2), // same url, CHANGED → new response generation
+      Warc.WarcRec("https://h/b", 4000L, p1)) // other url, P1 → revisit of (a, 1000)
+    Warc.writeWithRevisits(spark.createDataset(recs).repartition(2), rvDir)
+    val resp = Warc.read(spark, rvDir).collect()
+    assert(resp.map(p => (p.url, p.warc_ts.getTime)).sortBy(_._2).toSeq ==
+      Seq(("https://h/a", 1000L), ("https://h/a", 3000L)),
+      "exactly the two payload generations are full responses")
+    val revs = Warc.readRevisits(spark, rvDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getString(2), r.getTimestamp(3).getTime)).sortBy(_._2)
+    assert(revs.toSeq == Seq(
+      ("https://h/a", 2000L, "https://h/a", 1000L),
+      ("https://h/b", 4000L, "https://h/a", 1000L)))
+    // resolution by (url, ts): both revisits get GENERATION ONE's payload
+    // even though url a later carries a different one
+    val resolved = Warc.readResolved(spark, rvDir).collect()
+    assert(resolved.length == 4)
+    val g1 = new String(resolved.find(p => p.warc_ts.getTime == 1000L).get.html, "UTF-8")
+    Seq(2000L, 4000L).foreach { t =>
+      assert(new String(resolved.find(_.warc_ts.getTime == t).get.html, "UTF-8") == g1,
+        s"capture at $t must resolve to generation one")
     }
   }
 }

@@ -533,6 +533,23 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((1L, 10L, 90L), (1L, 11L, 90L), (1L, 12L, 91L), (2L, 20L, 95L)))
   }
 
+  test("as-of ties: duplicate right rows at one (key, ts) resolve to the greatest id, any partitioning") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 150L, 10L), (1L, 50L, 11L)).toDF("user_id", "ts_us", "event_id")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 8L)).toDF("user_id", "ts_us", "snap_id")
+    for (parts <- Seq(1, 7)) {
+      val b = graft.operators.AsOf.asOfJoin(
+        left.repartition(parts), right.repartition(parts), "user_id", "ts_us", "event_id", "snap_id")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(b == Set((10L, 8L)), s"backward tie at parts=$parts: $b")
+      val f = graft.operators.AsOf.asOfJoinForward(
+        left.repartition(parts), right.repartition(parts), "user_id", "ts_us", "event_id", "snap_id")
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(f == Set((11L, 8L)), s"forward tie at parts=$parts: $f")
+    }
+  }
+
   test("range join: bounds inclusive, gap rows drop, later interval wins") {
     val s = spark
     import s.implicits._
