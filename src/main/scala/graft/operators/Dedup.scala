@@ -296,10 +296,12 @@ object Dedup {
     * not its row count, on the exchange.
     */
   def keepBest(labels: DataFrame, quality: DataFrame): DataFrame = {
-    // localCheckpoint: both the argmax aggregation and the final join
-    // consume lq, and `labels` is typically connectedComponents' output —
-    // an expensive lineage that must not evaluate twice
-    val lq = labels.join(quality, "doc_id").localCheckpoint()
+    // LAZY localCheckpoint: both the argmax aggregation and the final
+    // join consume lq, and `labels` is typically connectedComponents'
+    // output — an expensive lineage that must not evaluate twice. Lazy
+    // (materialize-on-first-action) keeps plan construction free for
+    // callers that only inspect the plan.
+    val lq = labels.join(quality, "doc_id").localCheckpoint(eager = false)
     val best = lq.groupBy("cluster_id")
       .agg(min(struct((lit(0L) - col("quality")).as("nq"), col("doc_id").as("id"))).as("m"))
       .select(col("cluster_id"), col("m.id").as("keeper_id"))

@@ -182,24 +182,27 @@ object Warc {
     * payloads (revisits are type-filtered out by the response parser).
     */
   def writeWithRevisits(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val spark = recs.sparkSession
     import spark.implicits._
-    // persisted: the keeper aggregation AND the join both consume it — an
-    // unpersisted plan would decode + md5 every payload twice
-    val tagged = recs.map(r => (r.url, r.tsMillis, r.block, md5hex(r.block)))
-      .toDF("url", "ts", "block", "digest")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keeper identity is the FULL (ts, url) capture, not the url: a
     // re-crawl of the SAME url with an unchanged payload (the feature's
-    // headline case) must revisit its earlier capture, not duplicate it
-    val keepers = tagged.groupBy("digest")
-      .agg(min(struct(col("ts"), col("url"))).as("k"))
-      .select(col("digest"), col("k.url").as("orig_url"), col("k.ts").as("orig_ts"))
-    val rendered = tagged.join(keepers, "digest")
-      .select("url", "ts", "block", "digest", "orig_url", "orig_ts")
-      .as[(String, Long, Array[Byte], String, String, Long)]
-      .map { case (url, ts, block, digest, origUrl, origTs) =>
-        if (url == origUrl && ts == origTs)
+    // headline case) must revisit its earlier capture. row_number (not an
+    // equality test against the min) guarantees EXACTLY ONE original per
+    // digest even when an at-least-once upstream delivers the same
+    // capture twice — the duplicate becomes a (self-referential) revisit,
+    // so duplicate payload bytes are never stored. ONE digest-keyed
+    // window pass; the relation is consumed once, so nothing persists.
+    val w = Window.partitionBy("digest").orderBy(col("ts"), col("url"))
+    val rendered = recs.map(r => (r.url, r.tsMillis, r.block, md5hex(r.block)))
+      .toDF("url", "ts", "block", "digest")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("orig_url", first("url").over(w))
+      .withColumn("orig_ts", first("ts").over(w))
+      .select("url", "ts", "block", "digest", "orig_url", "orig_ts", "rn")
+      .as[(String, Long, Array[Byte], String, String, Long, Int)]
+      .map { case (url, ts, block, digest, origUrl, origTs, rn) =>
+        if (rn == 1)
           WarcRec(url, ts, recordBlock(url, ts, block))
         else WarcRec(url, ts, recordBlock(url, ts, Array.empty[Byte],
           warcType = "revisit",
@@ -210,7 +213,6 @@ object Warc {
             "WARC-Profile" -> "identical-payload-digest")))
       }
     writeFiles(rendered, dir, gzip, zstd = false)(_.block)
-    tagged.unpersist()
   }
 
   /** The revisit records of an archive directory: (url, warc_ts,
@@ -250,7 +252,19 @@ object Warc {
     val respK = resp.toDF()
       .withColumnRenamed("url", "refers_to")
       .withColumnRenamed("warc_ts", "refers_ts")
-    val resolved = revs.join(respK, Seq("refers_to", "refers_ts"))
+    val exact = revs.where("unix_millis(refers_ts) > 0")
+      .join(respK, Seq("refers_to", "refers_ts"))
+    // foreign/degraded archives without WARC-Refers-To-Date (refers_ts at
+    // epoch) resolve by url ONLY when that url has a single response
+    // generation — never a guess between generations; only (url) headers
+    // shuffle for the census, the payloads ride one join
+    val singleGen = resp.toDF().select(col("url").as("refers_to"))
+      .groupBy("refers_to").agg(count(lit(1)).as("__g")).where("__g = 1")
+      .select("refers_to")
+    val fallback = revs.where("unix_millis(refers_ts) = 0")
+      .join(singleGen, "refers_to")
+      .join(respK.drop("refers_ts"), "refers_to")
+    val resolved = exact.unionByName(fallback, allowMissingColumns = false)
       .select(col("rv_url").as("url"), col("rv_ts").as("warc_ts"),
         col("html"), col("text"), col("lang"))
       .as[PageRow]
@@ -282,8 +296,12 @@ object Warc {
         if (truncated) " overlong" else sb.toString
       }
 
+      // -1 = corrupt: a record with an unparseable WARC-Date is SKIPPED
+      // (a 1970 sentinel would silently mis-timestamp downstream as-of /
+      // CDX consumers); a corrupt Refers-To-Date degrades to absent (0),
+      // which readResolved's unambiguous-url fallback handles
       private def parseTs(v: String): Long =
-        try java.time.Instant.parse(v).toEpochMilli catch { case _: Exception => 0L }
+        try java.time.Instant.parse(v).toEpochMilli catch { case _: Exception => -1L }
 
       private def advance(): (String, Long, String, Long, String) = {
         var l0 = line()
@@ -307,7 +325,7 @@ object Warc {
                   case "WARC-Target-URI" => url = v
                   case "WARC-Date" => date = parseTs(v)
                   case "WARC-Refers-To-Target-URI" => refers = v
-                  case "WARC-Refers-To-Date" => refersDate = parseTs(v)
+                  case "WARC-Refers-To-Date" => refersDate = math.max(parseTs(v), 0L)
                   case "WARC-Payload-Digest" =>
                     digest = if (v.startsWith("md5:")) v.substring(4) else v
                   case "Content-Length" => len = v.toIntOption.getOrElse(-1)
@@ -318,7 +336,7 @@ object Warc {
             }
             if (len >= 0) {
               bin.readNBytes(len) // skip body (empty for our revisits)
-              if (typ == "revisit" && url != null && refers != null)
+              if (typ == "revisit" && url != null && refers != null && date >= 0)
                 return (url, date, refers, refersDate, if (digest == null) "" else digest)
             }
           }

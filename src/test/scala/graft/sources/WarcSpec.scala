@@ -350,6 +350,7 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = "generation TWO payload".getBytes("UTF-8")
     val recs = Seq(
       Warc.WarcRec("https://h/a", 1000L, p1), // keeper of P1
+      Warc.WarcRec("https://h/a", 1000L, p1), // EXACT duplicate delivery (at-least-once upstream)
       Warc.WarcRec("https://h/a", 2000L, p1), // SAME url, unchanged → revisit
       Warc.WarcRec("https://h/a", 3000L, p2), // same url, CHANGED → new response generation
       Warc.WarcRec("https://h/b", 4000L, p1)) // other url, P1 → revisit of (a, 1000)
@@ -357,17 +358,19 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val resp = Warc.read(spark, rvDir).collect()
     assert(resp.map(p => (p.url, p.warc_ts.getTime)).sortBy(_._2).toSeq ==
       Seq(("https://h/a", 1000L), ("https://h/a", 3000L)),
-      "exactly the two payload generations are full responses")
+      "exactly the two payload generations are full responses — the exact " +
+        "duplicate must NOT produce a second response")
     val revs = Warc.readRevisits(spark, rvDir).collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime,
         r.getString(2), r.getTimestamp(3).getTime)).sortBy(_._2)
     assert(revs.toSeq == Seq(
+      ("https://h/a", 1000L, "https://h/a", 1000L), // the duplicate, self-referential
       ("https://h/a", 2000L, "https://h/a", 1000L),
       ("https://h/b", 4000L, "https://h/a", 1000L)))
     // resolution by (url, ts): both revisits get GENERATION ONE's payload
     // even though url a later carries a different one
     val resolved = Warc.readResolved(spark, rvDir).collect()
-    assert(resolved.length == 4)
+    assert(resolved.length == 5)
     val g1 = new String(resolved.find(p => p.warc_ts.getTime == 1000L).get.html, "UTF-8")
     Seq(2000L, 4000L).foreach { t =>
       assert(new String(resolved.find(_.warc_ts.getTime == t).get.html, "UTF-8") == g1,
