@@ -84,7 +84,9 @@ object Robots {
     * politeness field real crawlers honor (not in RFC 9309, but Bing/
     * Yandex document it and every large crawler reads it). Group selection
     * is EXACTLY [[rulesFor]]'s: longest product-token match wins over `*`;
-    * among the selected group(s), the first declared integer delay wins;
+    * among the selected group(s), the first declared `digits[.digits]`
+    * delay wins (Bing/Yandex accept fractional seconds — `0.5`, `2.5`;
+    * rounded UP to the next whole second, the politeness-safe direction);
     * absent or non-numeric → `defaultS`. This is what turns a robots fetch
     * into the per-host politeness policy [[graft.operators.Crawl.fetchSchedule]]
     * consumes.
@@ -92,14 +94,28 @@ object Robots {
   def crawlDelaySeconds(txt: String, agent: String, defaultS: Long = 1L): Long =
     selectedGroups(txt, agent).iterator
       .flatMap(_.directives.iterator.collect {
-        // ASCII-digit gate THEN toLongOption: '99999999999999999999' is
-        // all digits but overflows Long — it must fall through to the
-        // default, never throw inside a Spark task (and Char.isDigit
-        // would admit non-ASCII Unicode digits)
-        case (f, v) if f == "crawl-delay" &&
-          v.nonEmpty && v.forall(c => c >= '0' && c <= '9') => v.toLongOption
+        case (f, v) if f == "crawl-delay" => parseDelay(v)
       }.flatten.take(1))
       .nextOption().getOrElse(defaultS)
+
+  /** `digits[.digits]` → seconds rounded UP (ceil — a fractional delay is
+    * honored, never shortened). ASCII-digit gate THEN toLongOption: a
+    * 20-digit run is all digits but overflows Long — it must fall through
+    * to the default, never throw inside a Spark task (and Char.isDigit
+    * would admit non-ASCII Unicode digits). Garbage / empty → None.
+    */
+  private def parseDelay(v: String): Option[Long] = {
+    val dot = v.indexOf('.')
+    val (intPart, fracPart) =
+      if (dot >= 0) (v.substring(0, dot), v.substring(dot + 1)) else (v, "")
+    val asciiDigits = (s: String) => s.forall(c => c >= '0' && c <= '9')
+    if (intPart.isEmpty || !asciiDigits(intPart) || !asciiDigits(fracPart)) None
+    else intPart.toLongOption.flatMap { whole =>
+      val roundUp = fracPart.exists(_ != '0')
+      if (roundUp && whole == Long.MaxValue) None
+      else Some(if (roundUp) whole + 1 else whole)
+    }
+  }
 
   /** (host, robots_txt) → (host, crawl_delay_s): narrow zero-shuffle map —
     * the robots corpus becomes the politeness-policy table directly.

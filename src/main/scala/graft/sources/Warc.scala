@@ -241,7 +241,9 @@ object Warc {
     * over time can never fan a revisit out to the wrong generation; each
     * resolved row carries the REVISIT's own capture timestamp. Payload
     * bytes are stored and decoded once however many revisits point at
-    * them; the join side is the tiny revisit headers.
+    * them; the join side is the tiny revisit headers. Revisits that CANNOT
+    * be resolved (no Refers-To-Date + multi-generation target) are dropped;
+    * [[unresolvableRevisits]] is the census of exactly those drops.
     */
   def readResolved(spark: SparkSession, dir: String): Dataset[PageRow] = {
     import spark.implicits._
@@ -269,6 +271,24 @@ object Warc {
         col("html"), col("text"), col("lang"))
       .as[PageRow]
     resp.unionAll(resolved)
+  }
+
+  /** Coverage-gap census for degraded archives: the revisit headers
+    * [[readResolved]] CANNOT resolve — no `WARC-Refers-To-Date` (refers_ts
+    * at epoch) while the target url has multiple response generations, so
+    * any resolution would be a guess. Headers-only (url columns shuffle,
+    * payloads never read); consumers of foreign archives run this once and
+    * know exactly how much smaller the logical corpus is than the archive.
+    */
+  def unresolvableRevisits(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val resp = read(spark, dir)
+    val multiGen = resp.toDF().select(col("url").as("refers_to"))
+      .groupBy("refers_to").agg(count(lit(1)).as("generations"))
+      .where("generations > 1")
+    readRevisits(spark, dir)
+      .where("unix_millis(refers_ts) = 0")
+      .join(multiGen, "refers_to")
+      .select(col("url"), col("warc_ts"), col("refers_to"), col("generations"))
   }
 
   /** Streaming revisit-record parse (line-bounded like [[parseStream]]);
@@ -309,7 +329,10 @@ object Warc {
           if (l0.startsWith("WARC/")) {
             var typ: String = null
             var url: String = null
-            var date = 0L
+            // -1 = ABSENT: a record with no WARC-Date at all must skip the
+            // same way a corrupt one does (never emit at a silent epoch);
+            // a genuine 1970-01-01 date parses to 0 and is kept
+            var date = -1L
             var refers: String = null
             var refersDate = 0L
             var digest: String = null

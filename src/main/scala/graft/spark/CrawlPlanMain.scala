@@ -74,7 +74,10 @@ object CrawlPlanMain {
     val policies = graft.operators.Robots.crawlDelays(robots, "graftbot")
     val stats = allowedUrls.groupBy("host").agg(count(lit(1)).as("demand"))
       .join(policies, Seq("host"))
-      .selectExpr("host", "demand", "600 div crawl_delay_s AS cap")
+      // greatest(...,1): a host declaring `Crawl-delay: 0` (legal, common)
+      // caps at one fetch/second — never a NULL cap from div-by-zero that
+      // would NPE inside crawlBudget's (String, Long) encoder
+      .selectExpr("host", "demand", "600 div greatest(crawl_delay_s, 1L) AS cap")
 
     // 4. exact water-filling allocation
     val alloc = graft.operators.Crawl.crawlBudget(stats, budgetArg)

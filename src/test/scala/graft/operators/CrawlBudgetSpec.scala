@@ -42,6 +42,22 @@ class CrawlBudgetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.values.map(_._3).sum == 10L)
   }
 
+  test("zero-delay host: the planning cap expression clamps, never NULL-caps") {
+    // `Crawl-delay: 0` is legal and common; the CrawlPlanMain cap expression
+    // (600 div greatest(delay,1)) must yield a real cap under non-ANSI
+    // div-by-zero semantics, so crawlBudget's Long encoder never sees NULL
+    import org.apache.spark.sql.functions._
+    val stats = spark.createDataFrame(Seq(
+      ("z.example.com", 700L, 0L), ("s.example.com", 5L, 3L)))
+      .toDF("host", "demand", "crawl_delay_s")
+      .selectExpr("host", "demand", "600 div greatest(crawl_delay_s, 1L) AS cap")
+    assert(stats.where(col("cap").isNull).count() == 0L)
+    val r = Crawl.crawlBudget(stats, 1000L).collect()
+      .map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(r("z.example.com") == 600L) // demand 700 capped at 600 (1 fetch/s window)
+    assert(r("s.example.com") == 5L)
+  }
+
   test("budget conservation is exact: sum(alloc) == min(sum(want), B) at any budget") {
     val stats = (0L until 50L).map(i => (s"h$i", (i * 13) % 37 + 1, (i * 7) % 29 + 1))
     val wants = stats.map { case (_, d, c) => math.min(d, c) }

@@ -143,6 +143,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.crawlDelaySeconds(huge, "anybot", defaultS = 6L) == 6L)
   }
 
+  test("crawl-delay: fractional seconds (Bing/Yandex form) round UP; zero honored") {
+    def d(v: String, dflt: Long = 1L) =
+      Robots.crawlDelaySeconds(s"User-agent: *\nCrawl-delay: $v\n", "anybot", dflt)
+    assert(d("0.5") == 1L)   // honored by ceiling, never shortened
+    assert(d("2.5") == 3L)
+    assert(d("4.0") == 4L)   // .0 fraction is exact, no round-up
+    assert(d("0") == 0L)     // a declared zero is a real value, not the default
+    assert(d("0.0") == 0L)
+    assert(d(".5", dflt = 7L) == 7L)     // no integer part → not the accepted form
+    assert(d("1.2.3", dflt = 7L) == 7L)  // two dots → garbage
+    assert(d("2.x", dflt = 7L) == 7L)    // non-digit fraction → garbage
+  }
+
   test("crawl-delay over the corpus robots matches the oracle CASE") {
     (0 until 11).foreach { h =>
       val want = if (h % 5 == 0) 9L else (h % 7 + 1).toLong

@@ -342,6 +342,50 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("foreign archive degradation: absent WARC-Date skips, url-only fallback is single-generation-gated, the drop census is exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graftrv_foreign").toString
+    val pa = "generation one".getBytes("UTF-8")
+    val pb = "generation TWO".getBytes("UTF-8")
+    val pc = "single gen payload".getBytes("UTF-8")
+    def revisitNoRefersDate(url: String, ts: Long, refers: String): Array[Byte] =
+      Warc.recordBlock(url, ts, Array.empty[Byte], warcType = "revisit",
+        extraHeaders = Seq("WARC-Refers-To-Target-URI" -> refers,
+          "WARC-Profile" -> "identical-payload-digest"))
+    // a revisit with NO WARC-Date at all — must be skipped, never emitted
+    // at a silent epoch (same rule as a corrupt date)
+    val noDate = ("WARC/1.0\r\nWARC-Type: revisit\r\n" +
+      "WARC-Target-URI: https://h/z\r\n" +
+      "WARC-Refers-To-Target-URI: https://h/b\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("UTF-8")
+    val recs = Seq(
+      Warc.recordBlock("https://h/a", 1000L, pa),
+      Warc.recordBlock("https://h/a", 3000L, pb), // second generation of url a
+      Warc.recordBlock("https://h/b", 1000L, pc), // single-generation url
+      revisitNoRefersDate("https://h/x", 5000L, "https://h/b"), // resolvable: target has ONE generation
+      revisitNoRefersDate("https://h/y", 6000L, "https://h/a"), // UNRESOLVABLE: two generations, no refers-ts
+      noDate)
+    val bytes = new java.io.ByteArrayOutputStream()
+    recs.foreach(bytes.write)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part0.warc"), bytes.toByteArray)
+
+    // the dateless revisit never surfaces
+    val revs = Warc.readRevisits(spark, dir).collect()
+    assert(revs.map(_.getString(0)).sorted.toSeq == Seq("https://h/x", "https://h/y"))
+    // logical corpus: 3 responses + the one unambiguous fallback resolution
+    val resolved = Warc.readResolved(spark, dir).collect()
+    assert(resolved.length == 4)
+    val x = resolved.find(_.url == "https://h/x").get
+    assert(new String(x.html, "UTF-8") == "single gen payload")
+    assert(x.warc_ts.getTime == 5000L, "fallback row keeps ITS capture time")
+    assert(!resolved.exists(_.url == "https://h/y"),
+      "a multi-generation target without refers-ts must never be guessed")
+    // the coverage gap is visible, not silent
+    val gap = Warc.unresolvableRevisits(spark, dir).collect()
+    assert(gap.length == 1)
+    assert(gap(0).getString(0) == "https://h/y" &&
+      gap(0).getString(2) == "https://h/a" && gap(0).getLong(3) == 2L)
+  }
+
   test("revisit archiving: same-url re-crawls revisit their earlier capture; generations resolve by (url, ts)") {
     val ss = spark
     import ss.implicits._
