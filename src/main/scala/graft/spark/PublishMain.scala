@@ -87,12 +87,20 @@ object PublishMain {
     }
     val cdxN = graft.sources.Warc.readCdx(spark, s"$out/warc").count()
     val wetBack = graft.sources.Warc.readWet(spark, s"$out/wet").toDF()
-      .selectExpr("url", "md5(CAST(html AS STRING)) AS d")
+      .selectExpr("url", "md5(CAST(html AS STRING)) AS d_wet")
     val wetN = wetBack.count()
     val watN = graft.sources.Warc.readWat(spark, s"$out/wat").count()
-    val digestsMatch = wetBack.as[(String, String)].collect().toMap ==
-      ex.map(e => (e.url, e.main_text)).toDF("url", "t")
-        .selectExpr("url", "md5(t) AS d").as[(String, String)].collect().toMap
+    // WET round-trip proof stays DISTRIBUTED: a url-keyed full-outer join
+    // counts any url missing from either side or carrying a different text
+    // digest — never a corpus-sized collect to the driver (the only rows
+    // this main ever collects are the 5 index pointer probes above)
+    val digestMismatches = wetBack
+      .join(ex.map(e => (e.url, e.main_text)).toDF("url", "t")
+          .selectExpr("url", "md5(t) AS d_src"),
+        Seq("url"), "full_outer")
+      .where("d_wet IS NULL OR d_src IS NULL OR d_wet <> d_src")
+      .count()
+    val digestsMatch = digestMismatches == 0L
     ex.unpersist(); pages.unpersist()
     val ok = cdxN == nPages && wetN == nPages && watN == nPages &&
       idxN == nPages && idxProbeOk && digestsMatch

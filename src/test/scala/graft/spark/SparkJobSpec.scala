@@ -33,6 +33,19 @@ class SparkJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     d.getAbsolutePath
   }
 
+  test("PublishMain verification is driver-safe: the ONLY collect is the 5-row pointer probe") {
+    // the WET digest round-trip proof must stay a distributed join — a
+    // corpus-sized collect().toMap OOMs the driver at the scale this main
+    // is pitched for; this guard pins max collected rows to the bounded
+    // limit(5) index probe
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/spark/PublishMain.scala")), "UTF-8")
+    val collects = src.linesIterator.filter(_.contains(".collect()")).toVector
+    assert(collects.length == 1, s"unexpected collects: $collects")
+    assert(collects.head.contains("limit(5)"), "the one collect must be the bounded probe")
+    assert(!src.contains("collectAsList") && !src.contains(".toLocalIterator"))
+  }
+
   test("extraction round-trip: main_text byte-identical to documents.text per url") {
     val ext = ExtractJob.extract(Pages.synthesize(spark, sfDir), "t", 5)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
