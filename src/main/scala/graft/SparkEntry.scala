@@ -721,6 +721,43 @@ object SparkEntry {
       graft.spark.IncrementalIngest.appendNearDeduped(s, cat, "pages", dropB)
       cat.read(s, "pages").selectExpr("doc_id", "md5(text) AS text_md5")
     }),
+    "q_incremental_semdedup" -> ((s, dir) => {
+      // incremental SEMANTIC dedup across crawl drops (SemDeDup closed over
+      // the append loop): drop A commits the even vec_ids + the frozen
+      // centroid/PQ model; drop B carries the odd vec_ids, EXACT twins of
+      // vec_id % 10 == 0 (+1,000,000) and near twins of % 14 == 0
+      // (+2,000,000, tiny deterministic perturbation) — admission
+      // multi-probes the committed centroids, ADC-floors against the
+      // <table>__semantic companion (cluster + 8 PQ bytes/row — old
+      // embeddings only read for the O(survivors) exact-refine join) and
+      // rejects cosine >= 0.95 twins. Float k-means → rows-only driver
+      // check like q_semdedup; planted-twin kill + crash repair + zero
+      // retrain are spec-pinned in IncrementalIngestSpec.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_incsem_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val e = embeddings(s, dir).select("vec_id", "embedding")
+      graft.spark.IncrementalIngest.appendSemDeduped(s, cat, "vecs",
+        e.where("vec_id % 2 = 0"))
+      import s.implicits._
+      val nearTwins = e.where("vec_id % 14 = 0")
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          val m = new graft.spark.Mix(id + 777L)
+          (id + 2000000L, v.map(x =>
+            x + ((m.next() >>> 11).toFloat / (1L << 53).toFloat - 0.5f) * 0.005f))
+        }.toDF("vec_id", "embedding")
+      val dropB = e.where("vec_id % 2 = 1")
+        .unionByName(e.where("vec_id % 10 = 0")
+          .selectExpr("vec_id + 1000000 AS vec_id", "embedding"))
+        .unionByName(nearTwins)
+      graft.spark.IncrementalIngest.appendSemDeduped(s, cat, "vecs", dropB)
+      cat.read(s, "vecs").selectExpr("vec_id").orderBy("vec_id")
+    }),
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(Dedup.withPlantedDups(docs(s, dir), every = 7, dropWords = 0))),
     "q_dedup_paragraph" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir))),
@@ -776,6 +813,24 @@ object SparkEntry {
       // exact refine join. Approximate by design → rows-only driver check,
       // recall asserted vs brute force in SparkJobSpec
       Ann.ivfPqTopK(embeddings(s, dir), nHint = embCount(s, dir))),
+    "q_ann_index" -> ((s, dir) => {
+      // PERSISTED IVF-PQ index artifacts (the FAISS train/add/search
+      // split): build commits the model + cluster-partitioned code tables
+      // to the catalog once; query READS them — probes prune to the probed
+      // clusters' files, zero k-means runs (spec-asserted via the
+      // Ann.trainRuns census in AnnIndexSpec). Approximate by design →
+      // rows-only driver check like the other ANN queries.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      val cat = new graft.spark.ParquetSnapshotCatalog(root)
+      val emb = embeddings(s, dir)
+      graft.operators.AnnIndex.build(emb, cat, "ann", nHint = embCount(s, dir))
+      graft.operators.AnnIndex.query(emb, cat, "ann")
+    }),
     "q_semdedup" -> ((s, dir) =>
       // SemDeDup (Abbas et al. 2023): k-means the embedding space, kill
       // cosine>=0.95 near-identicals within each cluster (min-id keeper).
@@ -2618,6 +2673,12 @@ object SparkEntry {
       // distribution, every term an exact 128-bit rational (DECIMAL(38,0)
       // / HUGEINT) — the whole score replays bit-for-bit in DuckDB
       TextOps.knPerplexity(docs(s, dir))),
+    "q_kn_trigram" -> ((s, dir) =>
+      // interpolated KN grown one order (KenLM's recursion shown in full):
+      // raw counts at the top, continuation TYPE counts below, the same
+      // D=3/4 at each level, one exact rational per trigram — the whole
+      // three-level backoff chain replays bit-for-bit in DuckDB
+      TextOps.knTrigramPerplexity(docs(s, dir))),
     "q_ccnet_buckets" -> ((s, dir) =>
       // CCNet's head/middle/tail selection: per-lang perplexity terciles
       // by exact rank arithmetic (3·rank vs n), ties by doc_id — the
@@ -2663,7 +2724,14 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))),
-    "q_multimodal_meta" -> ((s, dir) => TextOps.multimodalMeta(docs(s, dir))),
+    "q_multimodal_meta" -> ((s, dir) =>
+      // REAL image-header decode: per doc a genuinely encoded image
+      // (png/jpeg/gif via the JDK ImageIO encoders, webp as a spec-exact
+      // VP8L container) with closed-form dimensions; Media.imageMeta
+      // parses format/width/height from the magic bytes — the oracle knows
+      // what the generator encoded, so a mis-parse is a hash mismatch
+      graft.operators.Media.imageMeta(
+        graft.operators.Media.syntheticImages(docs(s, dir)))),
     "q_frame_sample" -> ((s, dir) => TextOps.frameSample(docs(s, dir))),
     "q_pdf_extract" -> ((s, dir) => {
       // the north rule's PDF/layout-parse leg: per-doc deterministic PDF
@@ -4788,6 +4856,65 @@ object SparkEntry {
         |       CAST(sum(bits) AS BIGINT) AS nll_bits,
         |       CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_milli
         |FROM sb GROUP BY doc_id""".stripMargin,
+    "q_kn_trigram" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tr AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2, l[i + 3] AS w3
+        |       FROM (SELECT doc_id, l, unnest(generate_series(0, len(l) - 3)) AS i FROM ws)),
+        |t3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS call FROM tr GROUP BY 1, 2, 3),
+        |m3 AS (SELECT w1, w2, w3, call AS c123 FROM t3 WHERE call >= 2),
+        |m12 AS (SELECT w1, w2, CAST(sum(call) AS BIGINT) AS c12,
+        |               CAST(count(*) AS BIGINT) AS n1f12
+        |        FROM t3 GROUP BY 1, 2 HAVING sum(call) >= 2),
+        |mid AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1mid,
+        |               CAST(count(DISTINCT w3) AS BIGINT) AS n1f2 FROM t3 GROUP BY 1),
+        |nc AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1c FROM t3 GROUP BY 1, 2),
+        |b AS (SELECT l[i + 1] AS u1, l[i + 2] AS u2
+        |      FROM (SELECT l, unnest(generate_series(0, len(l) - 2)) AS i FROM ws)),
+        |ty AS (SELECT u1, u2, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+        |nb AS (SELECT u2 AS w3, CAST(count(*) AS BIGINT) AS n1b FROM ty GROUP BY 1),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS nbb, CAST(count(DISTINCT u2) AS BIGINT) AS t FROM ty),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (SELECT unnest(l) AS w FROM ws)),
+        |j AS (SELECT doc_id,
+        |        coalesce(c123, CAST(0 AS BIGINT)) AS c123c,
+        |        coalesce(c12, CAST(0 AS BIGINT)) AS c12c,
+        |        coalesce(n1f12, CAST(0 AS BIGINT)) AS n1f12c,
+        |        coalesce(n1mid, CAST(0 AS BIGINT)) AS n1midc,
+        |        coalesce(n1f2, CAST(0 AS BIGINT)) AS n1f2c,
+        |        coalesce(n1c, CAST(0 AS BIGINT)) AS n1cc,
+        |        coalesce(nb.n1b, CAST(0 AS BIGINT)) AS n1bc,
+        |        nbb, t, v
+        |      FROM tr LEFT JOIN m3 USING (w1, w2, w3) LEFT JOIN m12 USING (w1, w2)
+        |              LEFT JOIN mid USING (w2) LEFT JOIN nc USING (w2, w3)
+        |              LEFT JOIN nb USING (w3)
+        |              CROSS JOIN gl CROSS JOIN v),
+        |r AS (SELECT doc_id, c123c, c12c, n1f12c, n1midc, n1f2c, n1cc,
+        |        CAST(greatest(4 * n1bc - 3, 0) AS HUGEINT) * v + 3 * t AS cnum,
+        |        CAST(4 AS HUGEINT) * nbb * v AS cden
+        |      FROM j),
+        |p2 AS (SELECT doc_id, c123c, c12c, n1f12c,
+        |        CASE WHEN n1midc > 0
+        |             THEN CAST(greatest(4 * n1cc - 3, 0) AS HUGEINT) * cden + CAST(3 * n1f2c AS HUGEINT) * cnum
+        |             ELSE cnum END AS p2num,
+        |        CASE WHEN n1midc > 0 THEN CAST(4 * n1midc AS HUGEINT) * cden ELSE cden END AS p2den
+        |      FROM r),
+        |nd AS (SELECT doc_id,
+        |        CASE WHEN c12c > 0
+        |             THEN CAST(greatest(4 * c123c - 3, 0) AS HUGEINT) * p2den + CAST(3 * n1f12c AS HUGEINT) * p2num
+        |             ELSE p2num END AS num,
+        |        CASE WHEN c12c > 0 THEN CAST(4 * c12c AS HUGEINT) * p2den ELSE p2den END AS den
+        |      FROM p2),
+        |sb AS (SELECT doc_id,
+        |        CASE
+        |          WHEN num >= CAST('21684043449710088681' AS HUGEINT)
+        |            THEN length(bin(CAST(den // num AS BIGINT))) - 1
+        |          WHEN den // (num * CAST(4611686018427387904 AS HUGEINT)) = 0
+        |            THEN length(bin(CAST(den // num AS BIGINT))) - 1
+        |          ELSE 62 + length(bin(CAST(den // (num * CAST(4611686018427387904 AS HUGEINT)) AS BIGINT))) - 1 END AS bits
+        |      FROM nd)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |       CAST(sum(bits) AS BIGINT) AS nll_bits,
+        |       CAST((sum(bits) * 1000) // count(*) AS BIGINT) AS bits_milli
+        |FROM sb GROUP BY doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |b AS (SELECT doc_id, l[i + 1] AS w1, l[i + 2] AS w2
@@ -5036,10 +5163,11 @@ object SparkEntry {
         |FROM (SELECT doc_id, nb, unnest(generate_series(0, greatest((nb + 4095) // 4096 - 1, 0))) AS j FROM d)
         |WHERE j % 10 = 0""".stripMargin,
     "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-        |       CAST(octet_length(encode(text)) % 480 AS BIGINT) AS fake_height,
-        |       CAST(octet_length(encode(text)) // 64 AS BIGINT) AS fake_frames
+      """SELECT doc_id,
+        |       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |                       WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
+        |       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |       CAST(16 + doc_id % 24 AS INTEGER) AS height
         |FROM documents""".stripMargin
   )
 }

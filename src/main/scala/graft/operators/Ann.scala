@@ -24,8 +24,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
+  /** Executed-training census: every coarse k-means run ([[ivfTrain]]) and
+    * every codebook k-means run (`smallKmeans`) increments this — specs
+    * prove the persisted-index query path ([[AnnIndex.query]]) trains
+    * NOTHING by asserting it unchanged across query calls.
+    */
+  val trainRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** (vec_id, emb DOUBLE[], norm) projection. */
-  private def prep(embeddings: DataFrame): DataFrame =
+  private[operators] def prep(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
       .withColumn("norm", sqrt(aggregate(transform(col("emb"), x => x * x), lit(0.0d), (a, x) => a + x)))
@@ -133,7 +140,7 @@ object Ann {
 
   /** Nearest centroid by squared euclidean (object-level: serializes as a
     * static reference into executor closures). */
-  private def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+  private[operators] def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cs.length) {
@@ -161,6 +168,7 @@ object Ann {
     */
   def ivfTrain(embeddings: DataFrame, nlist: Int, iters: Int = 3,
       trainFraction: Double = 1.0): Array[Array[Double]] = {
+    trainRuns.incrementAndGet()
     val spark = embeddings.sparkSession
     import spark.implicits._
     val e0 = prep(embeddings).select(col("vec_id"), col("emb")).as[(Long, Array[Double])]
@@ -279,7 +287,8 @@ object Ann {
     * Deterministic: init = the first `k` rows in input order, fixed
     * iterations, ties to the lower centroid index.
     */
-  private def smallKmeans(rows: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[operators] def smallKmeans(rows: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    trainRuns.incrementAndGet()
     var cents = rows.take(k).map(_.clone())
     var it = 0
     while (it < iters) {

@@ -576,21 +576,14 @@ object TextOps {
       .select("doc_id", "source", "bucket", "keep_rate")
   }
 
-  /** Multimodal-column plumbing: treat a binary payload column as an opaque
-    * blob with typed metadata. The decode step is a clearly-marked
-    * deterministic STUB (image/audio codecs are not in this container —
-    * builder prompt); everything Spark-side is real: binary column, typed
-    * output schema, partition-preserving narrow map, batch-friendly kernel.
-    * The fake "decode" derives (width, height, n_frames) from byte lengths so
-    * the oracle is `octet_length`-expressible in DuckDB.
-    */
   /** Multimodal frame sampling: treat the payload as a fixed-stride frame
     * container (stride 4096 B), emit every `every`-th frame as its own row
-    * (doc_id, frame_idx, frame_offset, frame_bytes). The DECODE of a frame
-    * is the same declared stub as multimodalMeta; the Spark-side plumbing is
-    * the real thing being exercised — a narrow flatMap whose output
-    * cardinality is data-dependent (the explode shape every video/audio
-    * pipeline needs), partition-preserving, no shuffle.
+    * (doc_id, frame_idx, frame_offset, frame_bytes). The per-FRAME pixel
+    * decode remains a declared stub (no video codec in this container);
+    * image-header decode is REAL in [[Media.imageMeta]]. The Spark-side
+    * plumbing is the real thing being exercised — a narrow flatMap whose
+    * output cardinality is data-dependent (the explode shape every
+    * video/audio pipeline needs), partition-preserving, no shuffle.
     */
   def frameSample(docs: DataFrame, stride: Int = 4096, every: Int = 10): DataFrame = {
     val spark = docs.sparkSession
@@ -1017,18 +1010,25 @@ object TextOps {
     * cross-corpus production case bpeEncodeFast's same-corpus vocab table
     * cannot serve: the TARGET corpus's distinct-word table (vocab-sized by
     * Heaps' law) collapses with one partial-agged shuffle, the frozen merge
-    * list applies driver-side per distinct word ([[bpeApplyMerges]]), and
-    * the resulting word → tokens table broadcasts back onto the word
-    * stream. OOV words segment under whatever merges apply — exactly BPE's
-    * open-vocabulary contract.
+    * list (KBs) broadcasts and applies EXECUTOR-SIDE per distinct word
+    * ([[bpeApplyMerges]] in a mapPartitions — at web scale the distinct
+    * table can reach 10⁸ rows, so the segmentation must never collect to
+    * the driver), and the resulting word → tokens table broadcasts back
+    * onto the word stream. OOV words segment under whatever merges apply —
+    * exactly BPE's open-vocabulary contract.
     */
   def bpeEncodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
-    val words = docs.selectExpr("explode(split(text, ' ')) AS word")
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(merges.toArray)
+    val vocabDf = docs.selectExpr("explode(split(text, ' ')) AS word")
       .where("word RLIKE '^[a-z]+$'")
-      .distinct().collect().map(_.getString(0))
-    val vocabDf = spark.createDataFrame(
-      words.toSeq.map(w => (w, bpeApplyMerges(w, merges)))).toDF("word", "toks")
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val ms = bcM.value.toSeq
+        it.map(w => (w, bpeApplyMerges(w, ms)))
+      }.toDF("word", "toks")
     docs.selectExpr("doc_id", "explode(split(text, ' ')) AS word")
       .where("word RLIKE '^[a-z]+$'")
       .join(broadcast(vocabDf), Seq("word"))
@@ -1229,6 +1229,100 @@ object TextOps {
         "CAST(n_bigrams AS BIGINT) AS n_bigrams",
         "CAST(nll_bits AS BIGINT) AS nll_bits",
         "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_bigrams AS BIGINT) AS bits_milli")
+  }
+
+  /** Interpolated Kneser-Ney TRIGRAM perplexity — [[knPerplexity]] grown
+    * one order (KenLM's default is order-5 of exactly this recursion; the
+    * trigram shows the full chain): highest order uses RAW counts, every
+    * lower order uses CONTINUATION counts, each level discounted by the
+    * same fixed D = 3/4 and interpolated with the level below:
+    *
+    *   p3(w3|w1w2) = max(c123−D,0)/c12 + (D·N1+(w1w2·)/c12)·p2(w3|w2)   c12>0
+    *                 p2(w3|w2)                                    (backoff)
+    *   p2(w3|w2)   = [max(N1+(·w2w3)−D,0) + D·N1+(w2·)·pc(w3)] / N1+(·w2·)
+    *                 (N1+(·w2·)=0 → pc(w3))
+    *   pc(w3)      = the [[knPerplexity]] continuation-unigram, uniform-
+    *                 interpolated: (max(4·N1b−3,0)·V + 3·T) / (4·NBB·V)
+    *
+    * where all N1+ statistics are TYPE counts off the trigram type table
+    * (N1+(·w2w3) = distinct predecessors of the bigram, N1+(·w2·) = types
+    * with w2 in the middle, N1+(w2·) = distinct followers) and the
+    * unigram level reuses the bigram-type stats. Over common denominators
+    * the score is ONE exact rational, den ≤ 64·c12·N1mid·NBB·V — DECIMAL
+    * (38,0) on Spark, HUGEINT in DuckDB, bit-exact replay; surprisal via
+    * the identical overflow-safe 2^62 split (both arms provably exact at
+    * the same threshold literal).
+    *
+    * Scale shape unchanged from [[knPerplexity]]: zero-shuffle trigram
+    * stream, type-table COUNT shuffles only (the trigram type table is the
+    * one new relation, localCheckpoint'd for its five derivations), every
+    * model table pruned-or-type-bounded and broadcast, one doc-keyed sum.
+    */
+  def knTrigramPerplexity(docs: DataFrame, minCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tri = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("doc_id", "ws", "posexplode(ws) AS (pos, w1)")
+      .where("pos < size(ws) - 2")
+      .selectExpr("doc_id", "w1", "ws[pos + 1] AS w2", "ws[pos + 2] AS w3")
+    val t3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cAll")).localCheckpoint()
+    val m3 = t3.where(s"cAll >= $minCount")
+      .select(col("w1"), col("w2"), col("w3"), col("cAll").as("c123"))
+    val m12 = t3.groupBy("w1", "w2")
+      .agg(sum("cAll").as("c12"), count(lit(1)).as("n1f12"))
+      .where(s"c12 >= $minCount")
+    val mid = t3.groupBy("w2")
+      .agg(count(lit(1)).as("n1mid"), countDistinct($"w3").as("n1f2"))
+    val n1cT = t3.groupBy("w2", "w3").agg(count(lit(1)).as("n1c"))
+    // unigram-continuation level off the BIGRAM types — knPerplexity's stats
+    val ty2 = docs
+      .selectExpr("doc_id", "split(text, ' ') AS ws")
+      .selectExpr("ws", "posexplode(ws) AS (pos, u1)")
+      .where("pos < size(ws) - 1")
+      .selectExpr("u1", "ws[pos + 1] AS u2")
+      .groupBy("u1", "u2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val n1bT = ty2.groupBy("u2").agg(count(lit(1)).as("n1b"))
+      .withColumnRenamed("u2", "w3")
+    val gl = ty2.agg(count(lit(1)).as("nbb"), countDistinct($"u2").as("t"))
+    val vT = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .agg(countDistinct($"w").as("v"))
+    tri.join(broadcast(m3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(m12), Seq("w1", "w2"), "left")
+      .join(broadcast(mid), Seq("w2"), "left")
+      .join(broadcast(n1cT), Seq("w2", "w3"), "left")
+      .join(broadcast(n1bT), Seq("w3"), "left")
+      .crossJoin(broadcast(gl))
+      .crossJoin(broadcast(vT))
+      .selectExpr("doc_id",
+        "coalesce(c123, CAST(0 AS BIGINT)) AS c123c",
+        "coalesce(c12, CAST(0 AS BIGINT)) AS c12c",
+        "coalesce(n1f12, CAST(0 AS BIGINT)) AS n1f12c",
+        "coalesce(n1mid, CAST(0 AS BIGINT)) AS n1midc",
+        "coalesce(n1f2, CAST(0 AS BIGINT)) AS n1f2c",
+        "coalesce(n1c, CAST(0 AS BIGINT)) AS n1cc",
+        "coalesce(n1b, CAST(0 AS BIGINT)) AS n1bc",
+        "nbb", "t", "v")
+      .selectExpr("doc_id", "c123c", "c12c", "n1f12c", "n1midc", "n1f2c", "n1cc",
+        "CAST(greatest(4 * n1bc - 3, 0) AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) + CAST(3 * t AS DECIMAL(38,0)) AS cnum",
+        "CAST(4 AS DECIMAL(38,0)) * CAST(nbb AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0)) AS cden")
+      .selectExpr("doc_id", "c123c", "c12c", "n1f12c",
+        "CASE WHEN n1midc > 0 THEN CAST(greatest(4 * n1cc - 3, 0) AS DECIMAL(38,0)) * cden + CAST(3 * n1f2c AS DECIMAL(38,0)) * cnum ELSE cnum END AS p2num",
+        "CASE WHEN n1midc > 0 THEN CAST(4 * n1midc AS DECIMAL(38,0)) * cden ELSE cden END AS p2den")
+      .selectExpr("doc_id",
+        "CASE WHEN c12c > 0 THEN CAST(greatest(4 * c123c - 3, 0) AS DECIMAL(38,0)) * p2den + CAST(3 * n1f12c AS DECIMAL(38,0)) * p2num ELSE p2num END AS num",
+        "CASE WHEN c12c > 0 THEN CAST(4 * c12c AS DECIMAL(38,0)) * p2den ELSE p2den END AS den")
+      .selectExpr("doc_id", "num", "den",
+        "den div (num * CAST(4611686018427387904 AS DECIMAL(38,0))) AS qhi")
+      .selectExpr("doc_id",
+        "CASE WHEN qhi IS NULL OR qhi = 0 THEN length(bin(den div num)) - 1 " +
+          "ELSE 62 + length(bin(qhi)) - 1 END AS bits")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("bits").as("nll_bits"))
+      .selectExpr("doc_id",
+        "CAST(n_trigrams AS BIGINT) AS n_trigrams",
+        "CAST(nll_bits AS BIGINT) AS nll_bits",
+        "(CAST(nll_bits AS BIGINT) * 1000) div CAST(n_trigrams AS BIGINT) AS bits_milli")
   }
 
   /** Query-biased SNIPPET selection — the serving-side counterpart of
@@ -1655,19 +1749,4 @@ object TextOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
-  def multimodalMeta(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select($"doc_id", $"text").as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val payload: Array[Byte] = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          // STUB decode: a real build would hand `payload` to an image/audio
-          // codec here; shapes are derived deterministically from length.
-          val nBytes = payload.length.toLong
-          (id, nBytes, nBytes % 640L, nBytes % 480L, nBytes / 64L)
-        }
-      }
-      .toDF("doc_id", "n_bytes", "fake_width", "fake_height", "fake_frames")
-  }
 }

@@ -181,28 +181,41 @@ object Warc {
     * tmp/rename commit. Plain `read` still returns exactly the distinct
     * payloads (revisits are type-filtered out by the response parser).
     */
-  def writeWithRevisits(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit = {
+  def writeWithRevisits(recs: Dataset[WarcRec], dir: String, gzip: Boolean = true): Unit =
+    writeFiles(revisitRendered(recs), dir, gzip, zstd = false)(_.block)
+
+  /** The rendered record stream behind [[writeWithRevisits]] — exposed so
+    * the plan-shape spec can assert the hot-digest discipline below.
+    */
+  private[sources] def revisitRendered(recs: Dataset[WarcRec]): Dataset[WarcRec] = {
     import org.apache.spark.sql.expressions.Window
     val spark = recs.sparkSession
     import spark.implicits._
     // keeper identity is the FULL (ts, url) capture, not the url: a
     // re-crawl of the SAME url with an unchanged payload (the feature's
-    // headline case) must revisit its earlier capture. row_number (not an
-    // equality test against the min) guarantees EXACTLY ONE original per
-    // digest even when an at-least-once upstream delivers the same
-    // capture twice — the duplicate becomes a (self-referential) revisit,
-    // so duplicate payload bytes are never stored. ONE digest-keyed
-    // window pass; the relation is consumed once, so nothing persists.
-    val w = Window.partitionBy("digest").orderBy(col("ts"), col("url"))
-    val rendered = recs.map(r => (r.url, r.tsMillis, r.block, md5hex(r.block)))
+    // headline case) must revisit its earlier capture. The keeper choice
+    // is a PARTIAL-AGGREGATABLE min(struct(ts, url)) per digest — the
+    // keepBest shape: a degenerate universal payload (empty page, parked
+    // template) with 10⁹ captures collapses map-side to one candidate per
+    // partition instead of one task sorting the whole digest under a
+    // Window. The only row_number left partitions by the FULL capture
+    // identity (digest, ts, url) — its groups are duplicate DELIVERIES of
+    // one capture (an at-least-once upstream), so exactly one original
+    // lands per digest and every duplicate becomes a (self-referential)
+    // revisit; payload bytes are stored once.
+    val tagged = recs.map(r => (r.url, r.tsMillis, r.block, md5hex(r.block)))
       .toDF("url", "ts", "block", "digest")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("orig_url", first("url").over(w))
-      .withColumn("orig_ts", first("ts").over(w))
+    val keepers = tagged.groupBy("digest")
+      .agg(min(struct(col("ts"), col("url"))).as("k"))
+      .select(col("digest"), col("k.ts").as("orig_ts"), col("k.url").as("orig_url"))
+    val wDup = Window.partitionBy("digest", "ts", "url").orderBy("ts")
+    val rendered = tagged
+      .withColumn("rn", row_number().over(wDup))
+      .join(keepers, Seq("digest"))
       .select("url", "ts", "block", "digest", "orig_url", "orig_ts", "rn")
       .as[(String, Long, Array[Byte], String, String, Long, Int)]
       .map { case (url, ts, block, digest, origUrl, origTs, rn) =>
-        if (rn == 1)
+        if (rn == 1 && ts == origTs && url == origUrl)
           WarcRec(url, ts, recordBlock(url, ts, block))
         else WarcRec(url, ts, recordBlock(url, ts, Array.empty[Byte],
           warcType = "revisit",
@@ -212,7 +225,7 @@ object Warc {
             "WARC-Payload-Digest" -> s"md5:$digest",
             "WARC-Profile" -> "identical-payload-digest")))
       }
-    writeFiles(rendered, dir, gzip, zstd = false)(_.block)
+    rendered
   }
 
   /** The revisit records of an archive directory: (url, warc_ts,

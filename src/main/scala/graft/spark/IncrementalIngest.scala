@@ -198,6 +198,168 @@ object IncrementalIngest {
     (snap, appended)
   }
 
+  // ------------------------------------------------------------------
+  // Incremental SEMANTIC-dup ingestion (SemDeDup across crawl drops):
+  // each new drop's vectors are admitted against everything already
+  // committed WITHOUT re-reading old embeddings — the catalog keeps a
+  // `<table>__semantic` companion (vec_id + coarse cluster + PQ codes,
+  // ~10 B per committed row, cluster-partitioned) plus the frozen
+  // centroid/codebook model trained on the FIRST drop
+  // (`<table>__semantic__model`). Admission per drop vector:
+  //   1. multi-probe its `nprobe` nearest committed centroids — the
+  //      companion read prunes to those clusters' files (readPartitionIn);
+  //   2. ADC floor: keep candidates whose asymmetric PQ distance is
+  //      within 2·(1−thr)+adcMargin (unit vectors: ‖a−b‖² = 2−2·cos, so
+  //      the floor is the cosine threshold plus a quantization-error
+  //      margin — generous by default: the floor only sizes the refine
+  //      set, the exact compare decides, so a wide margin costs refine
+  //      volume and can never change the admission answer);
+  //   3. exact refine on the floored survivors only: ONE vec_id-keyed
+  //      join fetches their true committed vectors (the candidate side is
+  //      tiny → broadcast; old vectors are read for O(survivors) rows,
+  //      never scanned for scoring).
+  // Model freeze is the FAISS convention: later drops encode under the
+  // first drop's geometry (re-train = rebuild, an explicit maintenance
+  // op). Crash contract identical to the minhash companion: model commits
+  // BEFORE data (repair must always be able to encode), data before
+  // companion; a behind companion is rebuilt from the table with the
+  // frozen model.
+  // ------------------------------------------------------------------
+
+  /** Append embedding rows (vec_id, embedding, …) deduped exactly within
+    * the drop (identical vectors keep min vec_id) and SEMANTICALLY against
+    * all prior snapshots (exact cosine ≥ `thr` vs any committed vector →
+    * rejected, verified on true vectors after the PQ shortlist). Returns
+    * (snapshotId, rowsAppended). `maxCluster` caps a degenerate committed
+    * cluster's candidate side — the standard O(n²) guard; capped clusters
+    * admit (never wrongly reject).
+    */
+  def appendSemDeduped(spark: SparkSession, cat: ParquetSnapshotCatalog,
+      table: String, vecs: DataFrame, thr: Double = 0.95, nprobe: Int = 2,
+      nlist: Int = 0, adcMargin: Double = 1.0,
+      maxCluster: Int = 4096): (Long, Long) = {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val semTable = table + "__semantic"
+    val modelTable = table + "__semantic__model"
+    // within-drop: exact-vector dedup, first arrival (min vec_id) keeps —
+    // the within-drop SEMANTIC clustering problem is Ann.semDedup's (batch)
+    val withDig = vecs.withColumn("digest", md5(col("embedding").cast("string")))
+    val inDrop = withDig
+      .groupBy("digest").agg(min("vec_id").as("vec_id"))
+      .join(withDig.dropDuplicates("digest", "vec_id"), Seq("digest", "vec_id"))
+      .drop("digest")
+    val survivors = cat.currentSnapshot(table) match {
+      case None =>
+        val n = inDrop.count()
+        val model = AnnIndex.trainModel(
+          AnnIndex.unitVectors(inDrop), n, nlist, 8, 16, 3)
+        AnnIndex.commitModel(spark, cat, modelTable, model) // model FIRST
+        inDrop
+      case Some(_) =>
+        repairSemanticIfBehind(spark, cat, table)
+        val model = AnnIndex.loadModelTable(spark, cat, modelTable)
+        val bcC = spark.sparkContext.broadcast(model.centroids)
+        val bcB = spark.sparkContext.broadcast(model.codebooks)
+        val np = math.max(1, math.min(nprobe, model.centroids.length))
+        val floor = 2.0 * (1.0 - thr) + adcMargin
+        val unit = AnnIndex.unitVectors(inDrop).localCheckpoint() // probes + refine
+        val probes = unit.as[(Long, Array[Double])].flatMap { case (id, v) =>
+          val cs = bcC.value
+          val ds = Array.tabulate(cs.length) { c =>
+            var d = 0.0; var i = 0
+            while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+            (d, c)
+          }
+          scala.util.Sorting.stableSort(ds)
+          Iterator.range(0, np).map(r => (id, v, "%05d".format(ds(r)._2)))
+        }.toDF("qid", "qemb", "qcluster").localCheckpoint()
+        val probedClusters = probes.select("qcluster").distinct()
+          .as[String].collect().sorted.toSeq
+        // companion read pruned to the probed clusters; capped per cluster
+        val comp = cat.readPartitionIn(spark, semTable, probedClusters)
+        val okClusters = comp.groupBy("cluster").agg(count(lit(1)).as("__cn"))
+          .where(col("__cn") <= maxCluster).select("cluster")
+        val shortlist = probes
+          .join(comp.join(okClusters, Seq("cluster")),
+            col("qcluster") === col("cluster"))
+          .select(col("qid"), col("qemb"), col("qcluster"),
+            col("vec_id").as("__tid"), col("codes"))
+          .as[(Long, Array[Double], String, Long, Array[Byte])]
+          .mapPartitions { it =>
+            val cs = bcC.value
+            val bks = bcB.value
+            val ds = if (bks.isEmpty) 0 else bks(0)(0).length
+            it.flatMap { case (qid, qv, qc, tid, codes) =>
+              val cv = cs(qc.toInt)
+              var dist = 0.0
+              var j = 0
+              while (j < codes.length) {
+                val cw = bks(j)(codes(j) & 0xff)
+                var i = 0
+                while (i < ds) {
+                  val t = (qv(j * ds + i) - cv(j * ds + i)) - cw(i)
+                  dist += t * t
+                  i += 1
+                }
+                j += 1
+              }
+              if (dist <= floor) Iterator.single((qid, tid)) else Iterator.empty
+            }
+          }.toDF("qid", "__tid").distinct()
+        // exact refine on survivors only: true committed vectors for the
+        // shortlist rows (shortlist is tiny → broadcast side of the join)
+        val committed = AnnIndex.unitVectors(cat.read(spark, table))
+          .withColumnsRenamed(Map("vec_id" -> "__tid", "embedding" -> "temb"))
+        val qUnit = unit.withColumnsRenamed(Map("vec_id" -> "qid", "embedding" -> "qemb2"))
+        val cos = aggregate(zip_with(col("qemb2"), col("temb"), (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x)
+        val rejected = broadcast(shortlist)
+          .join(committed, Seq("__tid"))
+          .join(broadcast(qUnit), Seq("qid"))
+          .where(cos >= thr)
+          .select(col("qid").as("vec_id")).distinct()
+        inDrop.join(rejected, Seq("vec_id"), "left_anti")
+    }
+    val staged = survivors.persist()
+    val appended = staged.count()
+    val snap =
+      if (appended == 0) cat.currentSnapshot(table).getOrElse(0L)
+      else {
+        val s = cat.append(staged, table) // data FIRST
+        val model = AnnIndex.loadModelTable(spark, cat, modelTable)
+        val codes = AnnIndex.encodeDf(AnnIndex.unitVectors(staged), model)
+        if (cat.currentSnapshot(semTable).isEmpty)
+          cat.commitPartitioned(codes, semTable, IdentityTransform("cluster"),
+            nFiles = math.max(4, math.min(model.centroids.length, 64)))
+        else cat.appendPartitioned(codes, semTable, nFiles = 4)
+        s
+      }
+    staged.unpersist()
+    (snap, appended)
+  }
+
+  /** Companion-behind repair for the semantic table: rebuild cluster + PQ
+    * codes from the data table with the FROZEN model (one embedding scan —
+    * exceptional path; the model table commits before any data, so it is
+    * always present here).
+    */
+  def repairSemanticIfBehind(spark: SparkSession, cat: ParquetSnapshotCatalog,
+      table: String): Unit = {
+    import graft.operators.AnnIndex
+    val semTable = table + "__semantic"
+    val tableRows = cat.read(spark, table).count()
+    val semRows = cat.currentSnapshot(semTable)
+      .map(_ => cat.read(spark, semTable).count()).getOrElse(0L)
+    if (semRows < tableRows) {
+      val model = AnnIndex.loadModelTable(spark, cat, table + "__semantic__model")
+      cat.commitPartitioned(
+        AnnIndex.encodeDf(AnnIndex.unitVectors(cat.read(spark, table)), model),
+        semTable, IdentityTransform("cluster"),
+        nFiles = math.max(4, math.min(model.centroids.length, 64)))
+    }
+  }
+
   /** Companion-behind repair for the signature table: rebuild digests AND
     * signatures from the data table (one text scan — exceptional path).
     */

@@ -2379,6 +2379,35 @@ class ParquetSnapshotCatalog(root: String) extends PageCatalog {
     pruned.where(col(spec.col) === org.apache.spark.sql.functions.lit(value).cast(dt))
   }
 
+  /** Multi-point lookup through the hidden partitioning: ONE scan whose
+    * keep-set is the UNION of each value's per-era pruned set, with the
+    * real membership predicate applied on top. This is the IVF probe read
+    * (open only the probed clusters' files in a single scan node) — a
+    * union of per-value [[readPartitionEq]] branches would re-plan the
+    * table once per value.
+    */
+  def readPartitionIn(spark: SparkSession, table: String, values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, s"readPartitionIn on '$table': empty value set")
+    val spec = partitionSpec(table).getOrElse(throw new IllegalStateException(
+      s"table '$table' has no partition spec"))
+    val snap = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot for $table"))
+    val kept = values.map { value =>
+      specsForCol(table, spec.col).map { s =>
+        val t = s.literal(value)
+        pruneFilesAt(table, snap, s.statName, t, t).toSet
+      }.reduce(_ intersect _)
+    }.reduce(_ union _)
+    val pruned = readWithDeletes(spark, table, snap, Some(kept))
+    val dt = pruned.schema(spec.col).dataType
+    // literals cast to the COLUMN's type (same contract as readPartitionEq)
+    val pred = values.map(v =>
+      col(spec.col) === org.apache.spark.sql.functions.lit(v).cast(dt))
+      .reduce(_ || _)
+    pruned.where(pred)
+  }
+
   /** Range scan through an ORDER-PRESERVING transform (days/truncate/
     * identity): `[lo, hi]` on the raw column prunes on
     * `[transform(lo), transform(hi)]` — the warc_ts-windowed read. Bucket

@@ -40,13 +40,22 @@ sealed trait PartTransform {
   */
 final case class BucketTransform(n: Int, col: String) extends PartTransform {
   require(n > 0, s"bucket($n): n must be positive")
+  // bucket ids are ZERO-PADDED to the width of n-1 so lexicographic and
+  // numeric order coincide: the stats writer's min/max is a plain string
+  // min/max, while read-side pruning compares bounds at the numeric tier —
+  // with unpadded ids ("2" > "15" byte-wise) a file spanning a digit-width
+  // boundary records INVERTED bounds and point lookups silently prune it
+  // away. Padded ids parse to the same longs, so old unpadded sidecars
+  // (single-digit n, where padding is a no-op) stay compatible.
+  private def width: Int = (n - 1).toString.length
   def sparkExprSql: String =
-    s"CAST(CAST(conv(substr(md5(CAST(`$col` AS STRING)), 1, 8), 16, 10) AS BIGINT) % $n AS STRING)"
+    s"lpad(CAST(CAST(conv(substr(md5(CAST(`$col` AS STRING)), 1, 8), 16, 10) AS BIGINT) % $n AS STRING), $width, '0')"
   def literal(value: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex8 = d.take(4).map(b => f"$b%02x").mkString
-    (java.lang.Long.parseLong(hex8, 16) % n).toString
+    val id = java.lang.Long.parseLong(hex8, 16) % n
+    s"%0${width}d".format(id)
   }
   def orderPreserving: Boolean = false
   def render: String = s"bucket($n,$col)"

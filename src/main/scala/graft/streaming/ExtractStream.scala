@@ -198,6 +198,32 @@ object ExtractStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming NEAR-DUP admission — the curate-while-crawling gate: every
+    * micro-batch of (doc_id, text, …) rows runs the FULL cross-drop
+    * MinHash admission ([[graft.spark.IncrementalIngest.appendNearDeduped]])
+    * against the table's signature companion before landing, so a page
+    * whose near-mutant committed in ANY earlier batch (or run) is rejected
+    * at ingest, not in a nightly dedup job. Exactly-once composes from the
+    * admission semantics themselves: a crash-redelivered batch re-runs the
+    * admission and its already-committed rows are EXACTLY rejected by the
+    * digest companion (0 re-appends) — no batch marker needed, and the
+    * data-first/companion-second crash window self-repairs on the next
+    * batch. Per-batch cost is the appendNearDeduped shape: signatures over
+    * the BATCH only, one band-key equijoin vs the companion, old text
+    * never read.
+    */
+  def nearDedupSink(docs: DataFrame, cat: graft.spark.ParquetSnapshotCatalog,
+      table: String, checkpointDir: String, simFloor: Int = 12,
+      maxBucket: Int = 1024): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.spark.IncrementalIngest.appendNearDeduped(
+          batch.sparkSession, cat, table, batch.toDF(), simFloor, maxBucket): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Gap-based sessionization (batch). Sessions = per-user event groups
     * where consecutive events are ≤ `gapUs` apart; output is one row per
     * session with exact microsecond bounds (BIGINT — bit-stable for the

@@ -107,6 +107,26 @@ class BpeFastSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(frozen == direct)
   }
 
+  test("frozen-tokenizer segmentation runs executor-side: no driver collect, no local vocab scan") {
+    // at web scale the distinct-word table reaches 10⁸ rows — segmentation
+    // must be a mapPartitions over the distinct-word DataFrame with the
+    // merge list broadcast, never a collect() + driver loop
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/operators/TextOps.scala")), "UTF-8")
+    val body = src.substring(src.indexOf("def bpeEncodeWith"),
+      src.indexOf("def ddQuantiles"))
+    assert(!body.contains(".collect()") && !body.contains("createDataFrame"),
+      "bpeEncodeWith must not materialize the vocabulary on the driver")
+    // job structure: the plan's vocab side derives from the docs relation
+    // (a SerializeFromObject/mapPartitions chain), not a LocalTableScan of
+    // driver-built rows
+    val (merges, _) = TextOps.bpeTrainDriver(sfDocs, k = 5)
+    val plan = TextOps.bpeEncodeWith(sfDocs, merges.map(m => (m._2, m._3)).toSeq)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation") && !plan.contains("LocalTableScan"),
+      s"vocab side is a driver-local relation:\n$plan")
+  }
+
   test("cross-corpus encode: OOV words segment under whatever merges apply") {
     // tokenizer frozen on the rich corpus, applied to the sf documents —
     // words the trainer never saw must still encode (1 <= toks <= chars)

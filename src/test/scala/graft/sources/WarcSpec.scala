@@ -342,6 +342,37 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("revisit archiving: a degenerate hot digest collapses map-side — keeper is a partial agg, never a digest-wide window sort") {
+    val ss = spark
+    import ss.implicits._
+    // 200k captures of ONE payload (the parked-domain template): the old
+    // Window.partitionBy(digest) put all of them in one task's sort; the
+    // keeper must now be min(struct(ts, url)) (map-side partial agg) with
+    // the only window keyed by the FULL capture identity (groups = exact
+    // duplicate deliveries, size 1 here)
+    val payload = "the universal parked-domain template body".getBytes("UTF-8")
+    val hot = spark.range(200000).as[Long].map(i =>
+      Warc.WarcRec(s"https://h$i.example.com/p", 1700000000000L + i, payload))
+      .repartition(4)
+    val rendered = Warc.revisitRendered(hot)
+    // plan shape: every Window node's partition spec includes ts and url —
+    // no window partitioned by the digest alone
+    val plan = rendered.queryExecution.executedPlan.toString
+    val winSpecs = plan.linesIterator.filter(_.contains("Window ")).toVector
+    assert(winSpecs.nonEmpty)
+    winSpecs.foreach { l =>
+      assert(l.contains("ts") && l.contains("url"),
+        s"window partitioned by the digest alone (straggler sort):\n$l")
+    }
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"),
+      "keeper choice must be a partial-aggregatable min")
+    // and it completes with exactly one original
+    val counts = rendered.map(r => if (new String(r.block, "UTF-8")
+      .contains("WARC-Type: revisit")) "rv" else "resp")
+      .groupByKey(identity).count().collect().toMap
+    assert(counts("resp") == 1L && counts("rv") == 199999L)
+  }
+
   test("foreign archive degradation: absent WARC-Date skips, url-only fallback is single-generation-gated, the drop census is exact") {
     val dir = java.nio.file.Files.createTempDirectory("graftrv_foreign").toString
     val pa = "generation one".getBytes("UTF-8")

@@ -130,6 +130,74 @@ class IncrementalIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(cat) == Set(1L, 2L))
   }
 
+  // deterministic unit-ish vectors for the semantic-ingest specs
+  private def vec(seed: Long): Array[Float] = {
+    val m = new Mix(seed)
+    Array.fill(64)((m.next() >>> 11).toFloat / (1L << 53).toFloat - 0.5f)
+  }
+  // a semantic twin: the base vector with tiny deterministic noise
+  // (cosine well above 0.95, not exact)
+  private def twin(seed: Long): Array[Float] = {
+    val m = new Mix(seed + 777L)
+    vec(seed).map(x => x + ((m.next() >>> 11).toFloat / (1L << 53).toFloat - 0.5f) * 0.01f)
+  }
+  private def vdf(rows: (Long, Array[Float])*) =
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+
+  private def vids(cat: ParquetSnapshotCatalog, table: String): Set[Long] =
+    cat.read(spark, table).select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("semantic ingest: cross-drop cosine twins rejected via the PQ companion, fresh vectors admitted") {
+    val (cat, _) = freshCat("sem")
+    val drop1 = vdf((0L until 40L).map(i => (i, vec(i))): _*)
+    val (_, n1) = IncrementalIngest.appendSemDeduped(spark, cat, "v", drop1)
+    assert(n1 == 40)
+    // drop 2: an EXACT twin of 3, a NEAR twin of 7 (cosine ≥ thr), and two
+    // genuinely fresh vectors
+    val drop2 = vdf((100L, vec(3L)), (101L, twin(7L)),
+      (102L, vec(9000L)), (103L, vec(9001L)))
+    val (_, n2) = IncrementalIngest.appendSemDeduped(spark, cat, "v", drop2)
+    assert(n2 == 2, s"expected exactly the two fresh vectors admitted, got $n2")
+    assert(vids(cat, "v") == (0L until 40L).toSet + 102L + 103L)
+    // the companion tracks the table; the model is untouched by drops
+    assert(cat.read(spark, "v__semantic").count() == 42L)
+    // re-dropping is idempotent (exact-twin path)
+    val (_, n3) = IncrementalIngest.appendSemDeduped(spark, cat, "v", drop2)
+    assert(n3 == 0)
+  }
+
+  test("semantic ingest: admission reads codes + probed clusters, never re-trains") {
+    val (cat, _) = freshCat("semtrain")
+    IncrementalIngest.appendSemDeduped(spark, cat, "v",
+      vdf((0L until 40L).map(i => (i, vec(i))): _*))
+    val modelSnap = cat.currentSnapshot("v__semantic__model").get
+    val before = graft.operators.Ann.trainRuns.get()
+    val (_, n) = IncrementalIngest.appendSemDeduped(spark, cat, "v",
+      vdf((200L, twin(5L)), (201L, vec(8888L))))
+    assert(n == 1)
+    assert(graft.operators.Ann.trainRuns.get() == before,
+      "a later drop's admission must not run k-means")
+    assert(cat.currentSnapshot("v__semantic__model").get == modelSnap)
+    // companion schema: compressed codes only — never embeddings
+    assert(cat.read(spark, "v__semantic").columns.toSet ==
+      Set("vec_id", "cluster", "codes"))
+  }
+
+  test("semantic crash repair: companion lag rebuilt with the frozen model, twins still rejected") {
+    val (cat, _) = freshCat("semcrash")
+    IncrementalIngest.appendSemDeduped(spark, cat, "v",
+      vdf((0L until 40L).map(i => (i, vec(i))): _*))
+    // crash-sim: a drop's data landed, its companion rows never did
+    cat.append(vdf((50L, vec(4444L))), "v")
+    assert(cat.read(spark, "v__semantic").count() == 40L) // lagging
+    // next append must repair, then reject the lagging row's twin
+    val (_, n) = IncrementalIngest.appendSemDeduped(spark, cat, "v",
+      vdf((60L, twin(4444L)), (61L, vec(5555L))))
+    assert(n == 1, "repair must rebuild codes so the lagging drop's twin is caught")
+    assert(vids(cat, "v") == (0L until 40L).toSet + 50L + 61L)
+    assert(cat.read(spark, "v__semantic").count() == 42L)
+  }
+
   test("near-dup ingest: re-dropping the same drop is idempotent (exact path)") {
     val (cat, _) = freshCat("nearidem")
     val drop = df(1L -> base, 2L -> "other words forming a second document body for the idempotence check case")

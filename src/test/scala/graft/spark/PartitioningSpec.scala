@@ -52,6 +52,29 @@ class PartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TruncateTransform(3, "u").literal("abcdef") == "abc")
   }
 
+  test("bucket(16): digit-width-crossing bounds never mis-prune — every row retrievable") {
+    // regression: unpadded bucket ids order "2" AFTER "15" byte-wise, so a
+    // file spanning the width boundary recorded lexicographic min/max that
+    // the numeric prune tier read as an INVERTED (empty) range and point
+    // lookups silently lost the file's rows; zero-padded ids make the
+    // string min/max numeric. nFiles=3 forces files to span many buckets.
+    val root = tmp()
+    val cat = new ParquetSnapshotCatalog(root)
+    val ss = spark; import ss.implicits._
+    val urls = (0 until 300).map(i => s"https://example.com/doc$i")
+    val df = urls.zipWithIndex.map { case (u, i) => (u, i.toLong) }.toDF("url", "v")
+    cat.commitPartitioned(df, "t16", BucketTransform(16, "url"), nFiles = 3)
+    val missing = urls.filter(u => cat.readPartitionEq(spark, "t16", u).count() != 1L)
+    assert(missing.isEmpty, s"mis-pruned lookups: ${missing.take(5)} (${missing.size} total)")
+    // padded literal matches the padded Spark expression bit-for-bit
+    val b = BucketTransform(16, "url")
+    val viaSpark = spark.sql(
+      urls.take(40).map(v => s"SELECT ${b.sparkExprSql.replace("`url`", s"'$v'")} AS t").mkString(" UNION ALL "))
+      .collect().map(_.getString(0)).toSeq
+    assert(urls.take(40).map(b.literal) == viaSpark)
+    assert(viaSpark.forall(_.length == 2), "bucket(16) ids must be width-2")
+  }
+
   test("bucket(8, url): point lookup opens ~1/8 of the files — prune-proof by deleting the rest") {
     val root = tmp()
     val cat = new ParquetSnapshotCatalog(root)

@@ -76,6 +76,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cat.read(spark, "t").count() === 4)
   }
 
+  test("streaming near-dup admission: cross-batch mutant rejected, fresh admitted, exactly-once across restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("neardup_sink").toString
+    val ckpt = s"$root/_ckpt"
+    val cat = new graft.spark.ParquetSnapshotCatalog(root)
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, base),
+      (2L, "completely different words about spark catalyst plans and parquet file pruning"))
+    val q1 = ExtractStream.nearDedupSink(mem.toDF().toDF("doc_id", "text"), cat, "t", ckpt)
+    q1.awaitTermination(60000)
+    assert(cat.read(spark, "t").count() === 2)
+    // batch 2 in a RESTARTED query on the same checkpoint: a near-mutant of
+    // batch 1's base (>= 12/16 signature components) must be rejected by
+    // the companion, the fresh doc admitted
+    val mutant = base.split(' ').dropRight(2).mkString(" ")
+    mem.addData((10L, mutant),
+      (11L, "a genuinely new document with its own vocabulary and no overlap at all whatsoever"))
+    val q2 = ExtractStream.nearDedupSink(mem.toDF().toDF("doc_id", "text"), cat, "t", ckpt)
+    q2.awaitTermination(60000)
+    assert(cat.read(spark, "t").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 11L))
+    // exactly-once: a THIRD run on the same checkpoint with no new data
+    // appends nothing; and even a full redelivery (fresh checkpoint, same
+    // source) re-admits zero rows — the admission itself is idempotent
+    val q3 = ExtractStream.nearDedupSink(mem.toDF().toDF("doc_id", "text"), cat, "t", ckpt)
+    q3.awaitTermination(60000)
+    assert(cat.read(spark, "t").count() === 3)
+    val q4 = ExtractStream.nearDedupSink(mem.toDF().toDF("doc_id", "text"), cat, "t",
+      s"$root/_ckpt_replay")
+    q4.awaitTermination(60000)
+    assert(cat.read(spark, "t").select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 11L), "full redelivery must re-admit zero rows")
+  }
+
   test("streaming dedup: cross-batch drop within the horizon; expired state re-admits (bounded-state trade)") {
     import ExtractStream.DocEvent
     val t0 = 1700000000000L
