@@ -2642,7 +2642,13 @@ object SparkEntry {
       val d = docs(s, dir)
         .selectExpr("doc_id", "md5(text) AS h", "md5(concat(text, ' v2')) AS h2")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-      val b1 = d.map { case (id, h, _) => ev(id, h) }.toSeq
+      // the harness contract: no two rows of one batch share a digest
+      // (within-batch keeper choice is partition-order dependent) — the
+      // corpus carries duplicate texts at sf0.1, so batch 1 ships the
+      // FIRST ARRIVAL (min doc_id) per digest; batch 2's re-sends all hit
+      // committed state regardless (cross-batch drop is deterministic)
+      val b1 = d.groupBy(_._2).values.map(_.minBy(_._1))
+        .map { case (id, h, _) => ev(id, h) }.toSeq.sortBy(_.doc_id)
       val b2 = d.map { case (id, h, _) => ev(id + 1000000L, h) }.toSeq ++
         d.collect { case (id, _, h2) if id % 7 == 0 => ev(id + 2000000L, h2) }.toSeq
       ExtractStream.dedupStreamDriven(s, Seq(b1, b2))
@@ -3410,8 +3416,9 @@ object SparkEntry {
       val hTerms = (1 to 15)
         .map(j => s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (15 - j))}")
         .mkString(" + ")
-      s"""WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
-        |b AS (
+      s"""WITH a0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |a AS (SELECT min(doc_id) AS doc_id, text FROM a0 GROUP BY text),
+        |b0 AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
         |  UNION ALL
         |  SELECT doc_id + 1000000,
@@ -3419,6 +3426,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 14 = 0),
+        |b AS (SELECT min(doc_id) AS doc_id, text FROM b0 GROUP BY text),
         |bx AS (SELECT * FROM b WHERE text NOT IN (SELECT text FROM a)),
         |rel AS (SELECT doc_id, text, 'a' AS side FROM a
         |        UNION ALL SELECT doc_id, text, 'b' FROM bx),
@@ -4772,7 +4780,9 @@ object SparkEntry {
         |  AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
         |  AND 10 * n_hash < n_words AND 10 * n_ellipsis < n_words
         |  AND 10 * n_alpha_words >= 8 * n_words
-        |  AND 5 * top_word_n <= n_words""".stripMargin,
+        |  AND 5 * top_word_n <= n_words
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |                           ORDER BY m.doc_id % 2, m.doc_id) = 1""".stripMargin,
     // the cumulative histogram across disjoint drops IS the corpus
     // histogram (counts add exactly): replay the bucket collapse, window
     // cumsum and ceil-rank pick over the whole table
@@ -4793,7 +4803,8 @@ object SparkEntry {
     // the stream carries pre-computed digests, so the emitted key is the
     // DOUBLE hash md5(md5(text))
     "q_stream_dedup" ->
-      """SELECT doc_id, md5(md5(text)) AS text_md5 FROM documents
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(md5(text)) AS text_md5
+        |FROM documents GROUP BY md5(text)
         |UNION ALL
         |SELECT doc_id + 2000000, md5(md5(text || ' v2')) FROM documents
         |WHERE doc_id % 7 = 0""".stripMargin,
