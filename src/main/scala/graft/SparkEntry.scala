@@ -282,6 +282,19 @@ object SparkEntry {
       Graph.hits(edges, iters = 2)
         .select(col("node").as("host"), col("hub_fp"), col("auth_fp"))
     }),
+    "q_nepotism" -> ((s, dir) => {
+      // in-link concentration per host (Davison 2000 nepotistic links):
+      // the fraction of a host's cross-host in-links contributed by its
+      // single biggest source — the alliance-spam demotion feature beside
+      // PageRank/TrustRank. RAW link multiset (repetition IS the signal),
+      // intra-host links dropped, exact milli ratio; one count shuffle +
+      // one partial-aggregatable argmax, never a Window
+      val n = s.sparkContext.defaultParallelism
+      val edges = ExtractJob.extract(Pages.synthesizeGraphPages(s, dir), "nepo", n)
+        .toDF().selectExpr("url", "explode(links) AS href")
+        .selectExpr("parse_url(url, 'HOST') AS src", "parse_url(href, 'HOST') AS dst")
+      Graph.nepotism(edges)
+    }),
     "q_communities" -> ((s, dir) => {
       // synchronous label-propagation communities over the undirected host
       // graph (spam-ring / host-cluster detection): deterministic
@@ -1106,6 +1119,11 @@ object SparkEntry {
         .collect().map(_.getString(0)).toSeq
       TextOps.snippets(docs(s, dir), terms)
     }),
+    "q_search_results" -> ((s, dir) =>
+      // SERP fusion: QL top-20 ranking + query-biased snippets computed
+      // over the ranked docs ONLY (the serving-page operator — below the
+      // cut, no passage scan); prior-only docs keep rank, empty snippet
+      TextOps.searchResults(docs(s, dir))),
     "q_query_likelihood" -> ((s, dir) =>
       // Dirichlet-smoothed query likelihood (Zhai & Lafferty 2001) — the
       // LM retrieval paradigm next to BM25, same self-selected terms:
@@ -1323,6 +1341,48 @@ object SparkEntry {
       val rev = graft.sources.Warc.readRevisits(s, root)
         .selectExpr("url", "'revisit' AS rtype", "refers_to")
       resp.unionAll(rev)
+    }),
+    "q_cdx_revisit" -> ((s, dir) => {
+      // REVISIT-AWARE CDX (the OpenWayback/pywb deduplicated-archive
+      // index): the revisit archive publishes with a CDX line per CAPTURE
+      // carrying record + payload digests and the type; the playback index
+      // resolves every revisit to its ORIGINAL's member via one payload-
+      // digest index join (archives never opened). Pointer validity is
+      // REQUIRED in-query: 5 revisit rows fetch their original's member by
+      // ranged read — record-digest verified, url == orig_url, fetched
+      // payload md5 == payload_digest.
+      import java.nio.file.{Files, Paths}
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdxrv_${dir.hashCode.toHexString}"
+      val rootP = Paths.get(root)
+      if (Files.exists(rootP))
+        Files.walk(rootP).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      import s.implicits._
+      val base = docs(s, dir).selectExpr("doc_id", "text").collect()
+      val recs = base.map(r => graft.sources.Warc.WarcRec(
+        s"https://example.com/rv/doc${r.getLong(0)}",
+        1700000000000L + r.getLong(0) * 1000L, r.getString(1).getBytes("UTF-8"))) ++
+        base.filter(_.getLong(0) % 10 == 0).map(r => graft.sources.Warc.WarcRec(
+          s"https://example.com/rv/dup${r.getLong(0)}",
+          1800000000000L + r.getLong(0) * 1000L, r.getString(1).getBytes("UTF-8")))
+      graft.sources.Warc.writeRevisitCdx(s.createDataset(recs.toSeq).repartition(8), root)
+      val resolved = graft.sources.Warc.resolveRevisitCdx(s, root)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      resolved.where("rtype = 'revisit'").orderBy("url").limit(5).collect()
+        .foreach { r =>
+          val row = graft.sources.Warc.readRecordAt(root, r.getAs[String]("filename"),
+            r.getAs[Long]("offset"), r.getAs[Long]("length"),
+            verifyDigest = r.getAs[String]("rec_digest"))
+          require(row.url == r.getAs[String]("orig_url"),
+            s"revisit pointer fetched ${row.url}, expected ${r.getAs[String]("orig_url")}")
+          val pd = java.security.MessageDigest.getInstance("MD5")
+            .digest(row.html).map(b => f"$b%02x").mkString
+          require(pd == r.getAs[String]("payload_digest"),
+            s"fetched payload digest $pd != index ${r.getAs[String]("payload_digest")}")
+        }
+      val out = resolved.selectExpr("url", "cdx_ts", "rtype", "payload_digest", "orig_url")
+      resolved.unpersist()
+      out
     }),
     "q_cc_index" -> ((s, dir) => {
       // the CC columnar-index build: WARC+CDX publication lifted into the
@@ -2947,6 +3007,22 @@ object SparkEntry {
     // HITS over the same closed-form host edges, 2 unrolled rounds; each
     // half-step gathers then rescales by the exact integer divisor
     // ceil(max/scale) — `//` == Spark `div` (all operands nonnegative)
+    "q_nepotism" ->
+      """WITH e0 AS (
+        |  SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS src,
+        |         'site' || CAST((doc_id * 3 + i * 5) % 11 AS VARCHAR) || '.example.com' AS dst
+        |  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS i FROM documents)),
+        |e AS (SELECT * FROM e0 WHERE src <> dst),
+        |ps AS (SELECT dst, src, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |ag AS (SELECT dst, CAST(sum(n) AS BIGINT) AS in_links,
+        |              CAST(count(*) AS BIGINT) AS distinct_srcs FROM ps GROUP BY dst),
+        |top AS (SELECT dst, src AS top_src, n AS top_src_n,
+        |               row_number() OVER (PARTITION BY dst ORDER BY n DESC, src) AS rn
+        |        FROM ps)
+        |SELECT ag.dst AS host, in_links, distinct_srcs, top_src,
+        |       CAST(top_src_n AS BIGINT) AS top_src_n,
+        |       CAST(top_src_n * 1000 // in_links AS BIGINT) AS nepotism_milli
+        |FROM ag JOIN top ON ag.dst = top.dst AND top.rn = 1""".stripMargin,
     "q_hits" ->
       """WITH e0 AS (
         |  SELECT 'site' || CAST(doc_id % 11 AS VARCHAR) || '.example.com' AS src,
@@ -4088,6 +4164,45 @@ object SparkEntry {
     // doc×term matrix, one exact fraction per cell, MILLI-bit surprisal
     // via the shared 4-bit-mantissa piecewise-log CASE, (milli asc,
     // doc_id) total-order top-20
+    "q_search_results" -> {
+      val caseArm = graft.operators.TextOps.mantissaMilliCase("(qq >> (b - 4)) - 16")
+      s"""WITH wsx AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |wx AS (SELECT doc_id, unnest(l) AS w, unnest(range(len(l))) AS i FROM wsx),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM wx GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS ctot FROM dl),
+        |dfc AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf
+        |        FROM wx GROUP BY 1),
+        |terms AS (SELECT w, cf FROM dfc, st ORDER BY abs(2 * df - n), w LIMIT 3),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM wx JOIN terms USING (w) GROUP BY 1, 2),
+        |cr AS (SELECT dl.doc_id, dl.dl, t.w, t.cf FROM dl CROSS JOIN terms t),
+        |qs AS (SELECT cr.doc_id,
+        |         CAST(((cr.dl + 1000) * ctot * 1024) // (coalesce(tf.c, 0) * ctot + 1000 * cr.cf) AS BIGINT) AS qq
+        |       FROM cr LEFT JOIN tf ON cr.doc_id = tf.doc_id AND cr.w = tf.w
+        |            CROSS JOIN st),
+        |ms AS (SELECT doc_id, qq, length(bin(qq)) - 1 AS b FROM qs),
+        |sc AS (SELECT doc_id, sum(1000 * (b - 10) + $caseArm) AS sb FROM ms GROUP BY doc_id),
+        |top AS (SELECT doc_id, CAST(sb AS BIGINT) AS surprisal_milli,
+        |               CAST(row_number() OVER (ORDER BY sb, doc_id) AS INTEGER) AS rank
+        |        FROM sc ORDER BY sb, doc_id LIMIT 20),
+        |hits AS (SELECT wx.doc_id, CAST(i AS BIGINT) AS h
+        |         FROM wx JOIN terms ON wx.w = terms.w
+        |              JOIN top ON wx.doc_id = top.doc_id),
+        |cnts AS (SELECT doc_id, h,
+        |           count(*) OVER (PARTITION BY doc_id ORDER BY h
+        |                          RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS c
+        |         FROM hits),
+        |best AS (SELECT doc_id, h, c FROM (
+        |           SELECT doc_id, h, c,
+        |                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, h) AS rn
+        |           FROM cnts) WHERE rn = 1)
+        |SELECT top.rank, top.doc_id, top.surprisal_milli,
+        |       coalesce(b.h, -1) AS start_word,
+        |       CAST(coalesce(b.c, 0) AS BIGINT) AS n_hits,
+        |       coalesce(array_to_string(list_slice(wsx.l, CAST(b.h + 1 AS INTEGER), CAST(b.h + 10 AS INTEGER)), ' '), '') AS snippet
+        |FROM top LEFT JOIN best b ON top.doc_id = b.doc_id
+        |         LEFT JOIN wsx ON top.doc_id = wsx.doc_id""".stripMargin
+    },
     "q_query_likelihood" -> {
       val caseArm = graft.operators.TextOps.mantissaMilliCase("(qq >> (b - 4)) - 16")
       s"""WITH wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -4341,6 +4456,24 @@ object SparkEntry {
     // the ccindex derivations replayed closed-form: surt (www-strip +
     // label reversal + lowercase path), full lowercased host, last-two-
     // labels registrable domain — pointer validity is proven in-query
+    "q_cdx_revisit" ->
+      """WITH base AS (SELECT doc_id AS ord, md5(text) AS dg,
+        |                     1700000000000 + doc_id * 1000 AS ts,
+        |                     'https://example.com/rv/doc' || CAST(doc_id AS VARCHAR) AS url
+        |              FROM documents),
+        |dup AS (SELECT doc_id + 1000000 AS ord, md5(text) AS dg,
+        |               1800000000000 + doc_id * 1000 AS ts,
+        |               'https://example.com/rv/dup' || CAST(doc_id AS VARCHAR) AS url
+        |        FROM documents WHERE doc_id % 10 = 0),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+        |k AS (SELECT dg, min(ord) AS mo FROM a GROUP BY dg),
+        |ku AS (SELECT a.dg, a.url AS orig_url FROM a JOIN k ON a.dg = k.dg AND a.ord = k.mo)
+        |SELECT a.url,
+        |       strftime(make_timestamp(a.ts * 1000), '%Y%m%d%H%M%S') AS cdx_ts,
+        |       CASE WHEN a.url = ku.orig_url THEN 'response' ELSE 'revisit' END AS rtype,
+        |       a.dg AS payload_digest,
+        |       CASE WHEN a.url = ku.orig_url THEN '' ELSE ku.orig_url END AS orig_url
+        |FROM a JOIN ku ON a.dg = ku.dg""".stripMargin,
     "q_cc_index" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -316,6 +316,49 @@ object AnnIndex {
       table, nFiles = 4)
   }
 
+  /** Recall-drift probe — the cheap health check a production index runs
+    * after appends: exact brute-force top-k for the `nQueries` sample
+    * queries (O(sample·corpus) — the sample is small by contract) compared
+    * against the frozen index's answers. Returns recall in [0, 1]. Frozen
+    * models degrade when appended data shifts distribution (new clusters
+    * the old centroids straddle); this is the number that decides a
+    * rebuild instead of guessing.
+    */
+  def recallProbe(embeddings: DataFrame, cat: ParquetSnapshotCatalog,
+      table: String, nQueries: Int = 20, k: Int = 10): Double = {
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("vec_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(embeddings, nQueries, k))
+    if (exact.isEmpty) 1.0
+    else exact.count(pairs(query(embeddings, cat, table, nQueries, k)).contains)
+      .toDouble / exact.size
+  }
+
+  /** Index REBUILD — the explicit maintenance op (FAISS's retrain): train
+    * a fresh model on the CURRENT corpus and replace both artifacts. The
+    * ONLY sanctioned training after build; [[maintain]] gates it on a
+    * measured recall drop so steady-state appends never pay it.
+    */
+  def rebuild(embeddings: DataFrame, cat: ParquetSnapshotCatalog, table: String,
+      nlist: Int = 0, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      nHint: Long = 0L, opq: Boolean = false): Long =
+    build(embeddings, cat, table, nlist, m, ksub, iters, nHint, opq)
+
+  /** Append-then-check maintenance loop: probe recall on the sample
+    * queries; below `floor`, rebuild from the current corpus. Returns
+    * (recallBefore, rebuilt). The production shape: appends are frozen-
+    * model cheap, the probe is a sample-sized check, and retraining runs
+    * exactly when measured drift says so.
+    */
+  def maintain(embeddings: DataFrame, cat: ParquetSnapshotCatalog, table: String,
+      floor: Double = 0.5, nQueries: Int = 20, k: Int = 10,
+      nlist: Int = 0, opq: Boolean = false): (Double, Boolean) = {
+    val r = recallProbe(embeddings, cat, table, nQueries, k)
+    if (r < floor) { rebuild(embeddings, cat, table, nlist = nlist, opq = opq); (r, true) }
+    else (r, false)
+  }
+
   /** Search the persisted index: trains NOTHING (no ivfTrain, no
     * smallKmeans — [[Ann.trainRuns]] stays untouched). `embeddings` is the
     * raw vector table the exact-refine join reads O(shortlist) rows from;

@@ -237,4 +237,41 @@ object Graph {
     e.unpersist(); nodes.unpersist()
     out
   }
+
+  /** NEPOTISM ratio per link target (Davison 2000, "Recognizing nepotistic
+    * links on the Web"; the in-link concentration half of Bharat &
+    * Henzinger's connectivity cleaning): for each host, what fraction of
+    * its CROSS-host in-links comes from its single biggest source host.
+    * A genuine authority accumulates links from many independents; a
+    * link-farm beneficiary gets most of its mass from one ally — high
+    * ratio + meaningful volume is the classic alliance-spam flag the rank
+    * suite (PageRank/TrustRank) consumes as a demotion feature.
+    *
+    * Semantics: RAW link multiset (repeated links count — repetition IS
+    * the signal), intra-host links dropped up front (trivially
+    * nepotistic; Kleinberg's convention for connectivity analysis), NULL
+    * hosts dropped. Output per target: total cross-host in-links, distinct
+    * source hosts, the top source (ties → lexicographically smallest) and
+    * its count, and the ratio in exact milli units.
+    *
+    * Scale shape: ONE (dst, src) partial-agged count shuffle, then ONE
+    * dst-keyed agg whose per-source argmax is the partial-aggregatable
+    * min(struct(−n, src)) — never a Window; a 10⁹-in-link hot host costs
+    * its partition count.
+    */
+  def nepotism(edges: DataFrame): DataFrame = {
+    val perSrc = edges
+      .where("src IS NOT NULL AND dst IS NOT NULL AND src <> dst")
+      .groupBy("dst", "src").agg(count(lit(1)).as("n"))
+    perSrc.groupBy("dst")
+      .agg(sum("n").as("in_links"),
+        count(lit(1)).as("distinct_srcs"),
+        min(struct((lit(0L) - col("n")).as("nn"), col("src"))).as("m"))
+      .selectExpr("dst AS host",
+        "CAST(in_links AS BIGINT) AS in_links",
+        "CAST(distinct_srcs AS BIGINT) AS distinct_srcs",
+        "m.src AS top_src",
+        "CAST(0 - m.nn AS BIGINT) AS top_src_n",
+        "CAST((0 - m.nn) * 1000 AS BIGINT) div CAST(in_links AS BIGINT) AS nepotism_milli")
+  }
 }

@@ -816,6 +816,35 @@ object TextOps {
         Window.orderBy(col("surprisal_milli"), col("doc_id"))))
   }
 
+  /** SERP fusion — the result PAGE in one operator: Dirichlet query-
+    * likelihood ranking ([[queryLikelihoodTopDocs]]) fused with query-
+    * biased snippet selection ([[snippets]]), where the passage scan runs
+    * over the TOP-K docs ONLY — the fusion point a serving stack needs:
+    * snippeting is O(k·hits²), never a corpus-wide pass below the ranking
+    * cut. Same deterministic self-selected terms as BM25/QL (the O(nTerms)
+    * term collect is the one bounded driver step); a ranked doc that
+    * scores on the collection prior alone (zero term hits) keeps its rank
+    * with an empty snippet (start_word −1) — ranking never silently drops
+    * a result the scorer admitted.
+    */
+  def searchResults(docs: DataFrame, nTerms: Int = 3, topK: Int = 20,
+      mu: Long = 1000L, window: Int = 10): DataFrame = {
+    val words = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+    val n = words.selectExpr("doc_id").distinct().count()
+    val terms = words.groupBy("w").agg(countDistinct("doc_id").as("df"))
+      .orderBy(expr(s"abs(2 * df - ${n}L)"), col("w")).limit(nTerms)
+      .collect().map(_.getString(0)).toSeq
+    val ranked = queryLikelihoodTopDocs(docs, nTerms, topK, mu)
+    val sn = snippets(
+      docs.join(broadcast(ranked.select("doc_id")), Seq("doc_id")), terms, window)
+    ranked.join(sn, Seq("doc_id"), "left")
+      .selectExpr("rank", "doc_id", "surprisal_milli",
+        "coalesce(start_word, CAST(-1 AS BIGINT)) AS start_word",
+        "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits",
+        "coalesce(snippet, '') AS snippet")
+      .orderBy("rank")
+  }
+
   /** round(1000·log2(1 + k/16)) for the 4-bit mantissa k = 0..15 — the
     * piecewise-log table shared verbatim by the Spark expression and the
     * DuckDB oracle (both engines evaluate the identical CASE).

@@ -188,6 +188,16 @@ object Warc {
     * the plan-shape spec can assert the hot-digest discipline below.
     */
   private[sources] def revisitRendered(recs: Dataset[WarcRec]): Dataset[WarcRec] = {
+    val spark = recs.sparkSession
+    import spark.implicits._
+    revisitTagged(recs).map(t => WarcRec(t._1, t._2, t._3))
+  }
+
+  /** (url, ts, renderedRecordBytes, payloadDigest, isOriginal) — the
+    * tagged form [[writeRevisitCdx]] needs (the CDX line carries the
+    * payload digest and record type alongside the member pointer).
+    */
+  private def revisitTagged(recs: Dataset[WarcRec]): Dataset[(String, Long, Array[Byte], String, Boolean)] = {
     import org.apache.spark.sql.expressions.Window
     val spark = recs.sparkSession
     import spark.implicits._
@@ -216,14 +226,14 @@ object Warc {
       .as[(String, Long, Array[Byte], String, String, Long, Int)]
       .map { case (url, ts, block, digest, origUrl, origTs, rn) =>
         if (rn == 1 && ts == origTs && url == origUrl)
-          WarcRec(url, ts, recordBlock(url, ts, block))
-        else WarcRec(url, ts, recordBlock(url, ts, Array.empty[Byte],
+          (url, ts, recordBlock(url, ts, block), digest, true)
+        else (url, ts, recordBlock(url, ts, Array.empty[Byte],
           warcType = "revisit",
           extraHeaders = Seq(
             "WARC-Refers-To-Target-URI" -> origUrl,
             "WARC-Refers-To-Date" -> java.time.Instant.ofEpochMilli(origTs).toString,
             "WARC-Payload-Digest" -> s"md5:$digest",
-            "WARC-Profile" -> "identical-payload-digest")))
+            "WARC-Profile" -> "identical-payload-digest")), digest, false)
       }
     rendered
   }
@@ -792,6 +802,95 @@ object Warc {
       commit(tmpW, name)
       commit(tmpC, f"part-$pid%05d.cdx")
     }
+  }
+
+  /** REVISIT-AWARE CDX publication — the OpenWayback/pywb deduplicated-
+    * archive index convention: write the [[writeWithRevisits]] archive AND
+    * a CDX sidecar carrying one line per capture (responses and revisits
+    * alike), each with TWO digests — `rec_digest` (md5 of the member's
+    * record bytes, the ranged-read integrity check) and `payload_digest`
+    * (md5 of the ORIGINAL payload, identical for an original and all its
+    * revisits — the identical-payload-digest resolution key) — plus the
+    * record type. Playback then resolves a revisit line to its original's
+    * member WITHOUT opening the archive: [[resolveRevisitCdx]].
+    * TSV: url ts rec_digest payload_digest offset length filename type.
+    */
+  def writeRevisitCdx(recs: Dataset[WarcRec], dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = recs.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    fs.listStatus(dirPath).filter { st =>
+      val n = st.getPath.getName
+      n.endsWith(".warc.gz") || n.endsWith(".cdx") || n.startsWith(".tmp-")
+    }.foreach(st => fs.delete(st.getPath, false))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    revisitTagged(recs).foreachPartition {
+      (it: Iterator[(String, Long, Array[Byte], String, Boolean)]) =>
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
+      val efs = new Path(dir).getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val name = f"part-$pid%05d.warc.gz"
+      val tmpW = new Path(dir, f".tmp-$nonce-${tc.taskAttemptId()}%d-$name")
+      val tmpC = new Path(dir, f".tmp-$nonce-${tc.taskAttemptId()}%d-part-$pid%05d.cdx")
+      val cos = new CountingOs(new java.io.BufferedOutputStream(efs.create(tmpW, true), 1 << 16))
+      val cdx = new java.io.BufferedOutputStream(efs.create(tmpC, true), 1 << 16)
+      val gz = new GzipMemberWriter(cos)
+      try {
+        it.foreach { case (url, ts, block, payloadDigest, isOrig) =>
+          val off = cos.count
+          gz.writeMember(block)
+          val typ = if (isOrig) "response" else "revisit"
+          val line = s"$url\t${cdxTsFmt.format(java.time.Instant.ofEpochMilli(ts))}\t" +
+            s"${md5hex(block)}\t$payloadDigest\t$off\t${cos.count - off}\t$name\t$typ\n"
+          cdx.write(line.getBytes(UTF_8))
+        }
+      } finally { gz.end(); cos.close(); cdx.close() }
+      def commit(tmp: Path, dstName: String): Unit = {
+        val dst = new Path(dir, dstName)
+        if (efs.exists(dst)) efs.delete(dst, false)
+        if (!efs.rename(tmp, dst))
+          throw new java.io.IOException(s"rename $tmp -> $dst failed")
+      }
+      commit(tmpW, name)
+      commit(tmpC, f"part-$pid%05d.cdx")
+    }
+  }
+
+  /** The revisit-aware CDX sidecars as a DataFrame (8 columns — see
+    * [[writeRevisitCdx]]). */
+  def readRevisitCdx(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    spark.read.text(s"$dir/*.cdx").selectExpr(
+      "split(value, '\t')[0] AS url",
+      "split(value, '\t')[1] AS cdx_ts",
+      "split(value, '\t')[2] AS rec_digest",
+      "split(value, '\t')[3] AS payload_digest",
+      "CAST(split(value, '\t')[4] AS BIGINT) AS offset",
+      "CAST(split(value, '\t')[5] AS BIGINT) AS length",
+      "split(value, '\t')[6] AS filename",
+      "split(value, '\t')[7] AS rtype")
+
+  /** The PLAYBACK index of a deduplicated archive: every capture row with
+    * its payload pointer RESOLVED — a response points at its own member, a
+    * revisit at its ORIGINAL's member (joined on the payload digest, which
+    * [[writeWithRevisits]] guarantees names exactly one original). Only
+    * CDX lines shuffle (O(captures) small rows); the archive is never
+    * opened — the Wayback resolution step as one index join.
+    * Output: (url, cdx_ts, rtype, payload_digest, orig_url, offset,
+    * length, filename, rec_digest) — pointer columns are the ORIGINAL's
+    * for revisit rows.
+    */
+  def resolveRevisitCdx(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val cdx = readRevisitCdx(spark, dir)
+    val orig = cdx.where("rtype = 'response'")
+      .selectExpr("payload_digest", "url AS orig_url", "offset AS o_off",
+        "length AS o_len", "filename AS o_file", "rec_digest AS o_rec")
+    cdx.join(orig, Seq("payload_digest"))
+      .selectExpr("url", "cdx_ts", "rtype", "payload_digest",
+        "CASE WHEN rtype = 'response' THEN '' ELSE orig_url END AS orig_url",
+        "o_off AS offset", "o_len AS length", "o_file AS filename",
+        "o_rec AS rec_digest")
   }
 
   /** The archive directory's CDX index as a DataFrame — what a lookup

@@ -82,6 +82,44 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("maintenance lifecycle: distribution-shifted appends degrade the frozen model, the probe detects it, rebuild recovers") {
+    val s = spark; import s.implicits._
+    // corpus A: vectors in one latent region (seeds 0..); the frozen model
+    // trains here
+    def vec(seed: Long, shift: Double): Array[Float] = {
+      val m = new graft.spark.Mix(seed)
+      Array.tabulate(64)(d =>
+        (((m.next() >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1 +
+          (if (d < 8) shift else 0.0)).toFloat)
+    }
+    val a = (100L until 300L).map(i => (i, vec(i, 1.0)))
+    val dfA = spark.createDataFrame(a).toDF("vec_id", "embedding").repartition(4)
+    val cat = new graft.spark.ParquetSnapshotCatalog(tmp())
+    AnnIndex.build(dfA, cat, "ann", nlist = 8)
+    // a shifted drop in a NEW region — including the future QUERY ids
+    // (< 20): under the frozen model every B vector lands in whichever A
+    // centroid is least far, with residuals far outside what the A-trained
+    // codebooks represent — ADC ranking among B's own neighbors is
+    // garbage, so recall for B-region queries craters
+    val b = ((0L until 20L) ++ (1000L until 3000L)).map(i => (i, vec(i * 7 + 3, -1.0)))
+    val dfB = spark.createDataFrame(b).toDF("vec_id", "embedding").repartition(4)
+    AnnIndex.append(dfB, cat, "ann")
+    val all = dfA.unionByName(dfB)
+    val before = Ann.trainRuns.get()
+    val probed = AnnIndex.recallProbe(all, cat, "ann")
+    assert(Ann.trainRuns.get() == before, "the probe itself must not train")
+    val (r0, rebuilt) = AnnIndex.maintain(all, cat, "ann", floor = 0.9, nlist = 16)
+    assert(r0 == probed)
+    assert(rebuilt, s"shifted drop must trip the floor (recall $r0)")
+    assert(Ann.trainRuns.get() > before, "rebuild is the sanctioned training")
+    val after = AnnIndex.recallProbe(all, cat, "ann")
+    assert(after > r0, s"rebuild must recover recall: $r0 -> $after")
+    // steady state: a second maintain finds recall healthy, trains nothing
+    val t2 = Ann.trainRuns.get()
+    val (r1, again) = AnnIndex.maintain(all, cat, "ann", floor = math.min(after, 0.9) - 0.05)
+    assert(!again && r1 == after && Ann.trainRuns.get() == t2)
+  }
+
   test("OPQ rotation: orthogonal, persisted, and recall-improving on anisotropic data") {
     val s = spark; import s.implicits._
     // anisotropic corpus: 64-dim vectors living mostly in a rotated 8-dim

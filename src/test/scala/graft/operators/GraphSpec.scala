@@ -194,4 +194,38 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     val edges = (0 until 90).map(i => (s"h${i % 10}", s"h${(i * 7 + 3) % 10}"))
     assert(lpaOf(edges, 3, parts = 1) == lpaOf(edges, 3, parts = 13))
   }
+
+  private def nepoOf(edges: Seq[(String, String)], parts: Int = 4) = {
+    val df = spark.createDataFrame(edges).toDF("src", "dst").repartition(parts)
+    Graph.nepotism(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("nepotism: farm beneficiary flags at 1000-milli concentration, diverse authority stays low") {
+    // 'farm' sends 6 repeated links to 'benef' (repetition counts — it IS
+    // the signal); 'auth' gets one link each from 6 independents;
+    // self-loops on 'benef' must NOT dilute or inflate anything
+    val edges =
+      Seq.fill(6)("farm" -> "benef") ++
+      (0 until 6).map(i => s"ind$i" -> "auth") ++
+      Seq("benef" -> "benef", "benef" -> "benef")
+    val r = nepoOf(edges)
+    assert(r("benef") == ((6L, 1L, "farm", 6L, 1000L)))
+    assert(r("auth") == ((6L, 6L, "ind0", 1L, 166L)))
+  }
+
+  test("nepotism: top-source tie breaks to the lexicographically smallest; exact milli") {
+    val edges = Seq("b" -> "t", "b" -> "t", "a" -> "t", "a" -> "t", "c" -> "t")
+    val r = nepoOf(edges)
+    assert(r("t") == ((5L, 3L, "a", 2L, 400L)))
+  }
+
+  test("nepotism: no Window node (partial-agg argmax), identical under repartitioning") {
+    val edges = (0 until 200).map(i => (s"h${i % 7}", s"h${(i * 3 + 1) % 7}"))
+    val df = spark.createDataFrame(edges).toDF("src", "dst")
+    val plan = Graph.nepotism(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"nepotism must not sort a hot host in one task:\n$plan")
+    assert(nepoOf(edges, parts = 1) == nepoOf(edges, parts = 13))
+  }
 }

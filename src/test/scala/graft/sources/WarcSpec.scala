@@ -342,6 +342,48 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("revisit-aware CDX: every capture indexed, revisits resolve to the original's member without opening the archive") {
+    val ss = spark
+    import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graftcdxrv").toString
+    val p1 = "payload one content".getBytes("UTF-8")
+    val p2 = "payload two content".getBytes("UTF-8")
+    val recs = Seq(
+      Warc.WarcRec("https://h/a", 1000L, p1),  // original of p1
+      Warc.WarcRec("https://h/b", 2000L, p1),  // revisit of (a, 1000)
+      Warc.WarcRec("https://h/c", 3000L, p2),  // original of p2
+      Warc.WarcRec("https://h/a", 4000L, p1))  // same-url re-crawl → revisit
+    Warc.writeRevisitCdx(spark.createDataset(recs).repartition(2), dir)
+    val cdx = Warc.readRevisitCdx(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(7))).sortBy(t => (t._2, t._1))
+    assert(cdx.length == 4, "one CDX line per CAPTURE, revisits included")
+    assert(cdx.count(_._5 == "response") == 2 && cdx.count(_._5 == "revisit") == 2)
+    // payload digests: the p1 trio shares one, rec digests are per-member
+    val p1dg = java.security.MessageDigest.getInstance("MD5")
+      .digest(p1).map(b => f"$b%02x").mkString
+    assert(cdx.count(_._4 == p1dg) == 3)
+    assert(cdx.map(_._3).distinct.length == 4, "record digests are per member")
+    // playback resolution: every row's pointer fetches the ORIGINAL
+    val resolved = Warc.resolveRevisitCdx(spark, dir).collect()
+    assert(resolved.length == 4)
+    resolved.foreach { r =>
+      val row = Warc.readRecordAt(dir, r.getAs[String]("filename"),
+        r.getAs[Long]("offset"), r.getAs[Long]("length"),
+        verifyDigest = r.getAs[String]("rec_digest"))
+      val wantUrl = if (r.getAs[String]("rtype") == "response") r.getAs[String]("url")
+        else r.getAs[String]("orig_url")
+      assert(row.url == wantUrl, s"${r.getAs[String]("url")} resolved to ${row.url}")
+      val pd = java.security.MessageDigest.getInstance("MD5")
+        .digest(row.html).map(b => f"$b%02x").mkString
+      assert(pd == r.getAs[String]("payload_digest"))
+    }
+    // the same-url re-crawl resolves to its EARLIER capture
+    val again = resolved.find(r => r.getAs[String]("url") == "https://h/a" &&
+      r.getAs[String]("rtype") == "revisit").get
+    assert(again.getAs[String]("orig_url") == "https://h/a")
+  }
+
   test("revisit archiving: a degenerate hot digest collapses map-side — keeper is a partial agg, never a digest-wide window sort") {
     val ss = spark
     import ss.implicits._
