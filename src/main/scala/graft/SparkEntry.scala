@@ -2798,6 +2798,14 @@ object SparkEntry {
       // what the generator encoded, so a mis-parse is a hash mismatch
       graft.operators.Media.imageMeta(
         graft.operators.Media.syntheticImages(docs(s, dir)))),
+    "q_audio_meta" -> ((s, dir) =>
+      // REAL audio-header decode (the multimodal audio leg): per doc a
+      // genuinely encoded WAV (JDK javax.sound) or a spec-exact
+      // FLAC/MP3/OGG container with closed-form channels + sample rate;
+      // Media.audioMeta parses them from magic bytes — the oracle knows
+      // what the generator encoded
+      graft.operators.Media.audioMeta(
+        graft.operators.Media.syntheticAudio(docs(s, dir)))),
     "q_frame_sample" -> ((s, dir) => TextOps.frameSample(docs(s, dir))),
     "q_pdf_extract" -> ((s, dir) => {
       // the north rule's PDF/layout-parse leg: per-doc deterministic PDF
@@ -5306,6 +5314,17 @@ object SparkEntry {
         |       CAST(least(4096, nb - j * 4096) AS BIGINT) AS frame_bytes
         |FROM (SELECT doc_id, nb, unnest(generate_series(0, greatest((nb + 4095) // 4096 - 1, 0))) AS j FROM d)
         |WHERE j % 10 = 0""".stripMargin,
+    "q_audio_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+        |                       WHEN 2 THEN 'mp3' ELSE 'ogg' END AS format,
+        |       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |       CAST(CASE WHEN doc_id % 4 = 2
+        |                 THEN CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |                 ELSE CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |                           WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+        |            END AS INTEGER) AS sample_rate
+        |FROM documents""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'

@@ -153,7 +153,7 @@ object AnnIndex {
   }
 
   /** y = R·x (R rows × x). */
-  private[operators] def rotate(rot: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+  private[graft] def rotate(rot: Array[Array[Double]], x: Array[Double]): Array[Double] = {
     val y = new Array[Double](rot.length)
     var i = 0
     while (i < rot.length) {
@@ -353,10 +353,13 @@ object AnnIndex {
     */
   def maintain(embeddings: DataFrame, cat: ParquetSnapshotCatalog, table: String,
       floor: Double = 0.5, nQueries: Int = 20, k: Int = 10,
-      nlist: Int = 0, opq: Boolean = false): (Double, Boolean) = {
+      nlist: Int = 0, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+      opq: Boolean = false): (Double, Boolean) = {
     val r = recallProbe(embeddings, cat, table, nQueries, k)
-    if (r < floor) { rebuild(embeddings, cat, table, nlist = nlist, opq = opq); (r, true) }
-    else (r, false)
+    if (r < floor) {
+      rebuild(embeddings, cat, table, nlist, m, ksub, iters, opq = opq)
+      (r, true)
+    } else (r, false)
   }
 
   /** Search the persisted index: trains NOTHING (no ivfTrain, no
@@ -392,7 +395,9 @@ object AnnIndex {
     val probed = unitQ.select("qcluster").distinct()
       .as[String].collect().sorted.toSeq
     val candidates = cat.readPartitionIn(spark, table, probed)
-    val scored = unitQ.join(candidates, col("qcluster") === col("cluster"))
+    // the query side is nQueries×nprobe rows — pin the broadcast so the
+    // candidate scan streams against it instead of shuffling by cluster
+    val scored = broadcast(unitQ).join(candidates, col("qcluster") === col("cluster"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qemb"), col("qcluster"), col("vec_id"), col("codes"))
       .as[(Long, Array[Double], String, Long, Array[Byte])]

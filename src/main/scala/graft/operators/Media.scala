@@ -141,6 +141,184 @@ object Media {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Audio container headers — the other half of the multimodal metadata
+  // leg: format + channels + sample rate from magic bytes, pure JVM, no
+  // codec. Formats (all public specs): WAV (RIFF `fmt ` chunk, LE),
+  // FLAC (STREAMINFO bitfields), MP3 (frame sync after an optional ID3v2
+  // tag, version/layer/samplerate tables), OGG Vorbis (`\x01vorbis`
+  // identification header in the first page).
+  // ------------------------------------------------------------------
+
+  /** (format, channels, sample_rate) from container magic bytes; None =
+    * not a recognized audio container (or truncated before its header).
+    */
+  def audioHeader(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def ascii(i: Int, s: String) =
+      b.length >= i + s.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
+
+    if (b.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      // walk chunks to `fmt ` (usually first, but LIST/JUNK may precede)
+      var i = 12
+      while (i + 8 <= b.length) {
+        val size = le32(i + 4)
+        if (ascii(i, "fmt ") && i + 16 <= b.length)
+          return Some(("wav", le16(i + 10), le32(i + 12)))
+        if (size < 0) return None
+        i += 8 + size + (size & 1) // chunks pad to even
+      }
+      None
+    }
+    else if (b.length >= 22 && ascii(0, "fLaC")) {
+      // STREAMINFO is the mandatory first block: header at 4, data at 8;
+      // sample rate = 20 bits at data offset 10, channels-1 = next 3 bits
+      if ((u8(4) & 0x7f) != 0) return None // first block must be type 0
+      val sr = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+      val ch = ((u8(20) >> 1) & 0x7) + 1
+      if (sr == 0) None else Some(("flac", ch, sr))
+    }
+    else if (b.length >= 4 && (ascii(0, "ID3") || (u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0))) {
+      // skip an ID3v2 tag (syncsafe 28-bit size at 6..9), then parse the
+      // first MPEG audio frame header
+      var i = 0
+      if (ascii(0, "ID3")) {
+        if (b.length < 10) return None
+        i = 10 + ((u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9))
+      }
+      if (i + 4 > b.length || u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return None
+      val verBits = (u8(i + 1) >> 3) & 0x3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+      val layerBits = (u8(i + 1) >> 1) & 0x3 // 1=III, 2=II, 3=I
+      if (verBits == 1 || layerBits == 0) return None // reserved
+      val srIdx = (u8(i + 2) >> 2) & 0x3
+      if (srIdx == 3) return None // reserved
+      val base = Array(44100, 48000, 32000)(srIdx)
+      val sr = verBits match {
+        case 3 => base       // MPEG1
+        case 2 => base / 2   // MPEG2
+        case _ => base / 4   // MPEG2.5
+      }
+      val ch = if (((u8(i + 3) >> 6) & 0x3) == 3) 1 else 2 // mode 3 = mono
+      Some(("mp3", ch, sr))
+    }
+    else if (b.length >= 28 && ascii(0, "OggS") && u8(4) == 0) {
+      // first page: 27-byte header + segment table, then the Vorbis
+      // identification packet `\x01vorbis`: channels u8 at +11, rate
+      // u32le at +12 of the packet
+      val nSegs = u8(26)
+      val p = 27 + nSegs
+      if (p + 16 > b.length || u8(p) != 0x01 || !ascii(p + 1, "vorbis")) return None
+      Some(("ogg", u8(p + 11), le32(p + 12)))
+    }
+    else None
+  }
+
+  /** Deterministic REAL encoded audio per doc: format rotates by
+    * doc_id % 4 — WAV via the JDK's javax.sound encoder (a genuine file
+    * any player opens), FLAC/MP3/OGG as spec-exact hand-built headers (no
+    * JDK encoders exist); channels and sample rate closed-form in doc_id
+    * so the oracle knows what each blob must decode to.
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val ch = 1 + (id % 2).toInt
+        val rates = Array(8000, 16000, 22050, 44100, 48000)
+        val sr = rates((id % 5).toInt)
+        val bytes = (id % 4) match {
+          case 0 => wavBytes(ch, sr, 64)
+          case 1 => flacHeader(ch, sr)
+          case 2 => mp3Header(ch, Array(44100, 48000, 32000)((id % 3).toInt))
+          case _ => oggVorbisHeader(ch, sr)
+        }
+        (id, bytes)
+      }
+    }.toDF("doc_id", "audio")
+  }
+
+  private def wavBytes(channels: Int, rate: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < pcm.length) { pcm(i) = ((i * 37 + 11) & 0xff).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Spec-exact FLAC signature + STREAMINFO (truncated after the header —
+    * only the header is under test). */
+  def flacHeader(channels: Int, rate: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80); out.write(0); out.write(0); out.write(34) // last-block STREAMINFO, len 34
+    out.write(Array[Byte](0x10, 0, 0x10, 0)) // min/max blocksize 4096
+    out.write(new Array[Byte](6))            // min/max frame size unknown
+    out.write((rate >> 12) & 0xff)
+    out.write((rate >> 4) & 0xff)
+    out.write((((rate & 0xf) << 4) | (((channels - 1) & 0x7) << 1)) & 0xff)
+    out.write(new Array[Byte](5 + 16))       // bps/samples + md5
+    out.toByteArray
+  }
+
+  /** Spec-exact MPEG1 Layer III frame header (ID3v2-free). */
+  def mp3Header(channels: Int, rate: Int): Array[Byte] = {
+    val srIdx = Array(44100, 48000, 32000).indexOf(rate)
+    require(srIdx >= 0, s"mp3 sample rate $rate not in the MPEG1 table")
+    val mode = if (channels == 1) 3 else 0 // 3 = mono, 0 = stereo
+    Array[Byte](0xff.toByte, 0xfb.toByte, // sync + MPEG1 Layer III, no CRC
+      ((9 << 4) | (srIdx << 2)).toByte,   // bitrate idx 9 (128k), sr idx
+      ((mode << 6) & 0xff).toByte,
+      0, 0, 0, 0)
+  }
+
+  /** Spec-exact first OGG page holding a Vorbis identification header. */
+  def oggVorbisHeader(channels: Int, rate: Int): Array[Byte] = {
+    val packet = new java.io.ByteArrayOutputStream()
+    packet.write(0x01); packet.write("vorbis".getBytes("US-ASCII"))
+    packet.write(Array[Byte](0, 0, 0, 0)) // vorbis version
+    packet.write(channels)
+    packet.write(rate & 0xff); packet.write((rate >> 8) & 0xff)
+    packet.write((rate >> 16) & 0xff); packet.write((rate >> 24) & 0xff)
+    packet.write(new Array[Byte](9)) // bitrates + blocksizes + framing
+    val pk = packet.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("OggS".getBytes("US-ASCII"))
+    out.write(0)                      // stream structure version
+    out.write(0x02)                   // first-page flag
+    out.write(new Array[Byte](8))     // granule position
+    out.write(Array[Byte](1, 2, 3, 4))// serial
+    out.write(new Array[Byte](4))     // page sequence
+    out.write(new Array[Byte](4))     // checksum (not verified here)
+    out.write(1)                      // one segment
+    out.write(pk.length)              // its lacing value
+    out.write(pk)
+    out.toByteArray
+  }
+
+  /** (doc_id, format, channels, sample_rate) decoded from a BINARY
+    * `audio` column — one narrow typed pass, nulls for undecodable.
+    */
+  def audioMeta(audio: DataFrame): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select("doc_id", "audio").as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        audioHeader(bytes) match {
+          case Some((f, ch, sr)) => (id, f, ch, sr)
+          case None => (id, null.asInstanceOf[String], -1, -1)
+        }
+      }.toDF("doc_id", "format", "channels", "sample_rate")
+  }
+
   /** (doc_id, format, width, height) decoded from a BINARY `img` column —
     * one narrow typed pass, nulls for undecodable payloads.
     */

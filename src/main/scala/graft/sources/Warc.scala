@@ -893,6 +893,20 @@ object Warc {
         "o_rec AS rec_digest")
   }
 
+  /** Coverage-gap census for the CDX path (mirrors [[unresolvableRevisits]]):
+    * revisit CDX lines whose payload digest has NO response line — possible
+    * only in foreign/degraded archives ([[writeWithRevisits]] always emits
+    * the original first); [[resolveRevisitCdx]]'s join drops exactly these,
+    * so consumers of such archives run this once and see the gap.
+    */
+  def unresolvableCdxRevisits(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val cdx = readRevisitCdx(spark, dir)
+    cdx.where("rtype = 'revisit'")
+      .join(cdx.where("rtype = 'response'").select("payload_digest"),
+        Seq("payload_digest"), "left_anti")
+      .select("url", "cdx_ts", "payload_digest")
+  }
+
   /** The archive directory's CDX index as a DataFrame — what a lookup
     * service filters (url =) before issuing ranged reads. O(index) driver/
     * executor cost, never O(archive).

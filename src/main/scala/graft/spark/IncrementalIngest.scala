@@ -237,7 +237,7 @@ object IncrementalIngest {
   def appendSemDeduped(spark: SparkSession, cat: ParquetSnapshotCatalog,
       table: String, vecs: DataFrame, thr: Double = 0.95, nprobe: Int = 2,
       nlist: Int = 0, adcMargin: Double = 1.0,
-      maxCluster: Int = 4096): (Long, Long) = {
+      maxCluster: Int = 4096, opq: Boolean = false): (Long, Long) = {
     import spark.implicits._
     import graft.operators.AnnIndex
     val semTable = table + "__semantic"
@@ -253,14 +253,14 @@ object IncrementalIngest {
       case None =>
         val n = inDrop.count()
         val model = AnnIndex.trainModel(
-          AnnIndex.unitVectors(inDrop), n, nlist, 8, 16, 3)
+          AnnIndex.unitVectors(inDrop), n, nlist, 8, 16, 3, opq)
         AnnIndex.commitModel(spark, cat, modelTable, model) // model FIRST
         inDrop
       case Some(_) =>
         repairSemanticIfBehind(spark, cat, table)
         val model = AnnIndex.loadModelTable(spark, cat, modelTable)
+        val bcM = spark.sparkContext.broadcast(model)
         val bcC = spark.sparkContext.broadcast(model.centroids)
-        val bcB = spark.sparkContext.broadcast(model.codebooks)
         val np = math.max(1, math.min(nprobe, model.centroids.length))
         val floor = 2.0 * (1.0 - thr) + adcMargin
         val unit = AnnIndex.unitVectors(inDrop).localCheckpoint() // probes + refine
@@ -287,18 +287,28 @@ object IncrementalIngest {
             col("vec_id").as("__tid"), col("codes"))
           .as[(Long, Array[Double], String, Long, Array[Byte])]
           .mapPartitions { it =>
-            val cs = bcC.value
-            val bks = bcB.value
+            val m = bcM.value
+            val cs = m.centroids
+            val bks = m.codebooks
             val ds = if (bks.isEmpty) 0 else bks(0)(0).length
+            // query residual in the MODEL's frame — rotated when the
+            // companion model carries OPQ, exactly like AnnIndex.query
+            // (codes are rotated at encode; an unrotated compare here
+            // would score garbage distances)
             it.flatMap { case (qid, qv, qc, tid, codes) =>
               val cv = cs(qc.toInt)
+              val r0 = Array.tabulate(cv.length)(i => qv(i) - cv(i))
+              val rq = m.rotation match {
+                case Some(r) => graft.operators.AnnIndex.rotate(r, r0)
+                case None => r0
+              }
               var dist = 0.0
               var j = 0
               while (j < codes.length) {
                 val cw = bks(j)(codes(j) & 0xff)
                 var i = 0
                 while (i < ds) {
-                  val t = (qv(j * ds + i) - cv(j * ds + i)) - cw(i)
+                  val t = rq(j * ds + i) - cw(i)
                   dist += t * t
                   i += 1
                 }
@@ -307,16 +317,19 @@ object IncrementalIngest {
               if (dist <= floor) Iterator.single((qid, tid)) else Iterator.empty
             }
           }.toDF("qid", "__tid").distinct()
-        // exact refine on survivors only: true committed vectors for the
-        // shortlist rows (shortlist is tiny → broadcast side of the join)
+        // exact refine on survivors only: the shortlist broadcasts into
+        // the committed-vector fetch (table streams, O(survivors) rows
+        // come back), and that SMALL result broadcasts into the drop-side
+        // join — the DROP itself is never a broadcast side (a real crawl
+        // drop is TBs; only shortlist-sized relations ride broadcasts)
         val committed = AnnIndex.unitVectors(cat.read(spark, table))
           .withColumnsRenamed(Map("vec_id" -> "__tid", "embedding" -> "temb"))
         val qUnit = unit.withColumnsRenamed(Map("vec_id" -> "qid", "embedding" -> "qemb2"))
         val cos = aggregate(zip_with(col("qemb2"), col("temb"), (x, y) => x * y),
           lit(0.0d), (a, x) => a + x)
-        val rejected = broadcast(shortlist)
-          .join(committed, Seq("__tid"))
-          .join(broadcast(qUnit), Seq("qid"))
+        val withVecs = broadcast(shortlist).join(committed, Seq("__tid"))
+        val rejected = broadcast(withVecs)
+          .join(qUnit, Seq("qid"))
           .where(cos >= thr)
           .select(col("qid").as("vec_id")).distinct()
         inDrop.join(rejected, Seq("vec_id"), "left_anti")

@@ -87,6 +87,54 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Media.imageHeader("RIFF????WEBPJUNK".getBytes("US-ASCII")) == None)
   }
 
+  test("audio: genuine JDK WAV bytes and spec-exact FLAC/MP3/OGG headers decode to their true parameters") {
+    // WAV: real encoder output across rates and channel counts
+    for ((ch, sr) <- Seq((1, 8000), (2, 44100), (1, 48000), (2, 22050))) {
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, ch, true, false)
+      val pcm = new Array[Byte](32 * ch * 2)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 32L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      assert(Media.audioHeader(out.toByteArray) == Some(("wav", ch, sr)))
+    }
+    assert(Media.audioHeader(Media.flacHeader(2, 96000)) == Some(("flac", 2, 96000)))
+    assert(Media.audioHeader(Media.mp3Header(1, 44100)) == Some(("mp3", 1, 44100)))
+    assert(Media.audioHeader(Media.mp3Header(2, 32000)) == Some(("mp3", 2, 32000)))
+    // an ID3v2 tag before the first frame must be skipped (syncsafe size)
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 5) ++
+      new Array[Byte](5) ++ Media.mp3Header(2, 48000)
+    assert(Media.audioHeader(id3) == Some(("mp3", 2, 48000)))
+    assert(Media.audioHeader(Media.oggVorbisHeader(1, 22050)) == Some(("ogg", 1, 22050)))
+  }
+
+  test("audio: corrupt and truncated payloads degrade to None, never throw") {
+    assert(Media.audioHeader(Array[Byte]()) == None)
+    assert(Media.audioHeader("RIFFxxxxWAVE".getBytes("US-ASCII")) == None) // no fmt chunk
+    assert(Media.audioHeader(Media.flacHeader(2, 44100).take(10)) == None)
+    assert(Media.audioHeader(Array[Byte](0xff.toByte, 0xeb.toByte, 0, 0)) == None) // reserved MPEG version
+    val badOgg = Media.oggVorbisHeader(1, 44100); badOgg(28) = 0x05 // not an ident packet
+    assert(Media.audioHeader(badOgg) == None)
+    assert(Media.audioHeader("not audio either".getBytes("UTF-8")) == None)
+  }
+
+  test("distributed audioMeta over the synthetic corpus matches the generator closed-form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Media.audioMeta(Media.syntheticAudio(docs)).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got.size == 500)
+    val rates = Array(8000, 16000, 22050, 44100, 48000)
+    got.foreach { case (id, (f, ch, sr)) =>
+      val wantF = (id % 4) match {
+        case 0 => "wav"; case 1 => "flac"; case 2 => "mp3"; case _ => "ogg" }
+      val wantSr = if (id % 4 == 2) Array(44100, 48000, 32000)((id % 3).toInt)
+        else rates((id % 5).toInt)
+      assert(f == wantF && ch == 1 + (id % 2).toInt && sr == wantSr,
+        s"doc $id decoded ($f, $ch, $sr)")
+    }
+  }
+
   test("distributed imageMeta over the synthetic corpus matches the generator closed-form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Media.imageMeta(Media.syntheticImages(docs)).collect()

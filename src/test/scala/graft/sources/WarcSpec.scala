@@ -382,6 +382,9 @@ class WarcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = resolved.find(r => r.getAs[String]("url") == "https://h/a" &&
       r.getAs[String]("rtype") == "revisit").get
     assert(again.getAs[String]("orig_url") == "https://h/a")
+    // a self-written archive has no coverage gap; the census is for
+    // foreign/degraded archives
+    assert(Warc.unresolvableCdxRevisits(spark, dir).count() == 0L)
   }
 
   test("revisit archiving: a degenerate hot digest collapses map-side — keeper is a partial agg, never a digest-wide window sort") {

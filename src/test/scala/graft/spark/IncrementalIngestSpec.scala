@@ -183,6 +183,20 @@ class IncrementalIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set("vec_id", "cluster", "codes"))
   }
 
+  test("semantic ingest under OPQ: rotated codes + rotated admission residuals still reject twins") {
+    // the companion model carries an OPQ rotation: codes are encoded in
+    // the rotated frame, so the admission ADC must rotate query residuals
+    // the same way (an unrotated compare scores garbage distances)
+    val (cat, _) = freshCat("semopq")
+    val (_, n1) = IncrementalIngest.appendSemDeduped(spark, cat, "v",
+      vdf((0L until 40L).map(i => (i, vec(i))): _*), opq = true)
+    assert(n1 == 40)
+    val (_, n2) = IncrementalIngest.appendSemDeduped(spark, cat, "v",
+      vdf((300L, twin(11L)), (301L, vec(7777L))), opq = true)
+    assert(n2 == 1, "OPQ admission must reject the twin, admit the fresh vector")
+    assert(vids(cat, "v") == (0L until 40L).toSet + 301L)
+  }
+
   test("semantic crash repair: companion lag rebuilt with the frozen model, twins still rejected") {
     val (cat, _) = freshCat("semcrash")
     IncrementalIngest.appendSemDeduped(spark, cat, "v",
