@@ -2798,6 +2798,13 @@ object SparkEntry {
       // what the generator encoded, so a mis-parse is a hash mismatch
       graft.operators.Media.imageMeta(
         graft.operators.Media.syntheticImages(docs(s, dir)))),
+    "q_video_meta" -> ((s, dir) =>
+      // MP4/ISO-BMFF header decode (the multimodal video leg): spec-exact
+      // containers (version-0 boxes for even docs, version-1 for odd) with
+      // closed-form dims + duration; Media.videoMeta walks ftyp/moov/
+      // mvhd/trak/tkhd — the oracle knows what the generator built
+      graft.operators.Media.videoMeta(
+        graft.operators.Media.syntheticVideo(docs(s, dir)))),
     "q_audio_meta" -> ((s, dir) =>
       // REAL audio-header decode (the multimodal audio leg): per doc a
       // genuinely encoded WAV (JDK javax.sound) or a spec-exact
@@ -5314,6 +5321,12 @@ object SparkEntry {
         |       CAST(least(4096, nb - j * 4096) AS BIGINT) AS frame_bytes
         |FROM (SELECT doc_id, nb, unnest(generate_series(0, greatest((nb + 4095) // 4096 - 1, 0))) AS j FROM d)
         |WHERE j % 10 = 0""".stripMargin,
+    "q_video_meta" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |       CAST(160 + (doc_id % 8) * 16 AS INTEGER) AS width,
+        |       CAST(90 + (doc_id % 6) * 30 AS INTEGER) AS height,
+        |       CAST(1000 + (doc_id % 20) * 500 AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
     "q_audio_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'

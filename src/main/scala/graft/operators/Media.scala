@@ -304,6 +304,127 @@ object Media {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Video container header — the third multimodal leg: MP4/ISO-BMFF
+  // (ISO 14496-12, the container video2dataset-style pipelines meet
+  // first). Box walk: `ftyp` then `moov` → `mvhd` (timescale + duration,
+  // version 0 and 1 layouts) and the first video `trak` → `tkhd` (16.16
+  // fixed-point presentation width/height).
+  // ------------------------------------------------------------------
+
+  /** (width, height, duration_ms) from an MP4's moov metadata; None = not
+    * an MP4 (or truncated/corrupt before the needed boxes).
+    */
+  def videoHeader(b: Array[Byte]): Option[(String, Int, Int, Long)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int) = new String(b, i + 4, 4, "US-ASCII")
+    if (b.length < 16 || fourcc(0) != "ftyp") return None
+    // walk top-level boxes to moov
+    var i = 0
+    var moov = -1
+    var moovEnd = -1
+    while (i + 8 <= b.length && moov < 0) {
+      val size = be32(i)
+      if (size < 8) return None
+      if (fourcc(i) == "moov") { moov = i + 8; moovEnd = math.min(b.length.toLong, i + size).toInt }
+      i += size.toInt
+    }
+    if (moov < 0) return None
+    var timescale = 0L
+    var duration = 0L
+    var w = 0
+    var h = 0
+    def walk(from: Int, to: Int): Unit = {
+      var j = from
+      while (j + 8 <= to) {
+        val size = be32(j)
+        if (size < 8) return
+        val t = fourcc(j)
+        val p = j + 8
+        t match {
+          case "mvhd" if p + 4 <= to =>
+            if (u8(p) == 1) { if (p + 32 <= to) { timescale = be32(p + 20); duration = be64(p + 24) } }
+            else if (p + 20 <= to) { timescale = be32(p + 12); duration = be32(p + 16) }
+          case "trak" => walk(p, math.min(to.toLong, j + size).toInt)
+          case "tkhd" if w == 0 =>
+            val (wo, ho) = if (u8(p) == 1) (88, 92) else (76, 80)
+            if (p + ho + 4 <= to) {
+              val tw = (be32(p + wo) >> 16).toInt // 16.16 fixed point
+              val th = (be32(p + ho) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th }
+            }
+          case _ => ()
+        }
+        j += size.toInt
+      }
+    }
+    walk(moov, moovEnd)
+    if (timescale <= 0 || w == 0) None
+    else Some(("mp4", w, h, duration * 1000L / timescale))
+  }
+
+  /** Deterministic spec-exact MP4 fixtures: ftyp + moov(mvhd + trak(tkhd))
+    * with closed-form dims/duration; even docs use version-0 boxes, odd
+    * docs version-1 — both layouts exercised. (No JDK MP4 encoder exists;
+    * the container header is spec-complete, media data truncated.)
+    */
+  def syntheticVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 160 + (id % 8).toInt * 16
+        val h = 90 + (id % 6).toInt * 30
+        val durMs = 1000L + (id % 20) * 500L
+        (id, mp4Header(w, h, durMs, v1 = id % 2 == 1))
+      }
+    }.toDF("doc_id", "video")
+  }
+
+  /** Build the MP4 metadata skeleton: duration expressed at timescale
+    * 1000 (so duration units == milliseconds exactly). */
+  def mp4Header(w: Int, h: Int, durMs: Long, v1: Boolean): Array[Byte] = {
+    def be32(v: Long) = Array[Byte](((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ t.getBytes("US-ASCII") ++ payload
+    val mvhd =
+      if (v1) box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(1000L) ++ be64(durMs) ++ new Array[Byte](80))
+      else box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1000L) ++ be32(durMs) ++ new Array[Byte](80))
+    val tkhd =
+      if (v1) box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(1L) ++ be32(0) ++ be64(durMs) ++ new Array[Byte](52) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+      else box("tkhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+        be32(1L) ++ be32(0) ++ be32(durMs) ++ new Array[Byte](52) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200L) ++
+      "isomiso2mp41".getBytes("US-ASCII"))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  /** (doc_id, format, width, height, duration_ms) decoded from a BINARY
+    * `video` column — one narrow typed pass, nulls for undecodable.
+    */
+  def videoMeta(video: DataFrame): DataFrame = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select("doc_id", "video").as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        videoHeader(bytes) match {
+          case Some((f, w, h, d)) => (id, f, w, h, d)
+          case None => (id, null.asInstanceOf[String], -1, -1, -1L)
+        }
+      }.toDF("doc_id", "format", "width", "height", "duration_ms")
+  }
+
   /** (doc_id, format, channels, sample_rate) decoded from a BINARY
     * `audio` column — one narrow typed pass, nulls for undecodable.
     */

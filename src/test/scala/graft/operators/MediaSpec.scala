@@ -135,6 +135,33 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("video: MP4 v0 and v1 box layouts decode; corrupt/truncated degrade to None") {
+    assert(Media.videoHeader(Media.mp4Header(1920, 1080, 90500L, v1 = false)) ==
+      Some(("mp4", 1920, 1080, 90500L)))
+    assert(Media.videoHeader(Media.mp4Header(640, 360, 1000L, v1 = true)) ==
+      Some(("mp4", 640, 360, 1000L)))
+    assert(Media.videoHeader(Array[Byte]()) == None)
+    assert(Media.videoHeader("not a video at all............".getBytes) == None)
+    val m = Media.mp4Header(640, 360, 1000L, v1 = false)
+    assert(Media.videoHeader(m.take(20)) == None)    // cut before moov
+    val noTkhd = m.clone(); // corrupt the tkhd fourcc so no track parses
+    val idx = new String(m.map(_.toChar)).indexOf("tkhd")
+    noTkhd(idx) = 'x'.toByte
+    assert(Media.videoHeader(noTkhd) == None)
+  }
+
+  test("distributed videoMeta over the synthetic corpus matches the generator closed-form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Media.videoMeta(Media.syntheticVideo(docs)).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(got.size == 500)
+    got.foreach { case (id, (f, w, h, d)) =>
+      assert(f == "mp4" && w == 160 + (id % 8).toInt * 16 &&
+        h == 90 + (id % 6).toInt * 30 && d == 1000L + (id % 20) * 500L,
+        s"doc $id decoded ($f, $w, $h, $d)")
+    }
+  }
+
   test("distributed imageMeta over the synthetic corpus matches the generator closed-form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Media.imageMeta(Media.syntheticImages(docs)).collect()
