@@ -162,13 +162,14 @@ object Media {
       b.length >= i + s.length && s.indices.forall(k => b(i + k) == s.charAt(k).toByte)
 
     if (b.length >= 12 && ascii(0, "RIFF") && ascii(8, "WAVE")) {
-      // walk chunks to `fmt ` (usually first, but LIST/JUNK may precede)
-      var i = 12
+      // walk chunks to `fmt ` (usually first, but LIST/JUNK may precede);
+      // LONG arithmetic — a crafted 32-bit chunk size must not wrap the
+      // cursor negative and index out of bounds inside a task
+      var i = 12L
       while (i + 8 <= b.length) {
-        val size = le32(i + 4)
-        if (ascii(i, "fmt ") && i + 16 <= b.length)
-          return Some(("wav", le16(i + 10), le32(i + 12)))
-        if (size < 0) return None
+        val size = le32(i.toInt + 4).toLong & 0xffffffffL
+        if (ascii(i.toInt, "fmt ") && i + 16 <= b.length)
+          return Some(("wav", le16(i.toInt + 10), le32(i.toInt + 12)))
         i += 8 + size + (size & 1) // chunks pad to even
       }
       None
@@ -323,15 +324,16 @@ object Media {
     def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
     def fourcc(i: Int) = new String(b, i + 4, 4, "US-ASCII")
     if (b.length < 16 || fourcc(0) != "ftyp") return None
-    // walk top-level boxes to moov
-    var i = 0
+    // walk top-level boxes to moov — LONG cursor: a crafted 32-bit box
+    // size must not wrap negative and loop/index out of bounds in a task
+    var i = 0L
     var moov = -1
     var moovEnd = -1
     while (i + 8 <= b.length && moov < 0) {
-      val size = be32(i)
+      val size = be32(i.toInt)
       if (size < 8) return None
-      if (fourcc(i) == "moov") { moov = i + 8; moovEnd = math.min(b.length.toLong, i + size).toInt }
-      i += size.toInt
+      if (fourcc(i.toInt) == "moov") { moov = (i + 8).toInt; moovEnd = math.min(b.length.toLong, i + size).toInt }
+      i += size
     }
     if (moov < 0) return None
     var timescale = 0L
@@ -339,12 +341,12 @@ object Media {
     var w = 0
     var h = 0
     def walk(from: Int, to: Int): Unit = {
-      var j = from
+      var j = from.toLong
       while (j + 8 <= to) {
-        val size = be32(j)
+        val size = be32(j.toInt)
         if (size < 8) return
-        val t = fourcc(j)
-        val p = j + 8
+        val t = fourcc(j.toInt)
+        val p = (j + 8).toInt
         t match {
           case "mvhd" if p + 4 <= to =>
             if (u8(p) == 1) { if (p + 32 <= to) { timescale = be32(p + 20); duration = be64(p + 24) } }
@@ -359,7 +361,7 @@ object Media {
             }
           case _ => ()
         }
-        j += size.toInt
+        j += size
       }
     }
     walk(moov, moovEnd)

@@ -150,6 +150,43 @@ class MediaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Media.videoHeader(noTkhd) == None)
   }
 
+  test("adversarial sizes: crafted 32-bit chunk/box lengths cannot wrap the cursor or throw") {
+    // WAV whose chunk size is 0x7FFFFFF0 (positive as an Int, but adding
+    // it wraps an Int cursor negative → out-of-bounds index in a task)
+    val evilWav = "RIFF????WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](0xf0.toByte, 0xff.toByte, 0xff.toByte, 0x7f) ++
+      new Array[Byte](64)
+    assert(Media.audioHeader(evilWav) == None)
+    // and the all-ones size (negative as an Int — the other wrap arm)
+    val evilWav2 = "RIFF????WAVE".getBytes("US-ASCII") ++
+      "JUNK".getBytes("US-ASCII") ++ Array[Byte](-1, -1, -1, -1) ++
+      new Array[Byte](64)
+    assert(Media.audioHeader(evilWav2) == None)
+    // MP4 whose second box declares size 0xFFFFFFF0
+    val evilMp4 = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long) = { out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
+      be32(16); out.write("ftyp".getBytes); out.write("isom".getBytes); be32(0)
+      be32(0xfffffff0L); out.write("free".getBytes)
+      out.write(new Array[Byte](64))
+      out.toByteArray
+    }
+    assert(Media.videoHeader(evilMp4) == None)
+    // and a moov whose INNER box size wraps
+    val evilMoov = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long) = { out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+        out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt) }
+      be32(16); out.write("ftyp".getBytes); out.write("isom".getBytes); be32(0)
+      be32(24); out.write("moov".getBytes)
+      be32(0xffffff00L); out.write("mvhd".getBytes); out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    assert(Media.videoHeader(evilMoov) == None)
+  }
+
   test("distributed videoMeta over the synthetic corpus matches the generator closed-form") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = Media.videoMeta(Media.syntheticVideo(docs)).collect()
