@@ -88,13 +88,21 @@ object Pdf {
     } finally d.end()
   }
 
+  /** Decompression is CAPPED at 64 MB per stream: a crafted zip-bomb
+    * content stream (KBs of deflate inflating to GBs) must cost a task a
+    * bounded buffer, not an executor OOM — the prefix is still parsed, so
+    * legitimate text before the cap survives (crawl-robustness policy).
+    */
+  private val maxInflate = 64 << 20
+
   private def inflate(b: Array[Byte], from: Int, until: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(b, from, until - from)
-      val out = new java.io.ByteArrayOutputStream((until - from) * 3 + 64)
+      val out = new java.io.ByteArrayOutputStream(math.min((until - from) * 3 + 64, maxInflate))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) out.write(buf, 0, inf.inflate(buf))
+      while (!inf.finished() && !inf.needsInput() && out.size() < maxInflate)
+        out.write(buf, 0, inf.inflate(buf))
       out.toByteArray
     } catch { case _: java.util.zip.DataFormatException => Array.emptyByteArray }
     finally inf.end()

@@ -23,6 +23,27 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(pdf) === "a b c d")
   }
 
+  test("zip-bomb content stream is capped: bounded memory, prefix text survives") {
+    // a stream deflating ~190 MB of zeros into ~KBs: uncapped inflation
+    // would balloon task memory; the cap must stop at 64 MB and the text
+    // BEFORE the bomb must still extract
+    val textPart = "BT (hello before the bomb) Tj ET\n".getBytes("ISO-8859-1")
+    val bomb = new Array[Byte](190 << 20) // zeros compress ~1000:1
+    val payload = textPart ++ bomb
+    val d = new java.util.zip.Deflater()
+    d.setInput(payload); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 16)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    val comp = out.toByteArray
+    assert(comp.length < (1 << 21), s"fixture should compress small: ${comp.length}")
+    val pdf = (s"%PDF-1.4\n4 0 obj << /Length ${comp.length} /Filter /FlateDecode >>\nstream\n")
+      .getBytes("ISO-8859-1") ++ comp ++ "\nendstream\n%%EOF\n".getBytes("ISO-8859-1")
+    val got = Pdf.extractText(pdf)
+    assert(got == "hello before the bomb", s"prefix text must survive the cap: '$got'")
+  }
+
   test("malformed input never crashes, yields empty") {
     assert(Pdf.extractText(Array[Byte](1, 2, 3)) === "")
     assert(Pdf.extractText("stream\n(((((".getBytes) === "")
