@@ -56,6 +56,13 @@ object Warc {
     */
   val maxHeaderLine = 8192
 
+  /** Per-record body cap: a crafted Content-Length (or a genuine gzip
+    * bomb) must never materialize gigabytes in one task — oversized
+    * records are SKIPPED with the stream kept aligned (real CC records
+    * are ~1 MB; 256 MB is far above any legitimate page).
+    */
+  val maxRecordBytes: Int = 256 << 20
+
   /** One serialized record: url, timestamp, and the record block (HTTP
     * response block or raw body). Public — Dataset encoder payload.
     */
@@ -573,16 +580,31 @@ object Warc {
             }
             h = line()
           }
-          if (len >= 0) {
+          if (len >= 0 && len <= maxRecordBytes) {
             val block = bin.readNBytes(len)
             if (block.length == len && (typ == null || typ == wantType) && url != null) {
               // conversion records carry plain text — no HTTP envelope
               val (raw, charset) =
                 if (wantType == "response") stripHttpHeadersCs(block) else (block, null)
               val body = CharsetSniff.toUtf8(raw, charset)
-              val ts = new java.sql.Timestamp(
-                if (date != null) java.time.Instant.parse(date).toEpochMilli else 0L)
-              return PageRow(url, ts, body, null, null)
+              // a CORRUPT WARC-Date skips the record (the parseRevisitStream
+              // rule — never a DateTimeParseException killing the task,
+              // never a silent mis-stamp); an ABSENT date keeps the
+              // legacy epoch stamp (fuzz-spec-pinned behavior)
+              val tsMs =
+                if (date == null) 0L
+                else try java.time.Instant.parse(date).toEpochMilli
+                     catch { case _: Exception => -1L }
+              if (tsMs >= 0)
+                return PageRow(url, new java.sql.Timestamp(tsMs), body, null, null)
+            }
+          } else if (len > maxRecordBytes) {
+            // oversized declaration (zip-bomb / corrupt length): skip the
+            // body WITHOUT materializing it, stay stream-aligned
+            var left = len.toLong
+            while (left > 0) {
+              val n = bin.skip(left)
+              if (n <= 0) { left = 0 } else left -= n
             }
           }
         }
